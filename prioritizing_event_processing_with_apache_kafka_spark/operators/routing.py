@@ -1,0 +1,188 @@
+"""Producer-side routing: key → bucket → topic partition.
+
+The Spark-first re-expression of the reference's producer
+``Partitioner`` (``BucketPriorityPartitioner.java``):
+
+- **P1 key→bucket**: native split/trim expression (``functions/keys.py``).
+- **P2 topic guard**: records of other topics keep a NULL partition so
+  the downstream Kafka sink's own partitioner decides — the analog of
+  returning ``UNKNOWN_PARTITION`` (``BucketPriorityPartitioner.java:64-68``).
+- **P3 membership**: broadcast join against the tiny layout table;
+  unknown buckets get NULL partition (fall-through,
+  ``BucketPriorityPartitioner.java:74``).
+- **P6 layout**: the pure-Python kernel's output becomes a
+  ≤-few-hundred-bytes DataFrame that Catalyst broadcast-joins — no
+  shuffle of the fact side, ever.
+- **P7 round-robin**: ``partition = partition_lo + pmod(seq, bucket_size)``
+  where ``seq`` depends on the routing *mode* (below). Starved buckets
+  (zero partitions after truncation) route to partition ``-1``, exactly
+  like ``Bucket.nextPartition()`` (``Bucket.java:22-29``); the record is
+  dropped at the sink, observable via ``route_status = 'starved'``.
+- **P9 discard**: ``on_unroutable='discard'`` filters NULL-partition
+  rows (the documented ``DiscardPartitioner`` behavior,
+  ``DiscardPartitioner.java:15-18``).
+
+Routing modes (scale matters — the round-robin counter is the one
+piece of shared state in the reference, and a literal port would
+serialize the world):
+
+- ``mode="exact"`` — global per-bucket ``row_number`` ordered by
+  ``order_col``. Bit-reproducible round-robin (what the reference's
+  unit tests assert: exactly N/size records per partition). Costs one
+  shuffle with **one task per bucket** — fine for tests and per-micro-
+  batch streaming routing, wrong for a 100 TB batch.
+- ``mode="spread"`` (default) — per-Spark-partition round-robin using
+  ``monotonically_increasing_id``: every task keeps its own dense
+  counter, so records are spread uniformly over the bucket's partition
+  range with **zero shuffle** and no skew, like N independent producers
+  each running the reference's partitioner. Distribution-uniform, not
+  globally sequential.
+- ``mode="hash"`` — stateless ``pmod(xxhash64(key), size)``: sticky
+  per-key placement (same key → same partition), zero shuffle. This is
+  Kafka's own default keyed behavior scoped inside the bucket's range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from prioritizing_event_processing_with_apache_kafka_spark.functions.keys import extract_bucket
+from prioritizing_event_processing_with_apache_kafka_spark.plans.config import BucketPriorityConfig
+from prioritizing_event_processing_with_apache_kafka_spark.plans.layout import compute_layout
+
+__all__ = ["layout_table", "route", "routed_distribution", "LAYOUT_SCHEMA"]
+
+LAYOUT_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.StringType(), False),
+        T.StructField("allocation", T.IntegerType(), False),
+        T.StructField("priority_rank", T.IntegerType(), False),
+        T.StructField("partition_lo", T.IntegerType(), True),
+        T.StructField("partition_hi", T.IntegerType(), True),
+        T.StructField("bucket_size", T.IntegerType(), False),
+    ]
+)
+
+
+def layout_table(
+    spark: SparkSession, config: BucketPriorityConfig, num_partitions: int
+) -> DataFrame:
+    """The bucket layout as a tiny broadcastable DataFrame.
+
+    One row per configured bucket (starved buckets included, with NULL
+    ``partition_lo``/``partition_hi`` and ``bucket_size`` 0) — the
+    relational image of the reference's ``LinkedHashMap<String,Bucket>``.
+    """
+    ranges = compute_layout(num_partitions, config.buckets_with_allocation())
+    rows = [
+        (r.bucket, r.allocation, r.priority_rank, r.partition_lo, r.partition_hi, r.size)
+        for r in ranges
+    ]
+    return spark.createDataFrame(rows, LAYOUT_SCHEMA)
+
+
+def _sequence_column(mode: str, order_col: Column | str | None) -> Column:
+    if mode == "exact":
+        if order_col is None:
+            raise ValueError("mode='exact' requires order_col (a deterministic ordering)")
+        order = F.col(order_col) if isinstance(order_col, str) else order_col
+        window = Window.partitionBy("__peps_bucket").orderBy(order)
+        return (F.row_number().over(window) - F.lit(1)).cast("long")
+    if mode == "spread":
+        # Dense per-task counter: low 33 bits of monotonically_increasing_id
+        # are the row index within the Spark partition, high bits the task
+        # id — pmod by bucket_size yields an independent round-robin per
+        # task, uniformly covering the bucket range without any shuffle.
+        return F.monotonically_increasing_id()
+    if mode == "hash":
+        return None  # sentinel: computed from the key downstream
+    raise ValueError(f"unknown routing mode: {mode!r} (expected exact|spread|hash)")
+
+
+def route(
+    df: DataFrame,
+    config: BucketPriorityConfig,
+    num_partitions: int,
+    *,
+    key_col: str = "key",
+    topic_col: str | None = None,
+    order_col: Column | str | None = None,
+    mode: str = "spread",
+) -> DataFrame:
+    """Attach ``bucket``, ``partition`` and ``route_status`` columns.
+
+    ``partition`` semantics (sink contract — Spark's Kafka sink honors a
+    ``partition`` column on write):
+
+    - routed record → the chosen partition id inside its bucket's range;
+    - record of a *starved* bucket → ``-1`` (dropped; reference parity
+      with ``Bucket.nextPartition`` returning -1);
+    - unroutable record (wrong topic, NULL/unparseable key, unknown
+      bucket) → NULL, i.e. "let the sink's default partitioner decide"
+      (``UNKNOWN_PARTITION``) — unless ``config.on_unroutable ==
+      'discard'``, which drops these rows.
+
+    The layout join is an explicit ``broadcast`` of a ≤#buckets-row
+    table: at any scale the fact side is never shuffled for routing.
+    """
+    spark = df.sparkSession
+    layout = layout_table(spark, config, num_partitions)
+
+    bucket = extract_bucket(F.col(key_col), config.delimiter)
+    if topic_col is not None:
+        # P2: bucket logic only applies to the configured topic.
+        bucket = F.when(F.col(topic_col) == F.lit(config.topic), bucket)
+    routed = df.withColumn("__peps_bucket", bucket)
+
+    routed = routed.join(
+        F.broadcast(layout.withColumnRenamed("bucket", "__peps_layout_bucket")),
+        routed["__peps_bucket"] == F.col("__peps_layout_bucket"),
+        "left",
+    )
+
+    seq = _sequence_column(mode, order_col)
+    if seq is None:  # hash mode
+        seq = F.xxhash64(F.col(key_col).cast("string"))
+    partition = (
+        F.when(F.col("__peps_layout_bucket").isNull(), F.lit(None).cast("int"))
+        .when(F.col("bucket_size") == 0, F.lit(-1))
+        .otherwise(
+            (F.col("partition_lo") + F.pmod(seq, F.col("bucket_size"))).cast("int")
+        )
+    )
+    status = (
+        F.when(F.col("__peps_layout_bucket").isNull(), F.lit("unroutable"))
+        .when(F.col("bucket_size") == 0, F.lit("starved"))
+        .otherwise(F.lit("routed"))
+    )
+
+    out = (
+        routed.withColumn("partition", partition)
+        .withColumn("route_status", status)
+        .withColumn("bucket", F.col("__peps_bucket"))
+        .drop(
+            "__peps_bucket",
+            "__peps_layout_bucket",
+            "allocation",
+            "priority_rank",
+            "partition_lo",
+            "partition_hi",
+            "bucket_size",
+        )
+    )
+    if config.on_unroutable == "discard":
+        out = out.filter(F.col("route_status") != "unroutable")
+    return out
+
+
+def routed_distribution(routed: DataFrame) -> DataFrame:
+    """Records per (bucket, partition) — the invariant the reference's
+    ``MockProducer`` tests assert (e.g. exactly 4 per B1 partition for
+    32 records over 8 partitions, ``BucketPriorityPartitionerTest.java:344-419``)."""
+    return (
+        routed.groupBy("bucket", "partition")
+        .agg(F.count(F.lit(1)).alias("record_count"))
+        .orderBy("bucket", "partition")
+    )

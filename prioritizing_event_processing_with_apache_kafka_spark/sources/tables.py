@@ -1,0 +1,72 @@
+"""Fixture-table loaders for the driver's synthetic TPC-H-ish corpus.
+
+Tables (one parquet file per table under ``/root/testdata/sf*/``):
+``region nation customer supplier part orders lineitem events
+documents embeddings`` — see /root/repo/TESTDATA.md.
+
+``with_routing_key`` applies the corpus rule from /root/repo/FIXTURES.md
+§6: each event gets a routing key ``<bucket>-<event_id>`` with the fixed
+event_type→bucket map (error→Platinum, purchase→Gold, rest→Standard),
+so bucket-priority queries and relational queries share one corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["TABLE_NAMES", "EVENT_TYPE_BUCKET", "load_table", "load_tables", "with_routing_key"]
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# FIXTURES.md §6: priority class per event type.
+EVENT_TYPE_BUCKET = {"error": "Platinum", "purchase": "Gold"}
+DEFAULT_BUCKET = "Standard"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, normalizing timestamp precision.
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects. We read it as a raw long
+    (``spark.sql.legacy.parquet.nanosAsLong`` — runtime-settable) and
+    truncate to microseconds with exact integer division, matching what
+    DuckDB's parquet reader does on the oracle side.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def bucket_for_event_type(event_type_col) -> Column:
+    """Native CASE expression for the event_type→bucket map."""
+    col = F.col(event_type_col) if isinstance(event_type_col, str) else event_type_col
+    expr = F.lit(DEFAULT_BUCKET)
+    for event_type, bucket in EVENT_TYPE_BUCKET.items():
+        expr = F.when(col == event_type, F.lit(bucket)).otherwise(expr)
+    return expr
+
+
+def with_routing_key(events: DataFrame) -> DataFrame:
+    """events + ``key`` = ``<bucket>-<event_id>`` (FIXTURES.md §6)."""
+    return events.withColumn(
+        "key",
+        F.concat_ws("-", bucket_for_event_type("event_type"), F.col("event_id").cast("string")),
+    )

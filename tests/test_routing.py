@@ -1,0 +1,216 @@
+"""Routing-operator tests.
+
+Each scenario replays a behavioral assertion from the reference's
+``BucketPriorityPartitionerTest`` (MockProducer-based), re-expressed
+over in-memory DataFrames: records carry ``(record_id, topic, key)``;
+routing must land them on the same partitions the reference chooses.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prioritizing_event_processing_with_apache_kafka_spark import BucketPriorityConfig
+from prioritizing_event_processing_with_apache_kafka_spark.operators.routing import (
+    layout_table,
+    route,
+    routed_distribution,
+)
+
+
+def make_records(spark, keys, topic="orders"):
+    rows = [(i, topic, k) for i, k in enumerate(keys)]
+    return spark.createDataFrame(rows, "record_id long, topic string, key string")
+
+
+def routed_map(df):
+    return {r["record_id"]: (r["bucket"], r["partition"], r["route_status"]) for r in df.collect()}
+
+
+CFG_3B = dict(topic="orders", buckets=["B1", "B2", "B3"], allocation=["50%", "30%", "20%"])
+
+
+class TestRoutingExactMode:
+    def test_records_land_in_own_bucket_range(self, spark):
+        # BucketPriorityPartitionerTest.java:110-183 — 10 records per
+        # bucket over 10 partitions, 50/30/20: every record must land in
+        # its own bucket's partition range.
+        cfg = BucketPriorityConfig(**CFG_3B)
+        keys = [f"B{b}-{i}" for b in (1, 2, 3) for i in range(10)]
+        out = route(
+            make_records(spark, keys), cfg, 10,
+            topic_col="topic", order_col="record_id", mode="exact",
+        )
+        ranges = {"B1": range(0, 5), "B2": range(5, 8), "B3": range(8, 10)}
+        for rid, (bucket, partition, status) in routed_map(out).items():
+            assert status == "routed"
+            assert partition in ranges[bucket], (rid, bucket, partition)
+
+    def test_starved_bucket_routes_to_minus_one(self, spark):
+        # BucketPriorityPartitionerTest.java:186-262 — 55/40/5 over 10:
+        # B3 has no partitions; its records get partition -1 (dropped).
+        cfg = BucketPriorityConfig(
+            topic="orders", buckets=["B1", "B2", "B3"], allocation=["55%", "40%", "5%"]
+        )
+        keys = [f"B{b}-{i}" for b in (1, 2, 3) for i in range(10)]
+        out = route(
+            make_records(spark, keys), cfg, 10,
+            topic_col="topic", order_col="record_id", mode="exact",
+        )
+        for rid, (bucket, partition, status) in routed_map(out).items():
+            if bucket == "B3":
+                assert (partition, status) == (-1, "starved")
+            elif bucket == "B1":
+                assert partition in range(0, 6) and status == "routed"
+            else:
+                assert partition in range(6, 10) and status == "routed"
+
+    def test_exact_round_robin_uniformity(self, spark):
+        # BucketPriorityPartitionerTest.java:344-419 — 80/20 over 10:
+        # 32 B1 records over 8 partitions → exactly 4 each;
+        # 32 B2 records over 2 partitions → exactly 16 each.
+        cfg = BucketPriorityConfig(topic="orders", buckets=["B1", "B2"], allocation=[80, 20])
+        keys = [f"B1-{i}" for i in range(32)] + [f"B2-{i}" for i in range(32)]
+        out = route(
+            make_records(spark, keys), cfg, 10,
+            topic_col="topic", order_col="record_id", mode="exact",
+        )
+        dist = {
+            (r["bucket"], r["partition"]): r["record_count"]
+            for r in routed_distribution(out).collect()
+        }
+        assert dist == {**{("B1", p): 4 for p in range(8)}, **{("B2", p): 16 for p in (8, 9)}}
+
+    def test_layout_rebuild_on_partition_increase(self, spark):
+        # BucketPriorityPartitionerTest.java:421-567 — after 10→20
+        # partitions: B1=[0..15] at 2 records/partition (32 records),
+        # B2=[16..19] at 8 records/partition (32 records).
+        cfg = BucketPriorityConfig(topic="orders", buckets=["B1", "B2"], allocation=[80, 20])
+        keys = [f"B1-{i}" for i in range(32)] + [f"B2-{i}" for i in range(32)]
+        out = route(
+            make_records(spark, keys), cfg, 20,
+            topic_col="topic", order_col="record_id", mode="exact",
+        )
+        dist = {
+            (r["bucket"], r["partition"]): r["record_count"]
+            for r in routed_distribution(out).collect()
+        }
+        assert dist == {
+            **{("B1", p): 2 for p in range(16)},
+            **{("B2", p): 8 for p in range(16, 20)},
+        }
+
+    def test_round_robin_sequence_is_deterministic(self, spark):
+        # Counter starts at -1 ⇒ first record → first partition of the
+        # bucket (Bucket.java:19,22-29), then strictly cycling.
+        cfg = BucketPriorityConfig(topic="orders", buckets=["B1", "B2"], allocation=[50, 50])
+        keys = [f"B1-{i}" for i in range(6)]
+        out = route(
+            make_records(spark, keys), cfg, 4,
+            topic_col="topic", order_col="record_id", mode="exact",
+        )
+        got = [routed_map(out)[i][1] for i in range(6)]
+        assert got == [0, 1, 0, 1, 0, 1]
+
+
+class TestFallThrough:
+    def test_topic_guard(self, spark):
+        # BucketPriorityPartitionerTest.java — records on another topic
+        # bypass bucket routing (UNKNOWN_PARTITION → NULL partition).
+        cfg = BucketPriorityConfig(**CFG_3B)
+        df = make_records(spark, ["B1-1", "B1-2"], topic="other-topic")
+        out = route(df, cfg, 10, topic_col="topic", order_col="record_id", mode="exact")
+        for _, (bucket, partition, status) in routed_map(out).items():
+            assert bucket is None and partition is None and status == "unroutable"
+
+    def test_unknown_bucket_falls_through(self, spark):
+        cfg = BucketPriorityConfig(**CFG_3B)
+        out = route(
+            make_records(spark, ["Silver-1", "B1-1"]), cfg, 10,
+            topic_col="topic", order_col="record_id", mode="exact",
+        )
+        rm = routed_map(out)
+        assert rm[0] == ("Silver", None, "unroutable")
+        assert rm[1][2] == "routed"
+
+    def test_null_key_falls_through(self, spark):
+        cfg = BucketPriorityConfig(**CFG_3B)
+        out = route(
+            make_records(spark, [None, "B1-1"]), cfg, 10,
+            topic_col="topic", order_col="record_id", mode="exact",
+        )
+        assert routed_map(out)[0] == (None, None, "unroutable")
+
+    def test_key_shapes(self, spark):
+        # README.md:65-69 key shapes + trim semantics (P1).
+        cfg = BucketPriorityConfig(
+            topic="orders", buckets=["Platinum", "Gold"], allocation=[70, 30]
+        )
+        keys = ["Platinum", "Platinum-001", "Platinum-Group01-001", " Platinum -1"]
+        out = route(
+            make_records(spark, keys), cfg, 6,
+            topic_col="topic", order_col="record_id", mode="exact",
+        )
+        for _, (bucket, partition, status) in routed_map(out).items():
+            assert bucket == "Platinum" and status == "routed" and partition in range(4)
+
+    def test_discard_mode_drops_unroutable(self, spark):
+        cfg = BucketPriorityConfig(**CFG_3B, on_unroutable="discard")
+        out = route(
+            make_records(spark, ["Silver-1", "B1-1", None]), cfg, 10,
+            topic_col="topic", order_col="record_id", mode="exact",
+        )
+        assert [r["record_id"] for r in out.collect()] == [1]
+
+    def test_custom_delimiter(self, spark):
+        cfg = BucketPriorityConfig(
+            topic="orders", buckets=["B1", "B2"], allocation=[50, 50], delimiter="_"
+        )
+        out = route(
+            make_records(spark, ["B1_7", "B2_9"]), cfg, 4,
+            topic_col="topic", order_col="record_id", mode="exact",
+        )
+        rm = routed_map(out)
+        assert rm[0][0] == "B1" and rm[1][0] == "B2"
+
+
+class TestScalableModes:
+    @pytest.mark.parametrize("mode", ["spread", "hash"])
+    def test_modes_stay_in_bucket_range(self, spark, mode):
+        cfg = BucketPriorityConfig(topic="orders", buckets=["B1", "B2"], allocation=[80, 20])
+        keys = [f"B1-{i}" for i in range(200)] + [f"B2-{i}" for i in range(200)]
+        out = route(make_records(spark, keys), cfg, 10, topic_col="topic", mode=mode)
+        ranges = {"B1": range(0, 8), "B2": range(8, 10)}
+        for _, (bucket, partition, status) in routed_map(out).items():
+            assert status == "routed" and partition in ranges[bucket]
+
+    def test_spread_mode_is_reasonably_uniform(self, spark):
+        cfg = BucketPriorityConfig(topic="orders", buckets=["B1"], allocation=[100])
+        keys = [f"B1-{i}" for i in range(800)]
+        out = route(make_records(spark, keys), cfg, 8, topic_col="topic", mode="spread")
+        counts = [
+            r["record_count"] for r in routed_distribution(out).collect()
+        ]
+        assert len(counts) == 8
+        # each task round-robins independently → near-uniform overall
+        assert max(counts) - min(counts) <= len(counts) * 4
+
+    def test_hash_mode_is_sticky(self, spark):
+        cfg = BucketPriorityConfig(topic="orders", buckets=["B1"], allocation=[100])
+        df = make_records(spark, ["B1-a", "B1-a", "B1-a", "B1-b"])
+        out = route(df, cfg, 8, topic_col="topic", mode="hash")
+        parts = [routed_map(out)[i][1] for i in range(3)]
+        assert len(set(parts)) == 1
+
+
+class TestLayoutTable:
+    def test_layout_table_rows(self, spark):
+        cfg = BucketPriorityConfig(
+            topic="orders", buckets=["B1", "B2", "B3"], allocation=[55, 40, 5]
+        )
+        rows = layout_table(spark, cfg, 10).orderBy("priority_rank").collect()
+        got = [
+            (r["bucket"], r["partition_lo"], r["partition_hi"], r["bucket_size"]) for r in rows
+        ]
+        assert got == [("B1", 0, 5, 6), ("B2", 6, 9, 4), ("B3", None, None, 0)]
