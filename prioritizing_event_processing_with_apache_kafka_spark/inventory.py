@@ -1,0 +1,725 @@
+"""Declared query inventory: the oracle-checkable surface of the engine.
+
+Every entry pairs a PySpark query (native DataFrame ops, built from the
+engine's operators) with an ANSI-SQL oracle that DuckDB runs over the
+same parquet fixtures. The driver executes both at sf=0.01 and compares
+row count + schema + order-insensitive value hash, so:
+
+- every computed column is aliased identically on both sides;
+- double aggregations route through exact DECIMAL arithmetic and cast
+  the final value to DOUBLE (order-independent, bit-identical across
+  engines);
+- timestamps are truncated to microseconds on both sides (see
+  ``sources/tables.py``);
+- window/rank queries carry deterministic tie-breakers.
+
+The canonical routing scenario used by the event queries:
+topic ``events``, buckets Platinum/Gold/Standard = 50/30/20 over 12
+partitions → layout Platinum=[0..5], Gold=[6..9], Standard=[10,11]
+(sizes 6, 3.6→4, 2.4→2 under the reference's float32 Math.round;
+``Bucket.java:46-48``). Event→bucket rule per FIXTURES.md §6:
+error→Platinum, purchase→Gold, rest→Standard; key = ``<bucket>-<event_id>``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from prioritizing_event_processing_with_apache_kafka_spark.functions.keys import extract_bucket
+from prioritizing_event_processing_with_apache_kafka_spark.operators.routing import (
+    layout_table,
+    route,
+    routed_distribution,
+)
+from prioritizing_event_processing_with_apache_kafka_spark.plans.config import BucketPriorityConfig
+from prioritizing_event_processing_with_apache_kafka_spark.plans.layout import compute_layout
+from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import (
+    load_table,
+    with_routing_key,
+)
+
+__all__ = ["QUERIES", "ORACLES", "EVENTS_CONFIG", "EVENTS_NUM_PARTITIONS"]
+
+# ---------------------------------------------------------------------------
+# Canonical routing scenario
+# ---------------------------------------------------------------------------
+
+EVENTS_CONFIG = BucketPriorityConfig(
+    topic="events",
+    buckets=["Platinum", "Gold", "Standard"],
+    allocation=["50%", "30%", "20%"],
+)
+EVENTS_NUM_PARTITIONS = 12
+
+# Oracle-side fragments. The routed CTE mirrors route(mode='exact') —
+# a broadcast layout join plus per-bucket row_number round-robin.
+_SQL_EVENTS_KEYED = """
+  keyed_events AS (
+    SELECT e.*,
+           CASE WHEN event_type = 'error' THEN 'Platinum'
+                WHEN event_type = 'purchase' THEN 'Gold'
+                ELSE 'Standard' END AS bucket,
+           CASE WHEN event_type = 'error' THEN 'Platinum'
+                WHEN event_type = 'purchase' THEN 'Gold'
+                ELSE 'Standard' END || '-' || CAST(event_id AS VARCHAR) AS key
+    FROM events e
+  )
+"""
+
+_SQL_LAYOUT_12 = """
+  layout AS (
+    SELECT * FROM (VALUES
+      ('Platinum', 50, 0, 0, 5, 6),
+      ('Gold',     30, 1, 6, 9, 4),
+      ('Standard', 20, 2, 10, 11, 2)
+    ) AS t(bucket, allocation, priority_rank, partition_lo, partition_hi, bucket_size)
+  )
+"""
+
+_SQL_ROUTED = f"""
+WITH {_SQL_EVENTS_KEYED},
+{_SQL_LAYOUT_12},
+  routed AS (
+    SELECT k.*, l.partition_lo, l.bucket_size,
+           CAST(l.partition_lo
+                + (ROW_NUMBER() OVER (PARTITION BY k.bucket ORDER BY k.event_id) - 1)
+                  % l.bucket_size AS INTEGER) AS partition
+    FROM keyed_events k JOIN layout l USING (bucket)
+  )
+"""
+
+
+def _events_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = with_routing_key(load_table(spark, sf_dir, "events"))
+    return route(
+        events,
+        EVENTS_CONFIG,
+        EVENTS_NUM_PARTITIONS,
+        order_col="event_id",
+        mode="exact",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A. Bucket-priority core queries
+# ---------------------------------------------------------------------------
+
+
+def q_route_events_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full routed stream: which partition does every event land on.
+
+    Parity target: BucketPriorityPartitioner.partition() semantics
+    (reference BucketPriorityPartitioner.java:62-84) under exact
+    round-robin ordered by event_id.
+    """
+    return _events_routed(spark, sf_dir).select("event_id", "bucket", "partition")
+
+
+SQL_ROUTE_EVENTS_EXACT = _SQL_ROUTED + "SELECT event_id, bucket, partition FROM routed"
+
+
+def q_route_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Records per (bucket, partition) — the MockProducer distribution
+    invariant (BucketPriorityPartitionerTest.java:344-419)."""
+    return routed_distribution(_events_routed(spark, sf_dir))
+
+
+SQL_ROUTE_DISTRIBUTION = (
+    _SQL_ROUTED
+    + "SELECT bucket, partition, COUNT(*) AS record_count FROM routed GROUP BY 1, 2"
+)
+
+
+def q_bucket_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 key→bucket extraction over the synthesized keys
+    (BucketPriorityPartitioner.java:69-73)."""
+    events = with_routing_key(load_table(spark, sf_dir, "events"))
+    return events.select(
+        "event_id",
+        "key",
+        extract_bucket(F.col("key"), EVENTS_CONFIG.delimiter).alias("bucket"),
+    )
+
+
+SQL_BUCKET_EXTRACT = (
+    f"WITH {_SQL_EVENTS_KEYED} "
+    "SELECT event_id, key, TRIM(SPLIT_PART(key, '-', 1)) AS bucket FROM keyed_events"
+)
+
+
+def q_layout_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layout kernel's output for the six golden configurations the
+    reference's tests assert (SURVEY.md §2.A; BucketPriorityPartitionerTest)."""
+    scenarios = [
+        (1, 10, [("B1", 50), ("B2", 30), ("B3", 20)]),
+        (2, 10, [("B1", 55), ("B2", 40), ("B3", 5)]),
+        (3, 5, [("B1", 55), ("B2", 40), ("B3", 5)]),
+        (4, 10, [("B1", 80), ("B2", 20)]),
+        (5, 20, [("B1", 80), ("B2", 20)]),
+        (6, 6, [("Platinum", 70), ("Gold", 30)]),
+    ]
+    rows = []
+    for config_id, n, buckets in scenarios:
+        for r in compute_layout(n, buckets):
+            rows.append(
+                (config_id, r.bucket, r.allocation, r.priority_rank,
+                 r.partition_lo, r.partition_hi, r.size)
+            )
+    return spark.createDataFrame(
+        rows,
+        "config_id int, bucket string, allocation int, priority_rank int, "
+        "partition_lo int, partition_hi int, bucket_size int",
+    )
+
+
+SQL_LAYOUT_GOLDEN = """
+SELECT * FROM (VALUES
+  (1, 'B1', 50, 0, 0, 4, 5), (1, 'B2', 30, 1, 5, 7, 3), (1, 'B3', 20, 2, 8, 9, 2),
+  (2, 'B1', 55, 0, 0, 5, 6), (2, 'B2', 40, 1, 6, 9, 4), (2, 'B3', 5, 2, NULL, NULL, 0),
+  (3, 'B1', 55, 0, 0, 2, 3), (3, 'B2', 40, 1, 3, 4, 2), (3, 'B3', 5, 2, NULL, NULL, 0),
+  (4, 'B1', 80, 0, 0, 7, 8), (4, 'B2', 20, 1, 8, 9, 2),
+  (5, 'B1', 80, 0, 0, 15, 16), (5, 'B2', 20, 1, 16, 19, 4),
+  (6, 'Platinum', 70, 0, 0, 3, 4), (6, 'Gold', 30, 1, 4, 5, 2)
+) AS t(config_id, bucket, allocation, priority_rank, partition_lo, partition_hi, bucket_size)
+"""
+
+
+def q_starved_discard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unroutable-record audit under a config that omits the Standard
+    bucket — the DiscardPartitioner path made observable
+    (DiscardPartitioner.java:15-18; README.md:79-84)."""
+    cfg = BucketPriorityConfig(topic="events", buckets=["Platinum", "Gold"], allocation=[70, 30])
+    events = with_routing_key(load_table(spark, sf_dir, "events"))
+    routed = route(events, cfg, 10, order_col="event_id", mode="exact")
+    return (
+        routed.filter(F.col("route_status") == "unroutable")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_discarded"))
+    )
+
+
+SQL_STARVED_DISCARD_AUDIT = f"""
+WITH {_SQL_EVENTS_KEYED}
+SELECT event_type, COUNT(*) AS n_discarded
+FROM keyed_events WHERE bucket NOT IN ('Platinum', 'Gold')
+GROUP BY 1
+"""
+
+
+def q_bucket_allocation_vs_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-vs-demand per bucket: partitions held (allocation) vs
+    records arriving — the operational dashboard behind the pattern
+    (README.md:5-17): does Platinum's 50% partition share cover its load?
+    """
+    layout = layout_table(spark, EVENTS_CONFIG, EVENTS_NUM_PARTITIONS)
+    routed = _events_routed(spark, sf_dir)
+    per_bucket = routed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_records"))
+    return (
+        per_bucket.join(F.broadcast(layout), "bucket")
+        .select(
+            "bucket",
+            "allocation",
+            "bucket_size",
+            "n_records",
+            (F.col("n_records") / F.col("bucket_size")).alias("records_per_partition"),
+        )
+    )
+
+
+SQL_BUCKET_ALLOCATION_VS_LOAD = f"""
+{_SQL_ROUTED}
+SELECT bucket, l.allocation, l.bucket_size, COUNT(*) AS n_records,
+       CAST(COUNT(*) AS DOUBLE) / l.bucket_size AS records_per_partition
+FROM routed JOIN layout l USING (bucket)
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# B. Relational surface (TPC-H-ish over the fixture star schema)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation with exact decimal
+    arithmetic. The headline batch-aggregation benchmark query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    disc_price = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + grouped revenue + deterministic top-10."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    revenue = F.sum(
+        dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    ).cast("double")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_Q3 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join; dims broadcast, facts co-joined."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    revenue = F.sum(
+        dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    ).cast("double")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(
+            F.broadcast(cust),
+            (orders["o_custkey"] == cust["c_custkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(revenue.alias("revenue"))
+    )
+
+
+SQL_Q5 = """
+SELECT r_name, n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank window: top-3 events per user by value (deterministic ties)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+SQL_TOP_EVENTS_PER_USER = """
+SELECT user_id, event_id, value, rn FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+def q_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: rollup (bucket, event_type) — the priority dashboard."""
+    routed = _events_routed(spark, sf_dir)
+    dec_value = F.col("value").cast("decimal(18,2)")
+    return (
+        routed.rollup("bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec_value).cast("double").alias("sum_value"),
+        )
+    )
+
+
+SQL_BUCKET_ROLLUP = f"""
+{_SQL_ROUTED}
+SELECT bucket, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM routed
+GROUP BY ROLLUP (bucket, event_type)
+"""
+
+
+def q_bucket_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: full cube over (bucket, event_type)."""
+    routed = _events_routed(spark, sf_dir)
+    return routed.cube("bucket", "event_type").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+SQL_BUCKET_CUBE = f"""
+{_SQL_ROUTED}
+SELECT bucket, event_type, COUNT(*) AS n_events
+FROM routed
+GROUP BY CUBE (bucket, event_type)
+"""
+
+
+def q_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() window: mean inter-event gap per user in microseconds."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        events.withColumn("gap_us", gap)
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            (F.sum("gap_us").cast("double") / F.count(F.lit(1))).alias("avg_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )
+
+
+SQL_USER_EVENT_GAPS = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_gaps,
+       CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us,
+       MAX(gap_us) AS max_gap_us
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def q_running_bucket_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame aggregate: running event count per bucket over event time."""
+    routed = _events_routed(spark, sf_dir)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return routed.select(
+        "bucket", "event_id", F.count(F.lit(1)).over(w).alias("running_count")
+    )
+
+
+SQL_RUNNING_BUCKET_COUNT = f"""
+{_SQL_ROUTED}
+SELECT bucket, event_id,
+       COUNT(*) OVER (PARTITION BY bucket ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_count
+FROM routed
+"""
+
+
+def q_distinct_users_per_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation per bucket."""
+    routed = _events_routed(spark, sf_dir)
+    return routed.groupBy("bucket").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+SQL_DISTINCT_USERS_PER_BUCKET = f"""
+{_SQL_ROUTED}
+SELECT bucket, COUNT(DISTINCT user_id) AS n_users, COUNT(DISTINCT event_type) AS n_types
+FROM routed GROUP BY 1
+"""
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct per bucket — sketch aggregation for
+    high-cardinality keys at scale. No SQL oracle (engine-specific
+    sketch); driver records a rows-only check."""
+    routed = _events_routed(spark, sf_dir)
+    return routed.groupBy("bucket").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the events ``props`` column."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_EVENTS_JSON_EXTRACT = """
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers that never ordered."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join with a filtered build side: customers that never placed
+    an order above 250k (non-empty complement of the semi join below)."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return (
+        cust.join(big, cust["c_custkey"] == big["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_BIG_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+"""
+
+
+def q_big_spender_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join + aggregation: segment stats over customers that placed
+    at least one order above 100k."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        cust.join(big, cust["c_custkey"] == big["o_custkey"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(dec("c_acctbal")).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+SQL_BIG_SPENDER_SEGMENTS = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+GROUP BY 1
+"""
+
+
+def q_union_priority_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: per-tier aggregates unioned back into one result
+    (unionByName of independently-computed bucket streams)."""
+    routed = _events_routed(spark, sf_dir)
+    dec_value = F.col("value").cast("decimal(18,2)")
+
+    def tier(bucket: str) -> DataFrame:
+        return (
+            routed.filter(F.col("bucket") == bucket)
+            .groupBy("event_type")
+            .agg(F.sum(dec_value).cast("double").alias("sum_value"))
+            .withColumn("bucket", F.lit(bucket))
+        )
+
+    return tier("Platinum").unionByName(tier("Gold")).unionByName(tier("Standard"))
+
+
+SQL_UNION_PRIORITY_TIERS = f"""
+{_SQL_ROUTED}
+SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, bucket
+FROM routed WHERE bucket = 'Platinum' GROUP BY event_type, bucket
+UNION ALL
+SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, bucket
+FROM routed WHERE bucket = 'Gold' GROUP BY event_type, bucket
+UNION ALL
+SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, bucket
+FROM routed WHERE bucket = 'Standard' GROUP BY event_type, bucket
+"""
+
+
+def q_sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (batch analog of session windows): 30-minute
+    inactivity gap splits sessions; per-user session stats."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    session_id = F.sum(new_session).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = (
+        events.withColumn("session_id", session_id)
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("session_events"))
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("session_events").alias("max_session_events"),
+    )
+
+
+SQL_SESSIONIZED_EVENTS = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_id, COUNT(*) AS session_events
+  FROM numbered GROUP BY 1, 2
+)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(session_events) AS max_session_events
+FROM sessions GROUP BY 1
+"""
+
+
+def q_bucket_throughput_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window per bucket (batch analog of the streaming
+    throughput query): window start, bucket, event count."""
+    routed = _events_routed(spark, sf_dir)
+    return (
+        routed.groupBy(F.window("ts", "1 hour").alias("w"), F.col("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "bucket", "n_events")
+    )
+
+
+SQL_BUCKET_THROUGHPUT_HOURLY = f"""
+{_SQL_ROUTED}
+SELECT date_trunc('hour', ts) AS window_start, bucket, COUNT(*) AS n_events
+FROM routed GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # bucket-priority core
+    "route_events_exact": q_route_events_exact,
+    "route_distribution": q_route_distribution,
+    "bucket_extract": q_bucket_extract,
+    "layout_golden": q_layout_golden,
+    "starved_discard_audit": q_starved_discard_audit,
+    "bucket_allocation_vs_load": q_bucket_allocation_vs_load,
+    # relational surface
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_regional_revenue": q5_regional_revenue,
+    "top_events_per_user": q_top_events_per_user,
+    "bucket_rollup": q_bucket_rollup,
+    "bucket_cube": q_bucket_cube,
+    "user_event_gaps": q_user_event_gaps,
+    "running_bucket_count": q_running_bucket_count,
+    "distinct_users_per_bucket": q_distinct_users_per_bucket,
+    "approx_distinct_users": q_approx_distinct_users,
+    "events_json_extract": q_events_json_extract,
+    "customers_without_orders": q_customers_without_orders,
+    "customers_without_big_orders": q_customers_without_big_orders,
+    "big_spender_segments": q_big_spender_segments,
+    "union_priority_tiers": q_union_priority_tiers,
+    "sessionized_events": q_sessionized_events,
+    "bucket_throughput_hourly": q_bucket_throughput_hourly,
+}
+
+ORACLES: dict[str, str] = {
+    "route_events_exact": SQL_ROUTE_EVENTS_EXACT,
+    "route_distribution": SQL_ROUTE_DISTRIBUTION,
+    "bucket_extract": SQL_BUCKET_EXTRACT,
+    "layout_golden": SQL_LAYOUT_GOLDEN,
+    "starved_discard_audit": SQL_STARVED_DISCARD_AUDIT,
+    "bucket_allocation_vs_load": SQL_BUCKET_ALLOCATION_VS_LOAD,
+    "q1_pricing_summary": SQL_Q1,
+    "q3_shipping_priority": SQL_Q3,
+    "q5_regional_revenue": SQL_Q5,
+    "top_events_per_user": SQL_TOP_EVENTS_PER_USER,
+    "bucket_rollup": SQL_BUCKET_ROLLUP,
+    "bucket_cube": SQL_BUCKET_CUBE,
+    "user_event_gaps": SQL_USER_EVENT_GAPS,
+    "running_bucket_count": SQL_RUNNING_BUCKET_COUNT,
+    "distinct_users_per_bucket": SQL_DISTINCT_USERS_PER_BUCKET,
+    # approx_distinct_users: engine sketch, rows-only check
+    "events_json_extract": SQL_EVENTS_JSON_EXTRACT,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "customers_without_big_orders": SQL_CUSTOMERS_WITHOUT_BIG_ORDERS,
+    "big_spender_segments": SQL_BIG_SPENDER_SEGMENTS,
+    "union_priority_tiers": SQL_UNION_PRIORITY_TIERS,
+    "sessionized_events": SQL_SESSIONIZED_EVENTS,
+    "bucket_throughput_hourly": SQL_BUCKET_THROUGHPUT_HOURLY,
+}

@@ -1,0 +1,148 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet fixtures, then compares row count, column
+names and an order-insensitive value comparison. Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+
+Exit code 0 iff every checked query matches.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    conn = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            conn.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return conn
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for col in df.columns:
+        s = df[col]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[col] = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            df[col] = s.astype(str)
+        elif pd.api.types.is_float_dtype(s):
+            df[col] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[col] = s.astype("Int64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if s_cols != o_cols:
+        problems.append(f"columns: spark={s_cols} oracle={o_cols}")
+        return problems
+    if problems:
+        return problems
+    s, o = normalize(spark_pdf.copy()), normalize(oracle_pdf.copy())
+    for col in s.columns:
+        a, b = s[col], o[col]
+        if pd.api.types.is_float_dtype(a):
+            import numpy as np
+
+            eq = np.isclose(a.fillna(1.5e308), b.fillna(1.5e308), rtol=0, atol=0)
+            exact = eq.all()
+            close = np.isclose(a.fillna(1.5e308), b.fillna(1.5e308), rtol=1e-12).all()
+            if not exact:
+                tag = "EXACT-MISMATCH" if not close else "bit-inexact (within 1e-12!)"
+                idx = int((~eq).argmax())
+                problems.append(
+                    f"col {col}: {tag}; first diff at row {idx}: "
+                    f"spark={a.iloc[idx]!r} oracle={b.iloc[idx]!r}"
+                )
+        else:
+            eq = (a.isna() & b.isna()) | (a == b)
+            if not eq.all():
+                idx = (~eq).idxmax()
+                problems.append(
+                    f"col {col}: first diff at row {idx}: "
+                    f"spark={a.iloc[idx]!r} oracle={b.iloc[idx]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check-oracle")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    conn = duckdb_conn(sf_dir)
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures, checked, rows_only = 0, 0, 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}")
+            failures += 1
+            continue
+        if name not in oracles:
+            rows_only += 1
+            print(f"rows  {name}: {len(spark_pdf)} rows (no oracle, rows-only) "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            oracle_pdf = conn.execute(oracles[name]).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+        problems = compare(name, spark_pdf, oracle_pdf)
+        checked += 1
+        if problems:
+            failures += 1
+            print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
+            for p in problems:
+                print(f"      {p}")
+        else:
+            print(f"ok    {name}: {len(spark_pdf)} rows [{time.time()-t0:.1f}s]")
+    print(f"\n{checked} oracle-checked, {rows_only} rows-only, {failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
