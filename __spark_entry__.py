@@ -16,7 +16,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from prioritizing_event_processing_with_apache_kafka_spark import inventory
+from prioritizing_event_processing_with_apache_kafka_spark import (
+    inventory,
+    inventory_pipeline,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,10 +30,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(inventory.QUERIES)
+    return {**inventory.QUERIES, **inventory_pipeline.PIPELINE_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each query (omitted for engine-specific
     sketches and other non-SQL-expressible ops → rows-only check)."""
-    return dict(inventory.ORACLES)
+    return {**inventory.ORACLES, **inventory_pipeline.PIPELINE_ORACLES}

@@ -1,0 +1,304 @@
+"""Query inventory, part 2: training-data pipeline operators.
+
+Dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), embedding
+similarity (exact top-k, within-label near-dup, LSH ANN), text analysis
+(token stats, quality, language-ID, fingerprint), and multimodal binary
+plumbing — each over the driver's ``documents`` / ``embeddings``
+fixtures, with DuckDB oracles wherever the operator is SQL-expressible.
+
+The probabilistic near-dup operators (MinHash, SimHash) *verify* their
+candidates with the exact n-gram Jaccard before reporting, so their
+output contract equals the ground-truth pair set (the corpus's planted
+near-dups all sit at Jaccard ≥ 0.89, far above the banding recall
+knee) — making even the sketch-based operators oracle-checkable. The
+LSH ANN query is approximate by design → rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prioritizing_event_processing_with_apache_kafka_spark.operators import dedup as D
+from prioritizing_event_processing_with_apache_kafka_spark.operators import (
+    multimodal as M,
+)
+from prioritizing_event_processing_with_apache_kafka_spark.operators import (
+    similarity as S,
+)
+from prioritizing_event_processing_with_apache_kafka_spark.operators import text as TX
+from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import load_table
+
+__all__ = ["PIPELINE_QUERIES", "PIPELINE_ORACLES"]
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "text", "doc_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT MIN(doc_id) AS doc_id_keep, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+# Ground-truth near-dup SQL: 4-token shingles, shared-shingle candidates,
+# exact Jaccard >= 0.5. Also serves as the oracle for the MinHash and
+# SimHash operators (their verified output equals the truth set).
+SQL_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(tokens) - 3, 1)),
+                       i -> array_to_string(tokens[i:i+3], ' '))) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), cand AS (
+  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+)
+SELECT c.x, c.y,
+       CAST(len(list_intersect(sx.shingles, sy.shingles)) AS DOUBLE)
+       / (len(sx.shingles) + len(sy.shingles) - len(list_intersect(sx.shingles, sy.shingles))) AS jaccard
+FROM cand c
+JOIN sh sx ON sx.doc_id = c.x
+JOIN sh sy ON sy.doc_id = c.y
+WHERE CAST(len(list_intersect(sx.shingles, sy.shingles)) AS DOUBLE)
+      / (len(sx.shingles) + len(sy.shingles) - len(list_intersect(sx.shingles, sy.shingles))) >= 0.5
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, k=4, threshold=0.5)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, k=4, num_hashes=128, bands=32, threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, k=4, max_hamming=16, jaccard_threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+_SQL_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, len({a})), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), "
+    "(acc, v) -> acc + v)"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"{_SQL_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_SQL_DOT.format(a=a, b=a)}) * sqrt({_SQL_DOT.format(a=b, b=b)}))"
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.cosine_topk(emb, queries, k=5)
+
+
+SQL_EMBEDDING_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND({_sql_cosine('q.qvec', 'e.embedding')}, 6) AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-label near-duplicate pairs by exact cosine ≥ 0.4 — the
+    blocked (label-partitioned) variant of all-pairs similarity."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label"), F.col("vec_id").alias("x"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("label"), F.col("vec_id").alias("y"), F.col("embedding").alias("vb")
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("x") < F.col("y"))
+        .withColumn("cos_sim", F.round(S.cosine("va", "vb"), 6))
+        .filter(F.col("cos_sim") >= 0.4)
+        .select("label", "x", "y", "cos_sim")
+    )
+
+
+SQL_EMBEDDING_NEARDUP = f"""
+SELECT a.label, a.vec_id AS x, b.vec_id AS y,
+       ROUND({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND({_sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.4
+"""
+
+
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (recall < 1 by design) — rows-only
+    check; quality is judged against `embedding_topk`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.lsh_ann_topk(emb, queries, k=5, num_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TX.token_counts(load_table(spark, sf_dir, "documents"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.sum("n_tokens_re").alias("sum_tokens_re"),
+    )
+
+
+SQL_TEXT_TOKEN_STATS = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS sum_tokens_re
+FROM documents GROUP BY lang
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TX.quality_features(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", "n_chars_m", "n_tokens", "mean_word_len", "stopword_ratio"
+    )
+
+
+_SQL_STOPLIST = "('the', 'a', 'of', 'to', 'and')"
+
+SQL_TEXT_QUALITY = f"""
+SELECT doc_id,
+       length(text) AS n_chars_m,
+       len(string_split(text, ' ')) AS n_tokens,
+       CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         / len(string_split(text, ' ')) AS mean_word_len,
+       CAST(len(list_filter(string_split(text, ' '), t -> t IN {_SQL_STOPLIST})) AS DOUBLE)
+         / len(string_split(text, ' ')) AS stopword_ratio
+FROM documents
+"""
+
+
+def q_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TX.language_guess(load_table(spark, sf_dir, "documents"))
+    return docs.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+SQL_LANG_ID_EVAL = f"""
+SELECT lang,
+       CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN {_SQL_STOPLIST})) >= 2
+            THEN 'en' ELSE 'und' END AS lang_pred,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TX.fingerprint(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "fingerprint")
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+                          t -> CAST(length(t) * {TX.FP_MULT} + ascii(t) AS BIGINT))),
+         (acc, v) -> (acc * {TX.FP_MULT} + v) % {TX.FP_MOD}) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.extract_features(M.as_blob_table(docs))
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id,
+       CAST(strlen(text) AS INTEGER) AS n_bytes,
+       CAST(ascii(text) AS INTEGER) AS first_byte,
+       CAST(ascii(substr(text, length(text), 1)) AS INTEGER) AS last_byte,
+       CAST((ascii(text) * 31 + strlen(text)) % 997 AS BIGINT) AS checksum
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_topk": q_embedding_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "embedding_ann_lsh": q_embedding_ann_lsh,
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "lang_id_eval": q_lang_id_eval,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_features": q_multimodal_features,
+}
+
+PIPELINE_ORACLES: dict[str, str] = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_minhash_lsh": SQL_NGRAM_JACCARD,
+    "dedup_simhash": SQL_NGRAM_JACCARD,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    # embedding_ann_lsh: approximate by design → rows-only
+    "text_token_stats": SQL_TEXT_TOKEN_STATS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id_eval": SQL_LANG_ID_EVAL,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
+}

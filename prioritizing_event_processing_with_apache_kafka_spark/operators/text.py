@@ -1,0 +1,119 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is native Column expressions (split / transform /
+aggregate lambdas run inside whole-stage codegen) — no Python UDFs, so
+the operators scale linearly with input partitions and never serialize
+rows across the JVM/Python boundary.
+
+Operators:
+
+- tokenization + token counting (whitespace and regex "BPE-ish" word
+  pieces);
+- quality scoring (length, mean word length, stopword ratio);
+- language identification (stopword-hit heuristic, deterministic);
+- document fingerprinting (polynomial rolling hash over tokens —
+  order-sensitive, unlike a bag-of-words hash).
+
+Every operator has an exact ANSI-SQL twin (see ``inventory.py``), which
+keeps them oracle-checkable: the fingerprint, for instance, folds
+``acc = (acc*31 + tokenValue) % 1_000_000_007`` sequentially, which both
+Spark's ``aggregate`` and DuckDB's ``list_reduce`` reproduce bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "STOPWORDS",
+    "tokens",
+    "token_counts",
+    "quality_features",
+    "language_guess",
+    "fingerprint",
+]
+
+# Tiny deterministic stopword list (intersects the fixture vocabulary).
+STOPWORDS = ("the", "a", "of", "to", "and")
+
+FP_MOD = 1_000_000_007
+FP_MULT = 31
+
+
+def tokens(text_col: str = "text") -> Column:
+    """Whitespace tokens (single-space split, matching the oracle)."""
+    return F.split(F.col(text_col), " ")
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``n_tokens`` (whitespace) and ``n_tokens_re`` (regex word
+    pieces ``[a-z0-9]+`` — a BPE-ish lower bound on subword count)."""
+    return df.withColumn("n_tokens", F.size(tokens(text_col))).withColumn(
+        "n_tokens_re",
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[a-z0-9]+', 0)")),
+    )
+
+
+def _stopword_hits(text_col: str) -> Column:
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return F.expr(f"size(filter(split({text_col}, ' '), t -> t IN ({stop_list})))")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features per document:
+
+    - ``n_chars_m``   — measured character length;
+    - ``n_tokens``    — whitespace token count;
+    - ``mean_word_len`` — avg token length (chars-without-spaces / tokens);
+    - ``stopword_ratio`` — stopword hits / tokens.
+
+    Ratios are exact integer divisions cast to double (deterministic
+    across engines).
+    """
+    tok = tokens(text_col)
+    n_tokens = F.size(tok)
+    n_chars = F.length(F.col(text_col))
+    non_space = n_chars - (n_tokens - F.lit(1))  # single-space separated
+    return (
+        df.withColumn("n_chars_m", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "mean_word_len", non_space.cast("double") / n_tokens.cast("double")
+        )
+        .withColumn(
+            "stopword_ratio",
+            _stopword_hits(text_col).cast("double") / n_tokens.cast("double"),
+        )
+    )
+
+
+def language_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic stopword-hit language heuristic.
+
+    Predicts ``en`` when at least two English stopword token hits occur,
+    else ``und`` (undetermined). Deliberately simple — the point is a
+    deterministic, SQL-expressible language-ID *operator* slot; swap the
+    wordlists for real per-language tables in production.
+    """
+    return df.withColumn(
+        "lang_pred",
+        F.when(_stopword_hits(text_col) >= 2, F.lit("en")).otherwise(F.lit("und")),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    over tokens, ``acc = (acc*31 + len(t)*31 + ascii(t[0])) % 1e9+7``.
+
+    Sequential left fold — content moves ⇒ fingerprint moves; cheap
+    (single pass, no shuffle) and identical in any engine with a
+    sequential list fold.
+    """
+    return df.withColumn(
+        "fingerprint",
+        F.expr(
+            f"aggregate(split({text_col}, ' '), 0L, "
+            f"(acc, t) -> (acc * {FP_MULT} + (length(t) * {FP_MULT} + ascii(substring(t, 1, 1)))) % {FP_MOD})"
+        ),
+    )

@@ -1,0 +1,156 @@
+"""Pipeline-operator tests: dedup, similarity, text, multimodal.
+
+Small in-memory corpora with known structure; the sf-fixture parity is
+covered by the oracle harness (tools/check_oracle.py), so these tests
+pin operator *semantics* — candidate generation, verification,
+determinism and the stubbed multimodal seam.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prioritizing_event_processing_with_apache_kafka_spark.operators import dedup as D
+from prioritizing_event_processing_with_apache_kafka_spark.operators import (
+    multimodal as M,
+)
+from prioritizing_event_processing_with_apache_kafka_spark.operators import (
+    similarity as S,
+)
+from prioritizing_event_processing_with_apache_kafka_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "completely different content with other words here"),
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (4, "one two three four"),                            # short doc
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_exact_dedup_keeps_min_id(self, docs):
+        out = {r["doc_id_keep"]: r["n_copies"] for r in D.exact_dedup(docs, "text", "doc_id").collect()}
+        assert out[0] == 2          # docs 0 and 3 collapse; 0 kept
+        assert 3 not in out
+        assert out[1] == 1 and out[2] == 1 and out[4] == 1
+
+
+class TestShingles:
+    def test_shingle_contents(self, docs):
+        row = (
+            D.with_shingles(docs, k=4)
+            .filter(F.col("doc_id") == 4)
+            .select("shingles")
+            .first()
+        )
+        assert row["shingles"] == ["one two three four"]
+
+    def test_shingles_are_distinct(self, spark):
+        df = spark.createDataFrame([(0, "a b a b a b a b")], "doc_id long, text string")
+        sh = D.with_shingles(df, k=2).first()["shingles"]
+        assert sorted(sh) == ["a b", "b a"]
+
+
+class TestNearDupPairs:
+    def test_ngram_jaccard_finds_near_dup(self, docs):
+        pairs = {(r["x"], r["y"]): r["jaccard"] for r in D.ngram_jaccard_pairs(docs, k=4, threshold=0.3).collect()}
+        assert (0, 3) in pairs and pairs[(0, 3)] == 1.0      # exact dup
+        assert (0, 1) in pairs and 0.3 <= pairs[(0, 1)] < 1  # near dup
+        assert (1, 3) in pairs
+        assert not any(2 in p or 4 in p for p in pairs)
+
+    def test_minhash_lsh_matches_ground_truth(self, docs):
+        truth = {(r["x"], r["y"]) for r in D.ngram_jaccard_pairs(docs, k=4, threshold=0.3).collect()}
+        lsh = {(r["x"], r["y"]) for r in D.minhash_lsh_pairs(docs, k=4, threshold=0.3).collect()}
+        assert lsh == truth
+
+    def test_simhash_matches_ground_truth(self, docs):
+        truth = {(r["x"], r["y"]) for r in D.ngram_jaccard_pairs(docs, k=4, threshold=0.3).collect()}
+        sim = {(r["x"], r["y"]) for r in D.simhash_pairs(docs, k=4, jaccard_threshold=0.3).collect()}
+        assert sim == truth
+
+    def test_hot_shingle_cap_drops_degenerate_bucket(self, spark):
+        # 10 docs sharing one hot shingle + 2 true dups; the cap must
+        # drop the hot bucket but keep the dup pair discoverable.
+        rows = [(i, f"common shingle here now unique{i} a b c") for i in range(10)]
+        rows += [(100, "x y z w v u t s"), (101, "x y z w v u t s")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = {
+            (r["x"], r["y"])
+            for r in D.ngram_jaccard_pairs(
+                df, k=4, threshold=0.9, max_signature_freq=5
+            ).collect()
+        }
+        assert pairs == {(100, 101)}
+
+
+class TestSimilarity:
+    def test_cosine_identity_and_orthogonal(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        q = df.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = {r["vec_id"]: (r["rank"], r["cos_sim"]) for r in S.cosine_topk(df, q, k=2).collect()}
+        assert out[2] == (1, 1.0)
+        assert out[1] == (2, 0.0)
+
+    def test_lsh_bucket_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(i, [float(i + j) for j in range(64)]) for i in range(4)],
+            "vec_id long, embedding array<float>",
+        )
+        b1 = {r["vec_id"]: r["lsh_bucket"] for r in S.with_lsh_bucket(df).collect()}
+        b2 = {r["vec_id"]: r["lsh_bucket"] for r in S.with_lsh_bucket(df).collect()}
+        assert b1 == b2
+        assert all(0 <= v < 256 for v in b1.values())
+
+
+class TestText:
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([(0, "a bb ccc")], "doc_id long, text string")
+        row = TX.token_counts(df).first()
+        assert row["n_tokens"] == 3 and row["n_tokens_re"] == 3
+
+    def test_quality_features(self, spark):
+        df = spark.createDataFrame([(0, "the cat the dog")], "doc_id long, text string")
+        row = TX.quality_features(df).first()
+        assert row["n_tokens"] == 4
+        assert row["stopword_ratio"] == 0.5
+        assert row["mean_word_len"] == 3.0
+
+    def test_fingerprint_order_sensitive(self, spark):
+        df = spark.createDataFrame(
+            [(0, "alpha beta"), (1, "beta alpha"), (2, "alpha beta")],
+            "doc_id long, text string",
+        )
+        fp = {r["doc_id"]: r["fingerprint"] for r in TX.fingerprint(df).collect()}
+        assert fp[0] == fp[2]
+        assert fp[0] != fp[1]
+
+
+class TestMultimodal:
+    def test_decode_stub_raises(self):
+        with pytest.raises(NotImplementedError, match="image/audio"):
+            M.decode_stub(b"\x00", "image/png")
+
+    def test_blob_features(self, spark):
+        docs = spark.createDataFrame(
+            [(7, "hello world", "en", "src0", 11)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        blobs = M.as_blob_table(docs)
+        meta = blobs.first()["meta"]
+        assert meta["format"] == "text/plain" and meta["declared_size"] == 11
+        feat = M.extract_features(blobs).first()
+        assert feat["n_bytes"] == 11
+        assert feat["first_byte"] == ord("h") and feat["last_byte"] == ord("d")
+        assert feat["checksum"] == (ord("h") * 31 + 11) % 997
