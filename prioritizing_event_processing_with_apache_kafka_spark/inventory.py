@@ -209,6 +209,54 @@ GROUP BY 1
 """
 
 
+def q_assignment_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-assignment plans for the reference's assignor scenarios
+    (BucketPriorityAssignorTest.java:114-341), computed by the engine's
+    pure assignment kernel and checked against literal goldens."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.assignment import (
+        Subscription,
+        assign,
+    )
+
+    cfg = BucketPriorityConfig(topic="orders", buckets=["B1", "B2"], allocation=[80, 20])
+    scenarios = [
+        # (id, partitions_per_topic, subscriptions)
+        (1, {"orders": 10},
+         [Subscription(f"c{i}", ["orders"], "B1") for i in range(8)]
+         + [Subscription(f"c{i}", ["orders"], "B2") for i in (8, 9)]),
+        (2, {"orders": 10},
+         [Subscription(f"c{i}", ["orders"], "B1") for i in range(6)]),
+        (3, {"orders": 6, "clicks": 6},
+         [Subscription("b0", ["orders"], "B1"), Subscription("b1", ["orders"], "B2"),
+          Subscription("r0", ["clicks"]), Subscription("r1", ["clicks"])]),
+    ]
+    rows = []
+    for sid, ppt, subs in scenarios:
+        for consumer, pairs in assign(ppt, subs, cfg).items():
+            for topic, partition in pairs:
+                rows.append((sid, consumer, topic, partition))
+    return spark.createDataFrame(
+        rows, "scenario_id int, consumer string, topic string, partition int"
+    )
+
+
+SQL_ASSIGNMENT_GOLDEN = """
+SELECT * FROM (VALUES
+  (1, 'c0', 'orders', 0), (1, 'c1', 'orders', 1), (1, 'c2', 'orders', 2),
+  (1, 'c3', 'orders', 3), (1, 'c4', 'orders', 4), (1, 'c5', 'orders', 5),
+  (1, 'c6', 'orders', 6), (1, 'c7', 'orders', 7),
+  (1, 'c8', 'orders', 8), (1, 'c9', 'orders', 9),
+  (2, 'c0', 'orders', 0), (2, 'c1', 'orders', 1), (2, 'c2', 'orders', 2),
+  (2, 'c3', 'orders', 3), (2, 'c4', 'orders', 4), (2, 'c5', 'orders', 5),
+  (2, 'c0', 'orders', 6), (2, 'c1', 'orders', 7),
+  (3, 'b0', 'orders', 0), (3, 'b0', 'orders', 1), (3, 'b0', 'orders', 2),
+  (3, 'b0', 'orders', 3), (3, 'b0', 'orders', 4), (3, 'b1', 'orders', 5),
+  (3, 'r0', 'clicks', 0), (3, 'r0', 'clicks', 1), (3, 'r0', 'clicks', 2),
+  (3, 'r1', 'clicks', 3), (3, 'r1', 'clicks', 4), (3, 'r1', 'clicks', 5)
+) AS t(scenario_id, consumer, topic, partition)
+"""
+
+
 def q_bucket_allocation_vs_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capacity-vs-demand per bucket: partitions held (allocation) vs
     records arriving — the operational dashboard behind the pattern
@@ -677,6 +725,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucket_extract": q_bucket_extract,
     "layout_golden": q_layout_golden,
     "starved_discard_audit": q_starved_discard_audit,
+    "assignment_golden": q_assignment_golden,
     "bucket_allocation_vs_load": q_bucket_allocation_vs_load,
     # relational surface
     "q1_pricing_summary": q1_pricing_summary,
@@ -704,6 +753,7 @@ ORACLES: dict[str, str] = {
     "bucket_extract": SQL_BUCKET_EXTRACT,
     "layout_golden": SQL_LAYOUT_GOLDEN,
     "starved_discard_audit": SQL_STARVED_DISCARD_AUDIT,
+    "assignment_golden": SQL_ASSIGNMENT_GOLDEN,
     "bucket_allocation_vs_load": SQL_BUCKET_ALLOCATION_VS_LOAD,
     "q1_pricing_summary": SQL_Q1,
     "q3_shipping_priority": SQL_Q3,

@@ -83,7 +83,7 @@ def layout_table(
     return spark.createDataFrame(rows, LAYOUT_SCHEMA)
 
 
-def _sequence_column(mode: str, order_col: Column | str | None) -> Column:
+def _sequence_column(mode: str, order_col: Column | str | None) -> Column | None:
     if mode == "exact":
         if order_col is None:
             raise ValueError("mode='exact' requires order_col (a deterministic ordering)")
@@ -91,10 +91,18 @@ def _sequence_column(mode: str, order_col: Column | str | None) -> Column:
         window = Window.partitionBy("__peps_bucket").orderBy(order)
         return (F.row_number().over(window) - F.lit(1)).cast("long")
     if mode == "spread":
+        if order_col is not None:
+            # Round-robin driven by an existing monotonic sequence (the
+            # Kafka source's per-partition `offset`, an event id, ...):
+            # streaming-legal, zero shuffle, uniform when the sequence
+            # is dense per bucket.
+            order = F.col(order_col) if isinstance(order_col, str) else order_col
+            return order.cast("long")
         # Dense per-task counter: low 33 bits of monotonically_increasing_id
         # are the row index within the Spark partition, high bits the task
         # id — pmod by bucket_size yields an independent round-robin per
         # task, uniformly covering the bucket range without any shuffle.
+        # (Batch only: streaming plans must pass order_col instead.)
         return F.monotonically_increasing_id()
     if mode == "hash":
         return None  # sentinel: computed from the key downstream

@@ -1,0 +1,28 @@
+"""Structured Streaming orchestration: routed writes, prioritized
+per-bucket consumption, and event-time telemetry."""
+
+from prioritizing_event_processing_with_apache_kafka_spark.streaming.consume import (
+    BucketReaderSpec,
+    consume_plan,
+    kafka_reader_options,
+)
+from prioritizing_event_processing_with_apache_kafka_spark.streaming.route_stream import (
+    route_stream,
+    routed_foreach_batch,
+)
+from prioritizing_event_processing_with_apache_kafka_spark.streaming.telemetry import (
+    bucket_throughput,
+    dedup_within_watermark,
+    user_sessions,
+)
+
+__all__ = [
+    "BucketReaderSpec",
+    "consume_plan",
+    "kafka_reader_options",
+    "route_stream",
+    "routed_foreach_batch",
+    "bucket_throughput",
+    "dedup_within_watermark",
+    "user_sessions",
+]

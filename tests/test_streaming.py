@@ -1,0 +1,242 @@
+"""Streaming-path tests: file-stream source + memory sink stand in for
+a live Kafka broker (the role MockProducer plays in the reference's
+suite). Each test runs a real Structured Streaming query to completion
+with processAllAvailable()."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from prioritizing_event_processing_with_apache_kafka_spark import BucketPriorityConfig
+from prioritizing_event_processing_with_apache_kafka_spark.streaming import (
+    bucket_throughput,
+    consume_plan,
+    dedup_within_watermark,
+    kafka_reader_options,
+    route_stream,
+    routed_foreach_batch,
+    user_sessions,
+)
+
+CFG = BucketPriorityConfig(
+    topic="events", buckets=["Platinum", "Gold", "Standard"], allocation=[50, 30, 20]
+)
+
+
+@pytest.fixture()
+def stream_dir(spark):
+    d = tempfile.mkdtemp(prefix="peps-stream-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def write_chunk(spark, d, rows, chunk):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, key string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/chunk={chunk}")
+
+
+def keyed_rows(n, bucket="Platinum", t0="2024-01-01 00:00:00"):
+    import datetime as dt
+
+    base = dt.datetime.fromisoformat(t0)
+    return [
+        (i, base + dt.timedelta(minutes=i), i % 3, f"{bucket}-{i}") for i in range(n)
+    ]
+
+
+def run_stream(spark, source_df, transform, name):
+    q = (
+        transform(source_df)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if name != "routed" else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+class TestRouteStream:
+    def test_stateless_routing_on_a_real_stream(self, spark, stream_dir):
+        write_chunk(spark, stream_dir, keyed_rows(60, "Platinum"), 0)
+        write_chunk(spark, stream_dir, keyed_rows(40, "Gold"), 1)
+        source = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, key string"
+            ).parquet(f"{stream_dir}/chunk=*")
+        )
+        routed = route_stream(source, CFG, 12, mode="spread")
+        assert routed.isStreaming
+        q = (
+            routed.writeStream.format("memory")
+            .queryName("routed")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.table("routed").collect()
+        assert len(out) == 100
+        ranges = {"Platinum": range(0, 6), "Gold": range(6, 10), "Standard": range(10, 12)}
+        for r in out:
+            assert r["route_status"] == "routed"
+            assert r["partition"] in ranges[r["bucket"]]
+
+    def test_exact_mode_rejected_for_streams(self, spark, stream_dir):
+        write_chunk(spark, stream_dir, keyed_rows(5), 0)
+        source = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, key string"
+        ).parquet(f"{stream_dir}/chunk=*")
+        with pytest.raises(ValueError, match="foreach_batch"):
+            route_stream(source, CFG, 12, mode="exact")
+
+    def test_foreach_batch_exact_round_robin(self, spark, stream_dir):
+        write_chunk(spark, stream_dir, keyed_rows(32, "Platinum"), 0)
+        source = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, key string"
+        ).parquet(f"{stream_dir}/chunk=*")
+        captured = []
+        writer = routed_foreach_batch(
+            CFG, 12, lambda batch, bid: captured.extend(batch.collect()),
+            order_col="event_id",
+        )
+        q = source.writeStream.foreachBatch(writer).trigger(availableNow=True).start()
+        q.processAllAvailable()
+        q.stop()
+        # exact round-robin within the micro-batch: 32 records over
+        # Platinum's 6 partitions -> counts differ by at most 1
+        counts: dict[int, int] = {}
+        for r in captured:
+            counts[r["partition"]] = counts.get(r["partition"], 0) + 1
+        assert sorted(counts) == list(range(6))
+        assert max(counts.values()) - min(counts.values()) <= 1
+
+
+class TestTelemetry:
+    def test_bucket_throughput_windows_on_stream(self, spark, stream_dir):
+        rows = keyed_rows(90, "Platinum")  # minutes 0..89 → 2 hour-windows
+        write_chunk(spark, stream_dir, rows, 0)
+        source = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, key string"
+        ).parquet(f"{stream_dir}/chunk=*")
+        routed = route_stream(source, CFG, 12, mode="spread")
+        q = (
+            bucket_throughput(routed, window="1 hour")
+            .writeStream.format("memory")
+            .queryName("throughput")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["window_start"].isoformat(), r["bucket"]): r["n_events"]
+            for r in spark.table("throughput").collect()
+        }
+        assert got == {
+            ("2024-01-01T00:00:00", "Platinum"): 60,
+            ("2024-01-01T01:00:00", "Platinum"): 30,
+        }
+
+    def test_user_sessions_stream_matches_batch(self, spark, stream_dir):
+        import datetime as dt
+
+        base = dt.datetime.fromisoformat("2024-01-01 00:00:00")
+        rows = [
+            (0, base, 1, "k"),
+            (1, base + dt.timedelta(minutes=10), 1, "k"),   # same session
+            (2, base + dt.timedelta(minutes=70), 1, "k"),   # new session
+            (3, base, 2, "k"),
+        ]
+        write_chunk(spark, stream_dir, rows, 0)
+        schema = "event_id long, ts timestamp, user_id long, key string"
+        source = spark.readStream.schema(schema).parquet(f"{stream_dir}/chunk=*")
+        q = (
+            user_sessions(source)
+            .writeStream.format("memory")
+            .queryName("sessions")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        stream_out = {
+            (r["user_id"], r["session_start"].isoformat()): r["session_events"]
+            for r in spark.table("sessions").collect()
+        }
+        assert stream_out == {
+            (1, "2024-01-01T00:00:00"): 2,
+            (1, "2024-01-01T01:10:00"): 1,
+            (2, "2024-01-01T00:00:00"): 1,
+        }
+        batch_df = spark.createDataFrame(rows, schema)
+        batch_out = {
+            (r["user_id"], r["session_start"].isoformat()): r["session_events"]
+            for r in user_sessions(batch_df).collect()
+        }
+        assert batch_out == stream_out  # batch/stream unification
+
+    def test_dedup_within_watermark_on_stream(self, spark, stream_dir):
+        rows = keyed_rows(10)
+        write_chunk(spark, stream_dir, rows + rows[:5], 0)  # 5 dups
+        source = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, key string"
+        ).parquet(f"{stream_dir}/chunk=*")
+        q = (
+            dedup_within_watermark(source, keys=["event_id"])
+            .writeStream.format("memory")
+            .queryName("deduped")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        ids = sorted(r["event_id"] for r in spark.table("deduped").collect())
+        assert ids == list(range(10))
+
+
+class TestConsumePlan:
+    def test_plan_partition_pruning_and_weights(self):
+        specs = {
+            s.bucket: s
+            for s in consume_plan(CFG, 12, total_offsets_per_trigger=1000, cores_total=32)
+        }
+        assert specs["Platinum"].partitions == tuple(range(0, 6))
+        assert specs["Gold"].partitions == tuple(range(6, 10))
+        assert specs["Standard"].partitions == (10, 11)
+        assert specs["Platinum"].max_offsets_per_trigger == 500
+        assert specs["Gold"].max_offsets_per_trigger == 300
+        assert specs["Standard"].max_offsets_per_trigger == 200
+        assert specs["Platinum"].min_partitions == 16
+        assert specs["Platinum"].scheduler_pool == "bucket-Platinum"
+
+    def test_starved_bucket_has_no_reader(self):
+        cfg = BucketPriorityConfig(
+            topic="orders", buckets=["B1", "B2", "B3"], allocation=[55, 40, 5]
+        )
+        specs = consume_plan(cfg, 10)
+        assert [s.bucket for s in specs] == ["B1", "B2"]
+
+    def test_subset_of_buckets(self):
+        specs = consume_plan(CFG, 12, buckets=["Gold"])
+        assert [s.bucket for s in specs] == ["Gold"]
+
+    def test_kafka_reader_options(self):
+        spec = consume_plan(CFG, 12, total_offsets_per_trigger=1000)[0]
+        opts = kafka_reader_options(spec, CFG, bootstrap_servers="broker:9092")
+        assert opts["assign"] == '{"events": [0, 1, 2, 3, 4, 5]}'
+        assert opts["maxOffsetsPerTrigger"] == "500"
+        assert opts["kafka.bootstrap.servers"] == "broker:9092"
+        assert spec.assign_json("events") == opts["assign"]
