@@ -1,0 +1,103 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs the declared inventory's headline queries on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": <scale factor>}
+
+Each query is fully materialized through the ``noop`` sink (executes
+the whole plan, nothing collected to the driver). A warmup query
+absorbs session/JIT startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: routing core, scan-heavy aggregation, joins, windows,
+# sessionization, dedup (exact + sketch), similarity, text analysis.
+HEADLINE = [
+    "route_events_exact",
+    "route_distribution",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "top_events_per_user",
+    "bucket_rollup",
+    "user_event_gaps",
+    "sessionized_events",
+    "bucket_throughput_hourly",
+    "events_json_extract",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embedding_topk",
+    "text_token_stats",
+    "doc_fingerprint",
+]
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("peps-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+
+    def materialize(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # Warmup: spin up executor threads, codegen, parquet footers.
+    materialize(queries["route_distribution"](spark, SF_DIR))
+
+    # Best of two runs per query: the first run pays one-off costs
+    # (codegen compile, parquet footer reads, broadcast build); the min
+    # is the steady-state number a warm cluster would see.
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            materialize(queries[name](spark, SF_DIR))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_value: float | str = float(sf)
+    except ValueError:
+        sf_value = sf
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_value,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -714,6 +714,87 @@ FROM routed GROUP BY 1, 2
 """
 
 
+def q_ranked_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank + dense_rank windows: top-3 orders by value within each
+    order-priority class (deterministic tie-break on key)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.rank().over(w))
+        .withColumn("drnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk", "drnk")
+    )
+
+
+SQL_RANKED_ORDER_PRIORITIES = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rnk, drnk FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+) WHERE rnk <= 3
+"""
+
+
+def q_discard_audit_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-difference discard audit: all keyed events EXCEPT ALL the
+    routable ones under a Platinum/Gold-only config — the row-level
+    complement of `starved_discard_audit` (exceptAll operator)."""
+    cfg = BucketPriorityConfig(topic="events", buckets=["Platinum", "Gold"], allocation=[70, 30])
+    events = with_routing_key(load_table(spark, sf_dir, "events"))
+    routed = route(events, cfg, 10, order_col="event_id", mode="exact")
+    routable = routed.filter(F.col("route_status") == "routed").select(
+        "event_id", "event_type"
+    )
+    return events.select("event_id", "event_type").exceptAll(routable)
+
+
+SQL_DISCARD_AUDIT_EXCEPT = f"""
+WITH {_SQL_EVENTS_KEYED}
+SELECT event_id, event_type FROM keyed_events
+EXCEPT ALL
+SELECT event_id, event_type FROM keyed_events WHERE bucket IN ('Platinum', 'Gold')
+"""
+
+
+def q_key_parse_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function agreement check: the three public ways to parse a
+    bucket from a key (regex split — the reference's semantics —,
+    substring_index, regexp_extract) must agree on well-formed keys."""
+    events = with_routing_key(load_table(spark, sf_dir, "events"))
+    parsed = events.select(
+        extract_bucket(F.col("key"), "-").alias("bucket_split"),
+        F.substring_index("key", "-", 1).alias("bucket_sub"),
+        F.regexp_extract("key", "^([^-]+)", 1).alias("bucket_re"),
+    )
+    return (
+        parsed.withColumn(
+            "all_agree",
+            (F.col("bucket_split") == F.col("bucket_sub"))
+            & (F.col("bucket_split") == F.col("bucket_re")),
+        )
+        .groupBy("bucket_split", "all_agree")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
+SQL_KEY_PARSE_VARIANTS = f"""
+WITH {_SQL_EVENTS_KEYED}, parsed AS (
+  SELECT TRIM(SPLIT_PART(key, '-', 1)) AS bucket_split,
+         SPLIT_PART(key, '-', 1) AS bucket_sub,
+         regexp_extract(key, '^([^-]+)', 1) AS bucket_re
+  FROM keyed_events
+)
+SELECT bucket_split,
+       (bucket_split = bucket_sub AND bucket_split = bucket_re) AS all_agree,
+       COUNT(*) AS n_keys
+FROM parsed GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -745,6 +826,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "union_priority_tiers": q_union_priority_tiers,
     "sessionized_events": q_sessionized_events,
     "bucket_throughput_hourly": q_bucket_throughput_hourly,
+    "ranked_order_priorities": q_ranked_order_priorities,
+    "discard_audit_except": q_discard_audit_except,
+    "key_parse_variants": q_key_parse_variants,
 }
 
 ORACLES: dict[str, str] = {
@@ -772,4 +856,7 @@ ORACLES: dict[str, str] = {
     "union_priority_tiers": SQL_UNION_PRIORITY_TIERS,
     "sessionized_events": SQL_SESSIONIZED_EVENTS,
     "bucket_throughput_hourly": SQL_BUCKET_THROUGHPUT_HOURLY,
+    "ranked_order_priorities": SQL_RANKED_ORDER_PRIORITIES,
+    "discard_audit_except": SQL_DISCARD_AUDIT_EXCEPT,
+    "key_parse_variants": SQL_KEY_PARSE_VARIANTS,
 }

