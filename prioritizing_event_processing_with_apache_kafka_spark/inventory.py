@@ -795,6 +795,78 @@ FROM parsed GROUP BY 1, 2
 """
 
 
+def q_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the engine's SQL surface
+    (spark.sql over a routed temp view) — finer-grained than
+    rollup/cube: (bucket), (bucket, event_type), and grand total."""
+    _events_routed(spark, sf_dir).createOrReplaceTempView("peps_routed_events")
+    return spark.sql(
+        """
+        SELECT bucket, event_type, COUNT(*) AS n_events
+        FROM peps_routed_events
+        GROUP BY GROUPING SETS ((bucket), (bucket, event_type), ())
+        """
+    )
+
+
+SQL_PRIORITY_GROUPING_SETS = f"""
+{_SQL_ROUTED}
+SELECT bucket, event_type, COUNT(*) AS n_events
+FROM routed
+GROUP BY GROUPING SETS ((bucket), (bucket, event_type), ())
+"""
+
+
+def q_bucket_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) of event value per
+    bucket — the ordered-statistics slot of the aggregate surface."""
+    routed = _events_routed(spark, sf_dir)
+    return routed.groupBy("bucket").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+SQL_BUCKET_VALUE_PERCENTILES = f"""
+{_SQL_ROUTED}
+SELECT bucket,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       MIN(value) AS vmin,
+       MAX(value) AS vmax
+FROM routed GROUP BY 1
+"""
+
+
+def q_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage salted aggregation (operators/skew.py) —
+    result must equal the plain groupBy the oracle computes."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.skew import (
+        salted_agg,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    # integer sum keeps the two-stage merge exact (float sums would
+    # re-order across salt groups)
+    return salted_agg(
+        events,
+        ["event_type"],
+        {"n_events": ("*", "count"), "sum_k": ("k", "sum")},
+        salt_buckets=8,
+    )
+
+
+SQL_SALTED_TYPE_COUNTS = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -829,6 +901,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ranked_order_priorities": q_ranked_order_priorities,
     "discard_audit_except": q_discard_audit_except,
     "key_parse_variants": q_key_parse_variants,
+    "priority_grouping_sets": q_priority_grouping_sets,
+    "bucket_value_percentiles": q_bucket_value_percentiles,
+    "salted_type_counts": q_salted_type_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -859,4 +934,7 @@ ORACLES: dict[str, str] = {
     "ranked_order_priorities": SQL_RANKED_ORDER_PRIORITIES,
     "discard_audit_except": SQL_DISCARD_AUDIT_EXCEPT,
     "key_parse_variants": SQL_KEY_PARSE_VARIANTS,
+    "priority_grouping_sets": SQL_PRIORITY_GROUPING_SETS,
+    "bucket_value_percentiles": SQL_BUCKET_VALUE_PERCENTILES,
+    "salted_type_counts": SQL_SALTED_TYPE_COUNTS,
 }

@@ -10,6 +10,9 @@ from prioritizing_event_processing_with_apache_kafka_spark.streaming.route_strea
     route_stream,
     routed_foreach_batch,
 )
+from prioritizing_event_processing_with_apache_kafka_spark.streaming.stateful import (
+    route_stream_stateful,
+)
 from prioritizing_event_processing_with_apache_kafka_spark.streaming.telemetry import (
     bucket_throughput,
     dedup_within_watermark,
@@ -21,6 +24,7 @@ __all__ = [
     "consume_plan",
     "kafka_reader_options",
     "route_stream",
+    "route_stream_stateful",
     "routed_foreach_batch",
     "bucket_throughput",
     "dedup_within_watermark",

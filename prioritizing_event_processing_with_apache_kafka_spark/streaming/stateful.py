@@ -1,0 +1,116 @@
+"""Cross-batch exact round-robin: the reference's counter as streaming state.
+
+The reference's ``Bucket.nextPartition()`` keeps one ``AtomicInteger``
+per bucket for the lifetime of the producer process
+(``Bucket.java:14,22-29``): record N+1 continues where record N left
+off, across batches. The stateless engine modes reproduce the
+*distribution* guarantee; this operator reproduces the *sequence*:
+``applyInPandasWithState`` keyed by bucket holds the counter in the
+state store, so partition assignment continues exactly across
+micro-batches (and survives query restarts via checkpointing).
+
+Use when bit-exact continuation matters (audit replay, A/B parity
+against a reference deployment); prefer the stateless modes for raw
+throughput — state-store I/O costs real latency, and one state key per
+bucket serializes each bucket's assignment into a single task per batch
+(the same trade-off the reference's shared counter makes).
+
+Not SQL-expressible (stateful, order-dependent) — exercised by the
+streaming test suite rather than the DuckDB oracle; the driver records
+the weaker rows-only check for such operators by design.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from prioritizing_event_processing_with_apache_kafka_spark.functions.keys import extract_bucket
+from prioritizing_event_processing_with_apache_kafka_spark.plans.config import (
+    BucketPriorityConfig,
+)
+from prioritizing_event_processing_with_apache_kafka_spark.plans.layout import compute_layout
+
+__all__ = ["route_stream_stateful", "STATEFUL_OUTPUT_SCHEMA"]
+
+STATEFUL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("bucket", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType([T.StructField("counter", T.LongType())])
+
+
+def route_stream_stateful(
+    stream: DataFrame,
+    config: BucketPriorityConfig,
+    num_partitions: int,
+    *,
+    key_col: str = "key",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Routed stream with a persistent per-bucket round-robin counter.
+
+    Output: ``(event_id, key, bucket, partition, seq)`` where ``seq`` is
+    the bucket's lifetime record index (counter value) — partition =
+    ``lo + seq % size`` exactly as ``Bucket.nextPartition`` computes it,
+    with ``seq`` continuing across micro-batches through the state
+    store. Records of unknown buckets get partition NULL; starved
+    buckets -1 (reference fall-through parity).
+    """
+    layout = {
+        r.bucket: (r.partition_lo, r.size)
+        for r in compute_layout(num_partitions, config.buckets_with_allocation())
+    }
+
+    def advance(
+        key: Any, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (bucket,) = key
+        (counter,) = state.get if state.exists else (0,)
+        lo_size = layout.get(bucket)
+        for pdf in batches:
+            pdf = pdf.sort_values(order_col, kind="mergesort")
+            n = len(pdf)
+            seq = pd.RangeIndex(counter, counter + n)
+            if lo_size is None:
+                partition = pd.Series([None] * n, dtype="Int64")
+            elif lo_size[1] == 0:
+                partition = pd.Series([-1] * n, dtype="Int64")
+            else:
+                lo, size = lo_size
+                partition = pd.Series(seq % size + lo, dtype="Int64")
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf[order_col].values,
+                    "key": pdf[key_col].values,
+                    "bucket": bucket,
+                    "partition": partition.values,
+                    "seq": pd.Series(seq, dtype="int64").values,
+                }
+            )
+            counter += n
+        state.update((counter,))
+
+    keyed = stream.withColumn(
+        "bucket", extract_bucket(F.col(key_col), config.delimiter)
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        advance,
+        STATEFUL_OUTPUT_SCHEMA,
+        _STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

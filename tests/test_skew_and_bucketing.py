@@ -1,0 +1,85 @@
+"""Salted aggregation correctness + bucketed co-located join plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prioritizing_event_processing_with_apache_kafka_spark.operators.skew import salted_agg
+from prioritizing_event_processing_with_apache_kafka_spark.sources.bucketing import (
+    read_table,
+    write_bucketed,
+)
+from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import load_table
+
+
+class TestSaltedAgg:
+    def test_matches_plain_groupby(self, spark, sf_dir):
+        events = load_table(spark, sf_dir, "events")
+        plain = {
+            r["event_type"]: (r["n"], r["total"], r["vmin"], r["vmax"])
+            for r in events.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("total"),
+                F.min("value").alias("vmin"),
+                F.max("value").alias("vmax"),
+            )
+            .collect()
+        }
+        salted = {
+            r["event_type"]: (r["n"], r["total"], r["vmin"], r["vmax"])
+            for r in salted_agg(
+                events,
+                ["event_type"],
+                {
+                    "n": ("*", "count"),
+                    "total": ("value", "sum"),
+                    "vmin": ("value", "min"),
+                    "vmax": ("value", "max"),
+                },
+                salt_buckets=8,
+            ).collect()
+        }
+        assert set(plain) == set(salted)
+        for k in plain:
+            assert plain[k][0] == salted[k][0]
+            assert abs(plain[k][1] - salted[k][1]) < 1e-6
+            assert plain[k][2] == salted[k][2] and plain[k][3] == salted[k][3]
+
+    def test_rejects_non_mergeable(self, spark, sf_dir):
+        events = load_table(spark, sf_dir, "events")
+        with pytest.raises(ValueError, match="not salt-mergeable"):
+            salted_agg(events, ["event_type"], {"a": ("value", "avg")})
+
+    def test_two_shuffle_stages_in_plan(self, spark, sf_dir):
+        events = load_table(spark, sf_dir, "events")
+        plan = salted_agg(
+            events, ["event_type"], {"n": ("*", "count")}
+        )._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 2  # salted stage + merge stage
+
+
+class TestBucketedJoin:
+    def test_colocated_join_has_no_exchange(self, spark, sf_dir):
+        orders = load_table(spark, sf_dir, "orders")
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        write_bucketed(orders, "orders_b", bucket_col="o_orderkey", num_buckets=4)
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "lineitem_b",
+            bucket_col="o_orderkey",
+            num_buckets=4,
+        )
+        try:
+            joined = read_table(spark, "lineitem_b").join(
+                read_table(spark, "orders_b").hint("merge"), "o_orderkey"
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # bucketed scans satisfy distribution
+            # and the result is still correct
+            assert joined.count() == lineitem.count()
+        finally:
+            spark.sql("DROP TABLE IF EXISTS orders_b")
+            spark.sql("DROP TABLE IF EXISTS lineitem_b")

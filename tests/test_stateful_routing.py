@@ -1,0 +1,125 @@
+"""Cross-batch stateful round-robin: the counter must continue across
+micro-batches exactly like the reference's per-bucket AtomicInteger."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+
+from prioritizing_event_processing_with_apache_kafka_spark import BucketPriorityConfig
+from prioritizing_event_processing_with_apache_kafka_spark.streaming.stateful import (
+    route_stream_stateful,
+)
+
+CFG = BucketPriorityConfig(
+    topic="events", buckets=["Platinum", "Gold"], allocation=[70, 30]
+)
+# layout over 10 partitions: Platinum=[0..6] (7), Gold=[7..9] (3)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, key string"
+
+
+@pytest.fixture()
+def dirs():
+    src = tempfile.mkdtemp(prefix="peps-stateful-src-")
+    chk = tempfile.mkdtemp(prefix="peps-stateful-chk-")
+    yield src, chk
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(chk, ignore_errors=True)
+
+
+def chunk(spark, src, n0, n, bucket="Platinum"):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=i), 1, f"{bucket}-{i}")
+        for i in range(n0, n0 + n)
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+
+def test_counter_continues_across_micro_batches(spark, dirs):
+    src, chk = dirs
+    chunk(spark, src, 0, 5)  # 5 Platinum records before the query starts
+    source = spark.readStream.schema(SCHEMA).parquet(src)
+    routed = route_stream_stateful(source, CFG, 10, order_col="event_id")
+    q = (
+        routed.writeStream.format("memory")
+        .queryName("stateful_routed")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r["event_id"]: (r["seq"], r["partition"])
+            for r in spark.table("stateful_routed").collect()
+        }
+        # batch 1: seq 0..4 → partitions 0..4 (Platinum lo=0, size=7)
+        assert first == {i: (i, i) for i in range(5)}
+
+        chunk(spark, src, 100, 5)  # second micro-batch
+        q.processAllAvailable()
+        both = {
+            r["event_id"]: (r["seq"], r["partition"])
+            for r in spark.table("stateful_routed").collect()
+        }
+        # batch 2 CONTINUES the counter: seq 5..9 → partitions 5, 6, 0, 1, 2
+        assert both[100] == (5, 5)
+        assert both[101] == (6, 6)
+        assert both[102] == (7, 0)  # wraps at bucket size 7
+        assert both[103] == (8, 1)
+        assert both[104] == (9, 2)
+    finally:
+        q.stop()
+
+
+def test_buckets_keep_independent_counters(spark, dirs):
+    src, chk = dirs
+    chunk(spark, src, 0, 3, "Platinum")
+    chunk(spark, src, 50, 4, "Gold")
+    source = spark.readStream.schema(SCHEMA).parquet(src)
+    routed = route_stream_stateful(source, CFG, 10, order_col="event_id")
+    q = (
+        routed.writeStream.format("memory")
+        .queryName("stateful_two_buckets")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table("stateful_two_buckets").collect()
+        platinum = sorted(
+            (r["seq"], r["partition"]) for r in rows if r["bucket"] == "Platinum"
+        )
+        gold = sorted((r["seq"], r["partition"]) for r in rows if r["bucket"] == "Gold")
+        assert platinum == [(0, 0), (1, 1), (2, 2)]
+        # Gold lo=7 size=3: seq 0..3 → 7, 8, 9, wrap to 7
+        assert gold == [(0, 7), (1, 8), (2, 9), (3, 7)]
+    finally:
+        q.stop()
+
+
+def test_unknown_bucket_gets_null_partition(spark, dirs):
+    src, chk = dirs
+    chunk(spark, src, 0, 2, "Silver")
+    source = spark.readStream.schema(SCHEMA).parquet(src)
+    routed = route_stream_stateful(source, CFG, 10, order_col="event_id")
+    q = (
+        routed.writeStream.format("memory")
+        .queryName("stateful_unknown")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table("stateful_unknown").collect()
+        assert len(rows) == 2
+        assert all(r["partition"] is None for r in rows)
+    finally:
+        q.stop()
