@@ -404,6 +404,112 @@ GROUP BY r_name, n_name
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + tight filter + single aggregate —
+    the predicate-pushdown showcase (all three filters reach parquet)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_Q6 = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a broadcast join —
+    share of promo-type part revenue in a ship-month."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return joined.agg(
+        (
+            F.lit(100.0) * F.sum(promo).cast("double") / F.sum(disc_price).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SQL_Q14 = """
+SELECT
+  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+    AS promo_revenue_pct,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate → HAVING filter → join back to
+    dimensions → deterministic top-k (large-volume customers)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("__qty"))
+        .filter(F.col("__qty") > 250)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("__qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_Q18 = """
+SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(qty AS DOUBLE) AS total_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
 def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank window: top-3 events per user by value (deterministic ties)."""
     events = load_table(spark, sf_dir, "events")
@@ -795,6 +901,24 @@ FROM parsed GROUP BY 1, 2
 """
 
 
+def q_user_value_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas per-group operator (operators/grouped.py) checked
+    against SQL's percent_rank — the grouped-Python execution slot."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.grouped import (
+        grouped_percent_rank,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return grouped_percent_rank(events)
+
+
+SQL_USER_VALUE_PERCENT_RANK = """
+SELECT user_id, event_id, value,
+       PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value ASC) AS pct_rank
+FROM events
+"""
+
+
 def q_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS through the engine's SQL surface
     (spark.sql over a routed temp view) — finer-grained than
@@ -884,6 +1008,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_regional_revenue": q5_regional_revenue,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q14_promo_share": q14_promo_share,
+    "q18_large_orders": q18_large_orders,
+    "user_value_percent_rank": q_user_value_percent_rank,
     "top_events_per_user": q_top_events_per_user,
     "bucket_rollup": q_bucket_rollup,
     "bucket_cube": q_bucket_cube,
@@ -917,6 +1045,10 @@ ORACLES: dict[str, str] = {
     "q1_pricing_summary": SQL_Q1,
     "q3_shipping_priority": SQL_Q3,
     "q5_regional_revenue": SQL_Q5,
+    "q6_forecast_revenue": SQL_Q6,
+    "q14_promo_share": SQL_Q14,
+    "q18_large_orders": SQL_Q18,
+    "user_value_percent_rank": SQL_USER_VALUE_PERCENT_RANK,
     "top_events_per_user": SQL_TOP_EVENTS_PER_USER,
     "bucket_rollup": SQL_BUCKET_ROLLUP,
     "bucket_cube": SQL_BUCKET_CUBE,

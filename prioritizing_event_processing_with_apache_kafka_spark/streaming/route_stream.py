@@ -76,7 +76,7 @@ def route_stream(
 
 def routed_foreach_batch(
     config: BucketPriorityConfig,
-    num_partitions: int,
+    num_partitions: int | Callable[[], int],
     sink: Callable[[DataFrame, int], None],
     *,
     key_col: str = "key",
@@ -86,17 +86,21 @@ def routed_foreach_batch(
     """``foreachBatch`` wrapper: exact round-robin within each
     micro-batch, then hand the routed batch to ``sink(batch, batch_id)``.
 
-    Layout is recomputed per batch via the memoized kernel — the analog
-    of the reference's partition-count cache (P8): pass the *current*
-    ``num_partitions`` via closure rebinding or topic-metadata lookup in
-    ``sink`` orchestration to pick up live partition increases.
+    ``num_partitions`` may be a callable evaluated **per batch** — the
+    engine's analog of the reference's layout invalidation on partition-
+    count change (``BucketPriorityPartitioner.java:84-94``, P8): point
+    it at live topic metadata (e.g. a Kafka AdminClient lookup) and a
+    topic scale-out is picked up at the next micro-batch, with the
+    memoized layout kernel recomputing only when the count actually
+    changes.
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        current = num_partitions() if callable(num_partitions) else num_partitions
         routed = route(
             batch_df,
             config,
-            num_partitions,
+            current,
             key_col=key_col,
             topic_col=topic_col,
             order_col=order_col,

@@ -99,6 +99,44 @@ class TestRouteStream:
         with pytest.raises(ValueError, match="foreach_batch"):
             route_stream(source, CFG, 12, mode="exact")
 
+    def test_layout_refresh_on_partition_increase(self, spark, stream_dir):
+        # P8: partition count grows between micro-batches; the callable
+        # is re-evaluated per batch and the layout rebuilt
+        # (reference test: BucketPriorityPartitionerTest.java:421-567).
+        write_chunk(spark, stream_dir, keyed_rows(32, "B1"), 0)
+        source = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, key string"
+        ).parquet(f"{stream_dir}/chunk=*")
+        counts = {"n": 10}
+        batches: list[dict[int, int]] = []
+
+        def sink(batch, bid):
+            dist: dict[int, int] = {}
+            for r in batch.collect():
+                dist[r["partition"]] = dist.get(r["partition"], 0) + 1
+            batches.append(dist)
+
+        cfg = BucketPriorityConfig(topic="events", buckets=["B1", "B2"], allocation=[80, 20])
+        writer = routed_foreach_batch(cfg, lambda: counts["n"], sink, order_col="event_id")
+        q = source.writeStream.foreachBatch(writer).trigger(availableNow=True).start()
+        q.processAllAvailable()
+        q.stop()
+        # batch 1 at 10 partitions: B1=[0..7] → 32 records, 4 on each of 8
+        assert batches[-1] == {p: 4 for p in range(8)}
+
+        counts["n"] = 20  # topic scaled out
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 2)
+        more = [(100 + i, base, i % 3, f"B1-{100 + i}") for i in range(32)]
+        write_chunk(spark, stream_dir, more, 1)
+        # fresh un-checkpointed start re-reads all 64 records in one batch
+        q = source.writeStream.foreachBatch(writer).trigger(availableNow=True).start()
+        q.processAllAvailable()
+        q.stop()
+        # rebuilt layout at 20 partitions: B1=[0..15] → 64 records, 4 each
+        assert batches[-1] == {p: 4 for p in range(16)}
+
     def test_foreach_batch_exact_round_robin(self, spark, stream_dir):
         write_chunk(spark, stream_dir, keyed_rows(32, "Platinum"), 0)
         source = spark.readStream.schema(
