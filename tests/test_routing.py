@@ -163,6 +163,29 @@ class TestFallThrough:
         )
         assert [r["record_id"] for r in out.collect()] == [1]
 
+    def test_regex_delimiter_footgun_parity(self, spark):
+        # The delimiter is a REGEX in both the reference (String.split)
+        # and here (F.split): an unescaped '|' matches between every
+        # character, so the extracted bucket is the empty string after
+        # the first zero-width split → unroutable. The escaped form
+        # works. Documented footgun, reproduced bit-for-bit.
+        cfg_raw = BucketPriorityConfig(
+            topic="orders", buckets=["B1", "B2"], allocation=[50, 50], delimiter="|"
+        )
+        out = route(
+            make_records(spark, ["B1|7"]), cfg_raw, 4,
+            topic_col="topic", order_col="record_id", mode="exact",
+        )
+        assert routed_map(out)[0][2] == "unroutable"
+        cfg_escaped = BucketPriorityConfig(
+            topic="orders", buckets=["B1", "B2"], allocation=[50, 50], delimiter="\\|"
+        )
+        out = route(
+            make_records(spark, ["B1|7"]), cfg_escaped, 4,
+            topic_col="topic", order_col="record_id", mode="exact",
+        )
+        assert routed_map(out)[0] == ("B1", 0, "routed")
+
     def test_custom_delimiter(self, spark):
         cfg = BucketPriorityConfig(
             topic="orders", buckets=["B1", "B2"], allocation=[50, 50], delimiter="_"

@@ -245,6 +245,57 @@ class TestTelemetry:
         assert ids == list(range(10))
 
 
+class TestRateSource:
+    def test_route_rate_stream(self, spark):
+        # rate source → synthesized keys → stateless routing: the
+        # no-files smoke path (SURVEY §2.B sources row).
+        source = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "500")
+            .load()
+            .withColumn(
+                "key",
+                F.concat(
+                    F.when(F.col("value") % 2 == 0, F.lit("Platinum")).otherwise(
+                        F.lit("Gold")
+                    ),
+                    F.lit("-"),
+                    F.col("value").cast("string"),
+                ),
+            )
+        )
+        routed = route_stream(
+            source,
+            BucketPriorityConfig(
+                topic="events", buckets=["Platinum", "Gold"], allocation=[70, 30]
+            ),
+            10,
+            seq_col="value",
+        )
+        q = (
+            routed.writeStream.format("memory")
+            .queryName("rate_routed")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            import time
+
+            deadline = time.time() + 20
+            while time.time() < deadline:
+                q.processAllAvailable()
+                rows = spark.table("rate_routed").collect()
+                if len(rows) >= 20:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        assert len(rows) >= 20
+        ranges = {"Platinum": range(0, 7), "Gold": range(7, 10)}
+        for r in rows:
+            assert r["partition"] in ranges[r["bucket"]]
+
+
 class TestConsumePlan:
     def test_plan_partition_pruning_and_weights(self):
         specs = {
