@@ -144,8 +144,13 @@ def route(
         bucket = F.when(F.col(topic_col) == F.lit(config.topic), bucket)
     routed = df.withColumn("__peps_bucket", bucket)
 
+    # Prefix every layout column so the join can never collide with (or
+    # later silently drop) same-named columns on the user's DataFrame.
+    prefixed = layout.select(
+        *(F.col(c).alias(f"__peps_layout_{c}") for c in layout.columns)
+    )
     routed = routed.join(
-        F.broadcast(layout.withColumnRenamed("bucket", "__peps_layout_bucket")),
+        F.broadcast(prefixed),
         routed["__peps_bucket"] == F.col("__peps_layout_bucket"),
         "left",
     )
@@ -153,16 +158,17 @@ def route(
     seq = _sequence_column(mode, order_col)
     if seq is None:  # hash mode
         seq = F.xxhash64(F.col(key_col).cast("string"))
+    size = F.col("__peps_layout_bucket_size")
     partition = (
         F.when(F.col("__peps_layout_bucket").isNull(), F.lit(None).cast("int"))
-        .when(F.col("bucket_size") == 0, F.lit(-1))
+        .when(size == 0, F.lit(-1))
         .otherwise(
-            (F.col("partition_lo") + F.pmod(seq, F.col("bucket_size"))).cast("int")
+            (F.col("__peps_layout_partition_lo") + F.pmod(seq, size)).cast("int")
         )
     )
     status = (
         F.when(F.col("__peps_layout_bucket").isNull(), F.lit("unroutable"))
-        .when(F.col("bucket_size") == 0, F.lit("starved"))
+        .when(size == 0, F.lit("starved"))
         .otherwise(F.lit("routed"))
     )
 
@@ -170,15 +176,7 @@ def route(
         routed.withColumn("partition", partition)
         .withColumn("route_status", status)
         .withColumn("bucket", F.col("__peps_bucket"))
-        .drop(
-            "__peps_bucket",
-            "__peps_layout_bucket",
-            "allocation",
-            "priority_rank",
-            "partition_lo",
-            "partition_hi",
-            "bucket_size",
-        )
+        .drop("__peps_bucket", *prefixed.columns)
     )
     if config.on_unroutable == "discard":
         out = out.filter(F.col("route_status") != "unroutable")

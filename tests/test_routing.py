@@ -227,6 +227,21 @@ class TestScalableModes:
         assert len(set(parts)) == 1
 
 
+class TestColumnSafety:
+    def test_user_columns_shadowing_layout_names_survive(self, spark):
+        # the layout join must not clobber or drop user columns that
+        # happen to share names with the layout table
+        cfg = BucketPriorityConfig(topic="orders", buckets=["B1"], allocation=[100])
+        df = spark.createDataFrame(
+            [(0, "orders", "B1-0", 999, 77)],
+            "record_id long, topic string, key string, allocation long, bucket_size long",
+        )
+        out = route(df, cfg, 4, topic_col="topic", order_col="record_id", mode="exact")
+        row = out.first()
+        assert row["allocation"] == 999 and row["bucket_size"] == 77
+        assert row["partition"] == 0 and row["route_status"] == "routed"
+
+
 class TestLayoutTable:
     def test_layout_table_rows(self, spark):
         cfg = BucketPriorityConfig(
