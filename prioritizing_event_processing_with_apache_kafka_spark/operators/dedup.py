@@ -2,9 +2,11 @@
 
 Scale design (the whole point of these operators is the 100 TB case):
 
-- **Exact** dedup groups on ``xxhash64(content)`` — an 8-byte shuffle
-  key instead of shuffling full documents; the full content is only
-  compared within a hash bucket (collision-safe via secondary compare).
+- **Exact** dedup prefixes the grouping key with ``xxhash64(content)``
+  so the shuffle *comparator* works on 8 bytes and content bytes only
+  break ties (collision safety). Content still travels once — any
+  exact dedup must move it — but never gets re-compared in full except
+  inside a hash bucket.
 - **Candidate generation never does O(n²)**: near-dup operators explode
   per-document signatures (shingles / MinHash bands / SimHash chunks)
   and self-join on the signature — cost is Σ bucket², controlled by a
@@ -57,9 +59,10 @@ def with_shingles(
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Canonical-representative exact dedup.
 
-    Groups by ``xxhash64(content)`` *and* content (hash first keeps the
-    shuffle key narrow; content in the key guards against collisions),
-    keeps the smallest id. Returns (kept id, n_copies).
+    Groups by ``xxhash64(content)`` *and* content — the hash prefix
+    makes grouping comparisons effectively 8-byte, while content in the
+    key guards against hash collisions. Keeps the smallest id. Returns
+    (kept id, n_copies).
     """
     return (
         df.select(
@@ -183,6 +186,14 @@ def _minhash_grid(
     return grid.groupBy(id_col, "__i").agg(F.min("__m").alias("__min"))
 
 
+def _check_banding(num_hashes: int, bands: int) -> None:
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            f"an uneven split silently changes the recall/precision curve"
+        )
+
+
 def with_minhash_signature(
     df: DataFrame,
     *,
@@ -229,6 +240,7 @@ def minhash_lsh_pairs(
     verified with exact k-shingle Jaccard ≥ threshold, so output ⊆
     ground truth with recall ≈ 1-(1-s^r)^b (≈1 for s ≥ 0.7 at 32×4).
     """
+    _check_banding(num_hashes, bands)
     rows = num_hashes // bands
     shingled = with_shingles(df, text_col=text_col, k=k)
     mins = _minhash_grid(shingled, id_col, num_hashes, seed)

@@ -124,13 +124,23 @@ def route(
     ``partition`` semantics (sink contract — Spark's Kafka sink honors a
     ``partition`` column on write):
 
-    - routed record → the chosen partition id inside its bucket's range;
-    - record of a *starved* bucket → ``-1`` (dropped; reference parity
-      with ``Bucket.nextPartition`` returning -1);
-    - unroutable record (wrong topic, NULL/unparseable key, unknown
-      bucket) → NULL, i.e. "let the sink's default partitioner decide"
-      (``UNKNOWN_PARTITION``) — unless ``config.on_unroutable ==
-      'discard'``, which drops these rows.
+    - ``routed``: the chosen partition id inside the bucket's range;
+    - ``starved``: bucket exists but holds no partitions → ``-1``
+      (dropped at the sink; reference parity with
+      ``Bucket.nextPartition`` returning -1);
+    - ``bypassed``: record belongs to *another topic* → NULL partition,
+      the sink's default partitioner decides (the reference's
+      ``UNKNOWN_PARTITION`` early-return for foreign topics,
+      ``BucketPriorityPartitioner.java:64-68``). Never discarded —
+      foreign topics are not this config's business;
+    - ``unroutable``: record *of the configured topic* whose key is
+      NULL/unparseable, names an unknown bucket, or (spread mode)
+      carries a NULL sequence value → NULL partition, or dropped when
+      ``config.on_unroutable == 'discard'``.
+
+    The output columns ``partition``/``route_status``/``bucket``
+    replace any same-named input columns (the sink contract); all other
+    input columns pass through untouched.
 
     The layout join is an explicit ``broadcast`` of a ≤#buckets-row
     table: at any scale the fact side is never shuffled for routing.
@@ -139,9 +149,12 @@ def route(
     layout = layout_table(spark, config, num_partitions)
 
     bucket = extract_bucket(F.col(key_col), config.delimiter)
+    is_foreign_topic = (
+        F.col(topic_col) != F.lit(config.topic) if topic_col is not None else F.lit(False)
+    )
     if topic_col is not None:
         # P2: bucket logic only applies to the configured topic.
-        bucket = F.when(F.col(topic_col) == F.lit(config.topic), bucket)
+        bucket = F.when(~is_foreign_topic, bucket)
     routed = df.withColumn("__peps_bucket", bucket)
 
     # Prefix every layout column so the join can never collide with (or
@@ -167,8 +180,13 @@ def route(
         )
     )
     status = (
-        F.when(F.col("__peps_layout_bucket").isNull(), F.lit("unroutable"))
+        F.when(is_foreign_topic, F.lit("bypassed"))
+        .when(F.col("__peps_layout_bucket").isNull(), F.lit("unroutable"))
         .when(size == 0, F.lit("starved"))
+        # e.g. spread mode with a NULL sequence value: bucket is fine
+        # but no partition could be computed — audit as unroutable, do
+        # NOT report it routed outside its range.
+        .when(partition.isNull(), F.lit("unroutable"))
         .otherwise(F.lit("routed"))
     )
 

@@ -182,7 +182,14 @@ class BucketPriorityConfig:
         for key, value in options.items():
             name = key[len(prefix):] if key.startswith(prefix) else key
             name = {"fallback.assignor": "fallback_assignor"}.get(name, name)
-            if name in (
+            if name == "fallback.partitioner":
+                # The reference README documents this key for routing
+                # discards (README.md:79-84) even though its code never
+                # reads it; honor the documented intent here.
+                mapped["on_unroutable"] = (
+                    "discard" if "DiscardPartitioner" in str(value) else "default"
+                )
+            elif name in (
                 "topic", "buckets", "allocation", "bucket",
                 "delimiter", "on_unroutable", "fallback_assignor",
             ):

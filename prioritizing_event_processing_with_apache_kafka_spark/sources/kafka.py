@@ -30,7 +30,12 @@ from prioritizing_event_processing_with_apache_kafka_spark.streaming.consume imp
     kafka_reader_options,
 )
 
-__all__ = ["kafka_sink_frame", "write_routed_stream", "read_bucket_stream"]
+__all__ = [
+    "kafka_sink_frame",
+    "write_routed_stream",
+    "read_bucket_stream",
+    "use_scheduler_pool",
+]
 
 
 def kafka_sink_frame(
@@ -75,12 +80,26 @@ def read_bucket_stream(
     starting_offsets: str = "latest",
 ) -> DataFrame:
     """One bucket's prioritized reader: Kafka source with the bucket's
-    ``assign`` partition list; the session's scheduler pool is set to
-    the bucket's fair-scheduler pool so priority follows allocation."""
-    spark.sparkContext.setLocalProperty("spark.scheduler.pool", spec.scheduler_pool)
+    ``assign`` partition list.
+
+    NOTE on scheduler pools: streaming queries capture the thread's
+    ``spark.scheduler.pool`` local property at ``.start()`` time, not
+    at DataFrame-build time — so this builder deliberately does NOT set
+    it (building three bucket readers and then starting them would put
+    every query in the last bucket's pool). Call
+    ``use_scheduler_pool(spark, spec)`` immediately before each
+    query's ``.start()`` instead.
+    """
     reader = spark.readStream.format("kafka")
     for key, value in kafka_reader_options(
         spec, config, bootstrap_servers=bootstrap_servers, starting_offsets=starting_offsets
     ).items():
         reader = reader.option(key, value)
     return reader.load()
+
+
+def use_scheduler_pool(spark: SparkSession, spec: BucketReaderSpec) -> None:
+    """Assign the *next* query started from this thread to the bucket's
+    fair-scheduler pool — call right before ``.start()`` (see
+    ``read_bucket_stream`` note on why the two steps are separate)."""
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", spec.scheduler_pool)

@@ -116,7 +116,7 @@ def kafka_reader_options(
     """
     options = {
         "kafka.bootstrap.servers": bootstrap_servers,
-        "assign": json.dumps({config.topic: list(spec.partitions)}),
+        "assign": spec.assign_json(config.topic),
         "startingOffsets": starting_offsets,
     }
     if spec.max_offsets_per_trigger is not None:

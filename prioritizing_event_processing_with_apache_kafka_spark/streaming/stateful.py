@@ -81,8 +81,15 @@ def route_stream_stateful(
         (bucket,) = key
         (counter,) = state.get if state.exists else (0,)
         lo_size = layout.get(bucket)
-        for pdf in batches:
-            pdf = pdf.sort_values(order_col, kind="mergesort")
+        # The group arrives as an iterator of Arrow chunks (split at
+        # spark.sql.execution.arrow.maxRecordsPerBatch) in arbitrary
+        # order — sorting per chunk would assign seq out of global
+        # order for large micro-batches. Concatenate first, sort once.
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                order_col, kind="mergesort"
+            )
             n = len(pdf)
             seq = pd.RangeIndex(counter, counter + n)
             if lo_size is None:

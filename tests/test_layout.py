@@ -151,6 +151,20 @@ class TestConfigValidation:
         assert cfg.buckets == ("Platinum", "Gold")
         assert cfg.delimiter == "_"
 
+    def test_documented_fallback_partitioner_key_maps_to_discard(self):
+        # README.md:79-84 documents bucket.priority.fallback.partitioner
+        # (the reference never wires it); we honor the documented intent.
+        cfg = BucketPriorityConfig.from_options(
+            {
+                "bucket.priority.topic": "orders",
+                "bucket.priority.buckets": "B1",
+                "bucket.priority.allocation": "100%",
+                "bucket.priority.fallback.partitioner":
+                    "code.buildon.aws.streaming.kafka.DiscardPartitioner",
+            }
+        )
+        assert cfg.on_unroutable == "discard"
+
     def test_bad_allocation_value(self):
         with pytest.raises(InvalidConfigurationException, match="allocation"):
             BucketPriorityConfig(topic="orders", buckets=["B1"], allocation=["abc"])

@@ -117,12 +117,29 @@ class TestRoutingExactMode:
 class TestFallThrough:
     def test_topic_guard(self, spark):
         # BucketPriorityPartitionerTest.java — records on another topic
-        # bypass bucket routing (UNKNOWN_PARTITION → NULL partition).
+        # bypass bucket routing (UNKNOWN_PARTITION → NULL partition)
+        # but are NOT this config's business: status 'bypassed'.
         cfg = BucketPriorityConfig(**CFG_3B)
         df = make_records(spark, ["B1-1", "B1-2"], topic="other-topic")
         out = route(df, cfg, 10, topic_col="topic", order_col="record_id", mode="exact")
         for _, (bucket, partition, status) in routed_map(out).items():
-            assert bucket is None and partition is None and status == "unroutable"
+            assert bucket is None and partition is None and status == "bypassed"
+
+    def test_discard_never_drops_foreign_topics(self, spark):
+        # reference parity: foreign-topic records fall through to the
+        # producer's own partitioner and are still produced — discard
+        # mode must only drop unroutable records OF the bucket topic.
+        cfg = BucketPriorityConfig(**CFG_3B, on_unroutable="discard")
+        rows = [
+            (0, "orders", "B1-1"),        # routed
+            (1, "orders", "Silver-1"),    # unroutable → dropped
+            (2, "other", "whatever"),     # bypassed → kept
+        ]
+        df = spark.createDataFrame(rows, "record_id long, topic string, key string")
+        out = route(df, cfg, 10, topic_col="topic", order_col="record_id", mode="exact")
+        kept = routed_map(out)
+        assert set(kept) == {0, 2}
+        assert kept[2][2] == "bypassed"
 
     def test_unknown_bucket_falls_through(self, spark):
         cfg = BucketPriorityConfig(**CFG_3B)
@@ -225,6 +242,21 @@ class TestScalableModes:
         out = route(df, cfg, 8, topic_col="topic", mode="hash")
         parts = [routed_map(out)[i][1] for i in range(3)]
         assert len(set(parts)) == 1
+
+
+class TestNullSequence:
+    def test_null_order_col_in_spread_mode_is_unroutable(self, spark):
+        # a NULL sequence value can't compute a partition — must be
+        # audited as unroutable, never reported 'routed' with NULL.
+        cfg = BucketPriorityConfig(topic="orders", buckets=["B1"], allocation=[100])
+        df = spark.createDataFrame(
+            [(None, "orders", "B1-0"), (1, "orders", "B1-1")],
+            "record_id long, topic string, key string",
+        )
+        out = route(df, cfg, 4, topic_col="topic", order_col="record_id", mode="spread")
+        rows = {r["key"]: (r["partition"], r["route_status"]) for r in out.collect()}
+        assert rows["B1-0"] == (None, "unroutable")
+        assert rows["B1-1"][1] == "routed"
 
 
 class TestColumnSafety:
