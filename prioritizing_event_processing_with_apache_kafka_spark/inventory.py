@@ -510,6 +510,39 @@ LIMIT 10
 """
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate subquery decorrelated into
+    a per-part average join — revenue from lineitems below 50% of their
+    part's average quantity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("__avg_qty")
+    )
+    return (
+        li.join(per_part_avg, li["l_partkey"] == F.col("__pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("__avg_qty"))
+        .agg(
+            F.sum(dec("l_extendedprice")).cast("double").alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_Q17 = """
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN per_part ON l_partkey = pk
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
 def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank window: top-3 events per user by value (deterministic ties)."""
     events = load_table(spark, sf_dir, "events")
@@ -1010,6 +1043,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q5_regional_revenue": q5_regional_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q14_promo_share": q14_promo_share,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_orders": q18_large_orders,
     "user_value_percent_rank": q_user_value_percent_rank,
     "top_events_per_user": q_top_events_per_user,
@@ -1047,6 +1081,7 @@ ORACLES: dict[str, str] = {
     "q5_regional_revenue": SQL_Q5,
     "q6_forecast_revenue": SQL_Q6,
     "q14_promo_share": SQL_Q14,
+    "q17_small_quantity_revenue": SQL_Q17,
     "q18_large_orders": SQL_Q18,
     "user_value_percent_rank": SQL_USER_VALUE_PERCENT_RANK,
     "top_events_per_user": SQL_TOP_EVENTS_PER_USER,
