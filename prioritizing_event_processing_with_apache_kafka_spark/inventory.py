@@ -678,6 +678,18 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile sketch (GK algorithm) per bucket — the
+    constant-memory streaming-friendly counterpart of the exact
+    `bucket_value_percentiles`. Engine-specific sketch → rows-only
+    check; accuracy is bounded by the 1000-row GK error parameter."""
+    routed = _events_routed(spark, sf_dir)
+    return routed.groupBy("bucket").agg(
+        F.percentile_approx("value", 0.5, 1000).alias("p50_approx"),
+        F.percentile_approx("value", 0.9, 1000).alias("p90_approx"),
+    )
+
+
 def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction from the events ``props`` column."""
     events = load_table(spark, sf_dir, "events")
@@ -1053,6 +1065,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "running_bucket_count": q_running_bucket_count,
     "distinct_users_per_bucket": q_distinct_users_per_bucket,
     "approx_distinct_users": q_approx_distinct_users,
+    "approx_value_percentiles": q_approx_value_percentiles,
     "events_json_extract": q_events_json_extract,
     "customers_without_orders": q_customers_without_orders,
     "customers_without_big_orders": q_customers_without_big_orders,
