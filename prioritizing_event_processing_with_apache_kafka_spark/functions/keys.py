@@ -24,9 +24,14 @@ def extract_bucket(key, delimiter: str = "-") -> Column:
     reference) and Spark's ``split`` treat it as one, so the semantics
     line up exactly, including the footgun that ``"|"`` must be escaped.
 
-    NULL keys and keys of non-string type yield NULL (the caller treats
-    NULL bucket as unroutable — the reference's silent fall-through for
-    non-String keys, ``BucketPriorityPartitioner.java:69,80-81``).
+    NULL keys yield NULL. This expression stringifies whatever column
+    it is handed (``cast('string')``); the *type* gate — the
+    reference's ``key instanceof String`` bypass for non-string keys
+    (``BucketPriorityPartitioner.java:69,80-81``) — lives in
+    ``operators.routing.route``, which checks the column's data type
+    and substitutes ``lit(NULL)`` for non-string/non-binary key
+    columns before this expression ever runs. Callers using this
+    function directly on a numeric column get the stringified form.
     A key with no delimiter at all is its own bucket name
     (``split`` returns a single-element array).
     """

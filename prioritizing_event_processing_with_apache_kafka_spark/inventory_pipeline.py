@@ -93,8 +93,20 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The corpus's ground-truth pairs (Jaccard >= 0.5) sit at measured
+    # hamming <= 8 at sf0.01 and <= 12 at sf0.1 — beyond the 8-chunk
+    # pigeonhole's guaranteed radius of 7, so probabilistic capture of
+    # the (7, 16] band is opted into explicitly. Miss probability for a
+    # pair needs all 8 chunks hit by <= 16 scattered errors (tiny;
+    # empirically zero here: truth-set-equal at both SFs). The
+    # alternative — 16x4-bit chunks for a guaranteed radius of 15 —
+    # buckets the corpus into 16 values per chunk position and goes
+    # quadratic, the wrong trade at 100 TB.
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, k=4, max_hamming=16, jaccard_threshold=0.5)
+    return D.simhash_pairs(
+        docs, k=4, max_hamming=16, jaccard_threshold=0.5,
+        allow_probabilistic_radius=True,
+    )
 
 
 # ---------------------------------------------------------------------------

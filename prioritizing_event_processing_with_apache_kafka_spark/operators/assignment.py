@@ -23,36 +23,96 @@ Semantics ported (cites into /root/reference):
 - Buckets with no consumers leave their partitions unassigned
   (``BucketPriorityAssignorTest.java:294-341``).
 - Consumers subscribed to *other* topics are assigned by the fallback
-  assignor — default range semantics, matching Kafka's ``RangeAssignor``
-  (``BucketPriorityConfig.java:56``); a consumer on both the bucket
-  topic and others is treated as bucket-only
+  assignor configured via ``config.fallback_assignor`` — ``"range"``
+  (default, Kafka's ``RangeAssignor``, ``BucketPriorityConfig.java:56``)
+  or ``"roundrobin"`` (Kafka's ``RoundRobinAssignor``); a consumer on
+  both the bucket topic and others is treated as bucket-only
   (``BucketPriorityAssignor.java:103-123``).
+- The bucket advertisement travels byte-level exactly like the
+  reference: UTF-8 encoded into the rebalance ``userData`` buffer
+  consumer-side (``BucketPriorityAssignor.java:78-89``) and decoded
+  leader-side (``BucketPriorityAssignor.java:108-110``). One deliberate
+  divergence: the reference decodes without a null check and would NPE
+  on a bucket-topic consumer advertising no userData
+  (``BucketPriorityAssignor.java:110``); we treat that consumer as
+  advertising no bucket — present in the result with zero partitions.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from itertools import cycle
 
 from prioritizing_event_processing_with_apache_kafka_spark.plans.config import (
     BucketPriorityConfig,
 )
 from prioritizing_event_processing_with_apache_kafka_spark.plans.layout import compute_layout
 
-__all__ = ["Subscription", "assign", "range_assign"]
+__all__ = [
+    "Subscription",
+    "assign",
+    "range_assign",
+    "roundrobin_assign",
+    "encode_user_data",
+    "decode_user_data",
+    "FALLBACK_ASSIGNORS",
+]
+
+
+def encode_user_data(topics, config: BucketPriorityConfig) -> bytes | None:
+    """Consumer-side ``subscriptionUserData``: UTF-8 bytes of the
+    configured bucket name, iff this consumer subscribes to the bucket
+    topic; ``None`` otherwise (``BucketPriorityAssignor.java:78-89``)."""
+    for topic in topics:
+        if topic == config.topic:
+            return config.bucket.encode("utf-8")
+    return None
+
+
+def decode_user_data(user_data: bytes | None) -> str | None:
+    """Leader-side decode of the bucket advertisement
+    (``BucketPriorityAssignor.java:108-110``).
+
+    The reference calls ``charset.decode(userData)`` with no null check
+    and NPEs when a bucket-topic consumer advertises nothing (e.g. it
+    was configured with a different assignor). Documented divergence:
+    ``None`` in → ``None`` out, and the caller gives that consumer zero
+    partitions instead of failing the whole rebalance."""
+    if user_data is None:
+        return None
+    return user_data.decode("utf-8")
 
 
 @dataclass(frozen=True)
 class Subscription:
-    """One consumer's rebalance-time advertisement."""
+    """One consumer's rebalance-time advertisement.
+
+    ``bucket`` may be given directly (convenience) or as the raw
+    ``user_data`` bytes exactly as the rebalance protocol carries them;
+    ``effective_bucket`` resolves either form."""
 
     consumer: str
     topics: tuple[str, ...]
     bucket: str | None = None
+    user_data: bytes | None = None
 
-    def __init__(self, consumer: str, topics, bucket: str | None = None) -> None:
+    def __init__(
+        self,
+        consumer: str,
+        topics,
+        bucket: str | None = None,
+        user_data: bytes | None = None,
+    ) -> None:
         object.__setattr__(self, "consumer", consumer)
         object.__setattr__(self, "topics", tuple(topics))
         object.__setattr__(self, "bucket", bucket)
+        object.__setattr__(self, "user_data", user_data)
+
+    @property
+    def effective_bucket(self) -> str | None:
+        if self.bucket is not None:
+            return self.bucket
+        return decode_user_data(self.user_data)
 
 
 def range_assign(
@@ -75,6 +135,39 @@ def range_assign(
     return out
 
 
+def roundrobin_assign(
+    partitions_per_topic: dict[str, int], subscriptions: list[Subscription]
+) -> dict[str, list[tuple[str, int]]]:
+    """Kafka ``RoundRobinAssignor`` semantics: all (topic, partition)
+    pairs sorted, dealt one at a time to the next consumer (circular,
+    sorted by id) that is subscribed to that partition's topic."""
+    out: dict[str, list[tuple[str, int]]] = {s.consumer: [] for s in subscriptions}
+    subscribed = {s.consumer: set(s.topics) for s in subscriptions}
+    members = sorted(out)
+    if not members:
+        return out
+    ring = cycle(members)
+    current = next(ring)
+    for topic, num_partitions in sorted(partitions_per_topic.items()):
+        for p in range(num_partitions):
+            tried = 0
+            while topic not in subscribed[current]:
+                current = next(ring)
+                tried += 1
+                if tried > len(members):
+                    break  # nobody subscribes to this topic
+            else:
+                out[current].append((topic, p))
+                current = next(ring)
+    return out
+
+
+FALLBACK_ASSIGNORS = {
+    "range": range_assign,
+    "roundrobin": roundrobin_assign,
+}
+
+
 def assign(
     partitions_per_topic: dict[str, int],
     subscriptions: list[Subscription],
@@ -91,14 +184,16 @@ def assign(
 
     if bucket_subs:
         layout = compute_layout(
-            partitions_per_topic[config.topic], config.buckets_with_allocation()
+            partitions_per_topic[config.topic],
+            config.buckets_with_allocation(),
+            topic=config.topic,
         )
         consumers_per_bucket: dict[str, list[str]] = {r.bucket: [] for r in layout}
         for s in sorted(bucket_subs, key=lambda s: s.consumer):
             # unknown or missing bucket ⇒ consumer stays in the result
             # with zero partitions (no NPE-parity, see module docstring)
-            if s.bucket in consumers_per_bucket:
-                consumers_per_bucket[s.bucket].append(s.consumer)
+            if s.effective_bucket in consumers_per_bucket:
+                consumers_per_bucket[s.effective_bucket].append(s.consumer)
         counter = -1
         for r in layout:  # allocation-descending order
             members = consumers_per_bucket[r.bucket]
@@ -113,6 +208,7 @@ def assign(
         t: n for t, n in partitions_per_topic.items() if t != config.topic
     }
     if other_subs and other_topics:
-        for consumer, pairs in range_assign(other_topics, other_subs).items():
+        fallback = FALLBACK_ASSIGNORS[config.fallback_assignor]
+        for consumer, pairs in fallback(other_topics, other_subs).items():
             assignments[consumer].extend(pairs)
     return assignments

@@ -17,6 +17,14 @@ Scale design (the whole point of these operators is the 100 TB case):
   are verified with the exact n-gram Jaccard before being reported, so
   the *output* contract is exact (and oracle-checkable) while the
   *search* is sub-quadratic.
+- **Shared subtrees are persisted**: each near-dup operator references
+  its tokenized/signed frame from 2-3 places in one plan (candidate
+  generation, both sides of the verify join). Without a cache the
+  shingle lambdas — the dominant cost — re-run once per reference, so
+  the frames are ``persist()``-ed (MEMORY_AND_DISK) for the query's
+  lifetime. They are bounded by corpus-token size and LRU-evicted;
+  callers running many dedup queries in one session can
+  ``spark.catalog.clearCache()`` between them.
 
 All expressions are native Spark SQL lambdas (whole-stage codegen);
 MinHash uses a universal hash family ``(a·h + b) mod p`` over 31-bit
@@ -46,13 +54,33 @@ MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne); keeps a*h+b in int64
 def with_shingles(
     df: DataFrame, *, text_col: str = "text", k: int = 4, out_col: str = "shingles"
 ) -> DataFrame:
-    """Distinct k-token shingles per document (the near-dup alphabet)."""
-    return df.withColumn(
-        out_col,
-        F.expr(
-            f"array_distinct(transform(sequence(1, greatest(size(split({text_col}, ' ')) - {k - 1}, 1)), "
-            f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {k}))))"
-        ),
+    """Distinct k-token shingles per document (the near-dup alphabet).
+
+    Formulated as a zip of k shifted views of the token array rather
+    than the obvious ``transform(sequence(...), i -> slice(tokens, i, k))``:
+    the slice-per-position lambda re-evaluates ``split`` and copies a
+    k-slice for every position — O(tokens²) per document and measured
+    ~4× slower at sf0.1. Here ``split`` runs once per row (the tokens
+    live in a real column, so CollapseProject won't duplicate the
+    non-cheap expression across the k references), each shifted view is
+    one O(tokens) slice, and the per-position work is a constant-width
+    struct concat. Short documents match the old semantics exactly:
+    positions past the end zip as NULLs, which ``concat_ws`` skips.
+    """
+    toks = "__peps_toks"
+    parts = [
+        f"slice({toks}, {i + 1}, greatest(size({toks}) - {i}, 0))" for i in range(k)
+    ]
+    zipped = f"arrays_zip({', '.join(parts)})"
+    fields = ", ".join(f"s.`{i}`" for i in range(k))
+    shingle_expr = (
+        f"array_distinct(transform(slice({zipped}, 1, greatest(size({toks}) - {k - 1}, 1)), "
+        f"s -> concat_ws(' ', {fields})))"
+    )
+    return (
+        df.withColumn(toks, F.split(F.col(text_col), " "))
+        .withColumn(out_col, F.expr(shingle_expr))
+        .drop(toks)
     )
 
 
@@ -137,10 +165,40 @@ def ngram_jaccard_pairs(
     ≥ threshold. This is the *ground-truth* operator the probabilistic
     ones are verified against.
     """
-    shingled = with_shingles(df, text_col=text_col, k=k)
+    shingled = with_shingles(df, text_col=text_col, k=k).persist()
     exploded = shingled.select(id_col, F.explode("shingles").alias("__sig"))
-    cands = _candidate_pairs(exploded, id_col, ["__sig"], max_signature_freq)
-    return _verify_jaccard(cands, shingled, id_col, threshold)
+    if max_signature_freq is not None:
+        # Capped path: hot shingles are dropped from candidate
+        # generation only, so Jaccard must be recomputed from the full
+        # shingle arrays to stay exact.
+        cands = _candidate_pairs(exploded, id_col, ["__sig"], max_signature_freq)
+        return _verify_jaccard(cands, shingled, id_col, threshold)
+    # Uncapped path: because shingles are distinct per document, the
+    # number of equi-join matches per (x, y) pair IS |x ∩ y| — no
+    # join-back to the arrays, no array_intersect; sizes come from a
+    # tiny (id, |shingles|) projection of the cached frame.
+    a = exploded.select(F.col(id_col).alias("x"), "__sig")
+    b = exploded.select(F.col(id_col).alias("y"), "__sig")
+    inter = (
+        a.join(b, "__sig")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sizes = shingled.select(F.col(id_col), F.size("shingles").alias("__n"))
+    nx = sizes.select(F.col(id_col).alias("x"), F.col("__n").alias("__nx"))
+    ny = sizes.select(F.col(id_col).alias("y"), F.col("__n").alias("__ny"))
+    return (
+        inter.join(nx, "x")
+        .join(ny, "y")
+        .withColumn(
+            "jaccard",
+            F.col("__inter").cast("double")
+            / (F.col("__nx") + F.col("__ny") - F.col("__inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("x", "y", "jaccard")
+    )
 
 
 def _hash_family(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -211,7 +269,7 @@ def with_minhash_signature(
     friendly explode/aggregate grid, then reassembled into an array
     column ordered by seed index.
     """
-    shingled = with_shingles(df, text_col=text_col, k=k)
+    shingled = with_shingles(df, text_col=text_col, k=k).persist()
     mins = _minhash_grid(shingled, id_col, num_hashes, seed)
     sig = mins.groupBy(id_col).agg(
         F.expr("transform(sort_array(collect_list(struct(__i, __min))), x -> x.__min)").alias(
@@ -242,11 +300,14 @@ def minhash_lsh_pairs(
     """
     _check_banding(num_hashes, bands)
     rows = num_hashes // bands
-    shingled = with_shingles(df, text_col=text_col, k=k)
+    shingled = with_shingles(df, text_col=text_col, k=k).persist()
     mins = _minhash_grid(shingled, id_col, num_hashes, seed)
     # band hash straight from the grid: group the r min-values of each
     # band (ordered by seed index) and hash them — the signature array
-    # is never materialized on the LSH path.
+    # is never materialized on the LSH path. Persisted because the
+    # candidate self-join scans it from both sides (and the freq cap a
+    # third time); without the cache each scan replays the whole
+    # shingle×hash grid — the expensive part of the operator.
     banded = (
         mins.withColumn("__band", F.expr(f"__i div {rows}"))
         .groupBy(id_col, "__band")
@@ -255,6 +316,7 @@ def minhash_lsh_pairs(
                 F.expr("concat_ws(',', transform(sort_array(collect_list(struct(__i, __min))), x -> x.__min))")
             ).alias("__bh")
         )
+        .persist()
     )
     cands = _candidate_pairs(banded, id_col, ["__band", "__bh"], max_signature_freq)
     return _verify_jaccard(cands, shingled, id_col, threshold)
@@ -270,30 +332,34 @@ def with_simhash(
 ) -> DataFrame:
     """64-bit SimHash over k-shingle hashes.
 
-    Bit b of the simhash is the sign of Σ over shingles of
-    ``±1`` votes from bit b of each shingle hash. Like MinHash, the
-    nested-lambda formulation runs interpreted, so the votes are
-    computed on an exploded (id, bit, vote) grid inside whole-stage
-    codegen and folded back with two hash aggregates.
+    Bit b of the simhash is the sign of Σ over shingles of ``±1`` votes
+    from bit b of each shingle hash — equivalently, bit b is set iff
+    more than half the shingle hashes have bit b set. Computed as ONE
+    hash aggregate over the (id, shingle_hash) rows with 64 codegen
+    ``sum((h >> b) & 1)`` expressions: no per-bit row explosion (the
+    exploded-grid formulation shuffles 64× the rows for the same
+    answer), no interpreted lambdas, map-side partial aggregation.
     """
     shingled = with_shingles(df, text_col=text_col, k=k)
-    votes = (
-        shingled.select(F.col(id_col), F.explode("shingles").alias("__s"))
-        .select(id_col, F.xxhash64("__s").alias("__h"))
-        .select(
-            id_col,
-            F.posexplode(
-                F.expr(
-                    "transform(sequence(0, 63), b -> if((shiftright(__h, b) & 1) = 1, 1, -1))"
-                )
-            ).alias("__bit", "__vote"),
-        )
-        .groupBy(id_col, "__bit")
-        .agg(F.sum("__vote").alias("__votes"))
+    hashed = shingled.select(F.col(id_col), F.explode("shingles").alias("__s")).select(
+        id_col, F.xxhash64("__s").alias("__h")
     )
-    sim = votes.groupBy(id_col).agg(
-        F.expr("sum(if(__votes > 0, shiftleft(1L, __bit), 0L))").alias(out_col)
-    )
+    # (h >> b) & 1 is bit b for every b incl. 63: the arithmetic shift's
+    # sign-fill is masked off.
+    bit_aggs = [
+        F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1))).alias(f"__b{b}")
+        for b in range(64)
+    ]
+    counts = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *bit_aggs)
+    one = F.lit(1).cast("long")
+    sim_col = None
+    for b in range(64):
+        # majority vote: Σ±1 > 0  ⇔  2·ones > n (ties → bit stays 0)
+        term = F.when(
+            F.col(f"__b{b}") * 2 > F.col("__n"), F.shiftleft(one, b)
+        ).otherwise(F.lit(0).cast("long"))
+        sim_col = term if sim_col is None else sim_col + term
+    sim = counts.select(F.col(id_col), sim_col.alias(out_col))
     return shingled.join(sim, id_col)
 
 
@@ -304,17 +370,38 @@ def simhash_pairs(
     text_col: str = "text",
     k: int = 4,
     chunks: int = 8,
-    max_hamming: int = 12,
+    max_hamming: int = 7,
     jaccard_threshold: float = 0.5,
     max_signature_freq: int | None = None,
+    allow_probabilistic_radius: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs: chunk-match candidates (pigeonhole — any
     pair with hamming < ``chunks`` shares ≥1 equal ``64/chunks``-bit
-    chunk), hamming filter, then exact-Jaccard verification. Default
-    8×8-bit chunks guarantees recall for hamming ≤ 7 while keeping the
-    collision bucket rate ≈ n²·chunks/2^(64/chunks)·... sub-quadratic."""
+    chunk), hamming filter, then exact-Jaccard verification.
+
+    **Guaranteed recall radius is ``chunks - 1``** (default 8×8-bit
+    chunks → hamming ≤ 7): beyond it a pair's bit errors *can* touch
+    every chunk, so candidates in the ``(chunks-1, max_hamming]`` band
+    are found only probabilistically (the miss probability — all
+    ``chunks`` chunks hit by ≤ ``max_hamming`` scattered errors — is
+    small but nonzero). Asking for ``max_hamming >= chunks`` therefore
+    raises unless ``allow_probabilistic_radius=True`` is passed
+    explicitly. Raising ``chunks`` widens the guarantee but shrinks
+    chunk width: 16×4-bit chunks guarantee radius 15 yet bucket the
+    corpus into only 16 values per chunk position — Σ bucket² becomes
+    quadratic, which is why production simhash dedup keeps the radius
+    small rather than the chunks narrow. Precision is always exact:
+    output is Jaccard-verified regardless of how candidates were found.
+    """
+    if max_hamming >= chunks and not allow_probabilistic_radius:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) >= chunks ({chunks}): the pigeonhole "
+            f"candidate stage only guarantees recall for hamming <= {chunks - 1}. "
+            f"Pass allow_probabilistic_radius=True to accept probabilistic recall "
+            f"in the ({chunks - 1}, {max_hamming}] band, or raise chunks."
+        )
     bits = 64 // chunks
-    sh = with_simhash(df, text_col=text_col, k=k)
+    sh = with_simhash(df, text_col=text_col, k=k).persist()
     exploded = sh.select(
         id_col,
         F.explode(
@@ -334,5 +421,7 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("x", "y")
     )
-    shingled = with_shingles(df, text_col=text_col, k=k)
-    return _verify_jaccard(hamming_ok, shingled, id_col, jaccard_threshold)
+    # `sh` already carries the shingles column (with_simhash builds on
+    # with_shingles) — verify from the cached frame instead of
+    # re-tokenizing the corpus.
+    return _verify_jaccard(hamming_ok, sh, id_col, jaccard_threshold)

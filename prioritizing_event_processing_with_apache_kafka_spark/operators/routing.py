@@ -75,7 +75,9 @@ def layout_table(
     ``partition_lo``/``partition_hi`` and ``bucket_size`` 0) — the
     relational image of the reference's ``LinkedHashMap<String,Bucket>``.
     """
-    ranges = compute_layout(num_partitions, config.buckets_with_allocation())
+    ranges = compute_layout(
+        num_partitions, config.buckets_with_allocation(), topic=config.topic
+    )
     rows = [
         (r.bucket, r.allocation, r.priority_rank, r.partition_lo, r.partition_hi, r.size)
         for r in ranges
@@ -148,9 +150,23 @@ def route(
     spark = df.sparkSession
     layout = layout_table(spark, config, num_partitions)
 
-    bucket = extract_bucket(F.col(key_col), config.delimiter)
+    # P1 type guard: the reference only parses `key instanceof String`
+    # (BucketPriorityPartitioner.java:69) — any other key type falls
+    # through as unroutable. String and binary (Kafka's raw key bytes,
+    # UTF-8-decoded by the cast) columns are parsed; numeric/other
+    # key columns yield NULL bucket rather than being stringified.
+    key_dtype = df.schema[key_col].dataType
+    if isinstance(key_dtype, (T.StringType, T.BinaryType)):
+        bucket = extract_bucket(F.col(key_col), config.delimiter)
+    else:
+        bucket = F.lit(None).cast("string")
+    # Null-safe: a NULL topic value is not the configured topic, so it
+    # is bypassed like any other foreign-topic record (plain != would
+    # evaluate NULL and silently route it).
     is_foreign_topic = (
-        F.col(topic_col) != F.lit(config.topic) if topic_col is not None else F.lit(False)
+        ~F.col(topic_col).eqNullSafe(F.lit(config.topic))
+        if topic_col is not None
+        else F.lit(False)
     )
     if topic_col is not None:
         # P2: bucket logic only applies to the configured topic.

@@ -133,16 +133,18 @@ class BucketPriorityConfig:
         bucket_names = tuple(str(b).strip() for b in buckets)
         alloc_values = tuple(_parse_allocation_item(a) for a in allocation)
 
+        # Message strings below are byte-identical to the reference's
+        # InvalidConfigurationException texts
+        # (BucketPriorityPartitioner.java:34-42, BucketPriorityAssignor.java:41-50).
         if len(bucket_names) != len(alloc_values):
             raise InvalidConfigurationException(
-                "The number of buckets configured needs to match the number of "
-                f"allocation entries: got {len(bucket_names)} bucket(s) and "
-                f"{len(alloc_values)} allocation entrie(s)."
+                "The bucket allocation doesn't match with the number of "
+                "buckets configured."
             )
         if sum(alloc_values) != 100:
             raise InvalidConfigurationException(
-                "The sum of the allocation percentages needs to be exactly 100: "
-                f"got {sum(alloc_values)}."
+                "The bucket allocation is incorrect. The sum of all buckets "
+                "needs to be 100."
             )
         if len(set(bucket_names)) != len(bucket_names):
             raise InvalidConfigurationException(
@@ -151,6 +153,12 @@ class BucketPriorityConfig:
         if on_unroutable not in ("default", "discard"):
             raise InvalidConfigurationException(
                 f"on_unroutable must be 'default' or 'discard', got {on_unroutable!r}."
+            )
+        if fallback_assignor not in ("range", "roundrobin"):
+            # Exact reference text (BucketPriorityAssignor.java:57-58);
+            # raised here at configure time, same lifecycle point.
+            raise InvalidConfigurationException(
+                "The fallback assignor configured is invalid."
             )
         if delimiter == "":
             raise InvalidConfigurationException("delimiter must be a non-empty regex.")

@@ -83,12 +83,18 @@ def bucket_size(allocation: int, num_partitions: int) -> int:
     return int(math.floor(float(x) + 0.5))
 
 
-def _layout(num_partitions: int, buckets: tuple[tuple[str, int], ...]) -> tuple[BucketRange, ...]:
+def _layout(
+    num_partitions: int,
+    buckets: tuple[tuple[str, int], ...],
+    topic: str | None = None,
+) -> tuple[BucketRange, ...]:
     if num_partitions < len(buckets):
+        # Byte-identical to the reference's lazily-raised message
+        # (BucketPriorityPartitioner.java:98-105, BucketPriorityAssignor.java:151-159).
         raise InvalidConfigurationException(
-            f"The number of partitions available for the topic ({num_partitions}) "
-            f"is incompatible with the number of buckets ({len(buckets)}). "
-            "It needs to be at least equal to the number of buckets."
+            f"The number of partitions available for the topic '{topic}' is "
+            f"incompatible with the number of buckets. It needs to be at "
+            f"least {len(buckets)}."
         )
     # Priority order: allocation descending; Python's sort is stable, so
     # ties keep declaration order (same net effect as the reference's
@@ -124,7 +130,9 @@ _layout_cached = lru_cache(maxsize=256)(_layout)
 
 
 def compute_layout(
-    num_partitions: int, buckets: list[tuple[str, int]] | tuple[tuple[str, int], ...]
+    num_partitions: int,
+    buckets: list[tuple[str, int]] | tuple[tuple[str, int], ...],
+    topic: str | None = None,
 ) -> tuple[BucketRange, ...]:
     """Compute the bucket→partition layout for a topic.
 
@@ -134,8 +142,14 @@ def compute_layout(
             order. Caller is responsible for config-level validation
             (see ``BucketPriorityConfig``); this function only enforces
             the lazily-checked ``num_partitions >= num_buckets`` rule.
+        topic: topic name, used only to render the too-few-partitions
+            error with the reference's exact message text.
 
     Returns:
         ``BucketRange`` tuple in priority (allocation-descending) order.
     """
-    return _layout_cached(int(num_partitions), tuple((str(n), int(a)) for n, a in buckets))
+    return _layout_cached(
+        int(num_partitions),
+        tuple((str(n), int(a)) for n, a in buckets),
+        None if topic is None else str(topic),
+    )

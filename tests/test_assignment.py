@@ -7,7 +7,10 @@ from prioritizing_event_processing_with_apache_kafka_spark import BucketPriority
 from prioritizing_event_processing_with_apache_kafka_spark.operators.assignment import (
     Subscription,
     assign,
+    decode_user_data,
+    encode_user_data,
     range_assign,
+    roundrobin_assign,
 )
 
 CFG = BucketPriorityConfig(topic="orders", buckets=["B1", "B2"], allocation=[80, 20])
@@ -112,3 +115,93 @@ class TestRangeAssign:
         assert result["a"] == [("t", 0), ("t", 1), ("t", 2)]
         assert result["b"] == [("t", 3), ("t", 4)]
         assert result["c"] == [("t", 5), ("t", 6)]
+
+
+class TestUserDataBytes:
+    """Byte-level rebalance-protocol parity (BucketPriorityAssignor.java:78-89,108-120)."""
+
+    def test_encode_only_for_bucket_topic(self):
+        # subscriptionUserData encodes iff subscribed to the bucket topic.
+        cfg = BucketPriorityConfig(
+            topic="orders", buckets=["B1", "B2"], allocation=[80, 20], bucket="B1"
+        )
+        assert encode_user_data(["orders", "clicks"], cfg) == b"B1"
+        assert encode_user_data(["clicks"], cfg) is None
+
+    def test_utf8_round_trip(self):
+        cfg = BucketPriorityConfig(
+            topic="orders", buckets=["Prémium", "B2"], allocation=[80, 20],
+            bucket="Prémium",
+        )
+        raw = encode_user_data(["orders"], cfg)
+        assert raw == "Prémium".encode("utf-8") and len(raw) == 8
+        assert decode_user_data(raw) == "Prémium"
+
+    def test_assignment_through_encoded_bytes(self):
+        # BucketPriorityAssignorTest.java:154-223 driven end-to-end
+        # through the encoded userData bytes instead of the dataclass
+        # convenience field: 10 partitions 80/20, 8 B1 + 2 B2 consumers,
+        # every consumer lands >= 1 partition inside its own bucket.
+        def sub(name, bucket):
+            cfg = BucketPriorityConfig(
+                topic="orders", buckets=["B1", "B2"], allocation=[80, 20],
+                bucket=bucket,
+            )
+            return Subscription(name, ["orders"], user_data=encode_user_data(["orders"], cfg))
+
+        subs = [sub(f"consumer-{i}", "B1") for i in range(8)]
+        subs += [sub(f"consumer-{i}", "B2") for i in (8, 9)]
+        result = assign({"orders": 10}, subs, CFG)
+        assert len(result) == 10
+        assert all(len(v) > 0 for v in result.values())
+        b1 = {c for c, pairs in result.items() if any(p <= 7 for _, p in pairs)}
+        b2 = {c for c, pairs in result.items() if any(p >= 8 for _, p in pairs)}
+        assert b1 == {f"consumer-{i}" for i in range(8)}
+        assert b2 == {"consumer-8", "consumer-9"}
+
+    def test_missing_user_data_gets_zero_partitions(self):
+        # Documented divergence from the reference's NPE at
+        # BucketPriorityAssignor.java:110 — a bucket-topic consumer
+        # advertising no userData stays in the result with nothing.
+        subs = [
+            Subscription("mute", ["orders"], user_data=None),
+            Subscription("ok", ["orders"], user_data=b"B1"),
+        ]
+        result = assign({"orders": 10}, subs, CFG)
+        assert result["mute"] == []
+        assert len(result["ok"]) == 8
+
+
+class TestFallbackAssignors:
+    def test_roundrobin_semantics(self):
+        subs = [Subscription("a", ["t"]), Subscription("b", ["t"]), Subscription("c", ["t"])]
+        result = roundrobin_assign({"t": 7}, subs)
+        assert result["a"] == [("t", 0), ("t", 3), ("t", 6)]
+        assert result["b"] == [("t", 1), ("t", 4)]
+        assert result["c"] == [("t", 2), ("t", 5)]
+
+    def test_roundrobin_skips_unsubscribed(self):
+        subs = [
+            Subscription("a", ["t1", "t2"]),
+            Subscription("b", ["t2"]),
+        ]
+        # The ring advances while skipping unsubscribed consumers
+        # (Kafka RoundRobinAssignor's peek/next behavior), so after b is
+        # skipped for t1 the deal continues from a.
+        result = roundrobin_assign({"t1": 2, "t2": 2}, subs)
+        assert result["a"] == [("t1", 0), ("t1", 1), ("t2", 1)]
+        assert result["b"] == [("t2", 0)]
+
+    def test_configured_fallback_is_used(self):
+        cfg = BucketPriorityConfig(
+            topic="orders", buckets=["B1", "B2"], allocation=[80, 20],
+            fallback_assignor="roundrobin",
+        )
+        subs = [
+            Subscription("b0", ["orders"], "B1"),
+            Subscription("r0", ["clicks"]),
+            Subscription("r1", ["clicks"]),
+        ]
+        result = assign({"orders": 10, "clicks": 3}, subs, cfg)
+        assert result["r0"] == [("clicks", 0), ("clicks", 2)]
+        assert result["r1"] == [("clicks", 1)]

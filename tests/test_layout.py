@@ -174,3 +174,43 @@ class TestConfigValidation:
             BucketPriorityConfig(
                 topic="orders", buckets=["B1"], allocation=[100], on_unroutable="explode"
             )
+
+
+class TestMessageParity:
+    """Error-message strings byte-identical to the reference's
+    InvalidConfigurationException texts."""
+
+    def test_count_mismatch_message(self):
+        # BucketPriorityPartitioner.java:34-37
+        with pytest.raises(InvalidConfigurationException) as exc:
+            BucketPriorityConfig(topic="orders", buckets=["B1", "B2"], allocation=["100%"])
+        assert str(exc.value) == (
+            "The bucket allocation doesn't match with the number of buckets configured."
+        )
+
+    def test_sum_message(self):
+        # BucketPriorityPartitioner.java:38-42
+        with pytest.raises(InvalidConfigurationException) as exc:
+            BucketPriorityConfig(topic="orders", buckets=["B1", "B2"], allocation=["70%", "20%"])
+        assert str(exc.value) == (
+            "The bucket allocation is incorrect. The sum of all buckets needs to be 100."
+        )
+
+    def test_too_few_partitions_message(self):
+        # BucketPriorityPartitioner.java:98-105 (same text in
+        # BucketPriorityAssignor.java:151-159), topic name interpolated.
+        with pytest.raises(InvalidConfigurationException) as exc:
+            compute_layout(1, [("B1", 50), ("B2", 50)], topic="orders")
+        assert str(exc.value) == (
+            "The number of partitions available for the topic 'orders' is "
+            "incompatible with the number of buckets. It needs to be at least 2."
+        )
+
+    def test_bad_fallback_assignor_message(self):
+        # BucketPriorityAssignor.java:52-59, raised at configure time.
+        with pytest.raises(InvalidConfigurationException) as exc:
+            BucketPriorityConfig(
+                topic="orders", buckets=["B1"], allocation=[100],
+                fallback_assignor="com.riskfuel.NotAnAssignor",
+            )
+        assert str(exc.value) == "The fallback assignor configured is invalid."
