@@ -190,13 +190,18 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (recall < 1 by design) — rows-only
-    check; quality is judged against `embedding_topk`."""
+    """Multi-table hyperplane-LSH approximate top-k (recall < 1 by
+    design) — rows-only check; recall@5 vs `embedding_topk` is measured
+    and asserted in ``tests/test_sinks_and_ann.py`` (4 planes × 8
+    tables → 0.84 at sf0.01 / 0.88 at sf0.1 on this corpus, whose true
+    neighbors sit near-orthogonal at cos 0.25-0.42 — the hard regime
+    for hyperplane LSH; deterministic seeded planes make the figure
+    reproducible)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.lsh_ann_topk(emb, queries, k=5, num_planes=8)
+    return S.lsh_ann_topk(emb, queries, k=5, num_planes=4, num_tables=8)
 
 
 # ---------------------------------------------------------------------------

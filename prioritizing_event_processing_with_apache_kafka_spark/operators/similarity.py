@@ -246,27 +246,50 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     num_planes: int = 8,
+    num_tables: int = 1,
     dim: int = 64,
     seed: int = 7,
 ) -> DataFrame:
-    """Approximate top-k: only candidates in the query's LSH bucket are
-    scored. Trades recall for a ~2^num_planes candidate reduction; the
-    exact `cosine_topk` is the quality baseline."""
-    bucketed = with_lsh_bucket(
-        corpus, vec_col=vec_col, num_planes=num_planes, dim=dim, seed=seed
+    """Approximate top-k: only candidates sharing the query's LSH bucket
+    in at least one of ``num_tables`` independent hash tables are
+    scored. Single-table recall for a true neighbor at angle θ is
+    ``(1 - θ/π)^num_planes``; L independent tables lift it to
+    ``1 - (1 - p)^L`` at L× the bucketing cost (candidate volume still
+    ~``L · n / 2^num_planes`` per query — far below a corpus scan).
+    Table t uses plane seed ``seed + t``, so results stay deterministic.
+    The exact `cosine_topk` is the quality baseline; recall against it
+    is asserted in ``tests/test_sinks_and_ann.py``."""
+    c_bucketed = corpus
+    q_bucketed = queries.select(query_id_col, vec_col)
+    buckets = []
+    for t in range(num_tables):
+        col = f"__lsh_{t}"
+        kwargs = dict(
+            vec_col=vec_col, num_planes=num_planes, dim=dim, seed=seed + t,
+            out_col=col,
+        )
+        c_bucketed = with_lsh_bucket(c_bucketed, **kwargs)
+        q_bucketed = with_lsh_bucket(q_bucketed, **kwargs)
+        buckets.append(col)
+    # One row per (row, table): posexplode keeps the table index so
+    # bucket ids from different plane sets never collide.
+    c_exploded = c_bucketed.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(F.array(*buckets)).alias("__table", "lsh_bucket"),
     )
-    q = with_lsh_bucket(
-        queries.select(query_id_col, vec_col),
-        vec_col=vec_col,
-        num_planes=num_planes,
-        dim=dim,
-        seed=seed,
-    ).select(query_id_col, F.col(vec_col).alias("__qvec"), "lsh_bucket")
-    scored = (
-        bucketed.join(F.broadcast(q), "lsh_bucket")
+    q_exploded = q_bucketed.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.posexplode(F.array(*buckets)).alias("__table", "lsh_bucket"),
+    )
+    cands = (
+        c_exploded.join(F.broadcast(q_exploded), ["__table", "lsh_bucket"])
         .filter(F.col(query_id_col) != F.col(id_col))
-        .withColumn("cos_sim", F.round(cosine("__qvec", vec_col), 6))
+        # a pair matching in several tables must be scored once
+        .dropDuplicates([query_id_col, id_col])
     )
+    scored = cands.withColumn("cos_sim", F.round(cosine("__qvec", vec_col), 6))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -123,3 +123,56 @@ def test_unknown_bucket_gets_null_partition(spark, dirs):
         assert all(r["partition"] is None for r in rows)
     finally:
         q.stop()
+
+
+def test_counter_survives_restart_across_many_batches(spark, dirs):
+    # VERDICT r1 item 8: 10+ micro-batches with a mid-stream restart;
+    # the state-store checkpoint must carry the counter across the stop
+    # so the sequence continues exactly (the reference's AtomicInteger
+    # lives for the producer process lifetime; ours lives in the
+    # checkpoint and therefore survives even a process restart). The
+    # memory sink cannot recover from a checkpoint, so the routed
+    # stream lands in a parquet sink (exactly-once via the checkpoint).
+    src, chk = dirs
+    out = tempfile.mkdtemp(prefix="peps-stateful-out-")
+    per_batch = 4
+
+    def run(n_batches, first_batch):
+        source = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        routed = route_stream_stateful(source, CFG, 10, order_col="event_id")
+        q = (
+            routed.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            for b in range(first_batch, first_batch + n_batches):
+                chunk(spark, src, b * 100, per_batch)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+    try:
+        run(6, 0)   # first run: 6 micro-batches of 4 records
+        run(5, 6)   # restart from the same checkpoint: 5 more
+        combined = {
+            r["event_id"]: (r["seq"], r["partition"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert len(combined) == 11 * per_batch
+
+        # seq must be the global arrival order 0..43 with no gap or
+        # repeat at the restart boundary, and partition = seq % 7
+        # (Platinum lo=0, size=7).
+        by_arrival = sorted(combined)  # event_ids were written in seq order
+        seqs = [combined[e][0] for e in by_arrival]
+        assert seqs == list(range(11 * per_batch))
+        assert all(combined[e][1] == combined[e][0] % 7 for e in by_arrival)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -329,3 +329,107 @@ class TestConsumePlan:
         assert opts["maxOffsetsPerTrigger"] == "500"
         assert opts["kafka.bootstrap.servers"] == "broker:9092"
         assert spec.assign_json("events") == opts["assign"]
+
+
+class TestPrioritizedContention:
+    def test_platinum_drains_proportionally_more_under_backlog(self, spark):
+        # The reference's core promise (README.md:11-17): higher-allocation
+        # buckets get proportionally more processing capacity. Here two
+        # bucket queries run CONCURRENTLY against deep backlogs, each
+        # throttled by its consume_plan weight (the file-source analog of
+        # the weighted maxOffsetsPerTrigger split: maxFilesPerTrigger =
+        # weight). While the backlog lasts, every completed micro-batch
+        # of a query must carry exactly weight x rows_per_file rows, so
+        # over any equal number of full batches Platinum processes
+        # 70/30 = 2.33x Gold's rows — deterministically, not just on
+        # average.
+        import time
+
+        cfg = BucketPriorityConfig(
+            topic="events", buckets=["Platinum", "Gold"], allocation=[70, 30]
+        )
+        specs = {
+            s.bucket: s
+            for s in consume_plan(cfg, 10, total_offsets_per_trigger=10)
+        }
+        assert specs["Platinum"].max_offsets_per_trigger == 7
+        assert specs["Gold"].max_offsets_per_trigger == 3
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows_per_file = 5
+        n_files = 60  # deep enough that neither query drains during the test
+        arrow_schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("key", pa.string()),
+            ]
+        )
+        dirs, queries = {}, {}
+        try:
+            for bucket in ("Platinum", "Gold"):
+                d = tempfile.mkdtemp(prefix=f"peps-contend-{bucket}-")
+                dirs[bucket] = d
+                for f in range(n_files):
+                    ids = [f * rows_per_file + i for i in range(rows_per_file)]
+                    table = pa.Table.from_pydict(
+                        {
+                            "event_id": ids,
+                            "ts": [None] * rows_per_file,
+                            "user_id": [1] * rows_per_file,
+                            "key": [f"{bucket}-{f}-{i}" for i in range(rows_per_file)],
+                        },
+                        schema=arrow_schema,
+                    )
+                    pq.write_table(table, f"{d}/part-{f:05d}.parquet")
+            for bucket in ("Platinum", "Gold"):
+                source = (
+                    spark.readStream.schema(
+                        "event_id long, ts timestamp, user_id long, key string"
+                    )
+                    .option(
+                        "maxFilesPerTrigger",
+                        str(specs[bucket].max_offsets_per_trigger),
+                    )
+                    .parquet(dirs[bucket])
+                )
+                queries[bucket] = (
+                    source.writeStream.format("memory")
+                    .queryName(f"contend_{bucket}")
+                    .outputMode("append")
+                    .start()
+                )
+            # let both run concurrently until each has >= 4 completed batches
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if all(
+                    len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 4
+                    for q in queries.values()
+                ):
+                    break
+                time.sleep(0.2)
+            progress = {
+                b: [p for p in q.recentProgress if p["numInputRows"] > 0]
+                for b, q in queries.items()
+            }
+        finally:
+            for q in queries.values():
+                q.stop()
+            for d in dirs.values():
+                shutil.rmtree(d, ignore_errors=True)
+
+        for bucket, weight in (("Platinum", 7), ("Gold", 3)):
+            batches = progress[bucket]
+            assert len(batches) >= 4, f"{bucket} completed too few batches"
+            # steady-state batches carry exactly weight x rows_per_file
+            for p in batches[:4]:
+                assert p["numInputRows"] == weight * rows_per_file, (
+                    bucket,
+                    [p["numInputRows"] for p in batches],
+                )
+        p_rows = sum(p["numInputRows"] for p in progress["Platinum"][:4])
+        g_rows = sum(p["numInputRows"] for p in progress["Gold"][:4])
+        assert p_rows == 140 and g_rows == 60  # 70/30 split over equal batches
