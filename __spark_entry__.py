@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from prioritizing_event_processing_with_apache_kafka_spark import (
     inventory,
     inventory_pipeline,
+    inventory_tpch,
 )
 
 
@@ -30,10 +31,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {**inventory.QUERIES, **inventory_pipeline.PIPELINE_QUERIES}
+    return {
+        **inventory.QUERIES,
+        **inventory_tpch.TPCH_QUERIES,
+        **inventory_pipeline.PIPELINE_QUERIES,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each query (omitted for engine-specific
     sketches and other non-SQL-expressible ops → rows-only check)."""
-    return {**inventory.ORACLES, **inventory_pipeline.PIPELINE_ORACLES}
+    return {
+        **inventory.ORACLES,
+        **inventory_tpch.TPCH_ORACLES,
+        **inventory_pipeline.PIPELINE_ORACLES,
+    }

@@ -92,6 +92,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, k=4, num_hashes=32, bands=8, threshold=0.5)
 
 
+def q_dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-permutation MinHash: signature from a single hash pass
+    (32 bins), candidates exact-verified — output equals the
+    ground-truth pair set, so it shares the n-gram Jaccard oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.oph_minhash_pairs(docs, k=4, bins=32, threshold=0.5)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The corpus's ground-truth pairs (Jaccard >= 0.5) sit at measured
     # hamming <= 8 at sf0.01 and <= 12 at sf0.1 — beyond the 8-chunk
@@ -281,6 +289,64 @@ FROM documents
 """
 
 
+def q_term_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by document frequency — the core of inverted-index
+    and IDF-table construction. Distinct-per-document via the shingle
+    alphabet trick (array_distinct before explode), deterministic
+    tie-break on the token."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
+SQL_TERM_DOC_FREQUENCY = """
+SELECT token, COUNT(*) AS doc_freq
+FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token FROM documents)
+GROUP BY token
+ORDER BY doc_freq DESC, token ASC
+LIMIT 20
+"""
+
+
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components — the E-step building block of a
+    distributed k-means over the embedding table. posexplode turns the
+    vector column into (label, pos, value) rows so the mean is one hash
+    aggregate; rounded to 6 decimals so float summation order cannot
+    show through the oracle compare."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), 6
+            ).alias("centroid")
+        )
+        .orderBy("label", "pos")
+    )
+
+
+# DuckDB's generate_series cannot take a lateral column bound, so the
+# series is static (embeddings are 64-dim) with a length guard.
+SQL_EMBEDDING_LABEL_CENTROIDS = """
+SELECT label, CAST(g.i - 1 AS INTEGER) AS pos,
+       ROUND(SUM(CAST(embedding[g.i] AS DOUBLE)) / COUNT(*), 6) AS centroid
+FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
+WHERE g.i <= len(embedding)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -309,6 +375,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_oph": q_dedup_minhash_oph,
     "dedup_simhash": q_dedup_simhash,
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -318,6 +385,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "lang_id_eval": q_lang_id_eval,
     "doc_fingerprint": q_doc_fingerprint,
+    "term_doc_frequency": q_term_doc_frequency,
+    "embedding_label_centroids": q_embedding_label_centroids,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -325,6 +394,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_minhash_lsh": SQL_NGRAM_JACCARD,
+    "dedup_minhash_oph": SQL_NGRAM_JACCARD,
     "dedup_simhash": SQL_NGRAM_JACCARD,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
@@ -333,5 +403,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id_eval": SQL_LANG_ID_EVAL,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "term_doc_frequency": SQL_TERM_DOC_FREQUENCY,
+    "embedding_label_centroids": SQL_EMBEDDING_LABEL_CENTROIDS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }

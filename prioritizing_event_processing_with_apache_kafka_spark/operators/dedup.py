@@ -44,6 +44,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "with_minhash_signature",
     "minhash_lsh_pairs",
+    "oph_minhash_pairs",
     "with_simhash",
     "simhash_pairs",
 ]
@@ -319,6 +320,49 @@ def minhash_lsh_pairs(
         .persist()
     )
     cands = _candidate_pairs(banded, id_col, ["__band", "__bh"], max_signature_freq)
+    return _verify_jaccard(cands, shingled, id_col, threshold)
+
+
+def oph_minhash_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    bins: int = 32,
+    threshold: float = 0.5,
+    max_signature_freq: int | None = None,
+) -> DataFrame:
+    """One-permutation MinHash near-dup pairs, exact-verified.
+
+    Classic MinHash (``minhash_lsh_pairs``) evaluates ``num_hashes``
+    hash functions per shingle. One-permutation hashing (Li, Owen &
+    Zhang, NIPS 2012) gets a sketch of comparable quality from a
+    SINGLE hash pass: each shingle's hash is assigned to one of
+    ``bins`` buckets by its low bits, and the per-bin minimum is the
+    sketch entry — so the whole signature costs one ``xxhash64`` per
+    shingle instead of ``num_hashes`` multiply-mod evaluations.
+
+    Candidates here are pairs agreeing on any (bin, min) entry — the
+    r=1 banding of the OPH sketch. Per shared non-empty bin the match
+    probability for Jaccard-s pairs is ≈ s, so recall over b occupied
+    bins is ≈ 1-(1-s)^b (≈1 for s ≥ 0.5 at 32 bins); precision is
+    restored by the exact-Jaccard verification, so the output contract
+    equals the ground-truth pair set, same as the other near-dup
+    operators. Empty-bin densification is unnecessary: empty bins
+    simply contribute no candidate rows (we never compare sketches
+    entry-wise).
+    """
+    shingled = with_shingles(df, text_col=text_col, k=k).persist()
+    hashed = shingled.select(F.col(id_col), F.explode("shingles").alias("__s")).select(
+        id_col, F.xxhash64("__s").alias("__h")
+    )
+    binned = (
+        hashed.withColumn("__bin", F.pmod(F.col("__h"), F.lit(bins)))
+        .groupBy(id_col, "__bin")
+        .agg(F.min("__h").alias("__min"))
+    )
+    cands = _candidate_pairs(binned, id_col, ["__bin", "__min"], max_signature_freq)
     return _verify_jaccard(cands, shingled, id_col, threshold)
 
 

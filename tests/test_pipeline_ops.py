@@ -70,6 +70,11 @@ class TestNearDupPairs:
         lsh = {(r["x"], r["y"]) for r in D.minhash_lsh_pairs(docs, k=4, threshold=0.3).collect()}
         assert lsh == truth
 
+    def test_oph_minhash_matches_ground_truth(self, docs):
+        truth = {(r["x"], r["y"]) for r in D.ngram_jaccard_pairs(docs, k=4, threshold=0.3).collect()}
+        oph = {(r["x"], r["y"]) for r in D.oph_minhash_pairs(docs, k=4, threshold=0.3).collect()}
+        assert oph == truth
+
     def test_simhash_matches_ground_truth(self, docs):
         truth = {(r["x"], r["y"]) for r in D.ngram_jaccard_pairs(docs, k=4, threshold=0.3).collect()}
         sim = {(r["x"], r["y"]) for r in D.simhash_pairs(docs, k=4, jaccard_threshold=0.3).collect()}
