@@ -715,6 +715,60 @@ FROM events GROUP BY 1
 """
 
 
+def q_stream_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch/stream unification, oracle-checked: the events table is
+    replayed as a real Structured Streaming file source (availableNow),
+    routed with the same stateless column expressions as the batch
+    path, and aggregated per (bucket, event_type) in complete mode.
+    Because routing is pure column logic, the streaming result is
+    bit-identical to the batch SQL oracle — the property that lets one
+    codebase serve both paths (SURVEY.md §3.4)."""
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
+    # The file streaming source lists a *directory*; pathGlobFilter
+    # narrows it to the events table.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    routed = route(
+        with_routing_key(stream),
+        EVENTS_CONFIG,
+        EVENTS_NUM_PARTITIONS,
+        key_col="key",
+        order_col="event_id",
+        mode="spread",
+    )
+    counts = routed.groupBy("bucket", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    name = f"stream_route_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="peps-srs-chk-"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+SQL_STREAM_ROUTE_COUNTS = """
+SELECT CASE WHEN event_type = 'error' THEN 'Platinum'
+            WHEN event_type = 'purchase' THEN 'Gold'
+            ELSE 'Standard' END AS bucket,
+       event_type, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join: customers that never ordered."""
     cust = load_table(spark, sf_dir, "customer")
@@ -1080,6 +1134,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "big_spender_segments": q_big_spender_segments,
     "union_priority_tiers": q_union_priority_tiers,
     "sessionized_events": q_sessionized_events,
+    "stream_route_counts": q_stream_route_counts,
     "bucket_throughput_hourly": q_bucket_throughput_hourly,
     "ranked_order_priorities": q_ranked_order_priorities,
     "discard_audit_except": q_discard_audit_except,
@@ -1118,6 +1173,7 @@ ORACLES: dict[str, str] = {
     "big_spender_segments": SQL_BIG_SPENDER_SEGMENTS,
     "union_priority_tiers": SQL_UNION_PRIORITY_TIERS,
     "sessionized_events": SQL_SESSIONIZED_EVENTS,
+    "stream_route_counts": SQL_STREAM_ROUTE_COUNTS,
     "bucket_throughput_hourly": SQL_BUCKET_THROUGHPUT_HOURLY,
     "ranked_order_priorities": SQL_RANKED_ORDER_PRIORITIES,
     "discard_audit_except": SQL_DISCARD_AUDIT_EXCEPT,

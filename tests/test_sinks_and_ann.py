@@ -109,3 +109,30 @@ class TestAnnQuality:
             return len(exact & ann) / len(exact)
 
         assert recall(8) >= recall(1)
+
+
+class TestIvfPartitionedLayout:
+    def test_write_prunes_probed_cells(self, spark, sf_dir, tmp_path):
+        from prioritizing_event_processing_with_apache_kafka_spark.sources.bucketing import (
+            write_ivf_partitioned,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = str(tmp_path / "ivf_corpus")
+        write_ivf_partitioned(emb, path, num_cells=8)
+
+        corpus = spark.read.parquet(path)
+        # every row landed in a cell directory, none lost
+        assert corpus.count() == emb.count()
+        probed = corpus.filter(F.col("ivf_cell").isin([1, 3]))
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        # partition pruning: the probe filter appears as a PartitionFilter
+        # on the scan, not a post-scan Filter over all cells
+        assert "PartitionFilters" in plan and "ivf_cell" in plan.split("PartitionFilters", 1)[1][:200]
+        # and the pruned scan returns exactly the two cells' rows
+        expected = (
+            S.with_ivf_cell(emb, num_cells=8)
+            .filter(F.col("ivf_cell").isin([1, 3]))
+            .count()
+        )
+        assert probed.count() == expected
