@@ -367,6 +367,45 @@ FROM documents
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched payload resize (every-4th-byte downsample — the
+    image-resize execution shape with a deterministic kernel). The
+    oracle checks the size contract; the payload itself is exercised
+    byte-level in tests/test_pipeline_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.resize_payloads(M.as_blob_table(docs), step=4).select(
+        "doc_id", "orig_bytes", "resized_bytes"
+    )
+
+
+SQL_MULTIMODAL_RESIZE = """
+SELECT doc_id,
+       CAST(strlen(text) AS INTEGER) AS orig_bytes,
+       CAST((strlen(text) + 3) // 4 AS INTEGER) AS resized_bytes
+FROM documents
+"""
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video stand-in): 16-byte frames, every 4th kept,
+    one output row per sampled frame — the 1→N exploding shape of a real
+    sampler, replayed positionally by the oracle (fixture text is ASCII,
+    so character positions are byte positions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.sample_frames(M.as_blob_table(docs), frame_size=16, every=4)
+
+
+# stride = frame_size * every = 64; documents cap at ~600 bytes, so a
+# static 0..63 series covers every possible frame start.
+SQL_MULTIMODAL_FRAME_SAMPLE = """
+SELECT doc_id, CAST(g.i AS INTEGER) AS frame_idx,
+       CAST(ascii(substr(text, g.i * 64 + 1, 1)) AS INTEGER) AS frame_first_byte,
+       CAST(least(16, strlen(text) - g.i * 64) AS INTEGER) AS frame_bytes
+FROM documents CROSS JOIN generate_series(0, 63) AS g(i)
+WHERE g.i * 64 < strlen(text)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -388,6 +427,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_doc_frequency": q_term_doc_frequency,
     "embedding_label_centroids": q_embedding_label_centroids,
     "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -406,4 +447,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "term_doc_frequency": SQL_TERM_DOC_FREQUENCY,
     "embedding_label_centroids": SQL_EMBEDDING_LABEL_CENTROIDS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+    "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
 }

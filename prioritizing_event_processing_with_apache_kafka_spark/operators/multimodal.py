@@ -23,7 +23,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["as_blob_table", "decode_stub", "extract_features", "FEATURE_SCHEMA"]
+__all__ = [
+    "as_blob_table",
+    "decode_stub",
+    "extract_features",
+    "resize_payloads",
+    "sample_frames",
+    "FEATURE_SCHEMA",
+    "RESIZE_SCHEMA",
+    "FRAME_SCHEMA",
+]
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -93,3 +102,83 @@ def extract_features(blobs: DataFrame, *, batch_hint: int | None = None) -> Data
             )
 
     return blobs.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("orig_bytes", T.IntegerType(), False),
+        T.StructField("resized_bytes", T.IntegerType(), False),
+        T.StructField("resized_payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_payloads(blobs: DataFrame, *, step: int = 4) -> DataFrame:
+    """Deterministic payload "resize" via ``mapInPandas``: keep every
+    ``step``-th byte (the stand-in for an image resize — a real
+    deployment swaps the kernel for PIL's ``Image.resize`` inside the
+    same batch loop). Execution shape is the production one: binary in,
+    smaller binary out, Arrow-batched, partition-parallel, no driver
+    involvement."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            resized = payloads.map(lambda b: bytes(b[::step]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": payloads.map(len).astype("int32"),
+                    "resized_bytes": resized.map(len).astype("int32"),
+                    "resized_payload": resized,
+                }
+            )
+
+    return blobs.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_first_byte", T.IntegerType(), True),
+        T.StructField("frame_bytes", T.IntegerType(), False),
+    ]
+)
+
+
+def sample_frames(
+    blobs: DataFrame, *, frame_size: int = 16, every: int = 4
+) -> DataFrame:
+    """Frame sampling via ``mapInPandas``: the payload is modeled as a
+    sequence of fixed-size frames (a video stand-in) and every
+    ``every``-th frame is emitted as its own row — the exploding shape a
+    real frame sampler has (one input row → many frame rows), with a
+    deterministic per-frame feature instead of a decoded image. The
+    final partial frame is kept, mirroring how a sampler must handle
+    truncated tails."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, out_idx, out_first, out_len = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                idx = 0
+                for start in range(0, n, frame_size * every):
+                    frame = payload[start : start + frame_size]
+                    out_ids.append(doc_id)
+                    out_idx.append(idx)
+                    out_first.append(frame[0] if frame else None)
+                    out_len.append(len(frame))
+                    idx += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_first_byte": pd.Series(out_first, dtype="Int32"),
+                    "frame_bytes": pd.Series(out_len, dtype="int32"),
+                }
+            )
+
+    return blobs.mapInPandas(batches, FRAME_SCHEMA)

@@ -159,3 +159,39 @@ class TestMultimodal:
         assert feat["n_bytes"] == 11
         assert feat["first_byte"] == ord("h") and feat["last_byte"] == ord("d")
         assert feat["checksum"] == (ord("h") * 31 + 11) % 997
+
+
+class TestMultimodalResizeAndFrames:
+    def test_resize_keeps_every_step_byte(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators import (
+            multimodal as M,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "abcdefghij", "x", "s", 10)],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        )
+        row = M.resize_payloads(M.as_blob_table(df), step=4).first()
+        assert row["orig_bytes"] == 10
+        assert row["resized_bytes"] == 3
+        assert bytes(row["resized_payload"]) == b"aei"
+
+    def test_frame_sampling_shape_and_tail(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators import (
+            multimodal as M,
+        )
+
+        # 70 bytes, 16-byte frames, every 4th → starts at 0 and 64;
+        # the second frame is the truncated 6-byte tail.
+        text = "a" * 64 + "zz" + "y" * 4
+        df = spark.createDataFrame(
+            [(1, text, "x", "s", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        )
+        rows = sorted(
+            M.sample_frames(M.as_blob_table(df), frame_size=16, every=4).collect(),
+            key=lambda r: r["frame_idx"],
+        )
+        assert [(r["frame_idx"], r["frame_bytes"]) for r in rows] == [(0, 16), (1, 6)]
+        assert rows[0]["frame_first_byte"] == ord("a")
+        assert rows[1]["frame_first_byte"] == ord("z")
