@@ -42,6 +42,11 @@ HEADLINE = [
     "embedding_topk",
     "text_token_stats",
     "doc_fingerprint",
+    # round-2 additions (r1 set above is unchanged for comparability)
+    "q7_nation_volume",
+    "q10_returned_revenue",
+    "dedup_minhash_oph",
+    "embedding_label_centroids",
 ]
 
 
