@@ -1071,6 +1071,31 @@ FROM routed GROUP BY 1
 """
 
 
+def q_bucket_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event types as rows, buckets as columns (the dashboard
+    crosstab). The explicit pivot value list keeps the plan a single
+    hash aggregate with conditional counts — no second pass to discover
+    column values, which is the shape that scales."""
+    routed = _events_routed(spark, sf_dir)
+    return (
+        routed.groupBy("event_type")
+        .pivot("bucket", ["Platinum", "Gold", "Standard"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["Platinum", "Gold", "Standard"])
+        .orderBy("event_type")
+    )
+
+
+SQL_BUCKET_PIVOT = f"""
+{_SQL_ROUTED}
+SELECT event_type,
+       COUNT(*) FILTER (WHERE bucket = 'Platinum') AS Platinum,
+       COUNT(*) FILTER (WHERE bucket = 'Gold') AS Gold,
+       COUNT(*) FILTER (WHERE bucket = 'Standard') AS Standard
+FROM routed GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-stage salted aggregation (operators/skew.py) —
     result must equal the plain groupBy the oracle computes."""
@@ -1141,6 +1166,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "key_parse_variants": q_key_parse_variants,
     "priority_grouping_sets": q_priority_grouping_sets,
     "bucket_value_percentiles": q_bucket_value_percentiles,
+    "bucket_pivot": q_bucket_pivot,
     "salted_type_counts": q_salted_type_counts,
 }
 
@@ -1180,5 +1206,6 @@ ORACLES: dict[str, str] = {
     "key_parse_variants": SQL_KEY_PARSE_VARIANTS,
     "priority_grouping_sets": SQL_PRIORITY_GROUPING_SETS,
     "bucket_value_percentiles": SQL_BUCKET_VALUE_PERCENTILES,
+    "bucket_pivot": SQL_BUCKET_PIVOT,
     "salted_type_counts": SQL_SALTED_TYPE_COUNTS,
 }

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prioritizing_event_processing_with_apache_kafka_spark.operators import dedup as D
@@ -316,6 +316,64 @@ LIMIT 20
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms for the first ten documents — the relevance
+    core of a search index. One token explode feeds both the per-doc
+    term frequencies and the corpus document frequencies; the tiny
+    (term, df) table broadcasts back onto the tf rows, and scoring
+    rounds to 6 decimals so ln() last-ulp differences between engines
+    cannot show through."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        tokens.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    n_docs = docs.count()  # driver-side scalar: one tiny job, folded as a literal
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+                6,
+            ),
+        )
+        .filter(F.col("doc_id") < 10)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "rank", "tfidf")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         ROUND(CAST(tf.tf AS DOUBLE) * LN(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  WHERE tf.doc_id < 10
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, CAST(rank AS INTEGER) AS rank, tfidf
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components — the E-step building block of a
     distributed k-means over the embedding table. posexplode turns the
@@ -425,6 +483,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_eval": q_lang_id_eval,
     "doc_fingerprint": q_doc_fingerprint,
     "term_doc_frequency": q_term_doc_frequency,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "embedding_label_centroids": q_embedding_label_centroids,
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
@@ -445,6 +504,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "lang_id_eval": SQL_LANG_ID_EVAL,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "term_doc_frequency": SQL_TERM_DOC_FREQUENCY,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "embedding_label_centroids": SQL_EMBEDDING_LABEL_CENTROIDS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
