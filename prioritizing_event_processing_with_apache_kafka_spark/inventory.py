@@ -769,6 +769,64 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_windowed_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time windows on a real stream, oracle-checked:
+    hourly per-bucket event counts computed by Structured Streaming
+    (1-hour tumbling windows, 2-hour watermark, availableNow replay).
+    The replay delivers everything in order before the watermark
+    advances past it, so the streaming result equals the batch
+    date_trunc aggregation bit-for-bit — late-data *semantics* (drops
+    under a stale watermark) are exercised separately in
+    tests/test_streaming.py where lateness can be staged across
+    micro-batches."""
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    keyed = with_routing_key(stream)
+    bucket = extract_bucket(F.col("key"), EVENTS_CONFIG.delimiter)
+    windowed = (
+        keyed.withColumn("bucket", bucket)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "bucket",
+            "n_events",
+        )
+    )
+    name = f"stream_windowed_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="peps-swt-chk-"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+SQL_STREAM_WINDOWED_THROUGHPUT = """
+SELECT date_trunc('hour', ts) AS hour_start,
+       CASE WHEN event_type = 'error' THEN 'Platinum'
+            WHEN event_type = 'purchase' THEN 'Gold'
+            ELSE 'Standard' END AS bucket,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join: customers that never ordered."""
     cust = load_table(spark, sf_dir, "customer")
@@ -1160,6 +1218,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "union_priority_tiers": q_union_priority_tiers,
     "sessionized_events": q_sessionized_events,
     "stream_route_counts": q_stream_route_counts,
+    "stream_windowed_throughput": q_stream_windowed_throughput,
     "bucket_throughput_hourly": q_bucket_throughput_hourly,
     "ranked_order_priorities": q_ranked_order_priorities,
     "discard_audit_except": q_discard_audit_except,
@@ -1200,6 +1259,7 @@ ORACLES: dict[str, str] = {
     "union_priority_tiers": SQL_UNION_PRIORITY_TIERS,
     "sessionized_events": SQL_SESSIONIZED_EVENTS,
     "stream_route_counts": SQL_STREAM_ROUTE_COUNTS,
+    "stream_windowed_throughput": SQL_STREAM_WINDOWED_THROUGHPUT,
     "bucket_throughput_hourly": SQL_BUCKET_THROUGHPUT_HOURLY,
     "ranked_order_priorities": SQL_RANKED_ORDER_PRIORITIES,
     "discard_audit_except": SQL_DISCARD_AUDIT_EXCEPT,

@@ -241,7 +241,8 @@ FROM documents GROUP BY lang
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = TX.quality_features(load_table(spark, sf_dir, "documents"))
     return docs.select(
-        "doc_id", "n_chars_m", "n_tokens", "mean_word_len", "stopword_ratio"
+        "doc_id", "n_chars_m", "n_tokens", "mean_word_len", "stopword_ratio",
+        "alnum_ratio", "digit_ratio",
     )
 
 
@@ -254,7 +255,11 @@ SELECT doc_id,
        CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
          / len(string_split(text, ' ')) AS mean_word_len,
        CAST(len(list_filter(string_split(text, ' '), t -> t IN {_SQL_STOPLIST})) AS DOUBLE)
-         / len(string_split(text, ' ')) AS stopword_ratio
+         / len(string_split(text, ' ')) AS stopword_ratio,
+       CAST(length(text) - length(regexp_replace(text, '[a-z0-9]', '', 'g')) AS DOUBLE)
+         / length(text) AS alnum_ratio,
+       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+         / length(text) AS digit_ratio
 FROM documents
 """
 

@@ -66,7 +66,12 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``n_chars_m``   — measured character length;
     - ``n_tokens``    — whitespace token count;
     - ``mean_word_len`` — avg token length (chars-without-spaces / tokens);
-    - ``stopword_ratio`` — stopword hits / tokens.
+    - ``stopword_ratio`` — stopword hits / tokens;
+    - ``alnum_ratio``  — [a-z0-9] characters / characters (the
+      punctuation/garbage detector: low values flag boilerplate,
+      markup, or binary-ish text);
+    - ``digit_ratio``  — [0-9] characters / characters (tables and
+      serial-number dumps score high).
 
     Ratios are exact integer divisions cast to double (deterministic
     across engines).
@@ -75,6 +80,8 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens = F.size(tok)
     n_chars = F.length(F.col(text_col))
     non_space = n_chars - (n_tokens - F.lit(1))  # single-space separated
+    n_alnum = n_chars - F.length(F.regexp_replace(F.col(text_col), "[a-z0-9]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(F.col(text_col), "[0-9]", ""))
     return (
         df.withColumn("n_chars_m", n_chars)
         .withColumn("n_tokens", n_tokens)
@@ -85,6 +92,8 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "stopword_ratio",
             _stopword_hits(text_col).cast("double") / n_tokens.cast("double"),
         )
+        .withColumn("alnum_ratio", n_alnum.cast("double") / n_chars.cast("double"))
+        .withColumn("digit_ratio", n_digit.cast("double") / n_chars.cast("double"))
     )
 
 
