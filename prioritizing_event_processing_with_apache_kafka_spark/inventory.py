@@ -827,6 +827,141 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: every event annotated with the user's
+    most recent purchase at-or-before it — "time since last conversion",
+    the canonical feature-engineering join. Spark has no native as-of
+    join; ``operators/asof.py`` composes it as union + one keyed window
+    (single shuffle, zero join explosion). DuckDB's native ASOF LEFT
+    JOIN replays the semantics for the oracle."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("event_id").alias("purchase_id"))
+    )
+    out = asof_join(
+        events,
+        purchases,
+        on="user_id",
+        right_cols=["purchase_id"],
+        matched_ts_col="last_purchase_ts",
+    )
+    return out.withColumn(
+        "secs_since_purchase",
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_purchase_ts"))
+        ).cast("double")
+        / F.lit(1000000.0),
+    )
+
+
+SQL_EVENTS_ASOF_LAST_PURCHASE = """
+WITH purchases AS (
+  SELECT user_id, ts AS p_ts, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.user_id, e.ts, e.event_id, e.event_type,
+       p.p_ts AS last_purchase_ts,
+       p.purchase_id,
+       CAST(epoch_us(e.ts) - epoch_us(p.p_ts) AS DOUBLE) / 1000000.0
+         AS secs_since_purchase
+FROM events e
+ASOF LEFT JOIN purchases p ON e.user_id = p.user_id AND e.ts >= p.p_ts
+"""
+
+
+def q_events_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each event, the user's NEXT error event
+    (strictly after it) — lead-time-to-failure labeling. Exercises
+    ``direction='forward', allow_exact=False``; oracled by DuckDB ASOF
+    with the ``<`` inequality."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    errors = events.filter(F.col("event_type") == "error").select("user_id", "ts")
+    out = asof_join(
+        events,
+        errors,
+        on="user_id",
+        direction="forward",
+        allow_exact=False,
+        matched_ts_col="next_error_ts",
+    )
+    return out.withColumn(
+        "secs_to_error",
+        (
+            F.unix_micros(F.col("next_error_ts")) - F.unix_micros(F.col("ts"))
+        ).cast("double")
+        / F.lit(1000000.0),
+    )
+
+
+SQL_EVENTS_ASOF_NEXT_ERROR = """
+WITH errors AS (
+  SELECT user_id, ts AS e_ts FROM events WHERE event_type = 'error'
+)
+SELECT e.user_id, e.ts, e.event_id, e.event_type,
+       x.e_ts AS next_error_ts,
+       CAST(epoch_us(x.e_ts) - epoch_us(e.ts) AS DOUBLE) / 1000000.0
+         AS secs_to_error
+FROM events e
+ASOF LEFT JOIN errors x ON e.user_id = x.user_id AND e.ts < x.e_ts
+"""
+
+
+def q_incident_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via bin bucketing: each error event opens a 15-minute
+    incident window; count (and sum value over) all events falling in
+    each window. The naive inequality join is a nested-loop product —
+    ``operators/rangejoin.py`` turns it into an equi-join on a time bin
+    (O(n + m + matches)); the DuckDB oracle runs the naive inequality
+    join, proving the rewrite exact."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.rangejoin import (
+        bin_range_join,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    incidents = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("window_start"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("window_end"),
+    )
+    points = events.select("ts", "value")
+    joined = bin_range_join(
+        points,
+        incidents,
+        point_ts="ts",
+        lo="window_start",
+        hi="window_end",
+        bin_width_seconds=900,
+    )
+    return joined.groupBy("incident_id", "window_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+SQL_INCIDENT_WINDOW_COUNTS = """
+WITH incidents AS (
+  SELECT event_id AS incident_id, ts AS window_start,
+         ts + INTERVAL 15 MINUTE AS window_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT i.incident_id, i.window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM incidents i
+JOIN events e ON e.ts >= i.window_start AND e.ts < i.window_end
+GROUP BY 1, 2
+"""
+
+
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join: customers that never ordered."""
     cust = load_table(spark, sf_dir, "customer")
@@ -1219,6 +1354,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionized_events": q_sessionized_events,
     "stream_route_counts": q_stream_route_counts,
     "stream_windowed_throughput": q_stream_windowed_throughput,
+    "events_asof_last_purchase": q_events_asof_last_purchase,
+    "events_asof_next_error": q_events_asof_next_error,
+    "incident_window_counts": q_incident_window_counts,
     "bucket_throughput_hourly": q_bucket_throughput_hourly,
     "ranked_order_priorities": q_ranked_order_priorities,
     "discard_audit_except": q_discard_audit_except,
@@ -1260,6 +1398,9 @@ ORACLES: dict[str, str] = {
     "sessionized_events": SQL_SESSIONIZED_EVENTS,
     "stream_route_counts": SQL_STREAM_ROUTE_COUNTS,
     "stream_windowed_throughput": SQL_STREAM_WINDOWED_THROUGHPUT,
+    "events_asof_last_purchase": SQL_EVENTS_ASOF_LAST_PURCHASE,
+    "events_asof_next_error": SQL_EVENTS_ASOF_NEXT_ERROR,
+    "incident_window_counts": SQL_INCIDENT_WINDOW_COUNTS,
     "bucket_throughput_hourly": SQL_BUCKET_THROUGHPUT_HOURLY,
     "ranked_order_priorities": SQL_RANKED_ORDER_PRIORITIES,
     "discard_audit_except": SQL_DISCARD_AUDIT_EXCEPT,

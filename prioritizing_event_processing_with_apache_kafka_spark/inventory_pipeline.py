@@ -470,6 +470,122 @@ WHERE g.i * 64 < strlen(text)
 
 
 # ---------------------------------------------------------------------------
+# Dedup clustering, sampling, profiling
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clusters* from near-dup *pairs*: connected components
+    over the exact-Jaccard edge list (``operators/graph.py``, iterated
+    min-label propagation + pointer jumping — every step a hash join,
+    O(log diameter) rounds). Component id = min doc_id of the cluster.
+    The DuckDB oracle computes the same closure with a recursive CTE —
+    an iterative distributed algorithm proved bit-equal to the
+    declarative fixpoint."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, k=4, threshold=0.5)
+    comp = connected_components(pairs, src="x", dst="y")
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS (
+  {SQL_NGRAM_JACCARD}
+),
+edges AS (
+  SELECT x AS a, y AS b FROM pairs
+  UNION
+  SELECT y AS a, x AS b FROM pairs
+),
+reach AS (
+  SELECT DISTINCT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, reach.r FROM edges e JOIN reach ON reach.node = e.b
+)
+SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep all errors, half the
+    purchases, 10% of the rest — membership decided by a pure-arithmetic
+    key hash (``operators/sampling.py``), so the selected set is
+    identical across engines, partitionings, and runs (DuckDB replays
+    the exact expression), and the sample is a pushdown-friendly filter
+    with no RNG state and no shuffle."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sampling import (
+        hash_coin,
+        stratified_hash_sample,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    sampled = stratified_hash_sample(
+        events,
+        key="event_id",
+        strata_col="event_type",
+        fractions={"error": 1.0, "purchase": 0.5},
+        default_fraction=0.1,
+    )
+    return sampled.withColumn("coin", hash_coin("event_id"))
+
+
+def _sql_stratified_sample() -> str:
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sampling import (
+        hash_coin_sql,
+    )
+
+    coin = hash_coin_sql("event_id")
+    return f"""
+SELECT event_id, event_type, user_id, {coin} AS coin
+FROM events
+WHERE {coin} < CASE event_type WHEN 'error' THEN 1.0
+                               WHEN 'purchase' THEN 0.5
+                               ELSE 0.1 END
+"""
+
+
+SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan data profiling: per-column rows/nulls/distincts/
+    min/max for the customer table in ONE pass (wide agg + stack
+    unpivot — at 100 TB, one scan instead of one per column). The
+    oracle profiles int/string columns only: float and timestamp
+    min/max stringification is engine-specific formatting, not a value
+    difference (covered Spark-side in tests/test_asof_and_profile.py)."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sampling import (
+        profile,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    return profile(cust, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"])
+
+
+def _sql_profile_col(c: str) -> str:
+    return f"""
+SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_str,
+       CAST(MAX({c}) AS VARCHAR) AS max_str
+FROM customer
+"""
+
+
+SQL_TABLE_PROFILE = " UNION ALL ".join(
+    _sql_profile_col(c)
+    for c in ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+)
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -493,6 +609,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "dedup_components": q_dedup_components,
+    "stratified_sample": q_stratified_sample,
+    "table_profile": q_table_profile,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -514,4 +633,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "table_profile": SQL_TABLE_PROFILE,
 }

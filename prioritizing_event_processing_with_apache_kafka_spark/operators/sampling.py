@@ -1,0 +1,112 @@
+"""Deterministic, engine-portable sampling and single-pass profiling.
+
+``df.sample()`` draws from Spark's per-partition RNG: the selected set
+changes with partitioning, which makes pipeline runs irreproducible and
+is impossible to oracle-check. ``hash_sample`` instead derives a
+uniform [0, 1) coin from the row's *key* via pure int64 arithmetic
+(two rounds of a 31-bit LCG mix), so:
+
+- the same row is in/out of the sample on every engine, partitioning,
+  and run — DuckDB replays the identical expression;
+- sampling is a pushdown-friendly ``filter`` (no shuffle, no RNG
+  state), and composes with partition pruning;
+- stratified variants are just per-stratum thresholds on the same coin.
+
+The mix constants are the classic glibc LCG (1103515245, 12345)
+applied twice mod 2^31 — not cryptographic, but plenty to decorrelate
+sequential ids, and every operation (``%``, ``*``, ``+``) stays in
+int64 (max intermediate < 2^61 < 2^63).
+
+``profile`` computes per-column statistics (rows, nulls, distincts,
+min/max) for a whole table in ONE scan: a single groupBy-less ``agg``
+produces one wide row, then ``stack`` unpivots it — at 100 TB this is
+one pass over the data instead of one scan per column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_coin", "hash_sample", "stratified_hash_sample", "profile"]
+
+_M = 2_147_483_648  # 2^31
+_A = 1_103_515_245
+_C = 12_345
+
+
+def hash_coin(key: str | Column, *, salt: int = 0) -> Column:
+    """Deterministic uniform [0, 1) double from an integer key column."""
+    k = F.col(key) if isinstance(key, str) else key
+    x = (k.cast("long") + F.lit(int(salt))) % F.lit(_M)
+    x = (x * F.lit(_A) + F.lit(_C)) % F.lit(_M)
+    x = (x * F.lit(_A) + F.lit(_C)) % F.lit(_M)
+    return x.cast("double") / F.lit(float(_M))
+
+
+def hash_coin_sql(key_expr: str, *, salt: int = 0) -> str:
+    """The DuckDB/ANSI replay of :func:`hash_coin` (same bits)."""
+    x = f"((CAST({key_expr} AS BIGINT) + {salt}) % {_M})"
+    x = f"(({x} * {_A} + {_C}) % {_M})"
+    x = f"(({x} * {_A} + {_C}) % {_M})"
+    return f"(CAST({x} AS DOUBLE) / {float(_M)})"
+
+
+def hash_sample(
+    df: DataFrame, *, key: str, fraction: float, salt: int = 0
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen deterministically by key."""
+    return df.filter(hash_coin(key, salt=salt) < F.lit(float(fraction)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    *,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample Standard
+    events hard, keep all Platinum): one filter, no shuffle."""
+    frac: Column = F.lit(float(default_fraction))
+    for value, f in fractions.items():
+        frac = F.when(F.col(strata_col) == F.lit(value), F.lit(float(f))).otherwise(
+            frac
+        )
+    return df.filter(hash_coin(key, salt=salt) < frac)
+
+
+def profile(
+    df: DataFrame, columns: list[str] | None = None, *, approx_distinct: bool = False
+) -> DataFrame:
+    """Single-scan per-column profile: (column, n_rows, n_nulls,
+    n_distinct, min_str, max_str). min/max are stringified so one long
+    frame covers heterogeneous column types.
+
+    Exact multi-column ``count_distinct`` plans through Spark's Expand
+    (rows × columns row growth before the partial agg); at 100 TB pass
+    ``approx_distinct=True`` to swap in HLL++ sketches — constant
+    per-partition state, no expansion, ~2% error.
+    """
+    cols = columns or df.columns
+    n_distinct = (
+        F.approx_count_distinct if approx_distinct else F.count_distinct
+    )
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"))
+        aggs.append(n_distinct(F.col(c)).alias(f"__dist_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{c}"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `__nulls_{c}`, `__dist_{c}`, `__min_{c}`, `__max_{c}`" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct, min_str, max_str)"
+        ),
+        F.col("__rows").alias("n_rows"),
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
