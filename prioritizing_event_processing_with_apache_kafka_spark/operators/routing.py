@@ -26,11 +26,15 @@ Routing modes (scale matters — the round-robin counter is the one
 piece of shared state in the reference, and a literal port would
 serialize the world):
 
-- ``mode="exact"`` — global per-bucket ``row_number`` ordered by
-  ``order_col``. Bit-reproducible round-robin (what the reference's
-  unit tests assert: exactly N/size records per partition). Costs one
-  shuffle with **one task per bucket** — fine for tests and per-micro-
-  batch streaming routing, wrong for a 100 TB batch.
+- ``mode="exact"`` — global per-bucket rank ordered by ``order_col``.
+  Bit-reproducible round-robin (what the reference's unit tests
+  assert: exactly N/size records per partition). Computed *distributed*:
+  one range shuffle co-sorts ``(bucket, order)`` across all tasks, then
+  the global rank is reconstructed as ``per-(task, bucket) offset +
+  local index`` from a tiny (#tasks × #buckets)-row statistics table
+  that is broadcast back — full cluster parallelism, never one task
+  per bucket (a naive ``Window.partitionBy(bucket)`` would collapse a
+  100 TB batch into #buckets tasks).
 - ``mode="spread"`` (default) — per-Spark-partition round-robin using
   ``monotonically_increasing_id``: every task keeps its own dense
   counter, so records are spread uniformly over the bucket's partition
@@ -85,13 +89,76 @@ def layout_table(
     return spark.createDataFrame(rows, LAYOUT_SCHEMA)
 
 
+# monotonically_increasing_id() = (task id << 33) | row-index-in-task.
+_MID_LOCAL_MASK = (1 << 33) - 1
+
+
+def _exact_global_sequence(tagged: DataFrame, order_col: Column | str) -> DataFrame:
+    """Attach ``__peps_seq`` = 0-based global rank of each row within its
+    bucket, ordered by ``order_col`` — without serializing a bucket into
+    one task.
+
+    Distributed zip-with-index, DataFrame-native:
+
+    1. ``repartitionByRange(bucket, order)`` + local sort: after the one
+       range shuffle, rows of a bucket are globally ordered *across*
+       task ids (task *i*'s rows all precede task *i+1*'s).
+    2. ``monotonically_increasing_id`` gives ``(task_id, local_index)``.
+       The frame is persisted: the id is tied to the physical layout, so
+       the statistics pass and the final join must read the same
+       materialization.
+    3. A tiny aggregate (#tasks × #buckets rows, map-side combined)
+       yields per-(task, bucket) row counts and min local index; a
+       cumulative sum over task id turns counts into bucket-rank
+       offsets. Broadcast back, ``rank = offset + local - min_local``.
+
+    The result is invariant to where the range partitioner happens to
+    place split points, so it is bit-identical to
+    ``row_number() over (partition by bucket order by order_col) - 1``
+    whenever the ordering key is unique within the bucket.
+    """
+    order = F.col(order_col) if isinstance(order_col, str) else order_col
+    srt = (
+        tagged.repartitionByRange(F.col("__peps_bucket"), order)
+        .sortWithinPartitions(F.col("__peps_bucket"), order)
+        .withColumn("__peps_mid", F.monotonically_increasing_id())
+        .persist()
+    )
+    pid = F.shiftrightunsigned(F.col("__peps_mid"), 33)
+    local = F.col("__peps_mid").bitwiseAND(F.lit(_MID_LOCAL_MASK))
+    stats = (
+        srt.where(F.col("__peps_bucket").isNotNull())
+        .groupBy(pid.alias("__peps_pid"), F.col("__peps_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("__peps_cnt"),
+            F.min(local).alias("__peps_lo"),
+        )
+    )
+    cum = (
+        Window.partitionBy("__peps_bucket")
+        .orderBy("__peps_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = stats.select(
+        "__peps_pid",
+        "__peps_bucket",
+        F.coalesce(F.sum("__peps_cnt").over(cum), F.lit(0)).alias("__peps_off"),
+        "__peps_lo",
+    )
+    joined = srt.withColumn("__peps_pid", pid).join(
+        F.broadcast(offsets), ["__peps_pid", "__peps_bucket"], "left"
+    )
+    return joined.withColumn(
+        "__peps_seq",
+        (F.col("__peps_off") + local.cast("long") - F.col("__peps_lo")).cast("long"),
+    ).drop("__peps_mid", "__peps_pid", "__peps_off", "__peps_lo")
+
+
 def _sequence_column(mode: str, order_col: Column | str | None) -> Column | None:
     if mode == "exact":
         if order_col is None:
             raise ValueError("mode='exact' requires order_col (a deterministic ordering)")
-        order = F.col(order_col) if isinstance(order_col, str) else order_col
-        window = Window.partitionBy("__peps_bucket").orderBy(order)
-        return (F.row_number().over(window) - F.lit(1)).cast("long")
+        return F.col("__peps_seq").cast("long")
     if mode == "spread":
         if order_col is not None:
             # Round-robin driven by an existing monotonic sequence (the
@@ -172,6 +239,10 @@ def route(
         # P2: bucket logic only applies to the configured topic.
         bucket = F.when(~is_foreign_topic, bucket)
     routed = df.withColumn("__peps_bucket", bucket)
+    if mode == "exact":
+        if order_col is None:
+            raise ValueError("mode='exact' requires order_col (a deterministic ordering)")
+        routed = _exact_global_sequence(routed, order_col)
 
     # Prefix every layout column so the join can never collide with (or
     # later silently drop) same-named columns on the user's DataFrame.
@@ -210,7 +281,7 @@ def route(
         routed.withColumn("partition", partition)
         .withColumn("route_status", status)
         .withColumn("bucket", F.col("__peps_bucket"))
-        .drop("__peps_bucket", *prefixed.columns)
+        .drop("__peps_bucket", "__peps_seq", *prefixed.columns)
     )
     if config.on_unroutable == "discard":
         out = out.filter(F.col("route_status") != "unroutable")

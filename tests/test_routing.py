@@ -284,3 +284,44 @@ class TestLayoutTable:
             (r["bucket"], r["partition_lo"], r["partition_hi"], r["bucket_size"]) for r in rows
         ]
         assert got == [("B1", 0, 5, 6), ("B2", 6, 9, 4), ("B3", None, None, 0)]
+
+
+class TestExactModeDistributed:
+    """The exact-mode global rank is computed distributed (range shuffle +
+    broadcast offsets), never via a one-task-per-bucket window. These lock
+    in (a) bit-equivalence with the naive window formulation and (b) that
+    the heavy side's sequence survives many input partitions."""
+
+    def test_matches_window_row_number(self, spark):
+        from pyspark.sql import Window
+
+        cfg = BucketPriorityConfig(**CFG_3B)
+        keys = [f"B{(i % 3) + 1}-{i}" for i in range(977)]
+        df = make_records(spark, keys).repartition(16)
+        out = route(
+            df, cfg, 10, topic_col="topic", order_col="record_id", mode="exact"
+        )
+        got = routed_map(out)
+
+        # Naive single-task-per-bucket reference formulation.
+        bucket = F.split(F.col("key"), "-").getItem(0)
+        win = Window.partitionBy(bucket).orderBy("record_id")
+        naive = make_records(spark, keys).withColumn(
+            "seq", F.row_number().over(win) - F.lit(1)
+        )
+        ranges = {"B1": (0, 5), "B2": (5, 3), "B3": (8, 2)}
+        for r in naive.collect():
+            lo, size = ranges[r["key"].split("-")[0]]
+            expect = lo + r["seq"] % size
+            assert got[r["record_id"]][1] == expect, r
+
+    def test_exact_counts_across_many_partitions(self, spark):
+        # 960 records, one bucket of 4 partitions over 8 → exactly 240
+        # per partition, regardless of how the input was partitioned.
+        cfg = BucketPriorityConfig(topic="orders", buckets=["B1"], allocation=[100])
+        df = make_records(spark, [f"B1-{i}" for i in range(960)]).repartition(32)
+        out = route(
+            df, cfg, 8, topic_col="topic", order_col="record_id", mode="exact"
+        )
+        dist = {r["partition"]: r["record_count"] for r in routed_distribution(out).collect()}
+        assert dist == {p: 120 for p in range(8)}
