@@ -1102,6 +1102,44 @@ FROM sessions GROUP BY 1
 """
 
 
+def q_error_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (batch twin of the stream-stream join in
+    ``streaming/telemetry.py::interval_join``): purchases paired with
+    the same user's errors from the preceding 30 minutes."""
+    from prioritizing_event_processing_with_apache_kafka_spark.streaming.telemetry import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "ts", "user_id"
+    )
+    joined = interval_join(
+        purchases, errors, on="user_id", lookback="30 minutes", lookahead="0 seconds"
+    )
+    return joined.select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_id_r").alias("error_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_r"))).alias("gap_us"),
+    )
+
+
+SQL_ERROR_PURCHASE_INTERVAL = """
+SELECT p.user_id AS user_id,
+       p.event_id AS purchase_id,
+       e.event_id AS error_id,
+       epoch_us(p.ts) - epoch_us(e.ts) AS gap_us
+FROM events p
+JOIN events e
+  ON p.event_type = 'purchase' AND e.event_type = 'error'
+ AND e.user_id = p.user_id
+ AND e.ts >= p.ts - INTERVAL 30 MINUTE
+ AND e.ts <= p.ts
+"""
+
+
 def q_bucket_throughput_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window per bucket (batch analog of the streaming
     throughput query): window start, bucket, event count."""
@@ -1352,6 +1390,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "big_spender_segments": q_big_spender_segments,
     "union_priority_tiers": q_union_priority_tiers,
     "sessionized_events": q_sessionized_events,
+    "error_purchase_interval": q_error_purchase_interval,
     "stream_route_counts": q_stream_route_counts,
     "stream_windowed_throughput": q_stream_windowed_throughput,
     "events_asof_last_purchase": q_events_asof_last_purchase,
@@ -1396,6 +1435,7 @@ ORACLES: dict[str, str] = {
     "big_spender_segments": SQL_BIG_SPENDER_SEGMENTS,
     "union_priority_tiers": SQL_UNION_PRIORITY_TIERS,
     "sessionized_events": SQL_SESSIONIZED_EVENTS,
+    "error_purchase_interval": SQL_ERROR_PURCHASE_INTERVAL,
     "stream_route_counts": SQL_STREAM_ROUTE_COUNTS,
     "stream_windowed_throughput": SQL_STREAM_WINDOWED_THROUGHPUT,
     "events_asof_last_purchase": SQL_EVENTS_ASOF_LAST_PURCHASE,

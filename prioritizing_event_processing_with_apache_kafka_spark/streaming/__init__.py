@@ -16,6 +16,7 @@ from prioritizing_event_processing_with_apache_kafka_spark.streaming.stateful im
 from prioritizing_event_processing_with_apache_kafka_spark.streaming.telemetry import (
     bucket_throughput,
     dedup_within_watermark,
+    interval_join,
     user_sessions,
 )
 
@@ -28,5 +29,6 @@ __all__ = [
     "routed_foreach_batch",
     "bucket_throughput",
     "dedup_within_watermark",
+    "interval_join",
     "user_sessions",
 ]

@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bucket_throughput", "user_sessions", "dedup_within_watermark"]
+__all__ = [
+    "bucket_throughput",
+    "user_sessions",
+    "dedup_within_watermark",
+    "interval_join",
+]
 
 
 def _maybe_watermark(df: DataFrame, ts_col: str, delay: str | None) -> DataFrame:
@@ -69,6 +74,45 @@ def user_sessions(
             "session_events",
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "30 minutes",
+    lookahead: str = "0 seconds",
+    watermark: str | None = "2 hours",
+    right_suffix: str = "_r",
+    how: str = "inner",
+) -> DataFrame:
+    """Event-time interval join: pair each left row with the right rows
+    sharing ``on`` whose timestamp falls in
+    ``[left_ts - lookback, left_ts + lookahead]``.
+
+    Batch/stream-unified like the rest of this module. On two streams
+    this is a genuine stream-stream join: both sides are watermarked and
+    the range predicate doubles as the time-bound condition Structured
+    Streaming needs to expire join state — state per key is bounded by
+    ``watermark + lookback``, so the join runs indefinitely at
+    production rates. Right-side columns are suffixed (self-join safe).
+    """
+    l_side = _maybe_watermark(left, left_ts, watermark)
+    r_side = _maybe_watermark(right, right_ts, watermark)
+    r_side = r_side.select(
+        *(F.col(c).alias(c + right_suffix) for c in r_side.columns)
+    )
+    rts = F.col(right_ts + right_suffix)
+    lts = F.col(left_ts)
+    cond = (
+        (F.col(on) == F.col(on + right_suffix))
+        & (rts >= lts - F.expr(f"INTERVAL {lookback}"))
+        & (rts <= lts + F.expr(f"INTERVAL {lookahead}"))
+    )
+    return l_side.join(r_side, cond, how)
 
 
 def dedup_within_watermark(

@@ -16,6 +16,7 @@ from prioritizing_event_processing_with_apache_kafka_spark.streaming import (
     bucket_throughput,
     consume_plan,
     dedup_within_watermark,
+    interval_join,
     kafka_reader_options,
     route_stream,
     routed_foreach_batch,
@@ -243,6 +244,50 @@ class TestTelemetry:
         q.stop()
         ids = sorted(r["event_id"] for r in spark.table("deduped").collect())
         assert ids == list(range(10))
+
+    def test_stream_stream_interval_join_matches_batch(self, spark, stream_dir):
+        # Two live file streams joined on user within a 30-minute
+        # lookback — a genuine watermarked stream-stream join — must
+        # produce exactly the batch interval_join's pairs.
+        import datetime as dt
+
+        base = dt.datetime.fromisoformat("2024-01-01T00:00:00")
+        schema = "event_id long, ts timestamp, user_id long"
+        purchases = [(i, base + dt.timedelta(minutes=7 * i), i % 5) for i in range(40)]
+        errors = [(100 + i, base + dt.timedelta(minutes=3 * i), i % 5) for i in range(80)]
+        for sub, rows in (("p", purchases), ("e", errors)):
+            for chunk, part in ((0, rows[: len(rows) // 2]), (1, rows[len(rows) // 2 :])):
+                spark.createDataFrame(part, schema).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(f"{stream_dir}/{sub}/chunk={chunk}")
+
+        def pairs(df):
+            return {
+                (r["user_id"], r["event_id"], r["event_id_r"]) for r in df.collect()
+            }
+
+        batch = interval_join(
+            spark.read.schema(schema).parquet(f"{stream_dir}/p/chunk=*"),
+            spark.read.schema(schema).parquet(f"{stream_dir}/e/chunk=*"),
+            on="user_id",
+            lookback="30 minutes",
+        )
+        expected = pairs(batch)
+        assert expected, "fixture must produce at least one joined pair"
+
+        left = spark.readStream.schema(schema).parquet(f"{stream_dir}/p/chunk=*")
+        right = spark.readStream.schema(schema).parquet(f"{stream_dir}/e/chunk=*")
+        q = (
+            interval_join(left, right, on="user_id", lookback="30 minutes")
+            .writeStream.format("memory")
+            .queryName("ss_joined")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        assert pairs(spark.table("ss_joined")) == expected
 
 
 class TestRateSource:
