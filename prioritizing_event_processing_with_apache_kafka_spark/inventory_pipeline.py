@@ -410,6 +410,61 @@ ORDER BY 1, 2
 """
 
 
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd's iterations of k=8 k-means over the embedding table —
+    the iterative-algorithm showcase, fully deterministic (seeded by the
+    first 8 vectors, rounded distances, cluster-id tie-breaks) and hence
+    oracle-checkable against an unrolled SQL trajectory."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assignments(emb, k=8, n_iter=2).withColumn(
+        "cluster", F.col("cluster").cast("int")
+    )
+
+
+_SQL_D2 = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, len({a})), "
+    "i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE))), "
+    "(acc, v) -> acc + v)"
+)
+
+SQL_EMBEDDING_KMEANS = f"""
+WITH cent0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+         list_transform(embedding, x -> x::DOUBLE) AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+), s0 AS (
+  SELECT e.vec_id, e.embedding, c.cluster,
+         ROUND({_SQL_D2.format(a='e.embedding', b='c.cvec')}, 6) AS d2
+  FROM embeddings e CROSS JOIN cent0 c
+), a0 AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT s0.*, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM s0
+  ) WHERE rn = 1
+), cent1 AS (
+  SELECT cluster, list(c ORDER BY pos) AS cvec FROM (
+    SELECT cluster, g.i - 1 AS pos, ROUND(AVG(embedding[g.i]::DOUBLE), 6) AS c
+    FROM a0 CROSS JOIN generate_series(1, 64) AS g(i)
+    WHERE g.i <= len(embedding)
+    GROUP BY 1, 2
+  ) GROUP BY cluster
+), s1 AS (
+  SELECT e.vec_id, c.cluster,
+         ROUND({_SQL_D2.format(a='e.embedding', b='c.cvec')}, 6) AS d2
+  FROM embeddings e CROSS JOIN cent1 c
+)
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, d2 FROM (
+  SELECT s1.*, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+  FROM s1
+) WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -606,6 +661,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_doc_frequency": q_term_doc_frequency,
     "tfidf_top_terms": q_tfidf_top_terms,
     "embedding_label_centroids": q_embedding_label_centroids,
+    "embedding_kmeans": q_embedding_kmeans,
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -622,6 +678,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_simhash": SQL_NGRAM_JACCARD,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "embedding_kmeans": SQL_EMBEDDING_KMEANS,
     # embedding_ann_lsh: approximate by design → rows-only
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,

@@ -1,0 +1,114 @@
+"""Distributed k-means (Lloyd's iterations) over an embedding column.
+
+The canonical *iterative* DataFrame algorithm, built so each iteration
+is pure Catalyst work:
+
+- **Assignment** is a broadcast nested-loop join of the corpus against
+  the k-row centroid frame (k is tiny; the corpus is never shuffled),
+  squared-L2 scored with the same sequential-fold array arithmetic the
+  similarity operators use (bit-reproducible, oracle-checkable), argmin
+  by a window partitioned on the high-cardinality vector id.
+- **Update** re-averages member vectors per (cluster, dimension) via
+  ``posexplode`` — one hash aggregate with map-side partial combine —
+  and rebuilds the centroid array with ``array_sort`` on (pos, value)
+  structs. Component means are rounded to 6 decimals so float summation
+  order cannot leak into the result (the corpus sum is the one place a
+  1000-way parallel plan would otherwise be nondeterministic).
+- **No driver round-trip**: centroids stay DataFrames end to end; the
+  loop composes one lazy plan (fine for the few iterations k-means
+  needs — checkpoint between iterations if you push ``n_iter`` high).
+
+At 100 TB the per-iteration cost is one corpus scan + one narrow
+(k × dim)-key shuffle; nothing is quadratic and nothing lands on the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["squared_distance", "kmeans_assignments"]
+
+
+def squared_distance(a: str | Column, b: str | Column) -> Column:
+    """Sequential-fold float64 squared L2 distance (bit-reproducible)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+
+def _assign(
+    vecs: DataFrame, centroids: DataFrame, *, vector_col: str, id_col: str
+) -> DataFrame:
+    """Nearest centroid per vector: (id, vector, cluster, d2)."""
+    scored = vecs.join(F.broadcast(centroids), F.lit(True)).withColumn(
+        "d2", F.round(squared_distance(vector_col, "__km_cvec"), 6)
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cluster").asc())
+    )
+    return (
+        scored.withColumn("__km_rank", rank)
+        .filter(F.col("__km_rank") == 1)
+        .drop("__km_rank", "__km_cvec")
+    )
+
+
+def _update(assigned: DataFrame, *, vector_col: str) -> DataFrame:
+    """Recompute centroids from members: (cluster, __km_cvec)."""
+    comps = (
+        assigned.select("cluster", F.posexplode(vector_col).alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+    )
+    return comps.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("__km_cvec")
+    )
+
+
+def kmeans_assignments(
+    vecs: DataFrame,
+    *,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Cluster assignment after ``n_iter`` Lloyd's iterations.
+
+    Deterministic throughout: centroids initialize to the first ``k``
+    vectors by ``id_col`` (clusters numbered 0..k-1 in that order),
+    distances round to 6 decimals with cluster-id tie-breaks, so the
+    full trajectory is reproducible and SQL-expressible.
+
+    Returns ``(id_col, cluster, d2)`` — each vector, its cluster after
+    the final assignment, and the (rounded) squared distance to the
+    centroid it chose.
+    """
+    if k < 1 or n_iter < 1:
+        raise ValueError("k and n_iter must be >= 1")
+    seed_rank = F.row_number().over(Window.orderBy(id_col))
+    centroids = (
+        vecs.orderBy(id_col)
+        .limit(k)
+        .select(
+            (seed_rank - 1).alias("cluster"),
+            F.transform(F.col(vector_col), lambda x: x.cast("double")).alias(
+                "__km_cvec"
+            ),
+        )
+    )
+    assigned = _assign(vecs, centroids, vector_col=vector_col, id_col=id_col)
+    for _ in range(n_iter - 1):
+        centroids = _update(assigned, vector_col=vector_col)
+        assigned = _assign(vecs, centroids, vector_col=vector_col, id_col=id_col)
+    return assigned.select(id_col, "cluster", "d2")

@@ -195,3 +195,39 @@ class TestMultimodalResizeAndFrames:
         assert [(r["frame_idx"], r["frame_bytes"]) for r in rows] == [(0, 16), (1, 6)]
         assert rows[0]["frame_first_byte"] == ord("a")
         assert rows[1]["frame_first_byte"] == ord("z")
+
+
+class TestKmeans:
+    def test_separated_blobs_converge_to_own_clusters(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.clustering import (
+            kmeans_assignments,
+        )
+
+        # Three tight, well-separated 4-dim blobs; seeds (the first 3
+        # ids) land one in each blob, so two iterations must assign
+        # every vector to its blob-mate seed's cluster.
+        blobs = {0: [0.0, 0.0, 0.0, 0.0], 1: [10.0, 10.0, 0.0, 0.0], 2: [0.0, 0.0, 10.0, 10.0]}
+        rows = []
+        for i in range(30):
+            blob = i % 3
+            vec = [c + 0.01 * (i // 3) for c in blobs[blob]]
+            rows.append((i, vec))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = kmeans_assignments(df, k=3, n_iter=2).collect()
+        by_blob = {}
+        for r in out:
+            by_blob.setdefault(r["vec_id"] % 3, set()).add(r["cluster"])
+        # each blob maps to exactly one cluster, and clusters differ
+        assert all(len(c) == 1 for c in by_blob.values())
+        assert len(set().union(*by_blob.values())) == 3
+
+    def test_rejects_bad_params(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.clustering import (
+            kmeans_assignments,
+        )
+
+        df = spark.createDataFrame([(0, [0.0])], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError):
+            kmeans_assignments(df, k=0)
+        with pytest.raises(ValueError):
+            kmeans_assignments(df, n_iter=0)
