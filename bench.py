@@ -47,6 +47,8 @@ HEADLINE = [
     "q10_returned_revenue",
     "dedup_minhash_oph",
     "embedding_label_centroids",
+    "embedding_kmeans",
+    "error_purchase_interval",
 ]
 
 
