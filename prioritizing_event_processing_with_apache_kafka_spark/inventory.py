@@ -1102,6 +1102,70 @@ FROM sessions GROUP BY 1
 """
 
 
+def q_bucket_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event value per bucket (width_bucket —
+    single-pass, shuffle only on the tiny (bucket, bin) key)."""
+    routed = _events_routed(spark, sf_dir)
+    return (
+        routed.withColumn(
+            "bin", F.width_bucket(F.col("value"), F.lit(0.0), F.lit(500.0), F.lit(10))
+        )
+        .groupBy("bucket", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+    )
+
+
+# DuckDB has no width_bucket; replay Spark's semantics (0 below min,
+# n+1 at/above max, else floor(v/width)+1) in plain arithmetic.
+SQL_BUCKET_VALUE_HISTOGRAM = f"""
+{_SQL_ROUTED}
+SELECT bucket,
+       CAST(CASE WHEN value < 0.0 THEN 0
+                 WHEN value >= 500.0 THEN 11
+                 ELSE FLOOR(value / 50.0) + 1 END AS BIGINT) AS bin,
+       COUNT(*) AS n_events,
+       ROUND(MIN(value), 2) AS min_value,
+       ROUND(MAX(value), 2) AS max_value
+FROM routed
+GROUP BY 1, 2
+"""
+
+
+def q_sliding_window_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window event counts (1-hour window, 30-minute slide) per
+    event type — the batch analog of a sliding streaming aggregation;
+    every event lands in exactly two overlapping windows."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+# Spark's window(ts, 1h, 30m) assigns each event to the two epoch-aligned
+# 30-minute starts in (ts - 1h, ts]; replay that expansion with unnest.
+SQL_SLIDING_WINDOW_THROUGHPUT = """
+WITH expanded AS (
+  SELECT event_type,
+         unnest([
+           make_timestamp((epoch_us(ts) // 1800000000) * 1800000000),
+           make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000)
+         ]) AS window_start
+  FROM events
+)
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM expanded
+GROUP BY 1, 2
+"""
+
+
 def q_error_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join (batch twin of the stream-stream join in
     ``streaming/telemetry.py::interval_join``): purchases paired with
@@ -1391,6 +1455,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "union_priority_tiers": q_union_priority_tiers,
     "sessionized_events": q_sessionized_events,
     "error_purchase_interval": q_error_purchase_interval,
+    "bucket_value_histogram": q_bucket_value_histogram,
+    "sliding_window_throughput": q_sliding_window_throughput,
     "stream_route_counts": q_stream_route_counts,
     "stream_windowed_throughput": q_stream_windowed_throughput,
     "events_asof_last_purchase": q_events_asof_last_purchase,
@@ -1436,6 +1502,8 @@ ORACLES: dict[str, str] = {
     "union_priority_tiers": SQL_UNION_PRIORITY_TIERS,
     "sessionized_events": SQL_SESSIONIZED_EVENTS,
     "error_purchase_interval": SQL_ERROR_PURCHASE_INTERVAL,
+    "bucket_value_histogram": SQL_BUCKET_VALUE_HISTOGRAM,
+    "sliding_window_throughput": SQL_SLIDING_WINDOW_THROUGHPUT,
     "stream_route_counts": SQL_STREAM_ROUTE_COUNTS,
     "stream_windowed_throughput": SQL_STREAM_WINDOWED_THROUGHPUT,
     "events_asof_last_purchase": SQL_EVENTS_ASOF_LAST_PURCHASE,
