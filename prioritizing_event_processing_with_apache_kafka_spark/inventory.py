@@ -1102,6 +1102,37 @@ FROM sessions GROUP BY 1
 """
 
 
+def q_user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartile assignment per user (high-cardinality window
+    partitioning) with per-quartile spend stats."""
+    events = load_table(spark, sf_dir, "events")
+    quartile = F.ntile(4).over(
+        Window.partitionBy("user_id").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    )
+    return (
+        events.withColumn("quartile", quartile)
+        .groupBy("user_id", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
+SQL_USER_VALUE_QUARTILES = """
+SELECT user_id, quartile, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM (
+  SELECT user_id, value,
+         NTILE(4) OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS quartile
+  FROM events
+)
+GROUP BY 1, 2
+"""
+
+
 def q_bucket_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of event value per bucket (width_bucket —
     single-pass, shuffle only on the tiny (bucket, bin) key)."""
@@ -1456,6 +1487,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionized_events": q_sessionized_events,
     "error_purchase_interval": q_error_purchase_interval,
     "bucket_value_histogram": q_bucket_value_histogram,
+    "user_value_quartiles": q_user_value_quartiles,
     "sliding_window_throughput": q_sliding_window_throughput,
     "stream_route_counts": q_stream_route_counts,
     "stream_windowed_throughput": q_stream_windowed_throughput,
@@ -1503,6 +1535,7 @@ ORACLES: dict[str, str] = {
     "sessionized_events": SQL_SESSIONIZED_EVENTS,
     "error_purchase_interval": SQL_ERROR_PURCHASE_INTERVAL,
     "bucket_value_histogram": SQL_BUCKET_VALUE_HISTOGRAM,
+    "user_value_quartiles": SQL_USER_VALUE_QUARTILES,
     "sliding_window_throughput": SQL_SLIDING_WINDOW_THROUGHPUT,
     "stream_route_counts": SQL_STREAM_ROUTE_COUNTS,
     "stream_windowed_throughput": SQL_STREAM_WINDOWED_THROUGHPUT,

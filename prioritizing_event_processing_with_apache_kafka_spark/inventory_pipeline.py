@@ -608,6 +608,41 @@ WHERE {coin} < CASE event_type WHEN 'error' THEN 1.0
 SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
 
 
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed reservoir: exactly 50 events per event_type, the 50
+    smallest deterministic hash coins — count-derived broadcast
+    threshold prefilter, exact rank only on the ~8·n survivors (the
+    stratum never collapses into one task)."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sampling import (
+        reservoir_hash_sample,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    return reservoir_hash_sample(
+        events, key="event_id", strata_col="event_type", n=50
+    )
+
+
+def _sql_reservoir_sample() -> str:
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sampling import (
+        hash_coin_sql,
+    )
+
+    coin = hash_coin_sql("event_id")
+    return f"""
+SELECT event_type, event_id, user_id FROM (
+  SELECT event_type, event_id, user_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY {coin}, event_id) AS rn
+  FROM events
+) WHERE rn <= 50
+"""
+
+
+SQL_RESERVOIR_SAMPLE = _sql_reservoir_sample()
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-scan data profiling: per-column rows/nulls/distincts/
     min/max for the customer table in ONE pass (wide agg + stack
@@ -667,6 +702,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "dedup_components": q_dedup_components,
     "stratified_sample": q_stratified_sample,
+    "reservoir_sample": q_reservoir_sample,
     "table_profile": q_table_profile,
 }
 
@@ -692,5 +728,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "reservoir_sample": SQL_RESERVOIR_SAMPLE,
     "table_profile": SQL_TABLE_PROFILE,
 }

@@ -28,7 +28,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_coin", "hash_sample", "stratified_hash_sample", "profile"]
+__all__ = [
+    "hash_coin",
+    "hash_sample",
+    "stratified_hash_sample",
+    "reservoir_hash_sample",
+    "profile",
+]
 
 _M = 2_147_483_648  # 2^31
 _A = 1_103_515_245
@@ -76,6 +82,61 @@ def stratified_hash_sample(
             frac
         )
     return df.filter(hash_coin(key, salt=salt) < frac)
+
+
+def reservoir_hash_sample(
+    df: DataFrame,
+    *,
+    key: str,
+    strata_col: str,
+    n: int,
+    salt: int = 0,
+    oversample: float = 8.0,
+) -> DataFrame:
+    """Exactly ``n`` rows per stratum (fewer if the stratum is smaller),
+    chosen uniformly without replacement — the distributed reservoir.
+
+    The n rows kept are those with the n smallest :func:`hash_coin`
+    values, so the sample is a pure function of the keys: reproducible
+    across runs, partitionings, and engines.
+
+    A naive ``row_number() over (partition by stratum order by coin)``
+    collapses each stratum into one task — the same trap the routing
+    exact mode avoids. Instead: a tiny per-stratum count aggregate
+    (map-side combined) derives a coin threshold ``oversample·n/count``
+    that is broadcast back; the full scan keeps only ~``oversample·n``
+    rows per stratum (a pushdown-friendly filter, no shuffle of the
+    fact side), and the exact rank runs on that small survivor set.
+    The result equals the true n-smallest-coins sample unless the n-th
+    order statistic of the stratum's coins exceeds the threshold —
+    probability bounded by a Chernoff tail, below 1e-40 at the default
+    ``oversample=8``.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    coin = hash_coin(key, salt=salt)
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__rs_cnt"))
+    thresh = F.least(
+        F.lit(1.0),
+        F.lit(float(oversample) * n) / F.col("__rs_cnt").cast("double"),
+    )
+    survivors = (
+        df.withColumn("__rs_coin", coin)
+        .join(F.broadcast(counts.select(strata_col, thresh.alias("__rs_t"))), strata_col)
+        .filter(F.col("__rs_coin") < F.col("__rs_t"))
+    )
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.partitionBy(strata_col).orderBy(
+            F.col("__rs_coin").asc(), F.col(key).asc()
+        )
+    )
+    return (
+        survivors.withColumn("__rs_rank", rank)
+        .filter(F.col("__rs_rank") <= n)
+        .drop("__rs_coin", "__rs_t", "__rs_rank")
+    )
 
 
 def profile(

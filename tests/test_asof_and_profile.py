@@ -211,3 +211,43 @@ def test_profile_mixed_types_and_nulls(spark):
         r["col_name"]: r for r in profile(df, approx_distinct=True).collect()
     }
     assert approx["i"]["n_distinct"] in (1, 2, 3)
+
+
+def test_reservoir_sample_exact_and_partitioning_invariant(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sampling import (
+        hash_coin,
+        reservoir_hash_sample,
+    )
+    from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    got = reservoir_hash_sample(
+        events.repartition(13), key="event_id", strata_col="event_type", n=20
+    )
+    # naive truth: full rank over the whole stratum, no prefilter
+    rank = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(hash_coin("event_id"), "event_id")
+    )
+    truth = events.withColumn("rn", rank).filter(F.col("rn") <= 20)
+    key = lambda df: sorted(
+        (r["event_type"], r["event_id"]) for r in df.select("event_type", "event_id").collect()
+    )
+    assert key(got) == key(truth)
+    counts = {r[0]: r[1] for r in got.groupBy("event_type").count().collect()}
+    assert all(c == 20 for c in counts.values())
+
+
+def test_reservoir_sample_small_stratum_returns_all(spark):
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sampling import (
+        reservoir_hash_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "tiny" if i < 5 else "big") for i in range(100)], "id long, s string"
+    )
+    out = reservoir_hash_sample(df, key="id", strata_col="s", n=10)
+    counts = {r["s"]: r["count"] for r in out.groupBy("s").count().collect()}
+    assert counts == {"tiny": 5, "big": 10}
