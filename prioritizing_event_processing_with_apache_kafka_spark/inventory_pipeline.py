@@ -608,6 +608,41 @@ WHERE {coin} < CASE event_type WHEN 'error' THEN 1.0
 SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: corpus docs whose 4-shingle
+    containment against a benchmark subset (every 50th doc stands in
+    for the eval set) reaches 0.6. Benchmark shingles broadcast; the
+    corpus is scanned once and never shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return D.contamination_pairs(corpus, benchmark, k=4, threshold=0.6)
+
+
+SQL_DECONTAMINATION = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(tokens) - 3, 1)),
+                       i -> array_to_string(tokens[i:i+3], ' '))) AS shingles
+  FROM toks
+), bex AS (
+  SELECT doc_id AS bench_id, unnest(shingles) AS s FROM sh WHERE doc_id % 50 = 0
+), cex AS (
+  SELECT doc_id, len(shingles) AS n_doc, unnest(shingles) AS s
+  FROM sh WHERE doc_id % 50 <> 0
+)
+SELECT doc_id, bench_id, COUNT(*) AS n_shared,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / n_doc, 6) AS containment
+FROM cex JOIN bex USING (s)
+GROUP BY doc_id, bench_id, n_doc
+HAVING ROUND(CAST(COUNT(*) AS DOUBLE) / n_doc, 6) >= 0.6
+"""
+
+
 def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed reservoir: exactly 50 events per event_type, the 50
     smallest deterministic hash coins — count-derived broadcast
@@ -702,6 +737,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "dedup_components": q_dedup_components,
     "stratified_sample": q_stratified_sample,
+    "decontamination": q_decontamination,
     "reservoir_sample": q_reservoir_sample,
     "table_profile": q_table_profile,
 }
@@ -728,6 +764,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "decontamination": SQL_DECONTAMINATION,
     "reservoir_sample": SQL_RESERVOIR_SAMPLE,
     "table_profile": SQL_TABLE_PROFILE,
 }

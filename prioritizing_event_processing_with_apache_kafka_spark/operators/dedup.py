@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "with_shingles",
     "exact_dedup",
+    "contamination_pairs",
     "ngram_jaccard_pairs",
     "with_minhash_signature",
     "minhash_lsh_pairs",
@@ -105,6 +106,54 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
         .select(f"{id_col}_keep", "n_copies")
+    )
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    k: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Train/test decontamination: corpus documents whose k-shingle
+    *containment* against some benchmark document reaches ``threshold``.
+
+    Containment |S_doc ∩ S_bench| / |S_doc| is directional on purpose —
+    the question is "does this training document carry the benchmark
+    text", not symmetric similarity, so a long document that embeds a
+    whole benchmark item still scores on the benchmark's shingles it
+    contains relative to its own size.
+
+    Scale shape: the benchmark side (exploded to distinct shingles) is
+    **broadcast** — eval/benchmark sets are small by nature — so the
+    100 TB corpus is scanned once, never shuffled; the only aggregation
+    keys are (doc, bench) pairs that actually share a shingle.
+
+    Returns ``(id_col, bench_id_col, n_shared, containment)`` for pairs
+    at or above the threshold.
+    """
+    c = with_shingles(corpus, text_col=text_col, k=k, out_col="__sh")
+    b = with_shingles(benchmark, text_col=text_col, k=k, out_col="__sh")
+    c_ex = c.select(
+        F.col(id_col), F.size("__sh").alias("__n_doc"), F.explode("__sh").alias("__s")
+    )
+    b_ex = b.select(
+        F.col(bench_id_col), F.explode("__sh").alias("__s")
+    )
+    return (
+        c_ex.join(F.broadcast(b_ex), "__s")
+        .groupBy(id_col, bench_id_col, "__n_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .withColumn(
+            "containment",
+            F.round(F.col("n_shared").cast("double") / F.col("__n_doc"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .drop("__n_doc")
     )
 
 

@@ -231,3 +231,28 @@ class TestKmeans:
             kmeans_assignments(df, k=0)
         with pytest.raises(ValueError):
             kmeans_assignments(df, n_iter=0)
+
+
+class TestDecontamination:
+    def test_containment_is_directional(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.dedup import (
+            contamination_pairs,
+        )
+
+        bench_text = "the quick brown fox jumps over the lazy dog tonight"
+        corpus = spark.createDataFrame(
+            [
+                # embeds the full benchmark text inside a longer doc
+                (1, "prefix words here " + bench_text + " and a suffix tail"),
+                # unrelated
+                (2, "completely different content about spark physical plans"),
+                # doc sharing one shingle among many of its own
+                (3, "the quick brown fox sleeps all day and then walks far away home"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame([(100, bench_text)], "bench_id long, text string")
+        out = contamination_pairs(corpus, bench, k=4, threshold=0.5)
+        rows = {(r["doc_id"], r["bench_id"]): r["containment"] for r in out.collect()}
+        assert set(rows) == {(1, 100)}
+        assert rows[(1, 100)] >= 0.5
