@@ -608,6 +608,119 @@ WHERE {coin} < CASE event_type WHEN 'error' THEN 1.0
 SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation funnel, one query: per-stage
+    surviving-document counts through quality filter → language filter →
+    exact dedup → near-dup drop → decontamination. Every stage is one of
+    the already-oracle-checked operators composed sequentially — the
+    100 TB pipeline story in a single DataFrame."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    s1 = (
+        TX.quality_features(docs)
+        .filter((F.col("n_tokens") >= 20) & (F.col("alnum_ratio") >= 0.75))
+        .select("doc_id", "text")
+    )
+    s2 = (
+        TX.language_guess(s1)
+        .filter(F.col("lang_pred") == "en")
+        .select("doc_id", "text")
+        .persist()
+    )
+    s3 = s2.groupBy("text").agg(F.min("doc_id").alias("doc_id")).persist()
+    pairs = D.ngram_jaccard_pairs(s3, k=4, threshold=0.5)
+    s4 = s3.join(
+        pairs.select(F.col("y").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    ).persist()
+    bench = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "text")
+    )
+    cont = D.contamination_pairs(s4, bench, k=4, threshold=0.6)
+    s5 = s4.join(cont.select("doc_id").distinct(), "doc_id", "left_anti")
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage("0_ingest", docs)
+        .unionByName(stage("1_quality", s1))
+        .unionByName(stage("2_language", s2))
+        .unionByName(stage("3_exact_dedup", s3))
+        .unionByName(stage("4_near_dedup", s4))
+        .unionByName(stage("5_decontaminated", s5))
+    )
+
+
+def _sql_curation_funnel() -> str:
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.text import (
+        STOPWORDS,
+    )
+
+    stoplist = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    return f"""
+WITH s1 AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(string_split(text, ' ')) >= 20
+    AND CAST(length(text) - length(regexp_replace(text, '[a-z0-9]', '', 'g')) AS DOUBLE)
+        / length(text) >= 0.75
+), s2 AS (
+  SELECT doc_id, text FROM s1
+  WHERE len(list_filter(string_split(text, ' '), t -> t IN {stoplist})) >= 2
+), s3 AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM s2 GROUP BY text
+), sh3 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 3, 1)),
+           i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))) AS shingles
+  FROM s3
+), ex3 AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh3
+), neardup_y AS (
+  SELECT DISTINCT b.doc_id AS y
+  FROM ex3 a JOIN ex3 b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN sh3 sx ON sx.doc_id = a.doc_id
+  JOIN sh3 sy ON sy.doc_id = b.doc_id
+  WHERE CAST(len(list_intersect(sx.shingles, sy.shingles)) AS DOUBLE)
+        / (len(sx.shingles) + len(sy.shingles) - len(list_intersect(sx.shingles, sy.shingles))) >= 0.5
+), s4 AS (
+  SELECT doc_id, text FROM s3 WHERE doc_id NOT IN (SELECT y FROM neardup_y)
+), shb AS (
+  SELECT doc_id AS bench_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 3, 1)),
+           i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))) AS shingles
+  FROM documents WHERE doc_id % 50 = 0
+), sh4 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 3, 1)),
+           i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))) AS shingles
+  FROM s4
+), contaminated AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT doc_id, len(shingles) AS n_doc, unnest(shingles) AS s FROM sh4) c
+  JOIN (SELECT bench_id, unnest(shingles) AS s FROM shb) b USING (s)
+  GROUP BY c.doc_id, b.bench_id, c.n_doc
+  HAVING ROUND(CAST(COUNT(*) AS DOUBLE) / c.n_doc, 6) >= 0.6
+), s5 AS (
+  SELECT doc_id FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT '0_ingest' AS stage, COUNT(*) AS n_docs FROM documents
+UNION ALL SELECT '1_quality', COUNT(*) FROM s1
+UNION ALL SELECT '2_language', COUNT(*) FROM s2
+UNION ALL SELECT '3_exact_dedup', COUNT(*) FROM s3
+UNION ALL SELECT '4_near_dedup', COUNT(*) FROM s4
+UNION ALL SELECT '5_decontaminated', COUNT(*) FROM s5
+"""
+
+
+SQL_CURATION_FUNNEL = _sql_curation_funnel()
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination: corpus docs whose 4-shingle
     containment against a benchmark subset (every 50th doc stands in
@@ -738,6 +851,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components": q_dedup_components,
     "stratified_sample": q_stratified_sample,
     "decontamination": q_decontamination,
+    "curation_funnel": q_curation_funnel,
     "reservoir_sample": q_reservoir_sample,
     "table_profile": q_table_profile,
 }
@@ -765,6 +879,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "decontamination": SQL_DECONTAMINATION,
+    "curation_funnel": SQL_CURATION_FUNNEL,
     "reservoir_sample": SQL_RESERVOIR_SAMPLE,
     "table_profile": SQL_TABLE_PROFILE,
 }
