@@ -38,7 +38,11 @@ from prioritizing_event_processing_with_apache_kafka_spark.plans.config import (
 )
 from prioritizing_event_processing_with_apache_kafka_spark.plans.layout import compute_layout
 
-__all__ = ["route_stream_stateful", "STATEFUL_OUTPUT_SCHEMA"]
+__all__ = [
+    "route_stream_stateful",
+    "route_stream_tws",
+    "STATEFUL_OUTPUT_SCHEMA",
+]
 
 STATEFUL_OUTPUT_SCHEMA = T.StructType(
     [
@@ -120,4 +124,92 @@ def route_stream_stateful(
         _STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+def route_stream_tws(
+    stream: DataFrame,
+    config: BucketPriorityConfig,
+    num_partitions: int,
+    *,
+    key_col: str = "key",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """The same lifetime counter on Spark 4's ``transformWithState``
+    API: the counter lives in a typed ``ValueState`` managed by a
+    ``StatefulProcessor`` instead of the legacy tuple-state of
+    ``applyInPandasWithState``. Functionally identical output to
+    :func:`route_stream_stateful`; this variant exists because
+    transformWithState is the forward path (composable state variables,
+    timers, TTL) for custom stateful operators.
+
+    Requires ``protobuf`` (the transformWithState state-server protocol
+    is protobuf-framed); raises ImportError with a clear message where
+    it is unavailable — ``route_stream_stateful`` is the
+    dependency-free equivalent.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package for "
+            "its state protocol; use route_stream_stateful (same output, "
+            "applyInPandasWithState) where protobuf is unavailable"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    layout = {
+        r.bucket: (r.partition_lo, r.size)
+        for r in compute_layout(num_partitions, config.buckets_with_allocation())
+    }
+
+    class _Counter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counter = handle.getValueState("counter", "counter LONG")
+
+        def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+            (bucket,) = key
+            state = self._counter.get()
+            counter = state[0] if state is not None else 0
+            lo_size = layout.get(bucket)
+            chunks = [pdf for pdf in rows if len(pdf)]
+            if chunks:
+                pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                    order_col, kind="mergesort"
+                )
+                n = len(pdf)
+                seq = pd.RangeIndex(counter, counter + n)
+                if lo_size is None:
+                    partition = pd.Series([None] * n, dtype="Int64")
+                elif lo_size[1] == 0:
+                    partition = pd.Series([-1] * n, dtype="Int64")
+                else:
+                    lo, size = lo_size
+                    partition = pd.Series(seq % size + lo, dtype="Int64")
+                yield pd.DataFrame(
+                    {
+                        "event_id": pdf[order_col].values,
+                        "key": pdf[key_col].values,
+                        "bucket": bucket,
+                        "partition": partition.values,
+                        "seq": pd.Series(seq, dtype="int64").values,
+                    }
+                )
+                counter += n
+            self._counter.update((counter,))
+
+        def close(self) -> None:
+            pass
+
+    keyed = stream.withColumn(
+        "bucket", extract_bucket(F.col(key_col), config.delimiter)
+    )
+    return keyed.groupBy("bucket").transformWithStateInPandas(
+        statefulProcessor=_Counter(),
+        outputStructType=STATEFUL_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
     )

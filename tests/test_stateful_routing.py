@@ -176,3 +176,48 @@ def test_counter_survives_restart_across_many_batches(spark, dirs):
         assert all(combined[e][1] == combined[e][0] % 7 for e in by_arrival)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_tws_counter_continues_across_micro_batches(spark, dirs):
+    # Same contract as route_stream_stateful, on Spark 4's
+    # transformWithState API (typed ValueState in a StatefulProcessor).
+    # The state-server protocol is protobuf-framed; skip where the
+    # container lacks protobuf (route_stream_stateful covers the
+    # semantics dependency-free).
+    pytest.importorskip("google.protobuf")
+    from prioritizing_event_processing_with_apache_kafka_spark.streaming.stateful import (
+        route_stream_tws,
+    )
+
+    src, chk = dirs
+    chunk(spark, src, 0, 5)
+    source = spark.readStream.schema(SCHEMA).parquet(src)
+    routed = route_stream_tws(source, CFG, 10, order_col="event_id")
+    q = (
+        routed.writeStream.format("memory")
+        .queryName("tws_routed")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r["event_id"]: (r["seq"], r["partition"])
+            for r in spark.table("tws_routed").collect()
+        }
+        assert first == {i: (i, i) for i in range(5)}
+
+        chunk(spark, src, 100, 5)
+        q.processAllAvailable()
+        both = {
+            r["event_id"]: (r["seq"], r["partition"])
+            for r in spark.table("tws_routed").collect()
+        }
+        assert both[100] == (5, 5)
+        assert both[101] == (6, 6)
+        assert both[102] == (7, 0)
+        assert both[103] == (8, 1)
+        assert both[104] == (9, 2)
+    finally:
+        q.stop()
