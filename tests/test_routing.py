@@ -325,3 +325,73 @@ class TestExactModeDistributed:
         )
         dist = {r["partition"]: r["record_count"] for r in routed_distribution(out).collect()}
         assert dist == {p: 120 for p in range(8)}
+
+
+class TestExactModeProperty:
+    """Hypothesis armor for the distributed exact path: random configs,
+    row mixes (including unknown buckets and foreign topics), and input
+    partitionings must all reproduce the pure-Python reference
+    computation (global rank by record_id within bucket)."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        nparts=st.integers(2, 24),
+        alloc=st.sampled_from(
+            [(100,), (50, 50), (70, 30), (50, 30, 20), (55, 40, 5), (40, 30, 20, 10)]
+        ),
+        nrows=st.integers(1, 223),
+        nparts_in=st.integers(1, 7),
+    )
+    def test_random_configs_match_pure_python_reference(
+        self, spark, nparts, alloc, nrows, nparts_in
+    ):
+        from prioritizing_event_processing_with_apache_kafka_spark.plans.layout import compute_layout
+
+        buckets = [f"B{i + 1}" for i in range(len(alloc))]
+        cfg = BucketPriorityConfig(
+            topic="orders", buckets=buckets, allocation=list(alloc)
+        )
+        rows = []
+        for i in range(nrows):
+            if i % 11 == 7:
+                key = f"Nope-{i}"          # unknown bucket
+            elif i % 13 == 5:
+                key = None                 # unparseable
+            else:
+                key = f"{buckets[i % len(buckets)]}-{i}"
+            topic = "other" if i % 17 == 3 else "orders"
+            rows.append((i, topic, key))
+        df = spark.createDataFrame(
+            rows, "record_id long, topic string, key string"
+        ).repartition(nparts_in)
+        out = route(
+            df, cfg, nparts, topic_col="topic", order_col="record_id", mode="exact"
+        )
+        got = routed_map(out)
+
+        layout = {
+            r.bucket: (r.partition_lo, r.size)
+            for r in compute_layout(nparts, cfg.buckets_with_allocation())
+        }
+        ranks: dict[str, int] = {b: 0 for b in buckets}
+        for i, topic, key in rows:
+            if topic != "orders":
+                assert got[i] == (None, None, "bypassed"), (i, got[i])
+                continue
+            bucket = key.split("-")[0] if key else None
+            if bucket not in layout:
+                assert got[i][1] is None and got[i][2] == "unroutable", (i, got[i])
+                continue
+            lo, size = layout[bucket]
+            seq = ranks[bucket]
+            ranks[bucket] += 1
+            expect = -1 if size == 0 else lo + seq % size
+            status = "starved" if size == 0 else "routed"
+            assert got[i] == (bucket, expect, status), (i, got[i])
