@@ -608,6 +608,35 @@ WHERE {coin} < CASE event_type WHEN 'error' THEN 1.0
 SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
 
 
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs: Levenshtein ≤ 50 over
+    shared-shingle candidates (banded DP via the threshold variant)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.edit_distance_pairs(docs, k=4, max_distance=50)
+
+
+SQL_DEDUP_EDIT_DISTANCE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(tokens) - 3, 1)),
+                       i -> array_to_string(tokens[i:i+3], ' '))) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), cand AS (
+  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+)
+SELECT cand.x, cand.y, levenshtein(dx.text, dy.text) AS edit_distance
+FROM cand
+JOIN documents dx ON dx.doc_id = cand.x
+JOIN documents dy ON dy.doc_id = cand.y
+WHERE levenshtein(dx.text, dy.text) <= 50
+"""
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data curation funnel, one query: per-stage
     surviving-document counts through quality filter → language filter →
@@ -850,6 +879,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "dedup_components": q_dedup_components,
     "stratified_sample": q_stratified_sample,
+    "dedup_edit_distance": q_dedup_edit_distance,
     "decontamination": q_decontamination,
     "curation_funnel": q_curation_funnel,
     "reservoir_sample": q_reservoir_sample,
@@ -878,6 +908,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "dedup_edit_distance": SQL_DEDUP_EDIT_DISTANCE,
     "decontamination": SQL_DECONTAMINATION,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "reservoir_sample": SQL_RESERVOIR_SAMPLE,

@@ -42,6 +42,7 @@ __all__ = [
     "with_shingles",
     "exact_dedup",
     "contamination_pairs",
+    "edit_distance_pairs",
     "ngram_jaccard_pairs",
     "with_minhash_signature",
     "minhash_lsh_pairs",
@@ -106,6 +107,44 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
         .select(f"{id_col}_keep", "n_copies")
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    max_distance: int = 50,
+    max_signature_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by absolute Levenshtein distance, shingle-blocked.
+
+    Candidates come from the same shared-k-shingle equi-join the other
+    near-dup operators use (never all-pairs); each candidate is then
+    scored with the *banded* ``levenshtein(l, r, threshold)`` — Spark
+    prunes the DP to the ±threshold diagonal, so the per-pair cost is
+    O(len·threshold) rather than O(len²).
+
+    Blocking recall: a pair at edit distance ``d`` shares a k-token
+    shingle unless the edits scatter across every k-run — impossible
+    while the token-level edit count is below ``tokens/k``, which any
+    near-duplicate is far under. Precision is exact: reported distances
+    are true distances ≤ ``max_distance``.
+    """
+    sh = with_shingles(df, text_col=text_col, k=k, out_col="__sh")
+    exploded = sh.select(id_col, F.explode("__sh").alias("__sig"))
+    cands = _candidate_pairs(exploded, id_col, ["__sig"], max_signature_freq)
+    tx = df.select(F.col(id_col).alias("x"), F.col(text_col).alias("__tx"))
+    ty = df.select(F.col(id_col).alias("y"), F.col(text_col).alias("__ty"))
+    dist = F.levenshtein(F.col("__tx"), F.col("__ty"), threshold=max_distance)
+    return (
+        cands.join(tx, "x")
+        .join(ty, "y")
+        .withColumn("edit_distance", dist)
+        .filter((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= max_distance))
+        .select("x", "y", "edit_distance")
     )
 
 

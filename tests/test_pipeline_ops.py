@@ -256,3 +256,26 @@ class TestDecontamination:
         rows = {(r["doc_id"], r["bench_id"]): r["containment"] for r in out.collect()}
         assert set(rows) == {(1, 100)}
         assert rows[(1, 100)] >= 0.5
+
+
+class TestEditDistance:
+    def test_blocked_levenshtein_pairs(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.dedup import (
+            edit_distance_pairs,
+        )
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = spark.createDataFrame(
+            [
+                (1, base),
+                (2, base.replace("delta", "delts")),      # distance 1
+                (3, base.replace("epsilon", "upsilon")),  # distance 1
+                (4, "unrelated words that share absolutely nothing at all here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            (r["x"], r["y"]): r["edit_distance"]
+            for r in edit_distance_pairs(docs, k=4, max_distance=10).collect()
+        }
+        assert out == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
