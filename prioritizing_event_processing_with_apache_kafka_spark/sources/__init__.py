@@ -1,5 +1,11 @@
-"""Sources & sinks: fixture tables, Kafka option builders."""
+"""Sources & sinks: fixture tables, interchange formats, Kafka option builders."""
 
+from prioritizing_event_processing_with_apache_kafka_spark.sources.formats import (
+    read_csv,
+    read_jsonl,
+    write_csv,
+    write_jsonl,
+)
 from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import (
     EVENT_TYPE_BUCKET,
     load_table,
@@ -7,4 +13,13 @@ from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import
     with_routing_key,
 )
 
-__all__ = ["EVENT_TYPE_BUCKET", "load_table", "load_tables", "with_routing_key"]
+__all__ = [
+    "EVENT_TYPE_BUCKET",
+    "load_table",
+    "load_tables",
+    "with_routing_key",
+    "read_csv",
+    "read_jsonl",
+    "write_csv",
+    "write_jsonl",
+]

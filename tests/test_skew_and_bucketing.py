@@ -83,3 +83,48 @@ class TestBucketedJoin:
         finally:
             spark.sql("DROP TABLE IF EXISTS orders_b")
             spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+class TestInterchangeFormats:
+    def test_events_csv_roundtrip_bit_exact(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from prioritizing_event_processing_with_apache_kafka_spark.sources.formats import (
+            read_csv,
+            write_csv,
+        )
+        from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import load_table
+
+        events = load_table(spark, sf_dir, "events")
+        path = str(tmp_path / "events_csv")
+        write_csv(events, path)
+        back = read_csv(spark, path, events.schema)
+        assert back.schema == events.schema
+        # bit-exact round trip including microsecond timestamps
+        assert back.exceptAll(events).count() == 0
+        assert events.exceptAll(back).count() == 0
+
+    def test_embeddings_jsonl_roundtrip(self, spark, sf_dir, tmp_path):
+        from prioritizing_event_processing_with_apache_kafka_spark.sources.formats import (
+            read_jsonl,
+            write_jsonl,
+        )
+        from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = str(tmp_path / "emb_jsonl")
+        write_jsonl(emb, path)
+        back = read_jsonl(spark, path, emb.schema)
+        assert back.schema == emb.schema
+        assert back.exceptAll(emb).count() == 0
+        assert emb.exceptAll(back).count() == 0
+
+    def test_csv_rejects_array_columns(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from prioritizing_event_processing_with_apache_kafka_spark.sources.formats import write_csv
+        from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        with _pytest.raises(TypeError, match="CSV"):
+            write_csv(emb, "/tmp/never-written")
