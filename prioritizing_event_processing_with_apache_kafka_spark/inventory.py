@@ -1102,6 +1102,59 @@ FROM sessions GROUP BY 1
 """
 
 
+def q_bucket_quiet_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap detection: hours inside the corpus's span in
+    which a bucket saw zero events. The spine (sequence + explode over
+    the min/max hour bounds) and the bucket list are both tiny, so the
+    grid is broadcast work; the only fact-side cost is one distinct over
+    (bucket, hour) — map-side combined to ≤ #buckets × #hours rows."""
+    routed = _events_routed(spark, sf_dir)
+    bounds = routed.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour_ts")
+    )
+    buckets = routed.select("bucket").distinct()
+    grid = spine.join(F.broadcast(buckets), F.lit(True))
+    actual = routed.select(
+        "bucket", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).distinct()
+    quiet = grid.join(actual, ["bucket", "hour_ts"], "left_anti")
+    return quiet.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_quiet_hours"),
+        F.min("hour_ts").alias("first_quiet"),
+        F.max("hour_ts").alias("last_quiet"),
+    )
+
+
+SQL_BUCKET_QUIET_HOURS = f"""
+{_SQL_ROUTED}
+, bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM routed
+), spine AS (
+  SELECT make_timestamp(epoch_us(b.lo) + g.i * 3600000000) AS hour_ts
+  FROM bounds b CROSS JOIN generate_series(0, 9999) AS g(i)
+  WHERE make_timestamp(epoch_us(b.lo) + g.i * 3600000000) <= b.hi
+), grid AS (
+  SELECT r.bucket, s.hour_ts
+  FROM (SELECT DISTINCT bucket FROM routed) r CROSS JOIN spine s
+), actual AS (
+  SELECT DISTINCT bucket, date_trunc('hour', ts) AS hour_ts FROM routed
+), quiet AS (
+  SELECT g.bucket, g.hour_ts
+  FROM grid g LEFT JOIN actual a
+    ON g.bucket = a.bucket AND g.hour_ts = a.hour_ts
+  WHERE a.bucket IS NULL
+)
+SELECT bucket, COUNT(*) AS n_quiet_hours,
+       MIN(hour_ts) AS first_quiet, MAX(hour_ts) AS last_quiet
+FROM quiet GROUP BY 1
+"""
+
+
 def q_user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile quartile assignment per user (high-cardinality window
     partitioning) with per-quartile spend stats."""
@@ -1488,6 +1541,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "error_purchase_interval": q_error_purchase_interval,
     "bucket_value_histogram": q_bucket_value_histogram,
     "user_value_quartiles": q_user_value_quartiles,
+    "bucket_quiet_hours": q_bucket_quiet_hours,
     "sliding_window_throughput": q_sliding_window_throughput,
     "stream_route_counts": q_stream_route_counts,
     "stream_windowed_throughput": q_stream_windowed_throughput,
@@ -1536,6 +1590,7 @@ ORACLES: dict[str, str] = {
     "error_purchase_interval": SQL_ERROR_PURCHASE_INTERVAL,
     "bucket_value_histogram": SQL_BUCKET_VALUE_HISTOGRAM,
     "user_value_quartiles": SQL_USER_VALUE_QUARTILES,
+    "bucket_quiet_hours": SQL_BUCKET_QUIET_HOURS,
     "sliding_window_throughput": SQL_SLIDING_WINDOW_THROUGHPUT,
     "stream_route_counts": SQL_STREAM_ROUTE_COUNTS,
     "stream_windowed_throughput": SQL_STREAM_WINDOWED_THROUGHPUT,
