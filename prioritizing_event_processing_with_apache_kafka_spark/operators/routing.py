@@ -148,10 +148,14 @@ def _exact_global_sequence(tagged: DataFrame, order_col: Column | str) -> DataFr
     joined = srt.withColumn("__peps_pid", pid).join(
         F.broadcast(offsets), ["__peps_pid", "__peps_bucket"], "left"
     )
-    return joined.withColumn(
+    out = joined.withColumn(
         "__peps_seq",
         (F.col("__peps_off") + local.cast("long") - F.col("__peps_lo")).cast("long"),
     ).drop("__peps_mid", "__peps_pid", "__peps_off", "__peps_lo")
+    # Hand the persisted midframe to the caller so bounded-lifetime uses
+    # (per-micro-batch routing) can unpersist eagerly.
+    out._peps_exact_cache = srt  # type: ignore[attr-defined]
+    return out
 
 
 def _sequence_column(mode: str, order_col: Column | str | None) -> Column | None:
@@ -239,10 +243,12 @@ def route(
         # P2: bucket logic only applies to the configured topic.
         bucket = F.when(~is_foreign_topic, bucket)
     routed = df.withColumn("__peps_bucket", bucket)
+    exact_cache = None
     if mode == "exact":
         if order_col is None:
             raise ValueError("mode='exact' requires order_col (a deterministic ordering)")
         routed = _exact_global_sequence(routed, order_col)
+        exact_cache = routed._peps_exact_cache  # type: ignore[attr-defined]
 
     # Prefix every layout column so the join can never collide with (or
     # later silently drop) same-named columns on the user's DataFrame.
@@ -285,6 +291,11 @@ def route(
     )
     if config.on_unroutable == "discard":
         out = out.filter(F.col("route_status") != "unroutable")
+    if exact_cache is not None:
+        # Expose the midframe persisted by _exact_global_sequence so
+        # bounded-lifetime callers (per-micro-batch routing) can release
+        # it eagerly instead of waiting for LRU eviction.
+        out._peps_exact_cache = exact_cache  # type: ignore[attr-defined]
     return out
 
 

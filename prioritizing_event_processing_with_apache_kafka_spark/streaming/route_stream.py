@@ -106,6 +106,14 @@ def routed_foreach_batch(
             order_col=order_col,
             mode="exact",
         )
-        sink(routed, batch_id)
+        try:
+            sink(routed, batch_id)
+        finally:
+            # The exact path persists a midframe for the batch's
+            # lifetime; a long-running stream would otherwise accrete
+            # one cache entry per micro-batch.
+            cached = getattr(routed, "_peps_exact_cache", None)
+            if cached is not None:
+                cached.unpersist()
 
     return write
