@@ -49,6 +49,7 @@ HEADLINE = [
     "embedding_label_centroids",
     "embedding_kmeans",
     "error_purchase_interval",
+    "dedup_edit_distance",
 ]
 
 

@@ -134,7 +134,10 @@ def edit_distance_pairs(
     are true distances ≤ ``max_distance``.
     """
     sh = with_shingles(df, text_col=text_col, k=k, out_col="__sh")
-    exploded = sh.select(id_col, F.explode("__sh").alias("__sig"))
+    # Both sides of the candidate self-join scan the exploded shingles;
+    # persist so tokenization runs once (same pattern as the other
+    # near-dup operators).
+    exploded = sh.select(id_col, F.explode("__sh").alias("__sig")).persist()
     cands = _candidate_pairs(exploded, id_col, ["__sig"], max_signature_freq)
     tx = df.select(F.col(id_col).alias("x"), F.col(text_col).alias("__tx"))
     ty = df.select(F.col(id_col).alias("y"), F.col(text_col).alias("__ty"))
