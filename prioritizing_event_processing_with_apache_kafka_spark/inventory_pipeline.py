@@ -820,6 +820,85 @@ SELECT event_type, event_id, user_id FROM (
 SQL_RESERVOIR_SAMPLE = _sql_reservoir_sample()
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10 by the hash coin):
+    membership is a pure function of doc_id — reproducible across runs,
+    engines, and partitionings, and auditable in SQL. Output: per
+    (split, lang) document counts."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sampling import (
+        hash_coin,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    coin = hash_coin("doc_id")
+    split = (
+        F.when(coin < 0.8, F.lit("train"))
+        .when(coin < 0.9, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _sql_dataset_split() -> str:
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sampling import (
+        hash_coin_sql,
+    )
+
+    coin = hash_coin_sql("doc_id")
+    return f"""
+SELECT CASE WHEN {coin} < 0.8 THEN 'train'
+            WHEN {coin} < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+SQL_DATASET_SPLIT = _sql_dataset_split()
+
+
+def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining batches: documents stream into
+    fixed-capacity packs (1024 whitespace tokens) in doc_id order,
+    partitioned by language so the cumulative sum parallelizes across
+    langs. ``pack_id = floor((cumsum_tokens - n_tokens) / capacity)`` —
+    the boundary-agnostic packing used when sequences may split across
+    pack boundaries."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    cum = F.sum("n_tokens").over(
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "pack_id",
+            F.floor((cum - F.col("n_tokens")) / F.lit(1024)).cast("int"),
+        )
+        .select("lang", "doc_id", "n_tokens", "pack_id")
+    )
+
+
+SQL_DOC_PACKING = """
+SELECT lang, doc_id, n_tokens,
+       CAST(FLOOR((cum - n_tokens) / 1024.0) AS INTEGER) AS pack_id
+FROM (
+  SELECT lang, doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         SUM(len(string_split(text, ' '))) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+)
+"""
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-scan data profiling: per-column rows/nulls/distincts/
     min/max for the customer table in ONE pass (wide agg + stack
@@ -883,6 +962,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontamination": q_decontamination,
     "curation_funnel": q_curation_funnel,
     "reservoir_sample": q_reservoir_sample,
+    "dataset_split": q_dataset_split,
+    "doc_packing": q_doc_packing,
     "table_profile": q_table_profile,
 }
 
@@ -912,5 +993,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "decontamination": SQL_DECONTAMINATION,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "reservoir_sample": SQL_RESERVOIR_SAMPLE,
+    "dataset_split": SQL_DATASET_SPLIT,
+    "doc_packing": SQL_DOC_PACKING,
     "table_profile": SQL_TABLE_PROFILE,
 }
