@@ -715,14 +715,19 @@ FROM events GROUP BY 1
 """
 
 
-def q_stream_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch/stream unification, oracle-checked: the events table is
-    replayed as a real Structured Streaming file source (availableNow),
-    routed with the same stateless column expressions as the batch
-    path, and aggregated per (bucket, event_type) in complete mode.
-    Because routing is pure column logic, the streaming result is
-    bit-identical to the batch SQL oracle — the property that lets one
-    codebase serve both paths (SURVEY.md §3.4)."""
+def _replay_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    transform,
+    *,
+    name_prefix: str,
+    normalize_ts: bool = False,
+) -> DataFrame:
+    """Replay the events table as a real Structured Streaming file
+    source (availableNow), apply ``transform``, drain into a memory
+    sink, and return the sink table. The checkpoint dir is removed
+    after the drain (a memory sink cannot resume from one anyway)."""
+    import shutil
     import tempfile
     import uuid
 
@@ -735,29 +740,51 @@ def q_stream_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    routed = route(
-        with_routing_key(stream),
-        EVENTS_CONFIG,
-        EVENTS_NUM_PARTITIONS,
-        key_col="key",
-        order_col="event_id",
-        mode="spread",
-    )
-    counts = routed.groupBy("bucket", "event_type").agg(
-        F.count(F.lit(1)).alias("n_events")
-    )
-    name = f"stream_route_counts_{uuid.uuid4().hex[:8]}"
+    if normalize_ts:
+        # Same nanos→micros truncation load_table applies on the batch path.
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    chk = tempfile.mkdtemp(prefix="peps-replay-chk-")
     q = (
-        counts.writeStream.format("memory")
+        transform(stream)
+        .writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="peps-srs-chk-"))
+        .option("checkpointLocation", chk)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(chk, ignore_errors=True)
     return spark.table(name)
+
+
+def q_stream_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch/stream unification, oracle-checked: the events table is
+    replayed as a real Structured Streaming file source (availableNow),
+    routed with the same stateless column expressions as the batch
+    path, and aggregated per (bucket, event_type) in complete mode.
+    Because routing is pure column logic, the streaming result is
+    bit-identical to the batch SQL oracle — the property that lets one
+    codebase serve both paths (SURVEY.md §3.4)."""
+
+    def build(stream: DataFrame) -> DataFrame:
+        routed = route(
+            with_routing_key(stream),
+            EVENTS_CONFIG,
+            EVENTS_NUM_PARTITIONS,
+            key_col="key",
+            order_col="event_id",
+            mode="spread",
+        )
+        return routed.groupBy("bucket", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+
+    return _replay_events_stream(spark, sf_dir, build, name_prefix="stream_route_counts")
 
 
 SQL_STREAM_ROUTE_COUNTS = """
@@ -779,42 +806,25 @@ def q_stream_windowed_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     under a stale watermark) are exercised separately in
     tests/test_streaming.py where lateness can be staged across
     micro-batches."""
-    import tempfile
-    import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
-    keyed = with_routing_key(stream)
-    bucket = extract_bucket(F.col("key"), EVENTS_CONFIG.delimiter)
-    windowed = (
-        keyed.withColumn("bucket", bucket)
-        .withWatermark("ts", "2 hours")
-        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("bucket"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            F.col("w.start").alias("hour_start"),
-            "bucket",
-            "n_events",
+    def build(stream: DataFrame) -> DataFrame:
+        keyed = with_routing_key(stream)
+        bucket = extract_bucket(F.col("key"), EVENTS_CONFIG.delimiter)
+        return (
+            keyed.withColumn("bucket", bucket)
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"), F.col("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("w.start").alias("hour_start"),
+                "bucket",
+                "n_events",
+            )
         )
+
+    return _replay_events_stream(
+        spark, sf_dir, build, name_prefix="stream_windowed", normalize_ts=True
     )
-    name = f"stream_windowed_{uuid.uuid4().hex[:8]}"
-    q = (
-        windowed.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="peps-swt-chk-"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return spark.table(name)
 
 
 SQL_STREAM_WINDOWED_THROUGHPUT = """

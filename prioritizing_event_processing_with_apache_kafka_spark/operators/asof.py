@@ -80,15 +80,19 @@ def asof_join(
 
     left_types = dict(left.dtypes)
     right_types = dict(right.dtypes)
-    tie_col = (
-        F.col(right_tie).cast("double") if right_tie is not None else F.lit(0.0)
-    )
+    if right_tie is not None and right_tie not in right_types:
+        raise ValueError(f"right_tie column {right_tie!r} not in right frame")
+    # Order by the raw tie column (any orderable type) — casting to a
+    # fixed numeric type would silently NULL a string tie column and
+    # lose the promised determinism.
+    tie_type = right_types[right_tie] if right_tie is not None else "double"
+    tie_col = F.col(right_tie) if right_tie is not None else F.lit(0.0).cast("double")
     lhs = left.select(
         *keys,
         F.col(left_ts).alias("__ts"),
         F.lit(l_side).alias("__side"),
         F.lit(1).alias("__is_left"),
-        F.lit(None).cast("double").alias("__tie"),
+        F.lit(None).cast(tie_type).alias("__tie"),
         *[F.col(c).alias(f"__l_{c}") for c in left_payload],
         # Right payload rides along only on right rows.
         *[F.lit(None).cast(right_types[c]).alias(f"__r_{c}") for c in right_cols],
@@ -138,6 +142,17 @@ def asof_join(
             *right_cols,
         )
     )
+    # SQL join semantics: NULL never equals NULL. Window partitioning
+    # groups NULL keys together, so a NULL-keyed left row would pick up
+    # NULL-keyed right rows' values — null the carried columns instead
+    # (LEFT-join no-match shape, matching the DuckDB ASOF oracle and
+    # pandas merge_asof).
+    null_key = F.lit(False)
+    for k in keys:
+        null_key = null_key | F.col(k).isNull()
+    out = out.withColumn(matched_ts_col, F.when(~null_key, F.col(matched_ts_col)))
+    for c in right_cols:
+        out = out.withColumn(c, F.when(~null_key, F.col(c)))
     if tolerance_seconds is not None:
         gap: Column = F.abs(
             F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(matched_ts_col))

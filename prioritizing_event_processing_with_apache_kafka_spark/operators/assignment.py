@@ -77,10 +77,17 @@ def decode_user_data(user_data: bytes | None) -> str | None:
     and NPEs when a bucket-topic consumer advertises nothing (e.g. it
     was configured with a different assignor). Documented divergence:
     ``None`` in → ``None`` out, and the caller gives that consumer zero
-    partitions instead of failing the whole rebalance."""
+    partitions instead of failing the whole rebalance. The same
+    containment applies to *malformed* bytes: one consumer advertising
+    non-UTF-8 userData must not crash every consumer's assignment, so
+    undecodable bytes also resolve to ``None`` (an unknown bucket →
+    zero partitions for that consumer only)."""
     if user_data is None:
         return None
-    return user_data.decode("utf-8")
+    try:
+        return user_data.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
 
 
 @dataclass(frozen=True)
@@ -149,16 +156,17 @@ def roundrobin_assign(
     ring = cycle(members)
     current = next(ring)
     for topic, num_partitions in sorted(partitions_per_topic.items()):
+        # Kafka's RoundRobinAssignor only deals partitions of topics
+        # with at least one subscriber — a subscriber-less topic must
+        # not advance the ring pointer (it would shift every subsequent
+        # assignment off the reference sequence).
+        if not any(topic in topics for topics in subscribed.values()):
+            continue
         for p in range(num_partitions):
-            tried = 0
             while topic not in subscribed[current]:
                 current = next(ring)
-                tried += 1
-                if tried > len(members):
-                    break  # nobody subscribes to this topic
-            else:
-                out[current].append((topic, p))
-                current = next(ring)
+            out[current].append((topic, p))
+            current = next(ring)
     return out
 
 

@@ -116,6 +116,14 @@ def _exact_global_sequence(tagged: DataFrame, order_col: Column | str) -> DataFr
     place split points, so it is bit-identical to
     ``row_number() over (partition by bucket order by order_col) - 1``
     whenever the ordering key is unique within the bucket.
+
+    Cache lifetime: the persisted midframe is keyed by logical-plan
+    equality, so repeated batch queries over the same input+config
+    share ONE cache entry (they rebuild the identical plan), and
+    distinct configs add one entry each — bounded by the number of
+    distinct routing configs in the session, evicted LRU. Callers with
+    a bounded batch lifetime (foreachBatch) release it eagerly via the
+    ``_peps_exact_cache`` handle on the returned frame.
     """
     order = F.col(order_col) if isinstance(order_col, str) else order_col
     srt = (

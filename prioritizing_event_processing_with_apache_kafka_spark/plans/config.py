@@ -190,7 +190,18 @@ class BucketPriorityConfig:
         for key, value in options.items():
             name = key[len(prefix):] if key.startswith(prefix) else key
             name = {"fallback.assignor": "fallback_assignor"}.get(name, name)
-            if name == "fallback.partitioner":
+            if name == "fallback_assignor":
+                # The reference configures this as a ConsumerPartitionAssignor
+                # class name (BucketPriorityAssignor.java:51-58, default
+                # RangeAssignor); map the known Kafka assignor classes to
+                # the engine's kernel names, passing bare names through.
+                text = str(value)
+                if "RoundRobinAssignor" in text:
+                    value = "roundrobin"
+                elif "RangeAssignor" in text:
+                    value = "range"
+                mapped["fallback_assignor"] = value
+            elif name == "fallback.partitioner":
                 # The reference README documents this key for routing
                 # discards (README.md:79-84) even though its code never
                 # reads it; honor the documented intent here.

@@ -251,3 +251,42 @@ def test_reservoir_sample_small_stratum_returns_all(spark):
     out = reservoir_hash_sample(df, key="id", strata_col="s", n=10)
     counts = {r["s"]: r["count"] for r in out.groupBy("s").count().collect()}
     assert counts == {"tiny": 5, "big": 10}
+
+
+def test_asof_null_keys_never_match(spark):
+    # SQL semantics: NULL key never equals NULL key — a NULL-keyed left
+    # row gets the LEFT-join no-match shape, not another NULL-keyed
+    # right row's values.
+    left = spark.createDataFrame(
+        [(None, _ts(10)), ("a", _ts(10))], "sym string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(None, _ts(5), 99.0), ("a", _ts(5), 1.5)], "sym string, ts timestamp, px double"
+    )
+    rows = {
+        r["sym"]: (r["asof_ts"], r["px"])
+        for r in asof_join(left, right, on="sym", right_cols=["px"]).collect()
+    }
+    assert rows["a"] == (_ts(5), 1.5)
+    assert rows[None] == (None, None)
+
+
+def test_asof_string_tie_column_orders_correctly(spark):
+    # A string tie column must keep its ordering (it used to be cast to
+    # double, silently becoming NULL and losing determinism).
+    left = spark.createDataFrame([("a", _ts(10))], "sym string, ts timestamp")
+    right = spark.createDataFrame(
+        [("a", _ts(5), 1.0, "m"), ("a", _ts(5), 2.0, "z"), ("a", _ts(5), 3.0, "k")],
+        "sym string, ts timestamp, px double, oid string",
+    )
+    row = asof_join(
+        left, right, on="sym", right_cols=["px"], right_tie="oid"
+    ).first()
+    assert row["px"] == 2.0  # 'z' sorts last → its px carried
+
+
+def test_asof_unknown_tie_column_raises(spark):
+    left = spark.createDataFrame([("a", _ts(1))], "sym string, ts timestamp")
+    right = spark.createDataFrame([("a", _ts(0), 1.0)], "sym string, ts timestamp, px double")
+    with pytest.raises(ValueError, match="right_tie"):
+        asof_join(left, right, on="sym", right_cols=["px"], right_tie="nope")
