@@ -6,6 +6,10 @@ from prioritizing_event_processing_with_apache_kafka_spark.sources.formats impor
     write_csv,
     write_jsonl,
 )
+from prioritizing_event_processing_with_apache_kafka_spark.sources.zorder import (
+    write_zordered,
+    zorder_key,
+)
 from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import (
     EVENT_TYPE_BUCKET,
     load_table,
@@ -22,4 +26,6 @@ __all__ = [
     "read_jsonl",
     "write_csv",
     "write_jsonl",
+    "write_zordered",
+    "zorder_key",
 ]

@@ -128,3 +128,67 @@ class TestInterchangeFormats:
         emb = load_table(spark, sf_dir, "embeddings")
         with _pytest.raises(TypeError, match="CSV"):
             write_csv(emb, "/tmp/never-written")
+
+
+class TestZOrder:
+    def test_morton_key_matches_reference(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.sources.zorder import zorder_key
+
+        def morton(x, y, bits=16):
+            out = 0
+            for i in range(bits):
+                out |= ((x >> i) & 1) << (2 * i)
+                out |= ((y >> i) & 1) << (2 * i + 1)
+            return out
+
+        rows = [(x, y) for x in (0, 1, 5, 255, 65535) for y in (0, 3, 17, 65535)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = {
+            (r["x"], r["y"]): r["z"]
+            for r in df.withColumn("z", zorder_key("x", "y")).collect()
+        }
+        assert got == {(x, y): morton(x, y) for x, y in rows}
+
+    def test_zorder_layout_bounds_both_dimensions(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        from prioritizing_event_processing_with_apache_kafka_spark.sources.zorder import (
+            write_zordered,
+        )
+
+        # 200k points over a 1024x1024 domain; y decorrelated from x.
+        base = spark.range(0, 200_000).select(
+            (F.col("id") % 1024).alias("x"),
+            ((F.col("id") * 7919) % 1024).alias("y"),
+        )
+
+        def spans(path, col):
+            # File-level min/max — what footer-read skipping prunes on.
+            fractions = []
+            for piece in __import__("pathlib").Path(path).glob("*.parquet"):
+                md = pq.ParquetFile(str(piece)).metadata
+                idx = md.schema.names.index(col)
+                lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+                hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+                fractions.append((hi - lo) / 1023.0)
+            return fractions
+
+        zpath = str(tmp_path / "zord")
+        write_zordered(base, zpath, "x", "y", bits=10, num_files=16)
+        lpath = str(tmp_path / "linear")
+        (
+            base.repartitionByRange(16, "x")
+            .sortWithinPartitions("x")
+            .write.mode("overwrite")
+            .parquet(lpath)
+        )
+
+        zx, zy = spans(zpath, "x"), spans(zpath, "y")
+        assert len(zx) >= 8, "need several files for the claim to mean anything"
+        # Every z-clustered file is bounded in BOTH dimensions...
+        assert sum(zx) / len(zx) < 0.6 and sum(zy) / len(zy) < 0.6, (zx, zy)
+        # ...whereas the x-sorted layout bounds x but leaves y unbounded.
+        lx, ly = spans(lpath, "x"), spans(lpath, "y")
+        assert sum(lx) / len(lx) < 0.2, lx
+        assert sum(ly) / len(ly) > 0.9, ly
