@@ -352,8 +352,13 @@ class TestExactModeProperty:
     def test_random_configs_match_pure_python_reference(
         self, spark, nparts, alloc, nrows, nparts_in
     ):
+        from hypothesis import assume
+
         from prioritizing_event_processing_with_apache_kafka_spark.plans.layout import compute_layout
 
+        # Reference precondition: partitions >= buckets, else the config
+        # itself raises InvalidConfigurationException (tested elsewhere).
+        assume(nparts >= len(alloc))
         buckets = [f"B{i + 1}" for i in range(len(alloc))]
         cfg = BucketPriorityConfig(
             topic="orders", buckets=buckets, allocation=list(alloc)
