@@ -10,6 +10,10 @@ from prioritizing_event_processing_with_apache_kafka_spark.streaming.route_strea
     route_stream,
     routed_foreach_batch,
 )
+from prioritizing_event_processing_with_apache_kafka_spark.streaming.sinks import (
+    idempotent_parquet_sink,
+    read_idempotent_output,
+)
 from prioritizing_event_processing_with_apache_kafka_spark.streaming.stateful import (
     route_stream_stateful,
 )
@@ -26,6 +30,8 @@ __all__ = [
     "kafka_reader_options",
     "route_stream",
     "route_stream_stateful",
+    "idempotent_parquet_sink",
+    "read_idempotent_output",
     "routed_foreach_batch",
     "bucket_throughput",
     "dedup_within_watermark",

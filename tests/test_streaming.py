@@ -478,3 +478,77 @@ class TestPrioritizedContention:
         p_rows = sum(p["numInputRows"] for p in progress["Platinum"][:4])
         g_rows = sum(p["numInputRows"] for p in progress["Gold"][:4])
         assert p_rows == 140 and g_rows == 60  # 70/30 split over equal batches
+
+
+class TestIdempotentSink:
+    """Exactly-once foreachBatch sink: a replayed batch_id replaces its
+    own prior output instead of appending a duplicate copy."""
+
+    def test_batch_replay_does_not_duplicate(self, spark, stream_dir):
+        from prioritizing_event_processing_with_apache_kafka_spark.streaming import (
+            idempotent_parquet_sink,
+            read_idempotent_output,
+        )
+
+        out = f"{stream_dir}/out"
+        write = idempotent_parquet_sink(out)
+        b0 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+        b1 = spark.createDataFrame([(4, "d"), (5, "e")], "id long, v string")
+
+        write(b0, 0)
+        write(b1, 1)
+        # crash-recovery replay: batch 0 is delivered again (engine replays
+        # the same data for the same batch_id) — output must not grow
+        write(b0, 0)
+
+        got = read_idempotent_output(spark, out)
+        assert got.count() == 5
+        assert sorted(r.id for r in got.collect()) == [1, 2, 3, 4, 5]
+        assert got.columns == ["id", "v"]
+        # the dynamic-overwrite conf was restored after each write
+        assert (
+            spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            == "static"
+        )
+
+    def test_partial_batch_rewrite_is_replaced(self, spark, stream_dir):
+        from prioritizing_event_processing_with_apache_kafka_spark.streaming import (
+            idempotent_parquet_sink,
+            read_idempotent_output,
+        )
+
+        out = f"{stream_dir}/out"
+        write = idempotent_parquet_sink(out)
+        # first attempt landed a partial write for batch 0, then crashed;
+        # the replay carries the full batch and must fully replace it
+        partial = spark.createDataFrame([(1, "a")], "id long, v string")
+        full = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        write(partial, 0)
+        write(full, 0)
+        got = read_idempotent_output(spark, out)
+        assert sorted(r.id for r in got.collect()) == [1, 2]
+
+    def test_streaming_end_to_end(self, spark, stream_dir):
+        from prioritizing_event_processing_with_apache_kafka_spark.streaming import (
+            idempotent_parquet_sink,
+            read_idempotent_output,
+        )
+
+        src = f"{stream_dir}/src"
+        out = f"{stream_dir}/sinkout"
+        ckpt = f"{stream_dir}/ckpt"
+        write_chunk(spark, src, keyed_rows(20, "Gold"), 0)
+        source = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, key string"
+        ).parquet(f"{src}/chunk=*")
+        q = (
+            source.writeStream.foreachBatch(idempotent_parquet_sink(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = read_idempotent_output(spark, out)
+        assert got.count() == 20
+        assert "__batch_id" not in got.columns
