@@ -656,16 +656,22 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     s3 = s2.groupBy("text").agg(F.min("doc_id").alias("doc_id")).persist()
-    pairs = D.ngram_jaccard_pairs(s3, k=4, threshold=0.5)
-    s4 = s3.join(
-        pairs.select(F.col("y").alias("doc_id")).distinct(), "doc_id", "left_anti"
-    ).persist()
+    # Shingle the surviving corpus ONCE; near-dup and decontamination
+    # both reuse this frame (s4 ⊂ s3, so its shingles are a filter of
+    # sh3, never a re-tokenization).
+    sh3 = D.with_shingles(s3, k=4).persist()
+    pairs = D.ngram_jaccard_pairs(s3, k=4, threshold=0.5, shingled=sh3)
+    dropped = pairs.select(F.col("y").alias("doc_id")).distinct()
+    s4 = s3.join(dropped, "doc_id", "left_anti").persist()
     bench = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 50 == 0)
         .select(F.col("doc_id").alias("bench_id"), "text")
     )
-    cont = D.contamination_pairs(s4, bench, k=4, threshold=0.6)
+    sh4 = sh3.withColumnRenamed("shingles", "__sh").join(
+        dropped, "doc_id", "left_anti"
+    )
+    cont = D.contamination_pairs(s4, bench, k=4, threshold=0.6, corpus_shingled=sh4)
     s5 = s4.join(cont.select("doc_id").distinct(), "doc_id", "left_anti")
 
     def stage(name: str, df: DataFrame) -> DataFrame:

@@ -160,6 +160,7 @@ def contamination_pairs(
     bench_id_col: str = "bench_id",
     k: int = 4,
     threshold: float = 0.5,
+    corpus_shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Train/test decontamination: corpus documents whose k-shingle
     *containment* against some benchmark document reaches ``threshold``.
@@ -177,8 +178,16 @@ def contamination_pairs(
 
     Returns ``(id_col, bench_id_col, n_shared, containment)`` for pairs
     at or above the threshold.
+
+    ``corpus_shingled`` lets a pipeline that already shingled the corpus
+    (same ``k``/``text_col``, ``out_col="__sh"``) pass that frame in so
+    tokenization isn't repeated; the caller owns its persistence.
     """
-    c = with_shingles(corpus, text_col=text_col, k=k, out_col="__sh")
+    c = (
+        corpus_shingled
+        if corpus_shingled is not None
+        else with_shingles(corpus, text_col=text_col, k=k, out_col="__sh")
+    )
     b = with_shingles(benchmark, text_col=text_col, k=k, out_col="__sh")
     c_ex = c.select(
         F.col(id_col), F.size("__sh").alias("__n_doc"), F.explode("__sh").alias("__s")
@@ -249,6 +258,7 @@ def ngram_jaccard_pairs(
     k: int = 4,
     threshold: float = 0.5,
     max_signature_freq: int | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard.
 
@@ -256,8 +266,14 @@ def ngram_jaccard_pairs(
     shingle-explode + equi-join, never a cross join), then exact Jaccard
     ≥ threshold. This is the *ground-truth* operator the probabilistic
     ones are verified against.
+
+    ``shingled`` lets a pipeline that already ran ``with_shingles``
+    (same ``k``/``text_col``, default ``shingles`` column) pass that
+    frame in so tokenization isn't repeated; the caller then owns its
+    persistence.
     """
-    shingled = with_shingles(df, text_col=text_col, k=k).persist()
+    if shingled is None:
+        shingled = with_shingles(df, text_col=text_col, k=k).persist()
     exploded = shingled.select(id_col, F.explode("shingles").alias("__sig"))
     if max_signature_freq is not None:
         # Capped path: hot shingles are dropped from candidate
