@@ -637,6 +637,72 @@ WHERE levenshtein(dx.text, dy.text) <= 50
 """
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span removal: 10-token spans seen in
+    more than one document are stripped from every document (planted
+    exact/near duplicates in the fixture lose their repeated spans)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.remove_duplicate_spans(docs, span_tokens=10, max_docs=1)
+
+
+# Static series + WHERE guard: DuckDB's table-function generate_series
+# can't take lateral column bounds. 300 spans covers 3000 tokens; the
+# fixture maxes out well under that.
+SQL_SPAN_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sp AS (
+  SELECT doc_id, i AS pos, array_to_string(t[(i*10+1):(i*10+10)], ' ') AS span
+  FROM toks, generate_series(0, 299) s(i)
+  WHERE i * 10 < len(t)
+), freq AS (
+  SELECT span, COUNT(DISTINCT doc_id) AS nd FROM sp GROUP BY span
+)
+SELECT sp.doc_id,
+       coalesce(string_agg(CASE WHEN nd <= 1 THEN span END, ' ' ORDER BY pos), '')
+         AS clean_text,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN nd <= 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM sp JOIN freq USING (span)
+GROUP BY sp.doc_id
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition ratios per document (duplicate-excess
+    over tokens/bigrams/trigrams) — zero-shuffle quality features."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.repetition_stats(docs).select(
+        "doc_id", "n_tokens", "dup_token_ratio", "dup_bigram_ratio",
+        "dup_trigram_ratio",
+    )
+
+
+SQL_TEXT_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), g AS (
+  SELECT doc_id, t,
+         list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                        i -> t[i] || ' ' || t[i+1]) AS bg,
+         list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS tg
+  FROM toks
+)
+SELECT doc_id, len(t) AS n_tokens,
+       CASE WHEN len(t) > 0
+            THEN CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t)
+            ELSE 0.0 END AS dup_token_ratio,
+       CASE WHEN len(bg) > 0
+            THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+            ELSE 0.0 END AS dup_bigram_ratio,
+       CASE WHEN len(tg) > 0
+            THEN CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg)
+            ELSE 0.0 END AS dup_trigram_ratio
+FROM g
+"""
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data curation funnel, one query: per-stage
     surviving-document counts through quality filter → language filter →
@@ -966,6 +1032,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "dedup_edit_distance": q_dedup_edit_distance,
     "decontamination": q_decontamination,
+    "span_dedup": q_span_dedup,
+    "text_repetition": q_text_repetition,
     "curation_funnel": q_curation_funnel,
     "reservoir_sample": q_reservoir_sample,
     "dataset_split": q_dataset_split,
@@ -997,6 +1065,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "dedup_edit_distance": SQL_DEDUP_EDIT_DISTANCE,
     "decontamination": SQL_DECONTAMINATION,
+    "span_dedup": SQL_SPAN_DEDUP,
+    "text_repetition": SQL_TEXT_REPETITION,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "reservoir_sample": SQL_RESERVOIR_SAMPLE,
     "dataset_split": SQL_DATASET_SPLIT,

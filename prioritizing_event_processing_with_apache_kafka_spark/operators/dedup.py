@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "with_shingles",
     "exact_dedup",
+    "remove_duplicate_spans",
     "contamination_pairs",
     "edit_distance_pairs",
     "ngram_jaccard_pairs",
@@ -108,6 +109,65 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
         )
         .select(f"{id_col}_keep", "n_copies")
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 10,
+    max_docs: int = 1,
+) -> DataFrame:
+    """Corpus-level duplicate-span removal (the C4/RefinedWeb move:
+    drop boilerplate text that repeats *across* documents, keeping the
+    documents themselves).
+
+    Each document is cut into consecutive ``span_tokens``-token spans
+    (the tail span may be shorter). A span seen in more than
+    ``max_docs`` distinct documents is removed from every document; the
+    survivors are stitched back in their original order.
+
+    Scale shape: spans are disjoint, so the explode is O(tokens) rows —
+    not the O(tokens·k) of shingling. The frequency count is a
+    map-side-combinable aggregation on the span value, and the reproject
+    groups by document id; both shuffles move each token once. Nothing
+    is collected or broadcast, so the operator is insensitive to how
+    many spans turn out to be duplicated.
+
+    Returns ``(id_col, clean_text, n_spans, n_removed)`` — one row per
+    input document; a fully-boilerplate document survives with an empty
+    ``clean_text`` rather than disappearing.
+    """
+    toks = "__peps_toks"
+    spans = (
+        f"transform(sequence(0, cast(ceil(size({toks}) / {span_tokens}.0) AS INT) - 1), "
+        f"i -> concat_ws(' ', slice({toks}, i * {span_tokens} + 1, {span_tokens})))"
+    )
+    sp = (
+        df.withColumn(toks, F.split(F.col(text_col), " "))
+        .select(id_col, F.posexplode(F.expr(spans)).alias("__pos", "__span"))
+    )
+    freq = sp.groupBy("__span").agg(
+        F.countDistinct(id_col).alias("__n_docs")
+    )
+    kept = (
+        sp.join(freq, "__span")
+        .withColumn("__keep", F.col("__n_docs") <= F.lit(max_docs))
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(sort_array(collect_list(CASE WHEN __keep THEN "
+                    "struct(__pos, __span) END)), s -> s.__span)"
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("__keep"), 0).otherwise(1)).alias("n_removed"),
+        )
+    )
+    return kept.select(id_col, "clean_text", "n_spans", "n_removed")
 
 
 def edit_distance_pairs(

@@ -32,6 +32,7 @@ __all__ = [
     "quality_features",
     "language_guess",
     "fingerprint",
+    "repetition_stats",
 ]
 
 # Tiny deterministic stopword list (intersects the fixture vocabulary).
@@ -108,6 +109,49 @@ def language_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(
         "lang_pred",
         F.when(_stopword_hits(text_col) >= 2, F.lit("en")).otherwise(F.lit("und")),
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition ratios, zero-shuffle.
+
+    - ``dup_token_ratio``  — fraction of tokens that are repeats of an
+      earlier token: ``(n - n_distinct) / n``;
+    - ``dup_bigram_ratio`` — same over consecutive token bigrams;
+    - ``dup_trigram_ratio`` — same over trigrams.
+
+    High values flag degenerate repetition (keyboard mash, scraped
+    boilerplate loops) that length/stopword features miss. Rather than
+    the mode-frequency variant (which needs a per-ngram count), the
+    duplicate-excess form is pure array arithmetic — ``size`` minus
+    ``size ∘ array_distinct`` — so each document is scored in a single
+    narrow pass inside whole-stage codegen: no explode, no shuffle, and
+    the operator composes with any scan without changing partitioning.
+    """
+    toks = "__peps_toks"
+
+    def ngrams(n: int) -> str:
+        parts = [
+            f"slice({toks}, {i + 1}, greatest(size({toks}) - {n - 1}, 0))"
+            for i in range(n)
+        ]
+        fields = ", ".join(f"s.`{i}`" for i in range(n))
+        return f"transform(arrays_zip({', '.join(parts)}), s -> concat_ws(' ', {fields}))"
+
+    def dup_ratio(arr: str) -> Column:
+        return F.expr(
+            f"CASE WHEN size({arr}) > 0 THEN "
+            f"CAST(size({arr}) - size(array_distinct({arr})) AS DOUBLE) / size({arr}) "
+            f"ELSE 0.0 END"
+        )
+
+    return (
+        df.withColumn(toks, tokens(text_col))
+        .withColumn("n_tokens", F.size(F.col(toks)))
+        .withColumn("dup_token_ratio", dup_ratio(toks))
+        .withColumn("dup_bigram_ratio", dup_ratio(ngrams(2)))
+        .withColumn("dup_trigram_ratio", dup_ratio(ngrams(3)))
+        .drop(toks)
     )
 
 

@@ -279,3 +279,58 @@ class TestEditDistance:
             for r in edit_distance_pairs(docs, k=4, max_distance=10).collect()
         }
         assert out == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
+
+
+class TestSpanDedup:
+    def test_cross_doc_spans_removed_order_kept(self, spark):
+        # span_tokens=2: doc 0 = [a b][c d][e], doc 1 = [a b][x y],
+        # doc 2 = [c d] — "a b" and "c d" appear in 2 docs each.
+        rows = [(0, "a b c d e"), (1, "a b x y"), (2, "c d")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r
+            for r in D.remove_duplicate_spans(
+                df, span_tokens=2, max_docs=1
+            ).collect()
+        }
+        assert out[0].clean_text == "e" and out[0].n_removed == 2
+        assert out[0].n_spans == 3
+        assert out[1].clean_text == "x y" and out[1].n_removed == 1
+        assert out[2].clean_text == "" and out[2].n_removed == 1
+
+    def test_fully_boilerplate_doc_survives_empty(self, spark):
+        rows = [(0, "a b"), (1, "a b")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = D.remove_duplicate_spans(df, span_tokens=2, max_docs=1)
+        got = {r.doc_id: r.clean_text for r in out.collect()}
+        assert got == {0: "", 1: ""}
+
+    def test_max_docs_threshold(self, spark):
+        rows = [(0, "a b"), (1, "a b"), (2, "a b")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # allow spans in up to 3 docs: nothing removed
+        out = D.remove_duplicate_spans(df, span_tokens=2, max_docs=3)
+        assert all(r.n_removed == 0 for r in out.collect())
+
+
+class TestRepetitionStats:
+    def test_ratios_on_crafted_docs(self, spark):
+        rows = [
+            (0, "a a a a"),          # all one token
+            (1, "a b c d"),          # no repetition
+            (2, "a b a b a"),        # bigrams: ab ba ab ba -> 2 dup of 4
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in TX.repetition_stats(df).collect()}
+        assert out[0].dup_token_ratio == pytest.approx(3 / 4)
+        assert out[0].dup_bigram_ratio == pytest.approx(2 / 3)
+        assert out[1].dup_token_ratio == 0.0
+        assert out[1].dup_trigram_ratio == 0.0
+        assert out[2].dup_bigram_ratio == pytest.approx(2 / 4)
+        assert out[2].dup_trigram_ratio == pytest.approx(1 / 3)
+
+    def test_short_doc_has_zero_ngram_ratios(self, spark):
+        df = spark.createDataFrame([(0, "solo")], "doc_id long, text string")
+        r = TX.repetition_stats(df).collect()[0]
+        assert r.n_tokens == 1
+        assert r.dup_bigram_ratio == 0.0 and r.dup_trigram_ratio == 0.0
