@@ -50,6 +50,8 @@ HEADLINE = [
     "embedding_kmeans",
     "error_purchase_interval",
     "dedup_edit_distance",
+    "span_dedup",
+    "text_repetition",
 ]
 
 

@@ -432,8 +432,9 @@ _SQL_D2 = (
     "(acc, v) -> acc + v)"
 )
 
-SQL_EMBEDDING_KMEANS = f"""
-WITH cent0 AS (
+# Unrolled two-iteration Lloyd trajectory, shared by the k-means query
+# and the SemDeDup oracle (which needs the final assignment as a CTE).
+_SQL_KMEANS_CTES = f"""cent0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
          list_transform(embedding, x -> x::DOUBLE) AS cvec
   FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
@@ -457,11 +458,37 @@ WITH cent0 AS (
   SELECT e.vec_id, c.cluster,
          ROUND({_SQL_D2.format(a='e.embedding', b='c.cvec')}, 6) AS d2
   FROM embeddings e CROSS JOIN cent1 c
-)
-SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, d2 FROM (
-  SELECT s1.*, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-  FROM s1
-) WHERE rn = 1
+), a1 AS (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT s1.*, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM s1
+  ) WHERE rn = 1
+)"""
+
+SQL_EMBEDDING_KMEANS = f"""
+WITH {_SQL_KMEANS_CTES}
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, d2 FROM a1
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means the embedding space (k=8, 2 Lloyd iterations),
+    then exact cosine near-dup pairs within each cluster only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_neardup_pairs(emb, k=8, n_iter=2, threshold=0.4).withColumn(
+        "cluster", F.col("cluster").cast("int")
+    )
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH {_SQL_KMEANS_CTES}
+SELECT CAST(ax.cluster AS INTEGER) AS cluster, ax.vec_id AS x, ay.vec_id AS y,
+       ROUND({_sql_cosine('ex.embedding', 'ey.embedding')}, 6) AS cos_sim
+FROM a1 ax
+JOIN a1 ay ON ax.cluster = ay.cluster AND ax.vec_id < ay.vec_id
+JOIN embeddings ex ON ex.vec_id = ax.vec_id
+JOIN embeddings ey ON ey.vec_id = ay.vec_id
+WHERE ROUND({_sql_cosine('ex.embedding', 'ey.embedding')}, 6) >= 0.4
 """
 
 
@@ -1025,6 +1052,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "embedding_label_centroids": q_embedding_label_centroids,
     "embedding_kmeans": q_embedding_kmeans,
+    "semantic_dedup": q_semantic_dedup,
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -1050,6 +1078,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "embedding_kmeans": SQL_EMBEDDING_KMEANS,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     # embedding_ann_lsh: approximate by design → rows-only
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,

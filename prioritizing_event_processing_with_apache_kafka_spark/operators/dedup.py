@@ -129,11 +129,13 @@ def remove_duplicate_spans(
     survivors are stitched back in their original order.
 
     Scale shape: spans are disjoint, so the explode is O(tokens) rows —
-    not the O(tokens·k) of shingling. The frequency count is a
-    map-side-combinable aggregation on the span value, and the reproject
-    groups by document id; both shuffles move each token once. Nothing
-    is collected or broadcast, so the operator is insensitive to how
-    many spans turn out to be duplicated.
+    not the O(tokens·k) of shingling. The span-frequency count is a
+    map-side-combinable aggregation (partial counts collapse before the
+    shuffle); the frequency table then joins back onto the span stream
+    (AQE broadcasts it while it fits, sort-merge beyond that — the same
+    join either way, no plan change needed at 100 TB) and the reproject
+    groups by document id. Nothing is collected to the driver and no
+    step is sensitive to how many spans turn out to be duplicated.
 
     Returns ``(id_col, clean_text, n_spans, n_removed)`` — one row per
     input document; a fully-boilerplate document survives with an empty

@@ -34,6 +34,7 @@ __all__ = [
     "lsh_ann_topk",
     "with_ivf_cell",
     "ivf_ann_topk",
+    "semantic_neardup_pairs",
 ]
 
 
@@ -295,4 +296,55 @@ def lsh_ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", "cos_sim")
+    )
+
+
+def semantic_neardup_pairs(
+    vecs: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: k-means the
+    embedding space, then score exact cosine only *within* each cluster.
+
+    All-pairs cosine over a 100 TB corpus is O(n²) and off the table;
+    the SemDeDup observation is that semantic duplicates land in the
+    same k-means cluster, so clustering first turns the search into
+    Σ cluster² — with k sized so clusters average ~1k-10k vectors
+    (k ≈ n/5000 in practice; the default 8 matches the fixture scale),
+    that is linear-ish work distributed across ordinary hash-join
+    tasks. Recall is bounded by assignment: a pair split across two
+    clusters is missed, which is the accepted SemDeDup trade-off.
+
+    Clustering reuses :func:`..clustering.kmeans_assignments`
+    (deterministic seeding, rounded distances), so the full output —
+    cluster ids included — is reproducible and oracle-checkable.
+
+    Returns ``(cluster, x, y, cos_sim)`` pairs with ``x < y`` and
+    cosine ≥ ``threshold``.
+    """
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+
+    assigned = kmeans_assignments(
+        vecs, vector_col=vector_col, id_col=id_col, k=k, n_iter=n_iter
+    ).select(id_col, "cluster")
+    members = vecs.select(id_col, vector_col).join(assigned, id_col)
+    a = members.select(
+        "cluster", F.col(id_col).alias("x"), F.col(vector_col).alias("__va")
+    )
+    b = members.select(
+        "cluster", F.col(id_col).alias("y"), F.col(vector_col).alias("__vb")
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("x") < F.col("y"))
+        .withColumn("cos_sim", F.round(cosine("__va", "__vb"), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("cluster", "x", "y", "cos_sim")
     )

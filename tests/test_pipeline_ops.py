@@ -334,3 +334,52 @@ class TestRepetitionStats:
         r = TX.repetition_stats(df).collect()[0]
         assert r.n_tokens == 1
         assert r.dup_bigram_ratio == 0.0 and r.dup_trigram_ratio == 0.0
+
+
+class TestSemanticDedup:
+    def test_within_cluster_pairs_found_cross_cluster_missed(self, spark):
+        # Two tight blobs pointing in near-orthogonal directions; the
+        # pair structure inside each blob is cosine ~1, across blobs ~0.
+        rows = []
+        for i in range(10):
+            base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+            rows.append((i, [c + 0.001 * i for c in base]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        pairs = S.semantic_neardup_pairs(df, k=2, n_iter=2, threshold=0.9).collect()
+        got = {(r.x, r.y) for r in pairs}
+        # every same-blob pair is reported…
+        expected = {
+            (x, y) for x in range(10) for y in range(10)
+            if x < y and x % 2 == y % 2
+        }
+        assert got == expected
+        # …and each reported pair carries one cluster id per blob
+        clusters = {r.x % 2: r.cluster for r in pairs}
+        assert len(set(clusters.values())) == 2
+
+    def test_pairs_are_subset_of_all_pairs_truth(self, spark):
+        import itertools
+        rows = [
+            (i, [float(i % 4 == j) + 0.05 * i for j in range(4)]) for i in range(12)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        sem = {
+            (r.x, r.y): r.cos_sim
+            for r in S.semantic_neardup_pairs(
+                df, k=4, n_iter=2, threshold=0.8
+            ).collect()
+        }
+        # brute-force truth set at the same threshold
+        vecs = dict(rows)
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = sum(x * x for x in a) ** 0.5
+            nb = sum(x * x for x in b) ** 0.5
+            return d / (na * nb)
+        truth = {
+            (x, y)
+            for x, y in itertools.combinations(range(12), 2)
+            if round(cos(vecs[x], vecs[y]), 6) >= 0.8
+        }
+        assert set(sem) <= truth  # precision is exact: no false pairs
+        assert len(sem) > 0
