@@ -20,6 +20,10 @@ Format notes encoded here rather than rediscovered per pipeline:
 - Both formats are splittable line formats (uncompressed or with a
   splittable codec), so read parallelism survives; schema-on-read
   keeps the scan single-pass.
+- **ORC** is the columnar alternative when a downstream consumer is
+  Hive/Trino-shaped: full type fidelity (arrays, structs, binary,
+  timestamps), predicate pushdown and column pruning like parquet, so
+  the round trip carries the schema itself and needs no format notes.
 """
 
 from __future__ import annotations
@@ -27,7 +31,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-__all__ = ["write_csv", "read_csv", "write_jsonl", "read_jsonl"]
+__all__ = [
+    "write_csv",
+    "read_csv",
+    "write_jsonl",
+    "read_jsonl",
+    "write_orc",
+    "read_orc",
+]
 
 _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
@@ -91,3 +102,13 @@ def read_jsonl(
     return (
         spark.read.schema(schema).option("timestampFormat", _TS_FMT).json(path)
     )
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """Write as ORC (columnar; full type fidelity incl. binary)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read ORC (self-describing — schema travels with the files)."""
+    return spark.read.orc(path)

@@ -119,6 +119,44 @@ class TestInterchangeFormats:
         assert back.exceptAll(emb).count() == 0
         assert emb.exceptAll(back).count() == 0
 
+    def test_events_and_embeddings_orc_roundtrip(self, spark, sf_dir, tmp_path):
+        from prioritizing_event_processing_with_apache_kafka_spark.sources.formats import (
+            read_orc,
+            write_orc,
+        )
+        from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import load_table
+
+        for table in ("events", "embeddings"):
+            df = load_table(spark, sf_dir, table)
+            path = str(tmp_path / f"{table}_orc")
+            write_orc(df, path)
+            back = read_orc(spark, path)
+            assert back.schema == df.schema
+            assert back.exceptAll(df).count() == 0
+            assert df.exceptAll(back).count() == 0
+
+    def test_orc_scan_pushes_filters(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from prioritizing_event_processing_with_apache_kafka_spark.sources.formats import (
+            read_orc,
+            write_orc,
+        )
+        from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import load_table
+
+        events = load_table(spark, sf_dir, "events")
+        path = str(tmp_path / "events_orc")
+        write_orc(events, path)
+        plan = (
+            read_orc(spark, path)
+            .filter(F.col("user_id") == 7)
+            .select("event_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)" in plan
+
     def test_csv_rejects_array_columns(self, spark, sf_dir):
         import pytest as _pytest
 
