@@ -1112,6 +1112,123 @@ FROM sessions GROUP BY 1
 """
 
 
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: how many
+    users completed each prefix *in timestamp order* (a click before
+    the first view doesn't count, nor a purchase before that click).
+
+    Shape: three chained conditional-min window passes over the same
+    ``user_id`` partitioning — Catalyst plans ONE exchange and reuses
+    it for all three windows and the per-user rollup, so the funnel
+    costs a single fact shuffle regardless of how many stages the
+    funnel has."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = (
+        events.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_view_click"),
+        F.count("t_purchase").alias("n_full_funnel"),
+    )
+
+
+SQL_CONVERSION_FUNNEL = """
+WITH w1 AS (
+  SELECT user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t_view
+  FROM events
+), w2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+              OVER (PARTITION BY user_id) AS t_click
+  FROM w1
+), w3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+              OVER (PARTITION BY user_id) AS t_purchase
+  FROM w2
+), per_user AS (
+  SELECT user_id, MIN(t_view) AS t_view, MIN(t_click) AS t_click,
+         MIN(t_purchase) AS t_purchase
+  FROM w3 GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(t_view) AS BIGINT) AS n_viewed,
+       CAST(COUNT(t_click) AS BIGINT) AS n_view_click,
+       CAST(COUNT(t_purchase) AS BIGINT) AS n_full_funnel
+FROM per_user
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    first event; distinct active users per (cohort week, week offset).
+    One window pass for first-seen plus one distinct aggregation."""
+    events = load_table(spark, sf_dir, "events")
+    first_ts = F.min("ts").over(Window.partitionBy("user_id"))
+    df = (
+        events.withColumn(
+            "cohort_week", F.date_trunc("week", first_ts).cast("date")
+        )
+        .withColumn(
+            "week_offset",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            ).cast("int"),
+        )
+    )
+    return df.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active_users")
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH fu AS (
+  SELECT user_id, ts, MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+  FROM events
+)
+SELECT CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+       CAST(date_diff('day', CAST(date_trunc('week', first_ts) AS DATE),
+                      CAST(date_trunc('week', ts) AS DATE)) / 7 AS INTEGER)
+         AS week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users
+FROM fu GROUP BY 1, 2
+"""
+
+
 def q_bucket_quiet_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-spine gap detection: hours inside the corpus's span in
     which a bucket saw zero events. The spine (sequence + explode over
@@ -1548,6 +1665,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "big_spender_segments": q_big_spender_segments,
     "union_priority_tiers": q_union_priority_tiers,
     "sessionized_events": q_sessionized_events,
+    "conversion_funnel": q_conversion_funnel,
+    "cohort_retention": q_cohort_retention,
     "error_purchase_interval": q_error_purchase_interval,
     "bucket_value_histogram": q_bucket_value_histogram,
     "user_value_quartiles": q_user_value_quartiles,
@@ -1597,6 +1716,8 @@ ORACLES: dict[str, str] = {
     "big_spender_segments": SQL_BIG_SPENDER_SEGMENTS,
     "union_priority_tiers": SQL_UNION_PRIORITY_TIERS,
     "sessionized_events": SQL_SESSIONIZED_EVENTS,
+    "conversion_funnel": SQL_CONVERSION_FUNNEL,
+    "cohort_retention": SQL_COHORT_RETENTION,
     "error_purchase_interval": SQL_ERROR_PURCHASE_INTERVAL,
     "bucket_value_histogram": SQL_BUCKET_VALUE_HISTOGRAM,
     "user_value_quartiles": SQL_USER_VALUE_QUARTILES,
