@@ -664,6 +664,52 @@ WHERE levenshtein(dx.text, dy.text) <= 50
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: every 10th document plays the
+    incoming batch, the rest the already-indexed history. The history
+    side is touched only through its (persisted-shape) MinHash
+    signatures; candidate texts are fetched back by semi-join for
+    exact verification. Oracle = exact cross-set Jaccard ≥ 0.5 (the
+    banded search recalls the full truth set on these fixtures, as
+    with the batch MinHash operators)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new_batch = docs.filter(F.col("doc_id") % 10 == 0)
+    history = docs.filter(F.col("doc_id") % 10 != 0)
+    store = D.with_minhash_signature(history, k=4, num_hashes=32).select(
+        "doc_id", "minhash"
+    )
+    return D.incremental_minhash_pairs(
+        new_batch, store, history, k=4, num_hashes=32, bands=8, threshold=0.5
+    )
+
+
+SQL_DEDUP_INCREMENTAL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 3, 1)),
+           i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))) AS shingles
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+  FROM ex a JOIN ex b ON a.s = b.s
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+)
+SELECT cand.new_id, cand.old_id,
+       CAST(len(list_intersect(nx.shingles, oy.shingles)) AS DOUBLE)
+         / (len(nx.shingles) + len(oy.shingles)
+            - len(list_intersect(nx.shingles, oy.shingles))) AS jaccard
+FROM cand
+JOIN sh nx ON nx.doc_id = cand.new_id
+JOIN sh oy ON oy.doc_id = cand.old_id
+WHERE CAST(len(list_intersect(nx.shingles, oy.shingles)) AS DOUBLE)
+        / (len(nx.shingles) + len(oy.shingles)
+           - len(list_intersect(nx.shingles, oy.shingles))) >= 0.5
+"""
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicate-span removal: 10-token spans seen in
     more than one document are stripped from every document (planted
@@ -1060,6 +1106,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "dedup_edit_distance": q_dedup_edit_distance,
     "decontamination": q_decontamination,
+    "dedup_incremental": q_dedup_incremental,
     "span_dedup": q_span_dedup,
     "text_repetition": q_text_repetition,
     "curation_funnel": q_curation_funnel,
@@ -1094,6 +1141,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "dedup_edit_distance": SQL_DEDUP_EDIT_DISTANCE,
     "decontamination": SQL_DECONTAMINATION,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "span_dedup": SQL_SPAN_DEDUP,
     "text_repetition": SQL_TEXT_REPETITION,
     "curation_funnel": SQL_CURATION_FUNNEL,

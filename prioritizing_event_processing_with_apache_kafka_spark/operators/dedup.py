@@ -46,6 +46,7 @@ __all__ = [
     "edit_distance_pairs",
     "ngram_jaccard_pairs",
     "with_minhash_signature",
+    "incremental_minhash_pairs",
     "minhash_lsh_pairs",
     "oph_minhash_pairs",
     "with_simhash",
@@ -447,6 +448,92 @@ def with_minhash_signature(
         )
     )
     return shingled.join(sig, id_col)
+
+
+def _band_hashes(
+    sig: DataFrame, id_col: str, sig_col: str, bands: int, rows: int, out_id: str
+) -> DataFrame:
+    """Explode a signature array into (id, band, band-hash) rows."""
+    expr = (
+        f"transform(sequence(0, {bands - 1}), b -> named_struct("
+        f"'__band', b, "
+        f"'__bh', xxhash64(concat_ws(',', slice({sig_col}, b * {rows} + 1, {rows})))))"
+    )
+    return sig.select(
+        F.col(id_col).alias(out_id),
+        F.explode(F.expr(expr)).alias("__bb"),
+    ).select(out_id, F.col("__bb.__band").alias("__band"), F.col("__bb.__bh").alias("__bh"))
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    signature_store: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_signature_freq: int | None = None,
+) -> DataFrame:
+    """Near-dups of an incoming batch against an already-indexed corpus
+    — the incremental-ingestion pattern: dedupe each new crawl against
+    100 TB of history *without re-signing the history*.
+
+    ``signature_store`` is the persisted index — ``(id_col, minhash)``
+    rows previously produced by :func:`with_minhash_signature` with the
+    SAME ``k``/``num_hashes``/``seed`` (banding is derived from the
+    stored arrays, so ``bands`` may differ run to run). Work is:
+
+    1. sign the new batch (linear in batch size, not corpus size);
+    2. band both sides and equi-join band hashes — the corpus-side
+       cost is one scan of the signature store (``num_hashes`` ints
+       per historical doc, not its text);
+    3. exact-verify candidates only: the texts of the few colliding
+       historical docs are fetched from ``corpus`` by a semi-join and
+       shingled on demand, so precision is exact while the verify cost
+       scales with candidates, not history.
+
+    Returns ``(new_id, old_id, jaccard)`` for cross-set pairs at or
+    above ``threshold``.
+    """
+    _check_banding(num_hashes, bands)
+    rows = num_hashes // bands
+    new_sig = with_minhash_signature(
+        new_docs, id_col=id_col, text_col=text_col, k=k,
+        num_hashes=num_hashes, seed=seed,
+    ).persist()
+    nb = _band_hashes(new_sig, id_col, "minhash", bands, rows, "new_id")
+    ob = _band_hashes(signature_store, id_col, "minhash", bands, rows, "old_id")
+    if max_signature_freq is not None:
+        freq = ob.groupBy("__band", "__bh").agg(F.count(F.lit(1)).alias("__freq"))
+        ob = (
+            ob.join(freq, ["__band", "__bh"])
+            .filter(F.col("__freq") <= max_signature_freq)
+            .drop("__freq")
+        )
+    cands = nb.join(ob, ["__band", "__bh"]).select("new_id", "old_id").distinct()
+    old_sh = with_shingles(
+        corpus.join(
+            cands.select(F.col("old_id").alias(id_col)).distinct(), id_col, "left_semi"
+        ),
+        text_col=text_col,
+        k=k,
+    )
+    sx = new_sig.select(F.col(id_col).alias("new_id"), F.col("shingles").alias("__sx"))
+    sy = old_sh.select(F.col(id_col).alias("old_id"), F.col("shingles").alias("__sy"))
+    inter = F.size(F.array_intersect(F.col("__sx"), F.col("__sy")))
+    union = F.size("__sx") + F.size("__sy") - inter
+    return (
+        cands.join(sx, "new_id")
+        .join(sy, "old_id")
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "old_id", "jaccard")
+    )
 
 
 def minhash_lsh_pairs(

@@ -383,3 +383,41 @@ class TestSemanticDedup:
         }
         assert set(sem) <= truth  # precision is exact: no false pairs
         assert len(sem) > 0
+
+
+class TestIncrementalDedup:
+    def test_new_batch_matches_history_via_signature_store(self, spark):
+        history = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely different content with other words here"),
+                (3, "one two three four five six seven eight"),
+            ],
+            "doc_id long, text string",
+        )
+        new_batch = spark.createDataFrame(
+            [
+                (10, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+                (11, "nothing like anything in the history corpus at all"),
+            ],
+            "doc_id long, text string",
+        )
+        # the store carries ONLY (id, signature) — the realistic index
+        store = D.with_minhash_signature(history, k=4, num_hashes=32).select(
+            "doc_id", "minhash"
+        )
+        out = D.incremental_minhash_pairs(
+            new_batch, store, history, k=4, num_hashes=32, bands=8, threshold=0.5
+        ).collect()
+        assert [(r.new_id, r.old_id) for r in out] == [(10, 1)]
+        assert out[0].jaccard == pytest.approx(1.0)
+
+    def test_bands_must_divide_hashes(self, spark):
+        df = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+        store = D.with_minhash_signature(df, k=4, num_hashes=32).select(
+            "doc_id", "minhash"
+        )
+        with pytest.raises(ValueError, match="divisible"):
+            D.incremental_minhash_pairs(
+                df, store, df, num_hashes=32, bands=7
+            )

@@ -230,3 +230,65 @@ class TestZOrder:
         lx, ly = spans(lpath, "x"), spans(lpath, "y")
         assert sum(lx) / len(lx) < 0.2, lx
         assert sum(ly) / len(ly) > 0.9, ly
+
+
+class TestCompaction:
+    def test_small_files_compact_to_target(self, spark, tmp_path):
+        from prioritizing_event_processing_with_apache_kafka_spark.sources.compaction import (
+            compact_parquet,
+            directory_bytes,
+        )
+
+        src = str(tmp_path / "tiny")
+        out = str(tmp_path / "compacted")
+        # 40 one-row files — the streaming-sink pathology
+        spark.range(40).repartition(40).write.parquet(src)
+        total = directory_bytes(spark, src)
+        assert total > 0
+        # target sized so everything lands in exactly 2 files
+        n = compact_parquet(spark, src, out, target_file_bytes=(total + 1) // 2)
+        assert n == 2
+        files = [f for f in __import__("os").listdir(out) if f.endswith(".parquet")]
+        assert len(files) == 2
+        back = spark.read.parquet(out)
+        assert sorted(r.id for r in back.collect()) == list(range(40))
+
+    def test_order_by_keeps_range_clustering(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        from prioritizing_event_processing_with_apache_kafka_spark.sources.compaction import (
+            compact_parquet,
+        )
+
+        src = str(tmp_path / "scattered")
+        out = str(tmp_path / "clustered")
+        spark.range(1000).selectExpr("id", "id % 97 AS key").repartition(
+            20
+        ).write.parquet(src)
+        compact_parquet(spark, src, out, target_file_bytes=1, order_by=["key"])
+        # every output file's key range must be disjoint from the others
+        import os
+
+        ranges = []
+        for f in sorted(os.listdir(out)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(out, f))
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(1)
+                los.append(col.statistics.min)
+                his.append(col.statistics.max)
+            ranges.append((min(los), max(his)))
+        ranges.sort()
+        assert len(ranges) >= 2
+        for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2
+
+    def test_rejects_bad_target(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from prioritizing_event_processing_with_apache_kafka_spark.sources.compaction import compact_parquet
+
+        with _pytest.raises(ValueError):
+            compact_parquet(spark, str(tmp_path), str(tmp_path / "o"), target_file_bytes=0)
