@@ -10,6 +10,10 @@ from prioritizing_event_processing_with_apache_kafka_spark.streaming.route_strea
     route_stream,
     routed_foreach_batch,
 )
+from prioritizing_event_processing_with_apache_kafka_spark.streaming.ingest import (
+    dedup_ingest_batch,
+    dedup_ingest_foreach_batch,
+)
 from prioritizing_event_processing_with_apache_kafka_spark.streaming.sinks import (
     idempotent_parquet_sink,
     read_idempotent_output,
@@ -32,6 +36,8 @@ __all__ = [
     "route_stream_stateful",
     "idempotent_parquet_sink",
     "read_idempotent_output",
+    "dedup_ingest_batch",
+    "dedup_ingest_foreach_batch",
     "routed_foreach_batch",
     "bucket_throughput",
     "dedup_within_watermark",
