@@ -52,6 +52,9 @@ HEADLINE = [
     "dedup_edit_distance",
     "span_dedup",
     "text_repetition",
+    "semantic_dedup",
+    "dedup_incremental",
+    "conversion_funnel",
 ]
 
 

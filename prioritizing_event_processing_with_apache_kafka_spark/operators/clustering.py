@@ -109,6 +109,10 @@ def kmeans_assignments(
     )
     assigned = _assign(vecs, centroids, vector_col=vector_col, id_col=id_col)
     for _ in range(n_iter - 1):
-        centroids = _update(assigned, vector_col=vector_col)
+        # The k-row centroid frame is the whole state between
+        # iterations; persisting it truncates the recompute chain (the
+        # broadcast in the next _assign would otherwise replay every
+        # earlier iteration) while caching only k × dim doubles.
+        centroids = _update(assigned, vector_col=vector_col).persist()
         assigned = _assign(vecs, centroids, vector_col=vector_col, id_col=id_col)
     return assigned.select(id_col, "cluster", "d2")

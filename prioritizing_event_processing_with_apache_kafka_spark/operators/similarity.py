@@ -334,17 +334,35 @@ def semantic_neardup_pairs(
     assigned = kmeans_assignments(
         vecs, vector_col=vector_col, id_col=id_col, k=k, n_iter=n_iter
     ).select(id_col, "cluster")
-    members = vecs.select(id_col, vector_col).join(assigned, id_col)
+    # Persisted: both sides of the in-cluster self-join read this frame
+    # (without the cache each side would replay the full k-means).
+    # The squared norm is precomputed per member so each PAIR costs one
+    # dot-product fold instead of three — the expression
+    # dot/(sqrt(n2x)·sqrt(n2y)) is arithmetic-identical to cosine(),
+    # so results (and oracle hashes) are unchanged.
+    members = (
+        vecs.select(id_col, vector_col)
+        .join(assigned, id_col)
+        .withColumn("__n2", dot(vector_col, vector_col))
+        .persist()
+    )
     a = members.select(
-        "cluster", F.col(id_col).alias("x"), F.col(vector_col).alias("__va")
+        "cluster",
+        F.col(id_col).alias("x"),
+        F.col(vector_col).alias("__va"),
+        F.col("__n2").alias("__n2x"),
     )
     b = members.select(
-        "cluster", F.col(id_col).alias("y"), F.col(vector_col).alias("__vb")
+        "cluster",
+        F.col(id_col).alias("y"),
+        F.col(vector_col).alias("__vb"),
+        F.col("__n2").alias("__n2y"),
     )
+    cos = dot("__va", "__vb") / (F.sqrt(F.col("__n2x")) * F.sqrt(F.col("__n2y")))
     return (
         a.join(b, "cluster")
         .filter(F.col("x") < F.col("y"))
-        .withColumn("cos_sim", F.round(cosine("__va", "__vb"), 6))
+        .withColumn("cos_sim", F.round(cos, 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("cluster", "x", "y", "cos_sim")
     )
