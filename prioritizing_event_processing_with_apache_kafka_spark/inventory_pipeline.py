@@ -741,6 +741,60 @@ GROUP BY sp.doc_id
 """
 
 
+def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate audit: the 20 most-shared 10-token spans (by distinct
+    documents, then occurrences) — the report you read before choosing
+    a span-removal threshold."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    freq = D.span_frequencies(docs, span_tokens=10)
+    return freq.orderBy(
+        F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span")
+    ).limit(20)
+
+
+SQL_BOILERPLATE_SPANS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sp AS (
+  SELECT doc_id, array_to_string(t[(i*10+1):(i*10+10)], ' ') AS span
+  FROM toks, generate_series(0, 299) s(i)
+  WHERE i * 10 < len(t)
+)
+SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM sp GROUP BY span
+ORDER BY n_docs DESC, n_occurrences DESC, span ASC
+LIMIT 20
+"""
+
+
+def q_text_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality signal (exact-arithmetic perplexity
+    stand-in): per-doc mean corpus frequency of its bigrams and the
+    rare-bigram fraction."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.corpus_bigram_stats(docs, rare_threshold=2)
+
+
+SQL_TEXT_BIGRAM_QUALITY = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                               i -> t[i] || ' ' || t[i+1])) AS b
+  FROM toks
+), f AS (
+  SELECT b, COUNT(*) AS c FROM bg GROUP BY b
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(c) AS DOUBLE) / COUNT(*) AS avg_bigram_freq,
+       CAST(SUM(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS rare_bigram_ratio
+FROM bg JOIN f USING (b) GROUP BY doc_id
+"""
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition ratios per document (duplicate-excess
     over tokens/bigrams/trigrams) — zero-shuffle quality features."""
@@ -1108,7 +1162,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontamination": q_decontamination,
     "dedup_incremental": q_dedup_incremental,
     "span_dedup": q_span_dedup,
+    "boilerplate_spans": q_boilerplate_spans,
     "text_repetition": q_text_repetition,
+    "text_bigram_quality": q_text_bigram_quality,
     "curation_funnel": q_curation_funnel,
     "reservoir_sample": q_reservoir_sample,
     "dataset_split": q_dataset_split,
@@ -1143,7 +1199,9 @@ PIPELINE_ORACLES: dict[str, str] = {
     "decontamination": SQL_DECONTAMINATION,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "span_dedup": SQL_SPAN_DEDUP,
+    "boilerplate_spans": SQL_BOILERPLATE_SPANS,
     "text_repetition": SQL_TEXT_REPETITION,
+    "text_bigram_quality": SQL_TEXT_BIGRAM_QUALITY,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "reservoir_sample": SQL_RESERVOIR_SAMPLE,
     "dataset_split": SQL_DATASET_SPLIT,

@@ -42,6 +42,7 @@ __all__ = [
     "with_shingles",
     "exact_dedup",
     "remove_duplicate_spans",
+    "span_frequencies",
     "contamination_pairs",
     "edit_distance_pairs",
     "ngram_jaccard_pairs",
@@ -112,6 +113,39 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _span_rows(
+    df: DataFrame, id_col: str, text_col: str, span_tokens: int
+) -> DataFrame:
+    """(id, __pos, __span) — disjoint consecutive token spans."""
+    toks = "__peps_toks"
+    spans = (
+        f"transform(sequence(0, cast(ceil(size({toks}) / {span_tokens}.0) AS INT) - 1), "
+        f"i -> concat_ws(' ', slice({toks}, i * {span_tokens} + 1, {span_tokens})))"
+    )
+    return df.withColumn(toks, F.split(F.col(text_col), " ")).select(
+        id_col, F.posexplode(F.expr(spans)).alias("__pos", "__span")
+    )
+
+
+def span_frequencies(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 10,
+) -> DataFrame:
+    """Corpus-wide span frequency table: ``(span, n_docs, n_occurrences)``
+    per distinct ``span_tokens``-token span — the boilerplate report
+    behind :func:`remove_duplicate_spans` (one map-side-combinable
+    aggregation; the natural input to a "what IS the boilerplate"
+    audit before choosing a removal threshold)."""
+    sp = _span_rows(df, id_col, text_col, span_tokens)
+    return sp.groupBy(F.col("__span").alias("span")).agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     *,
@@ -142,15 +176,7 @@ def remove_duplicate_spans(
     input document; a fully-boilerplate document survives with an empty
     ``clean_text`` rather than disappearing.
     """
-    toks = "__peps_toks"
-    spans = (
-        f"transform(sequence(0, cast(ceil(size({toks}) / {span_tokens}.0) AS INT) - 1), "
-        f"i -> concat_ws(' ', slice({toks}, i * {span_tokens} + 1, {span_tokens})))"
-    )
-    sp = (
-        df.withColumn(toks, F.split(F.col(text_col), " "))
-        .select(id_col, F.posexplode(F.expr(spans)).alias("__pos", "__span"))
-    )
+    sp = _span_rows(df, id_col, text_col, span_tokens)
     freq = sp.groupBy("__span").agg(
         F.countDistinct(id_col).alias("__n_docs")
     )

@@ -33,6 +33,7 @@ __all__ = [
     "language_guess",
     "fingerprint",
     "repetition_stats",
+    "corpus_bigram_stats",
 ]
 
 # Tiny deterministic stopword list (intersects the fixture vocabulary).
@@ -169,4 +170,61 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             f"aggregate(split({text_col}, ' '), 0L, "
             f"(acc, t) -> (acc * {FP_MULT} + (length(t) * {FP_MULT} + ascii(substring(t, 1, 1)))) % {FP_MOD})"
         ),
+    )
+
+
+def corpus_bigram_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_threshold: int = 2,
+) -> DataFrame:
+    """Corpus-frequency quality signal per document — the exact-
+    arithmetic stand-in for an n-gram-LM perplexity filter.
+
+    A language-model perplexity score needs float log-sums whose value
+    depends on summation order — unusable for a bit-reproducible,
+    oracle-checkable gate at 1000-way parallelism. The same filtering
+    signal survives in integer form: score each document by how common
+    its token bigrams are in the whole corpus.
+
+    - ``n_bigrams``         — bigrams in the document;
+    - ``avg_bigram_freq``   — mean corpus occurrence count of them
+      (integer sum ÷ count, one exact division — high for templated/
+      boilerplate text, low for unusual text);
+    - ``rare_bigram_ratio`` — fraction whose corpus count ≤
+      ``rare_threshold`` (the "likely garbage or very novel" flag).
+
+    Shape: one corpus pass builds the bigram frequency table
+    (map-side-combinable count), one shuffle join scores documents
+    against it, one groupBy(doc) reassembles — the span-dedup shape,
+    linear at any corpus size.
+    """
+    toks = "__peps_toks"
+    bigram = (
+        f"transform(arrays_zip("
+        f"slice({toks}, 1, greatest(size({toks}) - 1, 0)), "
+        f"slice({toks}, 2, greatest(size({toks}) - 1, 0))), "
+        f"s -> concat_ws(' ', s.`0`, s.`1`))"
+    )
+    bg = df.withColumn(toks, tokens(text_col)).select(
+        id_col, F.explode(F.expr(bigram)).alias("__bg")
+    )
+    freq = bg.groupBy("__bg").agg(F.count(F.lit(1)).alias("__freq"))
+    return (
+        bg.join(freq, "__bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum("__freq").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_bigram_freq"),
+            (
+                F.sum(
+                    F.when(F.col("__freq") <= rare_threshold, 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("rare_bigram_ratio"),
+        )
     )

@@ -421,3 +421,33 @@ class TestIncrementalDedup:
             D.incremental_minhash_pairs(
                 df, store, df, num_hashes=32, bands=7
             )
+
+
+class TestSpanFrequencies:
+    def test_doc_and_occurrence_counts(self, spark):
+        rows = [(0, "a b a b"), (1, "a b c d")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.span: (r.n_docs, r.n_occurrences)
+            for r in D.span_frequencies(df, span_tokens=2).collect()
+        }
+        assert out["a b"] == (2, 3)  # twice in doc 0, once in doc 1
+        assert out["c d"] == (1, 1)
+
+
+class TestCorpusBigramStats:
+    def test_freqs_and_rare_ratio(self, spark):
+        rows = [
+            (0, "x y x y"),     # bigrams: "x y"(corpus c=3), "y x"(1), "x y"
+            (1, "x y z w"),     # bigrams: "x y", "y z"(1), "z w"(1)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r
+            for r in TX.corpus_bigram_stats(df, rare_threshold=1).collect()
+        }
+        assert out[0].n_bigrams == 3
+        assert out[0].avg_bigram_freq == pytest.approx((3 + 1 + 3) / 3)
+        assert out[0].rare_bigram_ratio == pytest.approx(1 / 3)
+        assert out[1].avg_bigram_freq == pytest.approx((3 + 1 + 1) / 3)
+        assert out[1].rare_bigram_ratio == pytest.approx(2 / 3)
