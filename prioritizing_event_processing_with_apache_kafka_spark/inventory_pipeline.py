@@ -635,6 +635,49 @@ WHERE {coin} < CASE event_type WHEN 'error' THEN 1.0
 SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest deterministic sample hitting a 4:2:1 source mixture
+    (src0:src1:src2; other sources dropped) — per-source rates derived
+    from counts, broadcast onto one fact scan."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return mixture_sample(
+        docs, key="doc_id", strata_col="source",
+        weights={"src0": 4.0, "src1": 2.0, "src2": 1.0},
+    ).select("doc_id", "source")
+
+
+def _sql_mixture_sample() -> str:
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sampling import (
+        hash_coin_sql,
+    )
+
+    coin = hash_coin_sql("d.doc_id")
+    return f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS cnt,
+         CASE source WHEN 'src0' THEN 4.0 WHEN 'src1' THEN 2.0
+                     WHEN 'src2' THEN 1.0 END AS w
+  FROM documents GROUP BY source
+), included AS (
+  SELECT * FROM counts WHERE w IS NOT NULL
+), scl AS (
+  SELECT MIN(CAST(cnt AS DOUBLE) / w) AS scale FROM included
+), rates AS (
+  SELECT source, scale * w / CAST(cnt AS DOUBLE) AS rate FROM included, scl
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates USING (source)
+WHERE {coin} < rate
+"""
+
+
+SQL_MIXTURE_SAMPLE = _sql_mixture_sample()
+
+
 def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level near-dup pairs: Levenshtein ≤ 50 over
     shared-shingle candidates (banded DP via the threshold variant)."""
@@ -1158,6 +1201,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "dedup_components": q_dedup_components,
     "stratified_sample": q_stratified_sample,
+    "mixture_sample": q_mixture_sample,
     "dedup_edit_distance": q_dedup_edit_distance,
     "decontamination": q_decontamination,
     "dedup_incremental": q_dedup_incremental,
@@ -1195,6 +1239,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "mixture_sample": SQL_MIXTURE_SAMPLE,
     "dedup_edit_distance": SQL_DEDUP_EDIT_DISTANCE,
     "decontamination": SQL_DECONTAMINATION,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,

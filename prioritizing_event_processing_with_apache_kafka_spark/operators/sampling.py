@@ -33,6 +33,7 @@ __all__ = [
     "hash_sample",
     "stratified_hash_sample",
     "reservoir_hash_sample",
+    "mixture_sample",
     "profile",
 ]
 
@@ -136,6 +137,61 @@ def reservoir_hash_sample(
         survivors.withColumn("__rs_rank", rank)
         .filter(F.col("__rs_rank") <= n)
         .drop("__rs_coin", "__rs_t", "__rs_rank")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    *,
+    key: str,
+    strata_col: str,
+    weights: dict[str, float],
+    salt: int = 0,
+) -> DataFrame:
+    """Largest deterministic sample matching a target mixture.
+
+    ``weights`` gives the desired *proportions* between strata (e.g.
+    ``{"web": 4, "books": 2, "code": 1}``); strata not listed are
+    dropped. The limiting stratum — the one with the least data
+    relative to its weight — is kept in full, and every other stratum
+    is hash-coin downsampled to ``scale·w_s / n_s`` where
+    ``scale = min_s(n_s / w_s)``, so expected sizes sit in exactly the
+    requested ratio and no stratum is oversampled (sampling without
+    replacement, no row duplicated).
+
+    Shape: two aggregates over the tiny (stratum, count) frame derive
+    the per-stratum rates, which broadcast back onto the single fact
+    scan as a filter — the same count-derived-threshold pattern as the
+    reservoir, no fact shuffle, reproducible on any engine via the
+    ``hash_coin`` replay.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one stratum")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("mixture weights must be positive")
+    w: Column = F.lit(None).cast("double")
+    for value, wt in weights.items():
+        w = F.when(F.col(strata_col) == F.lit(value), F.lit(float(wt))).otherwise(w)
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("__mx_cnt"))
+        .withColumn("__mx_w", w)
+        .filter(F.col("__mx_w").isNotNull())
+    )
+    scale = counts.agg(
+        F.min(F.col("__mx_cnt").cast("double") / F.col("__mx_w")).alias("__mx_scale")
+    )
+    rates = counts.join(F.broadcast(scale), how="cross").select(
+        strata_col,
+        (
+            F.col("__mx_scale") * F.col("__mx_w")
+            / F.col("__mx_cnt").cast("double")
+        ).alias("__mx_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(hash_coin(key, salt=salt) < F.col("__mx_rate"))
+        .drop("__mx_rate")
     )
 
 

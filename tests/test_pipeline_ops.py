@@ -451,3 +451,56 @@ class TestCorpusBigramStats:
         assert out[0].rare_bigram_ratio == pytest.approx(1 / 3)
         assert out[1].avg_bigram_freq == pytest.approx((3 + 1 + 1) / 3)
         assert out[1].rare_bigram_ratio == pytest.approx(2 / 3)
+
+
+class TestMixtureSample:
+    def test_limiting_stratum_full_and_ratios_hold(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.sampling import (
+            mixture_sample,
+        )
+
+        # 300 web / 300 books / 60 code rows; weights 4:2:1 make code
+        # the limiting stratum (60/1 < 300/2 < 300/4): scale=60, so
+        # expected kept = 240 web / 120 books / 60 code (code in full).
+        rows = (
+            [(i, "web") for i in range(300)]
+            + [(1000 + i, "books") for i in range(300)]
+            + [(2000 + i, "code") for i in range(60)]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = mixture_sample(
+            df, key="doc_id", strata_col="source",
+            weights={"web": 4.0, "books": 2.0, "code": 1.0},
+        )
+        got = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+        assert got["code"] == 60           # limiting stratum kept whole
+        # hash-coin sampling: expected 240/120, allow ~4 sigma
+        assert abs(got["web"] - 240) < 40
+        assert abs(got["books"] - 120) < 35
+        # determinism: identical set on a different partitioning
+        again = mixture_sample(
+            df.repartition(13), key="doc_id", strata_col="source",
+            weights={"web": 4.0, "books": 2.0, "code": 1.0},
+        )
+        assert {r.doc_id for r in again.collect()} == {
+            r.doc_id for r in out.collect()
+        }
+
+    def test_unlisted_strata_dropped_and_bad_weights_rejected(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.sampling import (
+            mixture_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "a"), (1, "b")], "doc_id long, source string"
+        )
+        out = mixture_sample(
+            df, key="doc_id", strata_col="source", weights={"a": 1.0}
+        )
+        assert [r.source for r in out.collect()] == ["a"]
+        with pytest.raises(ValueError):
+            mixture_sample(df, key="doc_id", strata_col="source", weights={})
+        with pytest.raises(ValueError):
+            mixture_sample(
+                df, key="doc_id", strata_col="source", weights={"a": -1.0}
+            )
