@@ -433,7 +433,313 @@ ORDER BY 1
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no ``partsupp``, so the part-supplier
+    relation and its cost are derived from lineitem — unit cost =
+    shipped revenue / shipped quantity, both summed as DECIMAL before
+    one double division): for every LARGE-type part, the EUROPE
+    supplier(s) offering the minimum unit cost.
+
+    The correlated MIN becomes a window over the aggregated (tiny)
+    part×supplier frame — one shuffle to build it, no re-scan for the
+    subquery. Dimensions broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    euro_supp = (
+        supp.join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = (
+        li.join(F.broadcast(euro_supp), li["l_suppkey"] == euro_supp["s_suppkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (
+                F.sum(_dec("l_extendedprice")).cast("double")
+                / F.sum(_dec("l_quantity")).cast("double")
+            ).alias("supply_cost")
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    cheapest = (
+        ps.withColumn("__min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("__min_cost"))
+        .drop("__min_cost")
+    )
+    return (
+        cheapest.join(F.broadcast(part), cheapest["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(euro_supp), cheapest["l_suppkey"] == euro_supp["s_suppkey"])
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supply_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+SQL_Q2 = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS supply_cost
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY 1, 2
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supply_cost
+FROM ps
+JOIN part ON ps.l_partkey = p_partkey
+JOIN supplier ON ps.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'LARGE'
+  AND supply_cost = (SELECT MIN(p2.supply_cost) FROM ps p2
+                     WHERE p2.l_partkey = ps.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: no ``partsupp``, so a part's "stock
+    value" for NATION_7 suppliers is its discounted shipped revenue):
+    parts whose value exceeds 0.1% of the nation's total.
+
+    The total is a second aggregate over the per-part frame (tiny),
+    broadcast back as a scalar — the 60k-row fact is scanned once. All
+    sums stay DECIMAL until the final double comparison, so the
+    threshold test is bit-stable cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    value = _dec("l_extendedprice") * (_one() - _dec("l_discount"))
+    per_part = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(value).alias("__val_dec"))
+    )
+    total = per_part.agg(F.sum("__val_dec").cast("double").alias("__total"))
+    return (
+        per_part.join(
+            F.broadcast(total),
+            F.col("__val_dec").cast("double") > F.lit(0.001) * F.col("__total"),
+        )
+        .select("ps_partkey", F.col("__val_dec").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+SQL_Q11 = f"""
+WITH v AS (
+  SELECT l_partkey AS ps_partkey, {_SQL_REVENUE} AS val_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY 1
+)
+SELECT ps_partkey, CAST(val_dec AS DOUBLE) AS part_value
+FROM v
+WHERE CAST(val_dec AS DOUBLE) > 0.001 * (SELECT CAST(SUM(val_dec) AS DOUBLE) FROM v)
+ORDER BY part_value DESC, ps_partkey
+"""
+
+
+def q12_priority_by_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no ``l_shipmode``/``l_commitdate``, so
+    the grouping column is the ship-delay bucket — late means shipped
+    more than 60 days after the order date, the same rule Q4/Q21 use):
+    high- vs low-priority line counts per bucket. One fact⋈fact shuffle,
+    conditional sums in a single aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    bucket = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        F.lit("late"),
+    ).otherwise(F.lit("ontime"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+SQL_Q12 = """
+SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+            THEN 'late' ELSE 'ontime' END AS ship_bucket,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: part-supplier pairs derived from
+    lineitem; the excluded-supplier subquery keeps its NOT IN shape but
+    excludes negative-balance suppliers instead of complaint comments):
+    distinct supplier count per (brand, type, size) for selected sizes.
+
+    The exclusion set is a broadcast anti join; the distinct count runs
+    on the deduped pair frame, not raw lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(
+            F.broadcast(bad_supp), pairs["l_suppkey"] == bad_supp["s_suppkey"], "left_anti"
+        )
+        .join(F.broadcast(part), pairs["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+SQL_Q16 = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no ``partsupp`` availability, so the
+    inner correlated quantity test becomes "shipped more than 40 units
+    of some red part during 1996"; the nation restriction stays):
+    NATION_5 suppliers who moved excess volume of red parts.
+
+    The nested IN becomes agg → HAVING → semi join; part and nation
+    broadcast, one shuffle on (suppkey, partkey)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    heavy = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__qty"))
+        .filter(F.col("__qty") > F.lit(40).cast("decimal(18,2)"))
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(heavy, supp["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+SQL_Q20 = """
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'red%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > CAST(40 AS DECIMAL(18,2))
+  )
+ORDER BY s_name
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: "late" = shipped more than 60 days
+    after the order date, and the result keeps every nation with the
+    nation name in the output instead of restricting to one): suppliers
+    who were the ONLY late supplier on a finalized multi-supplier order,
+    counted per late line (classic Q21 counts l1 rows, not orders).
+
+    The EXISTS / NOT EXISTS pair collapses into one per-order aggregate
+    (distinct suppliers, distinct late suppliers) joined back to the
+    late lines — lineitem is scanned once and shuffled once on
+    l_orderkey, instead of the three correlated probes the SQL
+    spells."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    lines = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).withColumn(
+        "__late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lines.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.countDistinct("l_suppkey").alias("__ns"),
+        F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias("__nl"),
+    )
+    sole_late = (
+        lines.filter(F.col("__late"))
+        .join(per_order, F.col("l_orderkey") == F.col("__ok"))
+        .filter((F.col("__ns") >= 2) & (F.col("__nl") == 1))
+    )
+    return (
+        sole_late.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .select("s_name", "n_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+SQL_Q21 = """
+SELECT s_name, n_name, COUNT(*) AS numwait
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 TPCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_parts": q11_important_parts,
+    "q12_priority_by_lateness": q12_priority_by_lateness,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q20_excess_shippers": q20_excess_shippers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "q4_order_priority": q4_order_priority,
     "q7_nation_volume": q7_nation_volume,
     "q8_market_share": q8_market_share,
@@ -446,6 +752,12 @@ TPCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 TPCH_ORACLES: dict[str, str] = {
+    "q2_min_cost_supplier": SQL_Q2,
+    "q11_important_parts": SQL_Q11,
+    "q12_priority_by_lateness": SQL_Q12,
+    "q16_supplier_part_counts": SQL_Q16,
+    "q20_excess_shippers": SQL_Q20,
+    "q21_waiting_suppliers": SQL_Q21,
     "q4_order_priority": SQL_Q4,
     "q7_nation_volume": SQL_Q7,
     "q8_market_share": SQL_Q8,
