@@ -29,7 +29,7 @@ from prioritizing_event_processing_with_apache_kafka_spark.operators import (
     similarity as S,
 )
 from prioritizing_event_processing_with_apache_kafka_spark.operators import text as TX
-from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import load_table
+from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import load_table, spread
 
 __all__ = ["PIPELINE_QUERIES", "PIPELINE_ORACLES"]
 
@@ -78,7 +78,7 @@ WHERE CAST(len(list_intersect(sx.shingles, sy.shingles)) AS DOUBLE)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return D.ngram_jaccard_pairs(docs, k=4, threshold=0.5)
 
 
@@ -88,7 +88,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verified truth-set-equal at sf0.01 AND sf0.1 — at a quarter of the
     # 128/32 default's grid cost. Raise toward the default for corpora
     # with near-dups close to the 0.5 threshold.
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return D.minhash_lsh_pairs(docs, k=4, num_hashes=32, bands=8, threshold=0.5)
 
 
@@ -96,7 +96,7 @@ def q_dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-permutation MinHash: signature from a single hash pass
     (32 bins), candidates exact-verified — output equals the
     ground-truth pair set, so it shares the n-gram Jaccard oracle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return D.oph_minhash_pairs(docs, k=4, bins=32, threshold=0.5)
 
 
@@ -110,7 +110,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # alternative — 16x4-bit chunks for a guaranteed radius of 15 —
     # buckets the corpus into 16 values per chunk position and goes
     # quadratic, the wrong trade at 100 TB.
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return D.simhash_pairs(
         docs, k=4, max_hamming=16, jaccard_threshold=0.5,
         allow_probabilistic_radius=True,
@@ -681,7 +681,7 @@ SQL_MIXTURE_SAMPLE = _sql_mixture_sample()
 def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level near-dup pairs: Levenshtein ≤ 50 over
     shared-shingle candidates (banded DP via the threshold variant)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return D.edit_distance_pairs(docs, k=4, max_distance=50)
 
 
@@ -715,7 +715,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact verification. Oracle = exact cross-set Jaccard ≥ 0.5 (the
     banded search recalls the full truth set on these fixtures, as
     with the batch MinHash operators)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     new_batch = docs.filter(F.col("doc_id") % 10 == 0)
     history = docs.filter(F.col("doc_id") % 10 != 0)
     store = D.with_minhash_signature(history, k=4, num_hashes=32).select(
@@ -757,7 +757,7 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicate-span removal: 10-token spans seen in
     more than one document are stripped from every document (planted
     exact/near duplicates in the fixture lose their repeated spans)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     return D.remove_duplicate_spans(docs, span_tokens=10, max_docs=1)
 
 
@@ -788,7 +788,7 @@ def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate audit: the 20 most-shared 10-token spans (by distinct
     documents, then occurrences) — the report you read before choosing
     a span-removal threshold."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     freq = D.span_frequencies(docs, span_tokens=10)
     return freq.orderBy(
         F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span")
@@ -815,7 +815,7 @@ def q_text_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency quality signal (exact-arithmetic perplexity
     stand-in): per-doc mean corpus frequency of its bigrams and the
     rare-bigram fraction."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     return TX.corpus_bigram_stats(docs, rare_threshold=2)
 
 
@@ -841,7 +841,7 @@ FROM bg JOIN f USING (b) GROUP BY doc_id
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition ratios per document (duplicate-excess
     over tokens/bigrams/trigrams) — zero-shuffle quality features."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     return TX.repetition_stats(docs).select(
         "doc_id", "n_tokens", "dup_token_ratio", "dup_bigram_ratio",
         "dup_trigram_ratio",
@@ -879,7 +879,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact dedup → near-dup drop → decontamination. Every stage is one of
     the already-oracle-checked operators composed sequentially — the
     100 TB pipeline story in a single DataFrame."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     s1 = (
         TX.quality_features(docs)
         .filter((F.col("n_tokens") >= 20) & (F.col("alnum_ratio") >= 0.75))
@@ -997,7 +997,7 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment against a benchmark subset (every 50th doc stands in
     for the eval set) reaches 0.6. Benchmark shingles broadcast; the
     corpus is scanned once and never shuffled."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     benchmark = docs.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("bench_id"), "text"
     )

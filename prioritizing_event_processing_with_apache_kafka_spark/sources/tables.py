@@ -15,7 +15,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["TABLE_NAMES", "EVENT_TYPE_BUCKET", "load_table", "load_tables", "with_routing_key"]
+__all__ = [
+    "TABLE_NAMES",
+    "EVENT_TYPE_BUCKET",
+    "load_table",
+    "load_tables",
+    "spread",
+    "with_routing_key",
+]
 
 TABLE_NAMES = (
     "region",
@@ -53,6 +60,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Fan a narrow scan out to the cluster's parallelism before
+    per-row-expensive expressions (higher-order lambdas, shingling,
+    per-pair folds).
+
+    Parquet splits at row-group boundaries, so a small input (or one
+    written with large row groups) can scan as a single task and
+    serialize all downstream per-row work onto one core. At real scale
+    the scan yields thousands of splits and this is a **no-op** — only
+    when the scan's partition count is below the cluster's parallelism
+    (where the corpus is by definition small and the shuffle trivially
+    cheap) does it inject a round-robin repartition.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def bucket_for_event_type(event_type_col) -> Column:
