@@ -1173,6 +1173,197 @@ SQL_TABLE_PROFILE = " UNION ALL ".join(
 )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (16-token windows, stride 8 → 8
+    tokens of overlap): the context-window splitter before packing."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    return TX.chunk_documents(docs, chunk_size=16, stride=8)
+
+
+SQL_DOC_CHUNKS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), n AS (
+  SELECT doc_id, t, 1 + (greatest(len(t) - 16, 0) + 7) // 8 AS nc FROM toks
+), ex AS (
+  SELECT doc_id, t, unnest(generate_series(0, nc - 1)) AS i FROM n
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       array_to_string(t[i*8+1 : i*8+16], ' ') AS chunk_text,
+       CAST(len(t[i*8+1 : i*8+16]) AS INT) AS n_chunk_tokens
+FROM ex
+"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus tokens with cumulative coverage — the tokenizer-
+    vocabulary sizing query."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select("text")
+    return TX.vocab_coverage(docs, top_k=100)
+
+
+SQL_VOCAB_COVERAGE = """
+WITH freq AS (
+  SELECT t AS token, COUNT(*) AS occurrences
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(occurrences) AS DOUBLE) AS total FROM freq
+), r AS (
+  SELECT token, occurrences,
+         ROW_NUMBER() OVER (ORDER BY occurrences DESC, token ASC) AS vocab_rank,
+         SUM(occurrences) OVER (ORDER BY occurrences DESC, token ASC
+                                ROWS UNBOUNDED PRECEDING) AS cum
+  FROM freq
+)
+SELECT CAST(vocab_rank AS INT) AS vocab_rank, token, occurrences,
+       ROUND(CAST(cum AS DOUBLE) / (SELECT total FROM tot), 6) AS coverage
+FROM r WHERE vocab_rank <= 100
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing proved on every row: the fixture corpus carries no
+    PII, so each document is deterministically augmented with a planted
+    email, IPv4, and SSN-shaped id derived from ``doc_id``, then
+    scrubbed — the oracle replays the same augmentation and regexes, so
+    redacted text and per-class counts are compared bit-exact across
+    the whole corpus."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    did = F.col("doc_id")
+    aug = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.concat(F.lit("reach me at user"), did.cast("string"), F.lit("@example.com")),
+        F.concat(
+            F.lit("host 10.0."),
+            (did % 250).cast("string"),
+            F.lit("."),
+            ((did * 7) % 250).cast("string"),
+        ),
+        F.concat(
+            F.lit("ssn 123-45-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    return TX.redact_pii(
+        docs.withColumn("text_aug", aug).select("doc_id", "text_aug"),
+        text_col="text_aug",
+    ).select("doc_id", "n_email", "n_ssn", "n_ipv4", "redacted")
+
+
+SQL_PII_REDACT = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' reach me at user' || doc_id || '@example.com' ||
+         ' host 10.0.' || (doc_id % 250) || '.' || ((doc_id * 7) % 250) ||
+         ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
+  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+FROM aug
+"""
+
+
+_SQL_QUANTIZE_CTE = """
+WITH s AS (
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0.0
+              THEN 0.0
+              ELSE 127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) END
+           AS q_scale,
+         embedding
+  FROM embeddings
+), qq AS (
+  SELECT vec_id, q_scale,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * q_scale) AS INT)) AS q
+  FROM s
+)
+"""
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization audit: per-vector scale plus exact integer
+    summaries (sum, L1, squared norm) of the quantized code — the
+    integer outputs make the whole quantization arithmetic
+    oracle-checkable without comparing raw arrays."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = S.quantize_vectors(emb)
+    return q.select(
+        "vec_id",
+        "q_scale",
+        F.expr("aggregate(qvec, 0L, (acc, v) -> acc + v)").alias("q_sum"),
+        F.expr("aggregate(qvec, 0L, (acc, v) -> acc + abs(v))").alias("q_l1"),
+        F.expr("aggregate(qvec, 0L, (acc, v) -> acc + CAST(v AS BIGINT) * v)").alias(
+            "q_sq"
+        ),
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = (
+    _SQL_QUANTIZE_CTE
+    + """
+SELECT vec_id, q_scale,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+       CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS q_sq
+FROM qq
+"""
+)
+
+
+def q_embedding_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k in int8-quantized space (scales cancel in the cosine).
+    Deterministically approximate — the integer ranking is reproducible
+    bit-for-bit, so unlike LSH/IVF it gets a full value oracle; recall
+    vs the exact fp ranking is asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.quantized_ann_topk(emb, queries, k=5)
+
+
+_SQL_INT_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(generate_series(1, len({a})), i -> CAST({a}[i] AS BIGINT) * {b}[i])), "
+    "(acc, v) -> acc + v)"
+)
+
+SQL_EMBEDDING_ANN_INT8 = (
+    _SQL_QUANTIZE_CTE
+    + f"""
+, n AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS n2
+  FROM qq
+), qset AS (
+  SELECT vec_id AS query_id, q AS qv, n2 AS qn2 FROM n WHERE vec_id < 5
+), scored AS (
+  SELECT qset.query_id, n.vec_id,
+         ROUND(CAST({_SQL_INT_DOT.format(a='n.q', b='qset.qv')} AS DOUBLE)
+               / sqrt(CAST(n.n2 AS DOUBLE) * qn2), 6) AS qcos_sim
+  FROM n CROSS JOIN qset
+  WHERE n.vec_id <> qset.query_id
+), ranked AS (
+  SELECT query_id, vec_id, qcos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY qcos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank, qcos_sim
+FROM ranked WHERE rank <= 5
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1214,6 +1405,11 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_split": q_dataset_split,
     "doc_packing": q_doc_packing,
     "table_profile": q_table_profile,
+    "doc_chunks": q_doc_chunks,
+    "vocab_coverage": q_vocab_coverage,
+    "pii_redact": q_pii_redact,
+    "embedding_quantize": q_embedding_quantize,
+    "embedding_ann_int8": q_embedding_ann_int8,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -1252,4 +1448,9 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dataset_split": SQL_DATASET_SPLIT,
     "doc_packing": SQL_DOC_PACKING,
     "table_profile": SQL_TABLE_PROFILE,
+    "doc_chunks": SQL_DOC_CHUNKS,
+    "vocab_coverage": SQL_VOCAB_COVERAGE,
+    "pii_redact": SQL_PII_REDACT,
+    "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
+    "embedding_ann_int8": SQL_EMBEDDING_ANN_INT8,
 }

@@ -35,6 +35,8 @@ __all__ = [
     "with_ivf_cell",
     "ivf_ann_topk",
     "semantic_neardup_pairs",
+    "quantize_vectors",
+    "quantized_ann_topk",
 ]
 
 
@@ -296,6 +298,89 @@ def lsh_ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", "cos_sim")
+    )
+
+
+def quantize_vectors(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    scale_col: str = "q_scale",
+    out_col: str = "qvec",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = 127/max|v|``,
+    ``q_i = round(v_i * scale)`` — the 4× (fp32) / 8× (fp64) footprint
+    cut used to keep billion-vector indexes in memory.
+
+    Everything is native expressions in a fixed evaluation order
+    (float32 → float64 promotion is exact, one double division, one
+    HALF_UP round), so quantized vectors are bit-identical across
+    engines and the operator is oracle-checkable. Zero vectors get
+    ``scale = 0`` and an all-zero code (not NaN).
+    """
+    max_abs = f"array_max(transform({vec_col}, x -> abs(CAST(x AS DOUBLE))))"
+    scale = f"(CASE WHEN {max_abs} = 0.0 THEN 0.0 ELSE 127.0 / {max_abs} END)"
+    qvec = f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS INT))"
+    return df.withColumn(scale_col, F.expr(scale)).withColumn(out_col, F.expr(qvec))
+
+
+def quantized_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors.
+
+    Scoring uses the quantized cosine ``dot(qa, qb) / (|qa| |qb|)`` —
+    the per-vector scales cancel, so the whole ranking runs on exact
+    integer dot products plus one double division per pair. Unlike
+    LSH/IVF this is *deterministically* approximate: the score drifts
+    from true cosine only by quantization error, the computation itself
+    is reproducible bit-for-bit (full DuckDB oracle; recall vs the
+    exact ranking is asserted in tests).
+
+    Scale shape: same as :func:`cosine_topk` (broadcast queries, one
+    corpus scan) but each pair costs an int32 multiply-add fold instead
+    of double arithmetic, and a quantized corpus column read is ~4×
+    less I/O than the fp32 original.
+    """
+    qc = quantize_vectors(corpus, vec_col=vec_col).withColumn(
+        "__n2c", F.expr("aggregate(qvec, 0L, (acc, v) -> acc + CAST(v AS BIGINT) * v)")
+    )
+    qq = (
+        quantize_vectors(queries.select(query_id_col, vec_col), vec_col=vec_col)
+        .withColumn(
+            "__n2q",
+            F.expr("aggregate(qvec, 0L, (acc, v) -> acc + CAST(v AS BIGINT) * v)"),
+        )
+        .select(
+            query_id_col, F.col("qvec").alias("__qq"), F.col("__n2q")
+        )
+    )
+    int_dot = F.expr(
+        "aggregate(zip_with(qvec, __qq, (x, y) -> CAST(x AS BIGINT) * y), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    scored = (
+        qc.join(F.broadcast(qq), F.col(query_id_col) != F.col(id_col))
+        .withColumn(
+            "qcos_sim",
+            F.round(
+                int_dot.cast("double")
+                / (F.sqrt(F.col("__n2c").cast("double") * F.col("__n2q"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("qcos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "qcos_sim")
     )
 
 

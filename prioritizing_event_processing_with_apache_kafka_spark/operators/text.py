@@ -22,7 +22,7 @@ Spark's ``aggregate`` and DuckDB's ``list_reduce`` reproduce bit-exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -34,6 +34,10 @@ __all__ = [
     "fingerprint",
     "repetition_stats",
     "corpus_bigram_stats",
+    "chunk_documents",
+    "vocab_coverage",
+    "redact_pii",
+    "PII_PATTERNS",
 ]
 
 # Tiny deterministic stopword list (intersects the fixture vocabulary).
@@ -171,6 +175,130 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             f"(acc, t) -> (acc * {FP_MULT} + (length(t) * {FP_MULT} + ascii(substring(t, 1, 1)))) % {FP_MOD})"
         ),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 16,
+    stride: int = 8,
+) -> DataFrame:
+    """Sliding-window token chunking — the context-window splitter every
+    LLM training pipeline runs before tokenized packing.
+
+    Emits one row per chunk: ``(id, chunk_id, chunk_text,
+    n_chunk_tokens)``. Chunk *i* covers tokens ``[i·stride, i·stride +
+    chunk_size)``; with ``stride < chunk_size`` consecutive chunks
+    overlap by ``chunk_size - stride`` tokens so no boundary context is
+    lost. The chunk count is exact integer arithmetic
+    (``1 + ⌈max(n - chunk_size, 0) / stride⌉``), the last chunk may be
+    short but never empty, and a document shorter than one window yields
+    exactly one chunk.
+
+    Pure narrow explode — no shuffle, scales with input splits; output
+    row count is ~``n_tokens / stride`` per document, the fan-out any
+    downstream tokenizer pays anyway.
+    """
+    if stride < 1 or chunk_size < 1:
+        raise ValueError("chunk_size and stride must be >= 1")
+    toks = "__peps_toks"
+    n_chunks = (
+        f"1 + (greatest(size({toks}) - {chunk_size}, 0) + {stride - 1}) div {stride}"
+    )
+    return (
+        df.withColumn(toks, tokens(text_col))
+        .withColumn("chunk_id", F.explode(F.expr(f"sequence(0, ({n_chunks}) - 1)")))
+        .withColumn(
+            "chunk_text",
+            F.expr(f"array_join(slice({toks}, chunk_id * {stride} + 1, {chunk_size}), ' ')"),
+        )
+        .withColumn(
+            "n_chunk_tokens",
+            F.expr(f"size(slice({toks}, chunk_id * {stride} + 1, {chunk_size}))"),
+        )
+        .select(id_col, "chunk_id", "chunk_text", "n_chunk_tokens")
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary head: the ``top_k`` most frequent tokens with
+    their corpus counts and the cumulative coverage fraction — the
+    standard first look when sizing a tokenizer vocabulary ("how many
+    types cover 90% of tokens?").
+
+    One explode + map-side-combinable count builds the frequency table;
+    the running sum is a window over the *aggregated* frame, which is
+    vocabulary-sized (≪ corpus) — the global sort it implies is over
+    thousands of rows even on a 100 TB corpus, never over the corpus
+    itself.
+    """
+    freq = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+    )
+    total = freq.agg(F.sum("occurrences").cast("double").alias("__total"))
+    w = Window.orderBy(F.desc("occurrences"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        freq.join(F.broadcast(total))
+        .withColumn("vocab_rank", F.row_number().over(w))
+        .withColumn(
+            "coverage", F.sum("occurrences").over(w).cast("double") / F.col("__total")
+        )
+        .filter(F.col("vocab_rank") <= top_k)
+        .select("vocab_rank", "token", "occurrences", F.round("coverage", 6).alias("coverage"))
+    )
+
+
+# PII patterns kept deliberately RE2-and-Java-compatible (no backrefs,
+# no lookaround) so the same regex runs identically in Spark and any
+# RE2-based oracle engine. Replacement order matters only in that each
+# class's token must not re-match a later pattern — the literal tokens
+# contain no digits or '@', so any order is safe.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Scrub personally-identifiable substrings (emails, SSN-shaped
+    ids, IPv4 addresses) from a text column — the compliance pass that
+    runs before any corpus leaves the ingestion boundary.
+
+    Adds ``out_col`` (the scrubbed text) plus one ``n_<class>`` count
+    per pattern class, counted on the *original* text so downstream
+    audits can aggregate PII density per source. All regexes execute
+    JVM-side (``regexp_replace`` / ``regexp_count``) — single narrow
+    pass, no shuffle, no Python.
+
+    The patterns are recall-oriented screens, not validators (e.g. the
+    IPv4 screen matches out-of-range octets like ``999.0.0.1`` —
+    over-redaction is the safe failure mode for PII).
+    """
+    out = df
+    redacted = F.col(text_col)
+    for name, pattern, token in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pattern))
+        )
+        redacted = F.regexp_replace(redacted, pattern, token)
+    return out.withColumn(out_col, redacted)
 
 
 def corpus_bigram_stats(

@@ -504,3 +504,107 @@ class TestMixtureSample:
             mixture_sample(
                 df, key="doc_id", strata_col="source", weights={"a": -1.0}
             )
+
+
+class TestChunking:
+    def test_overlap_and_coverage(self, spark):
+        text = " ".join(f"t{i}" for i in range(20))
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        out = (
+            TX.chunk_documents(df, chunk_size=8, stride=4)
+            .orderBy("chunk_id")
+            .collect()
+        )
+        # 20 tokens, window 8, stride 4 → 1 + ceil(12/4) = 4 chunks
+        assert [r.chunk_id for r in out] == [0, 1, 2, 3]
+        assert out[0].chunk_text.split(" ") == [f"t{i}" for i in range(8)]
+        # consecutive chunks overlap by chunk_size - stride = 4 tokens
+        assert out[1].chunk_text.split(" ")[:4] == out[0].chunk_text.split(" ")[4:]
+        # last chunk is the tail, shorter but non-empty
+        assert out[3].chunk_text.split(" ") == [f"t{i}" for i in range(12, 20)]
+        assert [r.n_chunk_tokens for r in out] == [8, 8, 8, 8]
+
+    def test_short_doc_single_chunk(self, spark):
+        df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+        out = TX.chunk_documents(df, chunk_size=8, stride=4).collect()
+        assert len(out) == 1
+        assert out[0].chunk_text == "a b c"
+        assert out[0].n_chunk_tokens == 3
+
+    def test_bad_params_rejected(self, spark):
+        df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            TX.chunk_documents(df, chunk_size=0)
+        with pytest.raises(ValueError):
+            TX.chunk_documents(df, stride=0)
+
+
+class TestVocabCoverage:
+    def test_ranking_and_cumulative_coverage(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a a a b"), (1, "a b c d")], "doc_id long, text string"
+        )
+        out = {r.token: r for r in TX.vocab_coverage(df, top_k=10).collect()}
+        assert out["a"].vocab_rank == 1 and out["a"].occurrences == 4
+        assert out["a"].coverage == 0.5
+        # b (2) then c, d (1 each, tie broken by token asc)
+        assert out["b"].vocab_rank == 2 and out["c"].vocab_rank == 3
+        assert out["d"].coverage == 1.0
+
+    def test_top_k_truncates(self, spark):
+        df = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+        assert TX.vocab_coverage(df, top_k=2).count() == 2
+
+
+class TestPiiRedaction:
+    def test_each_class_redacted_and_counted(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "mail bob.smith+x@corp.example.org now"),
+                (1, "server at 192.168.001.1 port open"),
+                (2, "id 123-45-6789 on file"),
+                (3, "clean text no pii"),
+                (4, "two mails a@b.io c@d.net and 1.2.3.4"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in TX.redact_pii(df).collect()}
+        assert out[0].redacted == "mail <EMAIL> now" and out[0].n_email == 1
+        assert out[1].redacted == "server at <IP> port open" and out[1].n_ipv4 == 1
+        assert out[2].redacted == "id <SSN> on file" and out[2].n_ssn == 1
+        assert out[3].redacted == "clean text no pii"
+        assert (out[3].n_email, out[3].n_ssn, out[3].n_ipv4) == (0, 0, 0)
+        assert out[4].redacted == "two mails <EMAIL> <EMAIL> and <IP>"
+        assert out[4].n_email == 2 and out[4].n_ipv4 == 1
+
+
+class TestQuantization:
+    def test_quantize_known_vector(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0, -2.0, 4.0]), (1, [0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = {r.vec_id: r for r in S.quantize_vectors(df).collect()}
+        # scale = 127/4 = 31.75 → round(1*31.75)=32, round(-2*31.75)=-64
+        assert out[0].qvec == [32, -64, 127]
+        assert out[0].q_scale == pytest.approx(31.75)
+        # zero vector: scale 0, all-zero code, no NaN
+        assert out[1].q_scale == 0.0 and out[1].qvec == [0, 0, 0]
+
+    def test_int8_topk_recall_vs_exact(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in S.cosine_topk(emb, queries, k=5).collect()
+        }
+        quant = {
+            (r.query_id, r.vec_id)
+            for r in S.quantized_ann_topk(emb, queries, k=5).collect()
+        }
+        recall = len(exact & quant) / len(exact)
+        # int8 error is tiny relative to neighbor gaps; near-perfect
+        # overlap expected, floor documents the contract
+        assert recall >= 0.8, f"int8 recall collapsed: {recall}"
