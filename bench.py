@@ -81,12 +81,33 @@ def main() -> int:
     def materialize(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    def isolate() -> None:
+        """Reset the session between measurements.
+
+        Running 28 persist-heavy queries in one JVM lets block-manager
+        and GC pressure from query N leak into query N+1's number
+        (round 2 recorded q1 at 4.7 s where a fresh session measures
+        ~1.1 s with the identical plan). Three steps restore a
+        near-fresh state without paying a JVM restart per query:
+        drop every cached frame, run two explicit GC passes (the first
+        collects, the second clears soft references the first
+        promoted), and let the executor threads settle on a trivial
+        query so the next measurement doesn't absorb GC tail work.
+        """
+        spark.catalog.clearCache()
+        jvm = spark.sparkContext._jvm
+        jvm.System.gc()
+        time.sleep(0.2)
+        jvm.System.gc()
+        materialize(queries["route_distribution"](spark, SF_DIR))
+
     # Warmup: spin up executor threads, codegen, parquet footers.
     materialize(queries["route_distribution"](spark, SF_DIR))
 
     # Best of two runs per query: the first run pays one-off costs
     # (codegen compile, parquet footer reads, broadcast build); the min
-    # is the steady-state number a warm cluster would see.
+    # is the steady-state number a warm cluster would see. Run 2 can't
+    # reuse run 1's caches — clearCache between runs.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
@@ -94,13 +115,9 @@ def main() -> int:
             t0 = time.time()
             materialize(queries[name](spark, SF_DIR))
             best = min(best, time.time() - t0)
-            # The near-dup/clustering operators persist() shared subtrees
-            # for the lifetime of their action; drop them so query N+1
-            # is measured clean instead of under N queries of
-            # accumulated block-manager pressure (and so run 2 can't
-            # silently reuse run 1's cache).
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
+        isolate()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -28,6 +28,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from prioritizing_event_processing_with_apache_kafka_spark.operators.caching import (
+    scoped_persist,
+)
+
 from prioritizing_event_processing_with_apache_kafka_spark.functions.keys import extract_bucket
 from prioritizing_event_processing_with_apache_kafka_spark.operators.routing import (
     layout_table,
@@ -1044,8 +1048,8 @@ def q_union_priority_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         routed.groupBy("bucket", "event_type")
         .agg(F.sum(dec_value).cast("double").alias("sum_value"))
-        .persist()
     )
+    agg = scoped_persist(agg)
 
     def tier(bucket: str) -> DataFrame:
         return agg.filter(F.col("bucket") == bucket).select(

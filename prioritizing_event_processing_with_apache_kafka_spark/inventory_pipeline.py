@@ -21,6 +21,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from prioritizing_event_processing_with_apache_kafka_spark.operators.caching import (
+    scoped_persist,
+)
+
 from prioritizing_event_processing_with_apache_kafka_spark.operators import dedup as D
 from prioritizing_event_processing_with_apache_kafka_spark.operators import (
     multimodal as M,
@@ -187,29 +191,54 @@ WHERE ROUND({_sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.4
 """
 
 
+def _with_recall_vs_exact(
+    ann: DataFrame, exact: DataFrame, *, k: int
+) -> DataFrame:
+    """Attach per-query ``recall_vs_exact`` (|ANN top-k ∩ exact top-k| / k)
+    to an ANN result — the self-certifying quality figure for queries
+    whose values can't have a SQL oracle (approximate by design). The
+    exact side is the same small query set, so the extra cost is one
+    more broadcast-scored corpus scan, not a new shape."""
+    hits = (
+        ann.select("query_id", "vec_id")
+        .join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg((F.count(F.lit(1)).cast("double") / k).alias("recall_vs_exact"))
+    )
+    return ann.join(hits, "query_id", "left").withColumn(
+        "recall_vs_exact", F.coalesce("recall_vs_exact", F.lit(0.0))
+    )
+
+
 def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-k with 2-cell multi-probe —
-    rows-only check (approximate by design)."""
+    rows-only check (approximate by design). Each row carries its
+    query's measured ``recall_vs_exact`` against the exact brute-force
+    top-k computed in the same query, so the driver's rows-check sees
+    the quality figure directly (≥ 0.4 floor asserted in tests)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.ivf_ann_topk(emb, queries, k=5, num_cells=8, nprobe=2)
+    ann = S.ivf_ann_topk(emb, queries, k=5, num_cells=8, nprobe=2)
+    return _with_recall_vs_exact(ann, S.cosine_topk(emb, queries, k=5), k=5)
 
 
 def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane-LSH approximate top-k (recall < 1 by
-    design) — rows-only check; recall@5 vs `embedding_topk` is measured
-    and asserted in ``tests/test_sinks_and_ann.py`` (4 planes × 8
-    tables → 0.84 at sf0.01 / 0.88 at sf0.1 on this corpus, whose true
-    neighbors sit near-orthogonal at cos 0.25-0.42 — the hard regime
-    for hyperplane LSH; deterministic seeded planes make the figure
-    reproducible)."""
+    design) — rows-only check; each row carries its query's measured
+    ``recall_vs_exact`` against the exact top-k computed in the same
+    query (4 planes × 8 tables → 0.84 at sf0.01 / 0.88 at sf0.1 on
+    this corpus, whose true neighbors sit near-orthogonal at cos
+    0.25-0.42 — the hard regime for hyperplane LSH; deterministic
+    seeded planes make the figure reproducible; ≥ 0.8 floor asserted
+    in ``tests/test_sinks_and_ann.py``)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.lsh_ann_topk(emb, queries, k=5, num_planes=4, num_tables=8)
+    ann = S.lsh_ann_topk(emb, queries, k=5, num_planes=4, num_tables=8)
+    return _with_recall_vs_exact(ann, S.cosine_topk(emb, queries, k=5), k=5)
 
 
 # ---------------------------------------------------------------------------
@@ -889,16 +918,16 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.language_guess(s1)
         .filter(F.col("lang_pred") == "en")
         .select("doc_id", "text")
-        .persist()
     )
-    s3 = s2.groupBy("text").agg(F.min("doc_id").alias("doc_id")).persist()
+    s2 = scoped_persist(s2)
+    s3 = scoped_persist(s2.groupBy("text").agg(F.min("doc_id").alias("doc_id")))
     # Shingle the surviving corpus ONCE; near-dup and decontamination
     # both reuse this frame (s4 ⊂ s3, so its shingles are a filter of
     # sh3, never a re-tokenization).
-    sh3 = D.with_shingles(s3, k=4).persist()
+    sh3 = scoped_persist(D.with_shingles(s3, k=4))
     pairs = D.ngram_jaccard_pairs(s3, k=4, threshold=0.5, shingled=sh3)
     dropped = pairs.select(F.col("y").alias("doc_id")).distinct()
-    s4 = s3.join(dropped, "doc_id", "left_anti").persist()
+    s4 = scoped_persist(s3.join(dropped, "doc_id", "left_anti"))
     bench = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 50 == 0)
@@ -1283,7 +1312,7 @@ WITH s AS (
   FROM embeddings
 ), qq AS (
   SELECT vec_id, q_scale,
-         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * q_scale) AS INT)) AS q
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * q_scale) AS TINYINT)) AS q
   FROM s
 )
 """
@@ -1351,7 +1380,7 @@ SQL_EMBEDDING_ANN_INT8 = (
          ROUND(CAST({_SQL_INT_DOT.format(a='n.q', b='qset.qv')} AS DOUBLE)
                / sqrt(CAST(n.n2 AS DOUBLE) * qn2), 6) AS qcos_sim
   FROM n CROSS JOIN qset
-  WHERE n.vec_id <> qset.query_id
+  WHERE n.vec_id <> qset.query_id AND n.n2 > 0 AND qset.qn2 > 0
 ), ranked AS (
   SELECT query_id, vec_id, qcos_sim,
          ROW_NUMBER() OVER (PARTITION BY query_id

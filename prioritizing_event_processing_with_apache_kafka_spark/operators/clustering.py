@@ -28,6 +28,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from prioritizing_event_processing_with_apache_kafka_spark.operators.caching import (
+    scoped_persist,
+)
+
 __all__ = ["squared_distance", "kmeans_assignments"]
 
 
@@ -113,6 +117,6 @@ def kmeans_assignments(
         # iterations; persisting it truncates the recompute chain (the
         # broadcast in the next _assign would otherwise replay every
         # earlier iteration) while caching only k × dim doubles.
-        centroids = _update(assigned, vector_col=vector_col).persist()
+        centroids = scoped_persist(_update(assigned, vector_col=vector_col))
         assigned = _assign(vecs, centroids, vector_col=vector_col, id_col=id_col)
     return assigned.select(id_col, "cluster", "d2")

@@ -38,6 +38,10 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from prioritizing_event_processing_with_apache_kafka_spark.operators.caching import (
+    scoped_persist,
+)
+
 __all__ = [
     "with_shingles",
     "exact_dedup",
@@ -221,12 +225,19 @@ def edit_distance_pairs(
     while the token-level edit count is below ``tokens/k``, which any
     near-duplicate is far under. Precision is exact: reported distances
     are true distances ≤ ``max_distance``.
+
+    Before the DP runs, candidates with ``|len(x) - len(y)| >
+    max_distance`` are dropped: the length difference is a lower bound
+    on edit distance (each unmatched character costs ≥1 edit), so the
+    prefilter is lossless — it only skips pairs the banded DP would
+    reject anyway, at the cost of two ``length()`` calls instead of an
+    O(len·threshold) table fill.
     """
     sh = with_shingles(df, text_col=text_col, k=k, out_col="__sh")
     # Both sides of the candidate self-join scan the exploded shingles;
     # persist so tokenization runs once (same pattern as the other
     # near-dup operators).
-    exploded = sh.select(id_col, F.explode("__sh").alias("__sig")).persist()
+    exploded = scoped_persist(sh.select(id_col, F.explode("__sh").alias("__sig")))
     cands = _candidate_pairs(exploded, id_col, ["__sig"], max_signature_freq)
     tx = df.select(F.col(id_col).alias("x"), F.col(text_col).alias("__tx"))
     ty = df.select(F.col(id_col).alias("y"), F.col(text_col).alias("__ty"))
@@ -234,6 +245,9 @@ def edit_distance_pairs(
     return (
         cands.join(tx, "x")
         .join(ty, "y")
+        .filter(
+            F.abs(F.length("__tx") - F.length("__ty")) <= F.lit(max_distance)
+        )
         .withColumn("edit_distance", dist)
         .filter((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= max_distance))
         .select("x", "y", "edit_distance")
@@ -362,7 +376,7 @@ def ngram_jaccard_pairs(
     persistence.
     """
     if shingled is None:
-        shingled = with_shingles(df, text_col=text_col, k=k).persist()
+        shingled = scoped_persist(with_shingles(df, text_col=text_col, k=k))
     exploded = shingled.select(id_col, F.explode("shingles").alias("__sig"))
     if max_signature_freq is not None:
         # Capped path: hot shingles are dropped from candidate
@@ -466,7 +480,7 @@ def with_minhash_signature(
     friendly explode/aggregate grid, then reassembled into an array
     column ordered by seed index.
     """
-    shingled = with_shingles(df, text_col=text_col, k=k).persist()
+    shingled = scoped_persist(with_shingles(df, text_col=text_col, k=k))
     mins = _minhash_grid(shingled, id_col, num_hashes, seed)
     sig = mins.groupBy(id_col).agg(
         F.expr("transform(sort_array(collect_list(struct(__i, __min))), x -> x.__min)").alias(
@@ -528,10 +542,12 @@ def incremental_minhash_pairs(
     """
     _check_banding(num_hashes, bands)
     rows = num_hashes // bands
-    new_sig = with_minhash_signature(
-        new_docs, id_col=id_col, text_col=text_col, k=k,
-        num_hashes=num_hashes, seed=seed,
-    ).persist()
+    new_sig = scoped_persist(
+        with_minhash_signature(
+            new_docs, id_col=id_col, text_col=text_col, k=k,
+            num_hashes=num_hashes, seed=seed,
+        )
+    )
     nb = _band_hashes(new_sig, id_col, "minhash", bands, rows, "new_id")
     ob = _band_hashes(signature_store, id_col, "minhash", bands, rows, "old_id")
     if max_signature_freq is not None:
@@ -583,7 +599,7 @@ def minhash_lsh_pairs(
     """
     _check_banding(num_hashes, bands)
     rows = num_hashes // bands
-    shingled = with_shingles(df, text_col=text_col, k=k).persist()
+    shingled = scoped_persist(with_shingles(df, text_col=text_col, k=k))
     mins = _minhash_grid(shingled, id_col, num_hashes, seed)
     # band hash straight from the grid: group the r min-values of each
     # band (ordered by seed index) and hash them — the signature array
@@ -599,8 +615,8 @@ def minhash_lsh_pairs(
                 F.expr("concat_ws(',', transform(sort_array(collect_list(struct(__i, __min))), x -> x.__min))")
             ).alias("__bh")
         )
-        .persist()
     )
+    banded = scoped_persist(banded)
     cands = _candidate_pairs(banded, id_col, ["__band", "__bh"], max_signature_freq)
     return _verify_jaccard(cands, shingled, id_col, threshold)
 
@@ -635,7 +651,7 @@ def oph_minhash_pairs(
     simply contribute no candidate rows (we never compare sketches
     entry-wise).
     """
-    shingled = with_shingles(df, text_col=text_col, k=k).persist()
+    shingled = scoped_persist(with_shingles(df, text_col=text_col, k=k))
     hashed = shingled.select(F.col(id_col), F.explode("shingles").alias("__s")).select(
         id_col, F.xxhash64("__s").alias("__h")
     )
@@ -727,7 +743,7 @@ def simhash_pairs(
             f"in the ({chunks - 1}, {max_hamming}] band, or raise chunks."
         )
     bits = 64 // chunks
-    sh = with_simhash(df, text_col=text_col, k=k).persist()
+    sh = scoped_persist(with_simhash(df, text_col=text_col, k=k))
     exploded = sh.select(
         id_col,
         F.explode(

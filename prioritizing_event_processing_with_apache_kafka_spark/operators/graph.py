@@ -36,7 +36,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["ConvergenceError", "connected_components"]
+
+
+class ConvergenceError(RuntimeError):
+    """Raised when label propagation hits ``max_rounds`` before the
+    fixpoint — returning the non-converged labels would silently merge
+    or split components."""
 
 
 def connected_components(
@@ -45,24 +51,48 @@ def connected_components(
     src: str = "x",
     dst: str = "y",
     max_rounds: int = 20,
+    checkpoint_dir: str | None = None,
+    on_max_rounds: str = "raise",
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; the
     component id is the minimum node id of the component (deterministic).
+
+    ``checkpoint_dir`` switches the per-round lineage truncation from
+    ``localCheckpoint`` (executor-local blocks — fast, but state dies
+    with an executor) to reliable ``checkpoint()`` against that
+    directory — the right setting on a real cluster with executor
+    churn. Default stays executor-local for single-node sessions.
+
+    If the fixpoint is not reached within ``max_rounds`` the result
+    would be silently wrong (components not fully merged), so the
+    default is to raise :class:`ConvergenceError`; pass
+    ``on_max_rounds="ignore"`` to accept the partial labels (e.g. when
+    probing how far a round budget gets on a pathological graph).
     """
+    if on_max_rounds not in ("raise", "ignore"):
+        raise ValueError(
+            f"on_max_rounds must be 'raise' or 'ignore', got {on_max_rounds!r}"
+        )
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         .persist()
     )
-    labels = (
+    labels = _truncate(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
 
+    converged = False
     for _ in range(max_rounds):
         # Propagate: min label over the closed neighborhood.
         neighbor_labels = (
@@ -75,7 +105,7 @@ def connected_components(
             .agg(F.min("label").alias("label"))
         )
         # Compress: follow label -> label's label (pointer jumping).
-        compressed = (
+        compressed = _truncate(
             proposed.alias("n")
             .join(
                 proposed.select(
@@ -86,13 +116,19 @@ def connected_components(
                 how="left",
             )
             .select("node", F.coalesce("parent", "label").alias("label"))
-            .localCheckpoint()
         )
         cur_sum = compressed.agg(F.sum("label")).collect()[0][0]
         labels = compressed
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
 
     sym.unpersist()
+    if not converged and on_max_rounds == "raise":
+        raise ConvergenceError(
+            f"connected_components did not reach its fixpoint within "
+            f"{max_rounds} rounds (label sum still decreasing); raise "
+            f"max_rounds or pass on_max_rounds='ignore' for partial labels"
+        )
     return labels.select(F.col("node"), F.col("label").alias("component"))

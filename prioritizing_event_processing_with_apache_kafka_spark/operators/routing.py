@@ -50,6 +50,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from prioritizing_event_processing_with_apache_kafka_spark.operators.caching import (
+    scoped_persist,
+)
 from pyspark.sql import types as T
 
 from prioritizing_event_processing_with_apache_kafka_spark.functions.keys import extract_bucket
@@ -130,8 +134,8 @@ def _exact_global_sequence(tagged: DataFrame, order_col: Column | str) -> DataFr
         tagged.repartitionByRange(F.col("__peps_bucket"), order)
         .sortWithinPartitions(F.col("__peps_bucket"), order)
         .withColumn("__peps_mid", F.monotonically_increasing_id())
-        .persist()
     )
+    srt = scoped_persist(srt)
     pid = F.shiftrightunsigned(F.col("__peps_mid"), 33)
     local = F.col("__peps_mid").bitwiseAND(F.lit(_MID_LOCAL_MASK))
     stats = (

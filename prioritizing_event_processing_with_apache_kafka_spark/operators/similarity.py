@@ -24,6 +24,10 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from prioritizing_event_processing_with_apache_kafka_spark.operators.caching import (
+    scoped_persist,
+)
+
 __all__ = [
     "dot",
     "norm",
@@ -71,13 +75,23 @@ def cosine_topk(
     ``queries`` (small) is broadcast; the corpus is scanned once. Ties
     broken by ascending corpus id → fully deterministic ranking.
     Self-matches (same id) are excluded.
+
+    Each side's squared norm is precomputed *before* the join, so a
+    scored pair costs one dot-product fold instead of three. The score
+    ``dot / (sqrt(n2a)·sqrt(n2b))`` is arithmetic-identical to
+    :func:`cosine` (same fold order, same sqrt), so rankings and oracle
+    hashes are unchanged.
     """
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        dot(vec_col, vec_col).alias("__n2q"),
     )
+    c = corpus.withColumn("__n2c", dot(vec_col, vec_col))
+    cos = dot("__qvec", vec_col) / (F.sqrt(F.col("__n2c")) * F.sqrt(F.col("__n2q")))
     scored = (
-        corpus.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
-        .withColumn("cos_sim", F.round(cosine("__qvec", vec_col), 6))
+        c.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
+        .withColumn("cos_sim", F.round(cos, 6))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos_sim"), F.asc(id_col)
@@ -213,7 +227,7 @@ def ivf_ann_topk(
     assignment is a one-off linear pass that persists with the table."""
     cells = with_ivf_cell(
         corpus, vec_col=vec_col, num_cells=num_cells, dim=dim, seed=seed, nprobe=1
-    )
+    ).withColumn("__n2c", dot(vec_col, vec_col))
     probes = with_ivf_cell(
         queries.select(query_id_col, vec_col),
         vec_col=vec_col,
@@ -225,12 +239,15 @@ def ivf_ann_topk(
     ).select(
         query_id_col,
         F.col(vec_col).alias("__qvec"),
+        dot(vec_col, vec_col).alias("__n2q"),
         F.explode("__probe_cells").alias("ivf_cell"),
     )
+    # Norms precomputed per side (see cosine_topk): one fold per pair.
+    cos = dot("__qvec", vec_col) / (F.sqrt(F.col("__n2c")) * F.sqrt(F.col("__n2q")))
     scored = (
         cells.join(F.broadcast(probes), "ivf_cell")
         .filter(F.col(query_id_col) != F.col(id_col))
-        .withColumn("cos_sim", F.round(cosine("__qvec", vec_col), 6))
+        .withColumn("cos_sim", F.round(cos, 6))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
@@ -279,11 +296,13 @@ def lsh_ann_topk(
     c_exploded = c_bucketed.select(
         F.col(id_col),
         F.col(vec_col),
+        dot(vec_col, vec_col).alias("__n2c"),
         F.posexplode(F.array(*buckets)).alias("__table", "lsh_bucket"),
     )
     q_exploded = q_bucketed.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
+        dot(vec_col, vec_col).alias("__n2q"),
         F.posexplode(F.array(*buckets)).alias("__table", "lsh_bucket"),
     )
     cands = (
@@ -292,7 +311,9 @@ def lsh_ann_topk(
         # a pair matching in several tables must be scored once
         .dropDuplicates([query_id_col, id_col])
     )
-    scored = cands.withColumn("cos_sim", F.round(cosine("__qvec", vec_col), 6))
+    # Norms precomputed per side (see cosine_topk): one fold per pair.
+    cos = dot("__qvec", vec_col) / (F.sqrt(F.col("__n2c")) * F.sqrt(F.col("__n2q")))
+    scored = cands.withColumn("cos_sim", F.round(cos, 6))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -309,8 +330,10 @@ def quantize_vectors(
     out_col: str = "qvec",
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization: ``scale = 127/max|v|``,
-    ``q_i = round(v_i * scale)`` — the 4× (fp32) / 8× (fp64) footprint
-    cut used to keep billion-vector indexes in memory.
+    ``q_i = round(v_i * scale)`` — codes are materialized as
+    ``array<tinyint>`` (|q_i| ≤ 127 by construction), realizing the 4×
+    (fp32) / 8× (fp64) footprint cut used to keep billion-vector
+    indexes in memory.
 
     Everything is native expressions in a fixed evaluation order
     (float32 → float64 promotion is exact, one double division, one
@@ -320,7 +343,7 @@ def quantize_vectors(
     """
     max_abs = f"array_max(transform({vec_col}, x -> abs(CAST(x AS DOUBLE))))"
     scale = f"(CASE WHEN {max_abs} = 0.0 THEN 0.0 ELSE 127.0 / {max_abs} END)"
-    qvec = f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS INT))"
+    qvec = f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS TINYINT))"
     return df.withColumn(scale_col, F.expr(scale)).withColumn(out_col, F.expr(qvec))
 
 
@@ -348,8 +371,18 @@ def quantized_ann_topk(
     of double arithmetic, and a quantized corpus column read is ~4×
     less I/O than the fp32 original.
     """
-    qc = quantize_vectors(corpus, vec_col=vec_col).withColumn(
-        "__n2c", F.expr("aggregate(qvec, 0L, (acc, v) -> acc + CAST(v AS BIGINT) * v)")
+    # Zero vectors quantize to all-zero codes (__n2 = 0), which would
+    # score 0/0 = NaN — and Spark sorts NaN *above* every real double,
+    # so one zero vector would rank #1 for every query. Drop zero-norm
+    # rows from both sides instead: a zero vector has no meaningful
+    # cosine neighbors in the first place.
+    qc = (
+        quantize_vectors(corpus, vec_col=vec_col)
+        .withColumn(
+            "__n2c",
+            F.expr("aggregate(qvec, 0L, (acc, v) -> acc + CAST(v AS BIGINT) * v)"),
+        )
+        .filter(F.col("__n2c") > 0)
     )
     qq = (
         quantize_vectors(queries.select(query_id_col, vec_col), vec_col=vec_col)
@@ -357,6 +390,7 @@ def quantized_ann_topk(
             "__n2q",
             F.expr("aggregate(qvec, 0L, (acc, v) -> acc + CAST(v AS BIGINT) * v)"),
         )
+        .filter(F.col("__n2q") > 0)
         .select(
             query_id_col, F.col("qvec").alias("__qq"), F.col("__n2q")
         )
@@ -429,8 +463,8 @@ def semantic_neardup_pairs(
         vecs.select(id_col, vector_col)
         .join(assigned, id_col)
         .withColumn("__n2", dot(vector_col, vector_col))
-        .persist()
     )
+    members = scoped_persist(members)
     a = members.select(
         "cluster",
         F.col(id_col).alias("x"),

@@ -233,11 +233,18 @@ def vocab_coverage(
     standard first look when sizing a tokenizer vocabulary ("how many
     types cover 90% of tokens?").
 
-    One explode + map-side-combinable count builds the frequency table;
-    the running sum is a window over the *aggregated* frame, which is
-    vocabulary-sized (≪ corpus) — the global sort it implies is over
-    thousands of rows even on a 100 TB corpus, never over the corpus
-    itself.
+    One explode + map-side-combinable count builds the frequency table.
+    The head is taken with ``orderBy(...).limit(top_k)`` — a
+    distributed per-partition top-k (TakeOrderedAndProject), never a
+    global sort: web-scale vocabularies run to 10⁸+ distinct
+    whitespace tokens (URLs, typos, numbers), far too many for the
+    single-task unpartitioned window the naive formulation implies.
+    Only the ``top_k``-row head flows into the rank/cumulative-sum
+    window, so its global sort is bounded by ``top_k`` regardless of
+    corpus or vocabulary size; the corpus-wide token total comes from a
+    separate scalar aggregate. The head rows and their order are
+    exactly the first ``top_k`` rows of the full-frame ordering, so
+    rank and cumulative coverage are unchanged.
     """
     freq = (
         df.select(F.explode(tokens(text_col)).alias("token"))
@@ -245,16 +252,16 @@ def vocab_coverage(
         .agg(F.count(F.lit(1)).alias("occurrences"))
     )
     total = freq.agg(F.sum("occurrences").cast("double").alias("__total"))
+    head = freq.orderBy(F.desc("occurrences"), F.asc("token")).limit(top_k)
     w = Window.orderBy(F.desc("occurrences"), F.asc("token")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (
-        freq.join(F.broadcast(total))
+        head.join(F.broadcast(total))
         .withColumn("vocab_rank", F.row_number().over(w))
         .withColumn(
             "coverage", F.sum("occurrences").over(w).cast("double") / F.col("__total")
         )
-        .filter(F.col("vocab_rank") <= top_k)
         .select("vocab_rank", "token", "occurrences", F.round("coverage", 6).alias("coverage"))
     )
 

