@@ -26,6 +26,7 @@ from prioritizing_event_processing_with_apache_kafka_spark.operators.caching imp
 )
 
 from prioritizing_event_processing_with_apache_kafka_spark.operators import dedup as D
+from prioritizing_event_processing_with_apache_kafka_spark.operators import lm as LM
 from prioritizing_event_processing_with_apache_kafka_spark.operators import (
     multimodal as M,
 )
@@ -33,7 +34,14 @@ from prioritizing_event_processing_with_apache_kafka_spark.operators import (
     similarity as S,
 )
 from prioritizing_event_processing_with_apache_kafka_spark.operators import text as TX
-from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import load_table, spread
+from prioritizing_event_processing_with_apache_kafka_spark.operators import (
+    timeseries as TS,
+)
+from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import (
+    bucket_for_event_type,
+    load_table,
+    spread,
+)
 
 __all__ = ["PIPELINE_QUERIES", "PIPELINE_ORACLES"]
 
@@ -1394,6 +1402,240 @@ FROM ranked WHERE rank <= 5
 
 
 # ---------------------------------------------------------------------------
+# Statistical LM scoring / importance weights (operators/lm.py)
+# ---------------------------------------------------------------------------
+
+# (doc_id, w1, w2) bigram-occurrence stream — shared by both LM oracles.
+_SQL_BIGRAMS_TMPL = """
+  {name} AS (
+    SELECT doc_id, s.w1 AS w1, s.w2 AS w2
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS s
+      FROM {toks} WHERE len(t) >= 2
+    )
+  )
+"""
+
+
+def q_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fit bigram-LM quality score per document (perplexity
+    proxy: mean log2 of add-one-smoothed bigram probability)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return LM.bigram_lm_score(docs)
+
+
+SQL_LM_DOC_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+{_SQL_BIGRAMS_TMPL.format(name="bgf", toks="toks")},
+cbg AS (SELECT w1, w2, COUNT(*) AS cbg FROM bgf GROUP BY 1, 2),
+cw1 AS (SELECT w1, COUNT(*) AS cw1 FROM bgf GROUP BY 1),
+v AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+lp AS (
+  SELECT b.doc_id,
+         CAST(round(log2(CAST(cbg + 1 AS DOUBLE) / (cw1 + v)), 6)
+              AS DECIMAL(28,6)) AS lp
+  FROM bgf b JOIN cbg USING (w1, w2) JOIN cw1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS lm_score
+FROM lp GROUP BY doc_id
+"""
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: how target-like (target = the ``src0``
+    source, standing in for an in-domain sample) is each corpus
+    document, as a bigram-LM log-likelihood ratio."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    target = docs.filter(F.col("source") == "src0")
+    return LM.dsir_importance(docs, target)
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+ttoks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE source = 'src0'
+),
+{_SQL_BIGRAMS_TMPL.format(name="bgc", toks="toks")},
+{_SQL_BIGRAMS_TMPL.format(name="bgt", toks="ttoks")},
+cc AS (SELECT w1, w2, COUNT(*) AS cc FROM bgc GROUP BY 1, 2),
+ct AS (SELECT w1, w2, COUNT(*) AS ct FROM bgt GROUP BY 1, 2),
+b AS (
+  SELECT COUNT(*) AS b
+  FROM (SELECT w1, w2 FROM cc UNION SELECT w1, w2 FROM ct)
+),
+nc AS (SELECT COUNT(*) AS nc FROM bgc),
+nt AS (SELECT COUNT(*) AS nt FROM bgt),
+lr AS (
+  SELECT g.doc_id,
+         CAST(round(log2(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (nt + b)), 6)
+              AS DECIMAL(28,6))
+         - CAST(round(log2(CAST(cc + 1 AS DOUBLE) / (nc + b)), 6)
+                AS DECIMAL(28,6)) AS lr
+  FROM bgc g
+  JOIN cc USING (w1, w2)
+  LEFT JOIN ct USING (w1, w2)
+  CROSS JOIN b CROSS JOIN nc CROSS JOIN nt
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 6) AS dsir_logratio
+FROM lr GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Keyed time-series features (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+
+def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event value over the trailing 10 events —
+    the per-key smoothed-load feature (α = 1/2, exact binary weights,
+    bit-reproducible fold)."""
+    events = load_table(spark, sf_dir, "events")
+    return TS.windowed_ewma(
+        events, partition_col="user_id", order_cols=("ts", "event_id"),
+        value_col="value", window=10,
+    ).select("event_id", "user_id", "value", "ewma")
+
+
+SQL_USER_VALUE_EWMA = """
+WITH fr AS (
+  SELECT event_id, user_id, value,
+         list(CAST(value AS DOUBLE)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+         ) AS fl
+  FROM events
+)
+SELECT event_id, user_id, value,
+       ROUND(
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(generate_series(1, len(fl)),
+                          i -> fl[i] * pow(0.5, len(fl) - i))),
+           (a, v) -> a + v)
+         /
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(generate_series(1, len(fl)),
+                          i -> pow(0.5, len(fl) - i))),
+           (a, v) -> a + v),
+       6) AS ewma
+FROM fr
+"""
+
+
+def q_bucket_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event volume per priority bucket with a trailing-24-hour
+    z-score: the ops-dashboard anomaly flag over the routed stream.
+    Exact integer window sums → deterministic z, full value oracle."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.withColumn("bucket", bucket_for_event_type("event_type"))
+        .groupBy("bucket", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return TS.rolling_zscore(
+        hourly, partition_col="bucket", order_col="hour",
+        value_col="n_events", window=24, z_threshold=2.0,
+    )
+
+
+SQL_BUCKET_HOURLY_ANOMALY = """
+WITH hourly AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'Platinum'
+              WHEN event_type = 'purchase' THEN 'Gold'
+              ELSE 'Standard' END AS bucket,
+         date_trunc('hour', ts) AS hour,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), sums AS (
+  SELECT bucket, hour, n_events,
+         COUNT(*)  OVER w AS n,
+         SUM(n_events) OVER w AS s1,
+         SUM(n_events * n_events) OVER w AS s2
+  FROM hourly
+  WINDOW w AS (PARTITION BY bucket ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+), scored AS (
+  SELECT bucket, hour, n_events,
+         CASE WHEN n = 24 AND (n * s2 - s1 * s1) > 0
+              THEN ROUND((n_events - CAST(s1 AS DOUBLE) / n)
+                         / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * n)), 6)
+         END AS zscore
+  FROM sums
+)
+SELECT bucket, hour, n_events, zscore,
+       COALESCE(ABS(zscore) >= 2.0, FALSE) AS anomalous
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source curation profile
+# ---------------------------------------------------------------------------
+
+
+def q_source_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: volume, exact-duplicate rate,
+    token mass, English share — the first cut when deciding which
+    crawl sources to keep. One scan, one hash aggregate (the distinct
+    count is the only second pass — over the (source, text) pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = F.count(F.lit(1))
+    return (
+        docs.groupBy("source")
+        .agg(
+            n_docs.alias("n_docs"),
+            F.countDistinct("text").alias("n_unique_texts"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("sum_tokens"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("__n_en"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique_texts",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_unique_texts").cast("double") / F.col("n_docs"),
+                6,
+            ).alias("dup_rate"),
+            F.round(
+                F.col("sum_tokens").cast("double") / F.col("n_docs"), 6
+            ).alias("avg_tokens"),
+            F.round(F.col("__n_en").cast("double") / F.col("n_docs"), 6).alias(
+                "en_share"
+            ),
+        )
+    )
+
+
+SQL_SOURCE_DUP_PROFILE = """
+WITH agg AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         COUNT(DISTINCT text) AS n_unique_texts,
+         SUM(len(string_split(text, ' '))) AS sum_tokens,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_unique_texts,
+       ROUND(1.0 - CAST(n_unique_texts AS DOUBLE) / n_docs, 6) AS dup_rate,
+       ROUND(CAST(sum_tokens AS DOUBLE) / n_docs, 6) AS avg_tokens,
+       ROUND(CAST(n_en AS DOUBLE) / n_docs, 6) AS en_share
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1439,6 +1681,11 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": q_pii_redact,
     "embedding_quantize": q_embedding_quantize,
     "embedding_ann_int8": q_embedding_ann_int8,
+    "lm_doc_score": q_lm_doc_score,
+    "dsir_weights": q_dsir_weights,
+    "user_value_ewma": q_user_value_ewma,
+    "bucket_hourly_anomaly": q_bucket_hourly_anomaly,
+    "source_dup_profile": q_source_dup_profile,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -1482,4 +1729,9 @@ PIPELINE_ORACLES: dict[str, str] = {
     "pii_redact": SQL_PII_REDACT,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "embedding_ann_int8": SQL_EMBEDDING_ANN_INT8,
+    "lm_doc_score": SQL_LM_DOC_SCORE,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
+    "user_value_ewma": SQL_USER_VALUE_EWMA,
+    "bucket_hourly_anomaly": SQL_BUCKET_HOURLY_ANOMALY,
+    "source_dup_profile": SQL_SOURCE_DUP_PROFILE,
 }

@@ -1,0 +1,108 @@
+"""Keyed time-series features: windowed EWMA and rolling z-score.
+
+Event streams feeding a prioritized pipeline need per-key smoothing
+(EWMA load/latency features) and anomaly flags (is this hour's volume
+out of line with the trailing day?). Both are single-pass window
+computations — one range-shuffle per key, no iteration, no state
+outside the window frame — so they scale like any other window
+aggregate.
+
+Bit-reproducibility: both operators avoid engine-internal streaming
+aggregates whose intermediate float order is unspecified
+(``stddev``/``avg`` over doubles). The z-score works from *integer*
+window sums (exact, order-independent) with one double division and
+one sqrt (both IEEE-exact); the EWMA folds an ordered frame list with
+powers of α=1/2 (exact binary scalings) in a fixed sequential order.
+A DuckDB oracle replaying the same expressions matches hash-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["windowed_ewma", "rolling_zscore"]
+
+
+def windowed_ewma(
+    df: DataFrame,
+    *,
+    partition_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+    window: int = 10,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average over the trailing
+    ``window`` rows per key: ``ewma_t = Σ_k (1/2)^k x_{t-k} / Σ_k (1/2)^k``
+    for lag ``k = 0..min(window-1, t)``.
+
+    α is fixed at 1/2 so every weight is an exact binary scaling —
+    multiplying a double by 2^-k is lossless, which (with the fixed
+    left-to-right fold over the frame list) makes the result
+    bit-identical across engines and partitionings. The frame list is
+    at most ``window`` elements, so memory per row is bounded.
+    ``order_cols`` must be unique per key for a deterministic frame.
+    """
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(-(window - 1), 0)
+    )
+    frame = F.collect_list(F.col(value_col).cast("double")).over(w)
+    # element i of the frame (0-based, oldest first) has lag n-1-i
+    ewma = F.expr(
+        "aggregate(zip_with(__peps_fr, sequence(size(__peps_fr) - 1, 0, -1), "
+        "(x, k) -> x * pow(0.5D, k)), 0.0D, (a, v) -> a + v)"
+        " / aggregate(sequence(size(__peps_fr) - 1, 0, -1), 0.0D, "
+        "(a, k) -> a + pow(0.5D, k))"
+    )
+    return (
+        df.withColumn("__peps_fr", frame)
+        .withColumn(out_col, F.round(ewma, 6))
+        .drop("__peps_fr")
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    *,
+    partition_col: str = "bucket",
+    order_col: str = "hour",
+    value_col: str = "n_events",
+    window: int = 24,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Trailing z-score per key over an *integer* value column: how far
+    is this row's value from the mean of the previous ``window`` rows,
+    in units of their population standard deviation?
+
+    The trailing frame **excludes the current row** (the anomaly must
+    not influence its own baseline). Variance comes from exact integer
+    window sums — ``var = (n·Σx² − (Σx)²) / n²`` — evaluated with one
+    double division, so results don't depend on the engine's internal
+    stddev accumulation order. Rows are scored only when a full
+    ``window`` of history exists and the baseline has nonzero variance
+    (a constant baseline has no scale for "how anomalous"); earlier /
+    degenerate rows pass through with NULL ``zscore`` and ``anomalous
+    = false``.
+
+    Adds ``zscore`` (round 6) and ``anomalous`` (|z| ≥ ``z_threshold``).
+    """
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.asc(order_col))
+        .rowsBetween(-window, -1)
+    )
+    x = F.col(value_col).cast("long")
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(x).over(w)
+    s2 = F.sum(x * x).over(w)
+    mean = s1.cast("double") / n.cast("double")
+    var = (n * s2 - s1 * s1).cast("double") / (n * n).cast("double")
+    z: Column = (x.cast("double") - mean) / F.sqrt(var)
+    scored = F.when((n == window) & (var > 0), F.round(z, 6))
+    return df.withColumn("zscore", scored).withColumn(
+        "anomalous",
+        F.coalesce(F.abs(F.col("zscore")) >= F.lit(z_threshold), F.lit(False)),
+    )

@@ -1,0 +1,65 @@
+"""Regenerate the committed CORRECTNESS_full.json artifact.
+
+Runs the full oracle harness (tools/check_oracle.py) at sf0.01 and
+sf0.1 in separate subprocesses (one fresh Spark session each) and
+merges the per-query records into one JSON file keyed by scale factor.
+Exits non-zero if either run has a failure — wire this into any
+pre-commit/CI flow to catch a broken query the moment it breaks.
+
+Usage:  python tools/gen_correctness_full.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIRS = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+
+def main() -> int:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "CORRECTNESS_full.json")
+    merged: dict[str, dict] = {}
+    rc = 0
+    for sf_dir in SF_DIRS:
+        sf = "sf" + sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tmp:
+            tmp_path = tmp.name
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "tools", "check_oracle.py"),
+                "--json",
+                tmp_path,
+                sf_dir,
+            ],
+            cwd=REPO,
+        )
+        rc = rc or proc.returncode
+        with open(tmp_path) as fh:
+            merged[sf] = json.load(fh)
+        os.unlink(tmp_path)
+    with open(out_path, "w") as fh:
+        json.dump(merged, fh, indent=1)
+    counts = {
+        sf: {
+            "green": sum(1 for r in recs.values() if r.get("hash_match")),
+            "rows_only": sum(1 for r in recs.values() if r.get("err") == "no_oracle"),
+            "failed": sum(
+                1
+                for r in recs.values()
+                if r.get("err") not in (None, "no_oracle") or r.get("hash_match") is False
+            ),
+        }
+        for sf, recs in merged.items()
+    }
+    print(json.dumps({"wrote": out_path, "summary": counts}))
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
