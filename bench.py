@@ -55,6 +55,11 @@ HEADLINE = [
     "semantic_dedup",
     "dedup_incremental",
     "conversion_funnel",
+    # round-3 additions (r1/r2 sets above unchanged for comparability)
+    "lm_doc_score",
+    "dsir_weights",
+    "user_value_ewma",
+    "bucket_hourly_anomaly",
 ]
 
 

@@ -1579,6 +1579,30 @@ FROM scored
 """
 
 
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-character pairs within tokens — BPE tokenizer
+    training's first merge iteration, as a corpus query."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return TX.bpe_pair_counts(docs, top_k=50)
+
+
+SQL_BPE_MERGE_PAIRS = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> substring(t, i, 2))) AS pair
+  FROM toks WHERE len(t) >= 2
+), counted AS (
+  SELECT pair, COUNT(*) AS occurrences FROM pairs GROUP BY pair
+  ORDER BY occurrences DESC, pair ASC LIMIT 50
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY occurrences DESC, pair ASC) AS INT) AS pair_rank,
+       pair, occurrences
+FROM counted
+"""
+
+
 # ---------------------------------------------------------------------------
 # Per-source curation profile
 # ---------------------------------------------------------------------------
@@ -1686,6 +1710,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_value_ewma": q_user_value_ewma,
     "bucket_hourly_anomaly": q_bucket_hourly_anomaly,
     "source_dup_profile": q_source_dup_profile,
+    "bpe_merge_pairs": q_bpe_merge_pairs,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -1734,4 +1759,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "user_value_ewma": SQL_USER_VALUE_EWMA,
     "bucket_hourly_anomaly": SQL_BUCKET_HOURLY_ANOMALY,
     "source_dup_profile": SQL_SOURCE_DUP_PROFILE,
+    "bpe_merge_pairs": SQL_BPE_MERGE_PAIRS,
 }

@@ -43,6 +43,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from prioritizing_event_processing_with_apache_kafka_spark.operators.caching import (
+    scoped_persist,
+)
+
 __all__ = ["bigram_rows", "bigram_lm_score", "dsir_importance"]
 
 
@@ -93,7 +97,11 @@ def bigram_lm_score(
     ``lm_score`` is the mean of per-bigram ``round(log2 P, 6)`` —
     higher = more corpus-typical text.
     """
-    bg = bigram_rows(df, id_col=id_col, text_col=text_col)
+    # The bigram stream feeds the score join AND both count tables —
+    # persist so tokenization/explode runs once, not three times (same
+    # shared-subtree pattern as the near-dup operators; release via
+    # caching.cache_scope or clearCache).
+    bg = scoped_persist(bigram_rows(df, id_col=id_col, text_col=text_col))
     c_bg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cbg"))
     c_w1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("__cw1"))
     vocab = (
@@ -145,8 +153,10 @@ def dsir_importance(
 
     Returns ``(id, n_bigrams, dsir_logratio)``.
     """
-    bg_c = bigram_rows(df, id_col=id_col, text_col=text_col)
-    bg_t = bigram_rows(target, id_col=id_col, text_col=text_col)
+    # Corpus bigrams feed the score join + count table + total; the
+    # (small) target side feeds its count table + total.
+    bg_c = scoped_persist(bigram_rows(df, id_col=id_col, text_col=text_col))
+    bg_t = scoped_persist(bigram_rows(target, id_col=id_col, text_col=text_col))
     c_corpus = bg_c.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cc"))
     c_target = bg_t.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__ct"))
     # shared smoothing support: distinct bigram types of the union

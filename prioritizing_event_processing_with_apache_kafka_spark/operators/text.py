@@ -38,6 +38,7 @@ __all__ = [
     "vocab_coverage",
     "redact_pii",
     "PII_PATTERNS",
+    "bpe_pair_counts",
 ]
 
 # Tiny deterministic stopword list (intersects the fixture vocabulary).
@@ -263,6 +264,45 @@ def vocab_coverage(
             "coverage", F.sum("occurrences").over(w).cast("double") / F.col("__total")
         )
         .select("vocab_rank", "token", "occurrences", F.round("coverage", 6).alias("coverage"))
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus-wide adjacent-character-pair frequencies within tokens —
+    the first merge iteration of BPE tokenizer training ("which symbol
+    pair occurs most often?"). Returns the ``top_k`` pairs with counts
+    and rank.
+
+    Shape: one explode to tokens, one explode to the O(chars) pair
+    stream (``substring(token, i, 2)`` per in-token position — pairs
+    never cross token boundaries, matching BPE's word-boundary rule),
+    then a map-side-combinable count and a bounded
+    ``orderBy().limit()`` head — the same scale discipline as
+    :func:`vocab_coverage` (never a global sort over the pair space).
+    """
+    pair_stream = (
+        df.select(F.explode(tokens(text_col)).alias("__t"))
+        .filter(F.length("__t") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(__t) - 1), i -> substring(__t, i, 2))")
+            ).alias("pair")
+        )
+    )
+    head = (
+        pair_stream.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .orderBy(F.desc("occurrences"), F.asc("pair"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("occurrences"), F.asc("pair"))
+    return head.withColumn("pair_rank", F.row_number().over(w)).select(
+        "pair_rank", "pair", "occurrences"
     )
 
 

@@ -161,3 +161,31 @@ class TestRollingZscore:
         }
         # zero-variance baseline has no scale — NULL, not ±inf
         assert out[3].zscore is None and not out[3].anomalous
+
+
+class TestBpePairs:
+    def test_known_pair_counts(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.text import (
+            bpe_pair_counts,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "abab ab x")], "doc_id long, text string"
+        )
+        out = {r.pair: (r.pair_rank, r.occurrences) for r in bpe_pair_counts(df).collect()}
+        # "abab": ab, ba, ab ; "ab": ab ; "x": too short → none
+        assert out["ab"] == (1, 3)
+        assert out["ba"] == (2, 1)
+        assert "x" not in out and len(out) == 2
+
+    def test_top_k_bound(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.text import (
+            bpe_pair_counts,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "abcdefghijklmnop qrstuvwxyz")], "doc_id long, text string"
+        )
+        out = bpe_pair_counts(df, top_k=5).collect()
+        assert len(out) == 5
+        assert [r.pair_rank for r in out] == [1, 2, 3, 4, 5]
