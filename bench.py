@@ -89,22 +89,24 @@ def main() -> int:
     def isolate() -> None:
         """Reset the session between measurements.
 
-        Running 28 persist-heavy queries in one JVM lets block-manager
+        Running 30+ persist-heavy queries in one JVM lets block-manager
         and GC pressure from query N leak into query N+1's number
         (round 2 recorded q1 at 4.7 s where a fresh session measures
         ~1.1 s with the identical plan). Three steps restore a
-        near-fresh state without paying a JVM restart per query:
-        drop every cached frame, run two explicit GC passes (the first
+        near-fresh state without paying a JVM restart per query: drop
+        every cached frame, run a settling query so the executor
+        threads drain outside any measurement (cache-free ``range``
+        aggregate — NOT an inventory query, which could re-persist the
+        frames just cleared), then two explicit GC passes (the first
         collects, the second clears soft references the first
-        promoted), and let the executor threads settle on a trivial
-        query so the next measurement doesn't absorb GC tail work.
+        promoted) so the next measurement doesn't absorb GC tail work.
         """
         spark.catalog.clearCache()
+        materialize(spark.range(1_000_000).selectExpr("sum(id) AS s"))
         jvm = spark.sparkContext._jvm
         jvm.System.gc()
         time.sleep(0.2)
         jvm.System.gc()
-        materialize(queries["route_distribution"](spark, SF_DIR))
 
     # Warmup: spin up executor threads, codegen, parquet footers.
     materialize(queries["route_distribution"](spark, SF_DIR))
