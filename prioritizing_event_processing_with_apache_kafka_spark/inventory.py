@@ -96,6 +96,20 @@ WITH {_SQL_EVENTS_KEYED},
 """
 
 
+def _events_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-tagged events WITHOUT exact round-robin sequencing.
+
+    Per-bucket aggregation queries never read ``partition``, so they
+    skip the range-shuffle + persisted midframe the exact global
+    sequence costs (mode='hash' assigns partitions by key hash — a
+    per-row expression at scan speed). The P1 key parsing and the
+    broadcast layout join — the semantics these queries exercise — are
+    identical to the exact path, so their oracles are unchanged.
+    """
+    events = with_routing_key(load_table(spark, sf_dir, "events"))
+    return route(events, EVENTS_CONFIG, EVENTS_NUM_PARTITIONS, mode="hash")
+
+
 def _events_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = with_routing_key(load_table(spark, sf_dir, "events"))
     return route(
@@ -569,7 +583,7 @@ SELECT user_id, event_id, value, rn FROM (
 
 def q_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping sets: rollup (bucket, event_type) — the priority dashboard."""
-    routed = _events_routed(spark, sf_dir)
+    routed = _events_tagged(spark, sf_dir)
     dec_value = F.col("value").cast("decimal(18,2)")
     return (
         routed.rollup("bucket", "event_type")
@@ -591,7 +605,7 @@ GROUP BY ROLLUP (bucket, event_type)
 
 def q_bucket_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping sets: full cube over (bucket, event_type)."""
-    routed = _events_routed(spark, sf_dir)
+    routed = _events_tagged(spark, sf_dir)
     return routed.cube("bucket", "event_type").agg(F.count(F.lit(1)).alias("n_events"))
 
 
@@ -658,7 +672,7 @@ FROM routed
 
 def q_distinct_users_per_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregation per bucket."""
-    routed = _events_routed(spark, sf_dir)
+    routed = _events_tagged(spark, sf_dir)
     return routed.groupBy("bucket").agg(
         F.countDistinct("user_id").alias("n_users"),
         F.countDistinct("event_type").alias("n_types"),
@@ -676,7 +690,7 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct per bucket — sketch aggregation for
     high-cardinality keys at scale. No SQL oracle (engine-specific
     sketch); driver records a rows-only check."""
-    routed = _events_routed(spark, sf_dir)
+    routed = _events_tagged(spark, sf_dir)
     return routed.groupBy("bucket").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
     )
@@ -687,7 +701,7 @@ def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-memory streaming-friendly counterpart of the exact
     `bucket_value_percentiles`. Engine-specific sketch → rows-only
     check; accuracy is bounded by the 1000-row GK error parameter."""
-    routed = _events_routed(spark, sf_dir)
+    routed = _events_tagged(spark, sf_dir)
     return routed.groupBy("bucket").agg(
         F.percentile_approx("value", 0.5, 1000).alias("p50_approx"),
         F.percentile_approx("value", 0.9, 1000).alias("p90_approx"),
@@ -1043,7 +1057,7 @@ def q_union_priority_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier is a filter over it, so the union costs three scans of a tiny
     cached frame instead of three scans of the fact table (the plan
     that survives a 100× scale-up)."""
-    routed = _events_routed(spark, sf_dir)
+    routed = _events_tagged(spark, sf_dir)
     dec_value = F.col("value").cast("decimal(18,2)")
     agg = (
         routed.groupBy("bucket", "event_type")
@@ -1239,7 +1253,7 @@ def q_bucket_quiet_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     the min/max hour bounds) and the bucket list are both tiny, so the
     grid is broadcast work; the only fact-side cost is one distinct over
     (bucket, hour) — map-side combined to ≤ #buckets × #hours rows."""
-    routed = _events_routed(spark, sf_dir)
+    routed = _events_tagged(spark, sf_dir)
     bounds = routed.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
@@ -1320,7 +1334,7 @@ GROUP BY 1, 2
 def q_bucket_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of event value per bucket (width_bucket —
     single-pass, shuffle only on the tiny (bucket, bin) key)."""
-    routed = _events_routed(spark, sf_dir)
+    routed = _events_tagged(spark, sf_dir)
     return (
         routed.withColumn(
             "bin", F.width_bucket(F.col("value"), F.lit(0.0), F.lit(500.0), F.lit(10))
@@ -1422,7 +1436,7 @@ JOIN events e
 def q_bucket_throughput_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window per bucket (batch analog of the streaming
     throughput query): window start, bucket, event count."""
-    routed = _events_routed(spark, sf_dir)
+    routed = _events_tagged(spark, sf_dir)
     return (
         routed.groupBy(F.window("ts", "1 hour").alias("w"), F.col("bucket"))
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -1540,7 +1554,7 @@ def q_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS through the engine's SQL surface
     (spark.sql over a routed temp view) — finer-grained than
     rollup/cube: (bucket), (bucket, event_type), and grand total."""
-    _events_routed(spark, sf_dir).createOrReplaceTempView("peps_routed_events")
+    _events_tagged(spark, sf_dir).createOrReplaceTempView("peps_routed_events")
     return spark.sql(
         """
         SELECT bucket, event_type, COUNT(*) AS n_events
@@ -1561,7 +1575,7 @@ GROUP BY GROUPING SETS ((bucket), (bucket, event_type), ())
 def q_bucket_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (linear interpolation) of event value per
     bucket — the ordered-statistics slot of the aggregate surface."""
-    routed = _events_routed(spark, sf_dir)
+    routed = _events_tagged(spark, sf_dir)
     return routed.groupBy("bucket").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
@@ -1586,7 +1600,7 @@ def q_bucket_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     crosstab). The explicit pivot value list keeps the plan a single
     hash aggregate with conditional counts — no second pass to discover
     column values, which is the shape that scales."""
-    routed = _events_routed(spark, sf_dir)
+    routed = _events_tagged(spark, sf_dir)
     return (
         routed.groupBy("event_type")
         .pivot("bucket", ["Platinum", "Gold", "Standard"])
