@@ -1579,6 +1579,73 @@ FROM scored
 """
 
 
+def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-dup graph: which document is
+    the hub its cluster duplicates? Fixed 3 iterations so DuckDB can
+    unroll the same computation as CTEs — the third iterative operator
+    (after connected components and k-means) with a full value oracle."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.graph import (
+        pagerank,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # The symmetrizing union inside pagerank() references the pair
+    # frame twice — persist so the shingle self-join runs once.
+    pairs = scoped_persist(D.ngram_jaccard_pairs(docs, k=4, threshold=0.5))
+    return pagerank(pairs, n_iter=3)
+
+
+_SQL_PR_ITER = """
+{out} AS (
+  SELECT e.b AS node,
+         (CAST(1.0 AS DOUBLE) - 0.85) / nn.n
+         + 0.85 * CAST(SUM(CAST(round(r.rank / d.outdeg, 12) AS DECIMAL(28,12))) AS DOUBLE)
+           AS rank
+  FROM {prev} r
+  JOIN deg d USING (node)
+  JOIN edges e ON e.a = r.node
+  CROSS JOIN nn
+  GROUP BY e.b, nn.n
+)"""
+
+SQL_DEDUP_PAGERANK = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(tokens) - 3, 1)),
+                       i -> array_to_string(tokens[i:i+3], ' '))) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), cand AS (
+  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT c.x, c.y
+  FROM cand c
+  JOIN sh sx ON sx.doc_id = c.x
+  JOIN sh sy ON sy.doc_id = c.y
+  WHERE CAST(len(list_intersect(sx.shingles, sy.shingles)) AS DOUBLE)
+        / (len(sx.shingles) + len(sy.shingles) - len(list_intersect(sx.shingles, sy.shingles))) >= 0.5
+), edges AS (
+  SELECT x AS a, y AS b FROM pairs UNION SELECT y, x FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS node FROM edges
+), nn AS (
+  SELECT COUNT(*) AS n FROM nodes
+), deg AS (
+  SELECT a AS node, COUNT(*) AS outdeg FROM edges GROUP BY a
+), r0 AS (
+  SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn
+),
+{_SQL_PR_ITER.format(out="it1", prev="r0")},
+{_SQL_PR_ITER.format(out="it2", prev="it1")},
+{_SQL_PR_ITER.format(out="it3", prev="it2")}
+SELECT node, ROUND(rank, 6) AS rank FROM it3
+"""
+
+
 def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 adjacent-character pairs within tokens — BPE tokenizer
     training's first merge iteration, as a corpus query."""
@@ -1711,6 +1778,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucket_hourly_anomaly": q_bucket_hourly_anomaly,
     "source_dup_profile": q_source_dup_profile,
     "bpe_merge_pairs": q_bpe_merge_pairs,
+    "dedup_pagerank": q_dedup_pagerank,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -1760,4 +1828,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "bucket_hourly_anomaly": SQL_BUCKET_HOURLY_ANOMALY,
     "source_dup_profile": SQL_SOURCE_DUP_PROFILE,
     "bpe_merge_pairs": SQL_BPE_MERGE_PAIRS,
+    "dedup_pagerank": SQL_DEDUP_PAGERANK,
 }

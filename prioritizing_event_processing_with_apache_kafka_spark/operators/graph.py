@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ConvergenceError", "connected_components"]
+__all__ = ["ConvergenceError", "connected_components", "pagerank"]
 
 
 class ConvergenceError(RuntimeError):
@@ -132,3 +132,65 @@ def connected_components(
             f"max_rounds or pass on_max_rounds='ignore' for partial labels"
         )
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "x",
+    dst: str = "y",
+    damping: float = 0.85,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the symmetrized edge list —
+    centrality inside near-dup clusters ("which variant is the hub
+    everything else duplicates?"), and the engine's general iterative-
+    dataflow shape beyond connected components / k-means.
+
+    Every iteration is one hash equi-join (ranks ⋈ edges on the source)
+    plus one map-side-combinable aggregation on the destination — the
+    same distributed primitives as the rest of the engine, nothing
+    collected to the driver. ``n_iter`` is fixed (not convergence-
+    driven) so the operator is *oracle-checkable*: a SQL engine can
+    unroll the same iterations as CTEs and must reproduce every rank
+    bit-for-bit. To that end per-edge contributions are rounded to 12
+    decimals and summed as ``DECIMAL`` (exact, order-independent), so
+    results don't depend on shuffle partitioning; the final ranks are
+    rounded to 6.
+
+    Symmetrization means no dangling nodes (every node's out-degree
+    ≥ 1), so no dangling-mass redistribution term is needed.
+
+    Returns ``(node, rank)``; ranks sum to ~1 over the graph.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    n = nodes.count()  # one scalar to parameterize the teleport term
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("__outdeg")
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    teleport = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contrib = (
+            ranks.join(deg, "node")
+            .join(sym, F.col("node") == F.col("a"))
+            .select(
+                F.col("b").alias("node"),
+                F.round(F.col("rank") / F.col("__outdeg"), 12)
+                .cast("decimal(28,12)")
+                .alias("__c"),
+            )
+        )
+        ranks = contrib.groupBy("node").agg(
+            (F.lit(teleport) + F.lit(damping) * F.sum("__c").cast("double")).alias(
+                "rank"
+            )
+        )
+    sym.unpersist()
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -319,3 +319,35 @@ def test_asof_unknown_tie_column_raises(spark):
     right = spark.createDataFrame([("a", _ts(0), 1.0)], "sym string, ts timestamp, px double")
     with pytest.raises(ValueError, match="right_tie"):
         asof_join(left, right, on="sym", right_cols=["px"], right_tie="nope")
+
+
+def test_pagerank_star_graph(spark):
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.graph import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], ["x", "y"])
+    out = {r.node: r.rank for r in pagerank(edges, n_iter=1).collect()}
+    # N=4, r0=0.25; hub receives all three leaf masses, leaves 1/3 of
+    # the hub's — hand-computed: hub 0.675, each leaf 0.108333
+    assert out[0] == pytest.approx(0.675, abs=1e-6)
+    for leaf in (1, 2, 3):
+        assert out[leaf] == pytest.approx(0.108333, abs=1e-6)
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_pagerank_symmetry_and_mass(spark):
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.graph import (
+        pagerank,
+    )
+
+    # path 1-2-3 (middle node better connected) + isolated pair: the
+    # symmetric positions tie exactly, the middle node dominates.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["x", "y"]
+    )
+    out = {r.node: r.rank for r in pagerank(edges, n_iter=3).collect()}
+    assert out[1] == out[3]
+    assert out[10] == out[11]
+    assert out[2] > out[1]  # the hub of the path outranks its ends
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-5)
