@@ -1579,6 +1579,39 @@ FROM scored
 """
 
 
+def q_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly salted fact⋈dim join (orders ⋈ customer) aggregated
+    to market segments — the manual skew tool for the one-key-too-hot
+    case AQE's runtime splitting can't reach. Any salt assignment
+    produces the identical join result, so the oracle is the plain
+    join."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.skew import (
+        salted_join,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    joined = salted_join(orders, customer, "custkey", salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("segment_revenue"),
+    )
+
+
+SQL_SALTED_SEGMENT_REVENUE = """
+SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS segment_revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the near-dup graph: which document is
     the hub its cluster duplicates? Fixed 3 iterations so DuckDB can
@@ -1779,6 +1812,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_dup_profile": q_source_dup_profile,
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "dedup_pagerank": q_dedup_pagerank,
+    "salted_segment_revenue": q_salted_segment_revenue,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -1829,4 +1863,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "source_dup_profile": SQL_SOURCE_DUP_PROFILE,
     "bpe_merge_pairs": SQL_BPE_MERGE_PAIRS,
     "dedup_pagerank": SQL_DEDUP_PAGERANK,
+    "salted_segment_revenue": SQL_SALTED_SEGMENT_REVENUE,
 }

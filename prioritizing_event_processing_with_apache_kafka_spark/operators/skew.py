@@ -13,7 +13,10 @@ column. Only algebraic aggregates (sum/count/min/max) can re-merge;
 ``salted_agg`` enforces that.
 
 (For joins, AQE's skew-join splitting — on by default in this engine's
-sessions — already handles the join-side equivalent at runtime.)
+sessions — already handles the join-side equivalent at runtime;
+``salted_join`` below is the explicit fallback for the cases AQE can't
+split: one key so hot a single sort-merge partition still drowns, or
+a session forced to run without AQE.)
 """
 
 from __future__ import annotations
@@ -21,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg"]
+__all__ = ["salted_agg", "salted_join"]
 
 _MERGEABLE = {
     "count": (F.count, F.sum),
@@ -63,3 +66,45 @@ def salted_agg(
             for out, (_, fn) in aggs.items()
         )
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    *,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Explicit salted equi-join: split every hot key of the (large,
+    skewed) ``left`` side into ``salt_buckets`` shuffle sub-keys and
+    replicate the (smaller) ``right`` side once per sub-key, so no
+    single reducer carries a whole hot key.
+
+    The salt comes from ``spark_partition_id() % salt_buckets`` — rows
+    of one key scatter across sub-keys in proportion to where they
+    already live, no unique column needed. ANY salt assignment yields
+    the identical join result (the salt only co-partitions; each left
+    row still meets every matching right row exactly once via the
+    replica carrying its salt value), so the operator is oracle-exact
+    against the plain join.
+
+    Cost model: shuffle volume grows by ``salt_buckets ×`` the right
+    side only — the deliberate trade when the right side is modest and
+    the left side's hot key is the bottleneck. Supported ``how``:
+    ``inner`` and ``left`` (the replicated side must be the lookup
+    side; right/full-outer would duplicate unmatched right rows).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (right side is "
+            f"replicated), got {how!r}"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    salted_left = left.withColumn(
+        "__salt", F.pmod(F.spark_partition_id(), F.lit(salt_buckets))
+    )
+    replicated = right.withColumn(
+        "__salt", F.explode(F.expr(f"sequence(0, {salt_buckets - 1})"))
+    )
+    return salted_left.join(replicated, [*keys, "__salt"], how).drop("__salt")

@@ -292,3 +292,51 @@ class TestCompaction:
 
         with _pytest.raises(ValueError):
             compact_parquet(spark, str(tmp_path), str(tmp_path / "o"), target_file_bytes=0)
+
+
+class TestSaltedJoin:
+    def test_equals_plain_join(self, spark, sf_dir):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.skew import (
+            salted_join,
+        )
+        from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import (
+            load_table,
+        )
+
+        orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+            "o_custkey", "custkey"
+        )
+        customer = load_table(spark, sf_dir, "customer").withColumnRenamed(
+            "c_custkey", "custkey"
+        )
+        salted = salted_join(orders, customer, "custkey", salt_buckets=4)
+        plain = orders.join(customer, "custkey")
+        key = lambda df: sorted(
+            (r.o_orderkey, r.c_mktsegment)
+            for r in df.select("o_orderkey", "c_mktsegment").collect()
+        )
+        assert key(salted) == key(plain) and len(key(salted)) > 0
+
+    def test_left_join_keeps_unmatched(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.skew import (
+            salted_join,
+        )
+
+        left = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "lv"])
+        right = spark.createDataFrame([(1, "X")], ["k", "rv"])
+        out = {
+            r.k: r.rv
+            for r in salted_join(left, right, "k", salt_buckets=3, how="left").collect()
+        }
+        assert out == {1: "X", 2: None}
+
+    def test_rejects_right_outer(self, spark):
+        import pytest as _pytest
+
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.skew import (
+            salted_join,
+        )
+
+        left = spark.createDataFrame([(1, "a")], ["k", "lv"])
+        with _pytest.raises(ValueError, match="inner"):
+            salted_join(left, left, "k", how="right")
