@@ -79,6 +79,18 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Fail-fast environment gate: one clear line per broken table
+    # beats 30 per-query stacktraces (round-3 lesson).
+    from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import (
+        smoke_check_tables,
+    )
+
+    problems = smoke_check_tables(spark, SF_DIR)
+    if problems:
+        for p in problems:
+            print(f"SMOKE FAIL {p}", file=sys.stderr)
+        return 2
+
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()

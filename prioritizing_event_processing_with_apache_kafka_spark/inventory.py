@@ -42,6 +42,7 @@ from prioritizing_event_processing_with_apache_kafka_spark.plans.config import B
 from prioritizing_event_processing_with_apache_kafka_spark.plans.layout import compute_layout
 from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import (
     load_table,
+    normalize_event_ts,
     with_routing_key,
 )
 
@@ -749,6 +750,7 @@ def _replay_events_stream(
     import tempfile
     import uuid
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
     # The file streaming source lists a *directory*; pathGlobFilter
@@ -759,8 +761,9 @@ def _replay_events_stream(
         .parquet(sf_dir.rstrip("/"))
     )
     if normalize_ts:
-        # Same nanos→micros truncation load_table applies on the batch path.
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # Same dtype-dispatched normalization load_table applies on the
+        # batch path (long-nanos / NTZ / tz-aware all handled).
+        stream = normalize_event_ts(stream)
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     chk = tempfile.mkdtemp(prefix="peps-replay-chk-")
     q = (

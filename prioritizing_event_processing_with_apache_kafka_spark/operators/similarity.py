@@ -82,12 +82,16 @@ def cosine_topk(
     :func:`cosine` (same fold order, same sqrt), so rankings and oracle
     hashes are unchanged.
     """
+    # Zero-norm guard (both sides): cosine with a zero vector is
+    # 0/0 = NaN, and Spark sorts NaN *above* every real double — one
+    # all-zero corpus row would rank #1 for every query. Same policy as
+    # quantized_ann_topk: a zero vector has no cosine neighbors, drop it.
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
         dot(vec_col, vec_col).alias("__n2q"),
-    )
-    c = corpus.withColumn("__n2c", dot(vec_col, vec_col))
+    ).filter(F.col("__n2q") > 0)
+    c = corpus.withColumn("__n2c", dot(vec_col, vec_col)).filter(F.col("__n2c") > 0)
     cos = dot("__qvec", vec_col) / (F.sqrt(F.col("__n2c")) * F.sqrt(F.col("__n2q")))
     scored = (
         c.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
@@ -225,22 +229,31 @@ def ivf_ann_topk(
     nearest cells. The scale path when both corpus *and* query set are
     large: candidate volume drops by ~num_cells/nprobe, and the cell
     assignment is a one-off linear pass that persists with the table."""
-    cells = with_ivf_cell(
-        corpus, vec_col=vec_col, num_cells=num_cells, dim=dim, seed=seed, nprobe=1
-    ).withColumn("__n2c", dot(vec_col, vec_col))
-    probes = with_ivf_cell(
-        queries.select(query_id_col, vec_col),
-        vec_col=vec_col,
-        num_cells=num_cells,
-        dim=dim,
-        seed=seed,
-        nprobe=nprobe,
-        out_col="__probe_cells",
-    ).select(
-        query_id_col,
-        F.col(vec_col).alias("__qvec"),
-        dot(vec_col, vec_col).alias("__n2q"),
-        F.explode("__probe_cells").alias("ivf_cell"),
+    # Zero-norm guard on both sides — see cosine_topk.
+    cells = (
+        with_ivf_cell(
+            corpus, vec_col=vec_col, num_cells=num_cells, dim=dim, seed=seed, nprobe=1
+        )
+        .withColumn("__n2c", dot(vec_col, vec_col))
+        .filter(F.col("__n2c") > 0)
+    )
+    probes = (
+        with_ivf_cell(
+            queries.select(query_id_col, vec_col),
+            vec_col=vec_col,
+            num_cells=num_cells,
+            dim=dim,
+            seed=seed,
+            nprobe=nprobe,
+            out_col="__probe_cells",
+        )
+        .select(
+            query_id_col,
+            F.col(vec_col).alias("__qvec"),
+            dot(vec_col, vec_col).alias("__n2q"),
+            F.explode("__probe_cells").alias("ivf_cell"),
+        )
+        .filter(F.col("__n2q") > 0)
     )
     # Norms precomputed per side (see cosine_topk): one fold per pair.
     cos = dot("__qvec", vec_col) / (F.sqrt(F.col("__n2c")) * F.sqrt(F.col("__n2q")))
@@ -293,18 +306,19 @@ def lsh_ann_topk(
         buckets.append(col)
     # One row per (row, table): posexplode keeps the table index so
     # bucket ids from different plane sets never collide.
+    # Zero-norm guard on both sides — see cosine_topk.
     c_exploded = c_bucketed.select(
         F.col(id_col),
         F.col(vec_col),
         dot(vec_col, vec_col).alias("__n2c"),
         F.posexplode(F.array(*buckets)).alias("__table", "lsh_bucket"),
-    )
+    ).filter(F.col("__n2c") > 0)
     q_exploded = q_bucketed.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
         dot(vec_col, vec_col).alias("__n2q"),
         F.posexplode(F.array(*buckets)).alias("__table", "lsh_bucket"),
-    )
+    ).filter(F.col("__n2q") > 0)
     cands = (
         c_exploded.join(F.broadcast(q_exploded), ["__table", "lsh_bucket"])
         .filter(F.col(query_id_col) != F.col(id_col))
@@ -459,10 +473,13 @@ def semantic_neardup_pairs(
     # dot-product fold instead of three — the expression
     # dot/(sqrt(n2x)·sqrt(n2y)) is arithmetic-identical to cosine(),
     # so results (and oracle hashes) are unchanged.
+    # Zero-norm guard — see cosine_topk (a zero vector would NaN every
+    # pair it appears in, and NaN ≥ threshold is true in Spark's sort).
     members = (
         vecs.select(id_col, vector_col)
         .join(assigned, id_col)
         .withColumn("__n2", dot(vector_col, vector_col))
+        .filter(F.col("__n2") > 0)
     )
     members = scoped_persist(members)
     a = members.select(

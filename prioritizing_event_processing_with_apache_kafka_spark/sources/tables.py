@@ -14,12 +14,15 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 __all__ = [
     "TABLE_NAMES",
     "EVENT_TYPE_BUCKET",
     "load_table",
     "load_tables",
+    "normalize_event_ts",
+    "smoke_check_tables",
     "spread",
     "with_routing_key",
 ]
@@ -42,24 +45,73 @@ EVENT_TYPE_BUCKET = {"error": "Platinum", "purchase": "Gold"}
 DEFAULT_BUCKET = "Standard"
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table, normalizing timestamp precision.
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize ``events.ts`` to a tz-aware ``TimestampType`` in UTC
+    micros, whatever the parquet file physically stores.
 
-    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects. We read it as a raw long
-    (``spark.sql.legacy.parquet.nanosAsLong`` — runtime-settable) and
-    truncate to microseconds with exact integer division, matching what
-    DuckDB's parquet reader does on the oracle side.
+    The harness has shipped three encodings across rounds, so dispatch
+    on the *scanned* dtype instead of assuming one:
+
+    - ``LongType`` — TIMESTAMP(NANOS) surfaced as raw nanos via
+      ``spark.sql.legacy.parquet.nanosAsLong``; truncate to micros with
+      exact integer division (what DuckDB's reader does oracle-side).
+    - ``TimestampNTZType`` — ``timestamp[us]`` (no tz); reinterpret the
+      wall-clock as UTC. Under the UTC session timezone every entry
+      point pins, the cast is value-identical to DuckDB's naive read.
+    - ``TimestampType`` — already tz-aware micros; pass through.
+    """
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, LongType):
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if isinstance(dtype, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table; ``events`` gets ``ts`` normalized to
+    tz-aware micros via :func:`normalize_event_ts` (dtype-dispatched —
+    see its docstring for the three physical encodings handled).
+
+    Oracle parity for date_trunc/window over NTZ data requires the UTC
+    session timezone; every session builder in this repo pins it, and
+    we re-pin here (runtime-settable) in case the caller's session
+    (e.g. the driver's) didn't.
     """
     if name == "events":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return normalize_event_ts(df)
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def smoke_check_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> list[str]:
+    """Fail-fast environment gate: load every fixture table present
+    under ``sf_dir`` and force one row through its full load transform.
+
+    Returns a list of one-line diagnoses (empty = healthy). Round 3's
+    bench/correctness runs died in 35 per-query stacktraces that all
+    traced to one loader bug; entry points call this first so an
+    environment/data mismatch costs exactly one clear error instead.
+    """
+    import os
+
+    problems: list[str] = []
+    for name in names:
+        if not os.path.exists(f"{sf_dir.rstrip('/')}/{name}.parquet"):
+            problems.append(f"{name}: missing {sf_dir.rstrip('/')}/{name}.parquet")
+            continue
+        try:
+            load_table(spark, sf_dir, name).limit(1).collect()
+        except Exception as exc:  # noqa: BLE001 — diagnosis, not control flow
+            first = str(exc).strip().splitlines()[0] if str(exc).strip() else repr(exc)
+            problems.append(f"{name}: {type(exc).__name__}: {first}")
+    return problems
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -136,3 +136,53 @@ class TestIvfPartitionedLayout:
             .count()
         )
         assert probed.count() == expected
+
+
+class TestZeroNormGuard:
+    """A zero vector cosines to 0/0 = NaN, and Spark sorts NaN above
+    every real double — ungated, one all-zero corpus row would rank #1
+    for every query. Every similarity path must drop zero-norm rows."""
+
+    def _corpus(self, spark, dim=4):
+        rows = [
+            (0, [1.0] + [0.0] * (dim - 1)),
+            (1, [0.9, 0.1] + [0.0] * (dim - 2)),
+            (2, [0.0, 1.0] + [0.0] * (dim - 2)),
+            (99, [0.0] * dim),  # the zero vector
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_exact_topk_never_ranks_zero_vector(self, spark):
+        corpus = self._corpus(spark)
+        queries = corpus.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = S.cosine_topk(corpus, queries, k=10).collect()
+        assert out, "non-degenerate neighbors must survive the guard"
+        assert all(r["vec_id"] != 99 for r in out)
+        assert all(r["cos_sim"] == r["cos_sim"] for r in out)  # no NaN
+
+    def test_exact_topk_zero_query_yields_nothing(self, spark):
+        corpus = self._corpus(spark)
+        queries = corpus.filter(F.col("vec_id") == 99).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        assert S.cosine_topk(corpus, queries, k=10).count() == 0
+
+    def test_lsh_and_ivf_never_rank_zero_vector(self, spark):
+        corpus = self._corpus(spark)
+        queries = corpus.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        for out in (
+            S.lsh_ann_topk(corpus, queries, k=10, dim=4, num_planes=2),
+            S.ivf_ann_topk(corpus, queries, k=10, dim=4, num_cells=2),
+        ):
+            assert all(r["vec_id"] != 99 for r in out.collect())
+
+    def test_semdedup_pairs_exclude_zero_vector(self, spark):
+        pairs = S.semantic_neardup_pairs(
+            self._corpus(spark), k=2, n_iter=1, threshold=0.0
+        ).collect()
+        assert pairs
+        assert all(r["x"] != 99 and r["y"] != 99 for r in pairs)

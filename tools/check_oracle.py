@@ -115,6 +115,19 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Fail-fast environment gate (round-3 lesson: one loader bug should
+    # cost one clear line, not 35 per-query stacktraces).
+    from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import (
+        smoke_check_tables,
+    )
+
+    smoke = smoke_check_tables(spark, sf_dir)
+    if smoke:
+        for p in smoke:
+            print(f"SMOKE FAIL {p}", file=sys.stderr)
+        return 3
+
     conn = duckdb_conn(sf_dir)
 
     queries = entrymod.queries()
@@ -176,6 +189,17 @@ def main() -> int:
             print(f"ok    {name}: {len(spark_pdf)} rows [{time.time()-t0:.1f}s]")
     print(f"\n{checked} oracle-checked, {rows_only} rows-only, {failures} failures")
     if json_out:
+        # Staleness marker: the round-3 regression was an events-ts
+        # physical-encoding change invalidating a committed artifact
+        # with no way to tell. Record the encoding the run saw.
+        import pyarrow.parquet as pq
+
+        records["__meta__"] = {
+            "sf_dir": sf_dir,
+            "events_ts_physical": str(
+                pq.read_schema(f"{sf_dir.rstrip('/')}/events.parquet").field("ts").type
+            ),
+        }
         with open(json_out, "w") as fh:
             json.dump(records, fh, indent=1)
         print(f"wrote {json_out}")
