@@ -741,6 +741,7 @@ def _replay_events_stream(
     *,
     name_prefix: str,
     normalize_ts: bool = False,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Replay the events table as a real Structured Streaming file
     source (availableNow), apply ``transform``, drain into a memory
@@ -770,7 +771,7 @@ def _replay_events_stream(
         transform(stream)
         .writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .option("checkpointLocation", chk)
         .start()
@@ -855,6 +856,85 @@ SELECT date_trunc('hour', ts) AS hour_start,
             ELSE 'Standard' END AS bucket,
        COUNT(*) AS n_events
 FROM events GROUP BY 1, 2
+"""
+
+
+def q_stream_sessionized_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows on a real stream, oracle-checked: per-user
+    ``session_window(ts, '30 minutes')`` aggregation (streaming/telemetry
+    ``user_sessions``) replayed availableNow in complete mode, so every
+    merged session is emitted and the result equals the batch
+    gaps-and-islands sessionization exactly. Note the boundary
+    semantics: Spark merges sessions only when windows *overlap*, so a
+    gap of exactly 30 minutes starts a NEW session — the oracle flags
+    ``gap >= 30min`` (the batch analog ``sessionized_events``
+    deliberately keeps the ``>``-flavored classic formulation; the two
+    differ only on exact-gap ties, absent from these fixtures but
+    pinned by each query's own oracle)."""
+    from prioritizing_event_processing_with_apache_kafka_spark.streaming.telemetry import (
+        user_sessions,
+    )
+
+    return _replay_events_stream(
+        spark,
+        sf_dir,
+        lambda stream: user_sessions(stream),
+        name_prefix="stream_sessions",
+        normalize_ts=True,
+    )
+
+
+SQL_STREAM_SESSIONIZED_USERS = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS session_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup, oracle-checked:
+    ``dropDuplicatesWithinWatermark`` on (user_id, event_type) over the
+    replayed stream, append mode. WHICH physical row survives per key is
+    arrival-order-dependent, so the query projects only the dedup keys —
+    that set (= the distinct pairs seen) is deterministic and equals the
+    batch DISTINCT, while the run still exercises the real streaming
+    state store (first-seen emit, watermark-bounded state)."""
+    from prioritizing_event_processing_with_apache_kafka_spark.streaming.telemetry import (
+        dedup_within_watermark,
+    )
+
+    def build(stream: DataFrame) -> DataFrame:
+        return dedup_within_watermark(
+            stream, keys=["user_id", "event_type"]
+        ).select("user_id", "event_type")
+
+    return _replay_events_stream(
+        spark,
+        sf_dir,
+        build,
+        name_prefix="stream_dedup",
+        normalize_ts=True,
+        output_mode="append",
+    )
+
+
+SQL_STREAM_DEDUP_KEYS = """
+SELECT DISTINCT user_id, event_type FROM events
 """
 
 
@@ -1695,6 +1775,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_window_throughput": q_sliding_window_throughput,
     "stream_route_counts": q_stream_route_counts,
     "stream_windowed_throughput": q_stream_windowed_throughput,
+    "stream_sessionized_users": q_stream_sessionized_users,
+    "stream_dedup_keys": q_stream_dedup_keys,
     "events_asof_last_purchase": q_events_asof_last_purchase,
     "events_asof_next_error": q_events_asof_next_error,
     "incident_window_counts": q_incident_window_counts,
@@ -1746,6 +1828,8 @@ ORACLES: dict[str, str] = {
     "sliding_window_throughput": SQL_SLIDING_WINDOW_THROUGHPUT,
     "stream_route_counts": SQL_STREAM_ROUTE_COUNTS,
     "stream_windowed_throughput": SQL_STREAM_WINDOWED_THROUGHPUT,
+    "stream_sessionized_users": SQL_STREAM_SESSIONIZED_USERS,
+    "stream_dedup_keys": SQL_STREAM_DEDUP_KEYS,
     "events_asof_last_purchase": SQL_EVENTS_ASOF_LAST_PURCHASE,
     "events_asof_next_error": SQL_EVENTS_ASOF_NEXT_ERROR,
     "incident_window_counts": SQL_INCIDENT_WINDOW_COUNTS,

@@ -56,13 +56,28 @@ def main() -> int:
     # executor/codegen startup.
     materialize(spark.range(1_000_000).selectExpr("sum(id) AS s"))
 
+    jvm = sc._jvm
+    mgmt = jvm.java.lang.management.ManagementFactory
+
+    def gc_millis() -> int:
+        total = 0
+        it = mgmt.getGarbageCollectorMXBeans().iterator()
+        while it.hasNext():
+            total += it.next().getCollectionTime()
+        return total
+
+    heap = mgmt.getMemoryMXBean()
+
     for name in names:
         fn = queries[name]
         for run in ("cold", "warm"):
             jobs_before = set(tracker.getJobIdsForGroup(None) or [])
+            gc0 = gc_millis()
             t0 = time.time()
             materialize(fn(spark, sf_dir))
             dt = time.time() - t0
+            gc_dt = gc_millis() - gc0
+            used_mb = heap.getHeapMemoryUsage().getUsed() // (1 << 20)
             jobs_after = set(tracker.getJobIdsForGroup(None) or [])
             new_jobs = sorted(jobs_after - jobs_before)
             n_stages = 0
@@ -71,7 +86,8 @@ def main() -> int:
                 if info is not None:
                     n_stages += len(info.stageIds)
             print(
-                f"{name:28s} {run}: {dt:6.2f}s  jobs={len(new_jobs)} stages={n_stages}",
+                f"{name:28s} {run}: {dt:6.2f}s  gc={gc_dt/1000:5.2f}s "
+                f"heap={used_mb}M jobs={len(new_jobs)} stages={n_stages}",
                 flush=True,
             )
             spark.catalog.clearCache()
