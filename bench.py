@@ -60,6 +60,10 @@ HEADLINE = [
     "dsir_weights",
     "user_value_ewma",
     "bucket_hourly_anomaly",
+    # round-4 additions
+    "stream_sessionized_users",
+    "bucket_user_reach_hll",
+    "bucket_value_kll",
 ]
 
 

@@ -938,6 +938,65 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def q_bucket_user_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct reach: per-(bucket, hour) HLL sketches of
+    user_id merged into per-bucket totals — the sketch-rollup pattern
+    that answers coarser distincts without rescanning raw rows at
+    100 TB. Approximate by design (DataSketches estimates aren't
+    DuckDB-replayable), so no SQL oracle; instead the exact distinct
+    and relative error are computed in the same plan and every row is
+    self-auditing (tests bound |rel_error_pct|)."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sketches import (
+        hll_distinct_rollup,
+    )
+
+    tagged = _events_tagged(spark, sf_dir).withColumn(
+        "hour", F.date_trunc("hour", "ts")
+    )
+    return hll_distinct_rollup(
+        tagged, key_col="user_id", group_col="bucket", cell_col="hour"
+    ).orderBy("bucket")
+
+
+def q_user_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra: estimated |purchasers ∩ error-users|,
+    |∪| and |purchasers \\ error-users| from two KB-sized sketches —
+    the sketch-side answer to "how many users did X but never Y"
+    without materializing either ID set. Exact counts from the same
+    input ride along; approximate by design, so rows-only for the
+    driver with in-query audit columns."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sketches import (
+        theta_set_overlap,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return theta_set_overlap(
+        events,
+        key_col="user_id",
+        set_col="event_type",
+        left_value="purchase",
+        right_value="error",
+    )
+
+
+def q_bucket_value_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles: per-(bucket, hour) KLL(double) sketches of
+    the event value, merged per bucket and probed at P50/P90/P99 —
+    bounded-size summaries instead of the full sort exact percentiles
+    need. Exact percentiles ride along per quantile for the audit;
+    approximate by design, so rows-only for the driver."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sketches import (
+        kll_value_quantiles,
+    )
+
+    tagged = _events_tagged(spark, sf_dir).withColumn(
+        "hour", F.date_trunc("hour", "ts")
+    )
+    return kll_value_quantiles(
+        tagged, value_col="value", group_col="bucket", cell_col="hour"
+    ).orderBy("bucket")
+
+
 def q_events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of (point-in-time) join: every event annotated with the user's
     most recent purchase at-or-before it — "time since last conversion",
@@ -1777,6 +1836,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_windowed_throughput": q_stream_windowed_throughput,
     "stream_sessionized_users": q_stream_sessionized_users,
     "stream_dedup_keys": q_stream_dedup_keys,
+    "bucket_user_reach_hll": q_bucket_user_reach_hll,
+    "user_overlap_theta": q_user_overlap_theta,
+    "bucket_value_kll": q_bucket_value_kll,
     "events_asof_last_purchase": q_events_asof_last_purchase,
     "events_asof_next_error": q_events_asof_next_error,
     "incident_window_counts": q_incident_window_counts,

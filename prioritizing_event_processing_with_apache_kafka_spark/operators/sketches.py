@@ -1,0 +1,181 @@
+"""Mergeable-sketch aggregations (Apache DataSketches via Spark 4 SQL).
+
+The 100 TB pattern these operators encode: build a small fixed-size
+sketch per cell (partition / hour / source), persist or shuffle the
+*sketches*, and answer rollup questions by merging sketches — never by
+rescanning rows. A distinct-count over any cell combination, a set
+overlap between cohorts, or a quantile over a re-sliced population
+then costs KBs per cell instead of a second pass over the data.
+
+Everything here is a native JVM aggregate (``hll_sketch_agg``,
+``theta_sketch_agg``, ``kll_sketch_agg_double`` and their merge
+twins) — map-side-combinable, no UDFs, no driver round-trips.
+
+Estimates are approximate by design, so these operators cannot be
+DuckDB-hash-oracled; instead each query emits the exact answer
+alongside the estimate (computed in the same plan) plus a relative
+error column, making every row self-auditing — the same contract as
+the ANN operators' in-query ``recall_vs_exact``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hll_distinct_rollup",
+    "theta_set_overlap",
+    "kll_value_quantiles",
+]
+
+
+def hll_distinct_rollup(
+    df: DataFrame,
+    *,
+    key_col: str,
+    group_col: str,
+    cell_col: str,
+    lgk: int = 14,
+) -> DataFrame:
+    """Two-level mergeable distinct count: one HLL sketch per
+    (group, cell), merged per group with ``hll_union_agg``.
+
+    At scale the cell sketches are the materialization point (e.g. one
+    per bucket × hour written with the hourly rollup); any coarser
+    distinct — per bucket, per day, global — is a sketch merge, never a
+    re-aggregation of raw rows. Emits the exact per-group distinct from
+    the same input alongside the estimate (``rel_error_pct``), so the
+    operator audits itself.
+    """
+    cells = df.groupBy(group_col, cell_col).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("__sk"),
+    )
+    merged = cells.groupBy(group_col).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("__sk"))).alias("__est"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    exact = df.groupBy(group_col).agg(
+        F.countDistinct(key_col).alias("exact_distinct")
+    )
+    return (
+        merged.join(exact, group_col)
+        .select(
+            group_col,
+            "n_cells",
+            F.round("__est").cast("long").alias("est_distinct"),
+            "exact_distinct",
+            F.round(
+                (F.col("__est") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                * 100,
+                2,
+            ).alias("rel_error_pct"),
+        )
+    )
+
+
+def theta_set_overlap(
+    df: DataFrame,
+    *,
+    key_col: str,
+    set_col: str,
+    left_value: str,
+    right_value: str,
+) -> DataFrame:
+    """Set algebra on Theta sketches: estimate |A∩B|, |A∪B| and |A\\B|
+    between the key-sets of two populations (``set_col == left_value``
+    vs ``== right_value``) without materializing either set.
+
+    Unlike HLL, Theta sketches support intersection/difference — the
+    sketch-side answer to "how many users did X but never Y". Each
+    side's sketch is one map-side-combinable aggregate over its
+    filtered rows; the set operations run on two KB-sized sketch
+    values. Exact counts from the same input ride along for the audit.
+    """
+    left = F.col(set_col) == left_value
+    right = F.col(set_col) == right_value
+    sketches = df.filter(left | right).agg(
+        F.theta_sketch_agg(F.when(left, F.col(key_col))).alias("__a"),
+        F.theta_sketch_agg(F.when(right, F.col(key_col))).alias("__b"),
+    )
+    est = sketches.select(
+        F.round(
+            F.theta_sketch_estimate(F.theta_intersection(F.col("__a"), F.col("__b")))
+        ).cast("long").alias("est_overlap"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_union(F.col("__a"), F.col("__b")))
+        ).cast("long").alias("est_union"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_difference(F.col("__a"), F.col("__b")))
+        ).cast("long").alias("est_left_only"),
+    )
+    exact = (
+        df.filter(left | right)
+        .groupBy(key_col)
+        .agg(
+            F.max(left.cast("int")).alias("__in_a"),
+            F.max(right.cast("int")).alias("__in_b"),
+        )
+        .agg(
+            F.sum((F.col("__in_a") * F.col("__in_b"))).alias("exact_overlap"),
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum(F.col("__in_a") * (1 - F.col("__in_b"))).alias("exact_left_only"),
+        )
+    )
+    return est.join(exact)
+
+
+def kll_value_quantiles(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_col: str,
+    cell_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    k: int = 200,
+) -> DataFrame:
+    """Mergeable quantiles: one KLL(double) sketch per (group, cell),
+    merged per group, probed at ``quantiles``.
+
+    The exact ``percentile`` aggregate needs a full sort of the group;
+    the KLL path keeps a bounded-size summary per cell and answers any
+    re-slicing by merge — the only viable shape when the group is a
+    terabyte. Exact percentiles from the same input ride along per
+    quantile for the audit.
+    """
+    cells = df.groupBy(group_col, cell_col).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(k)).alias("__sk")
+    )
+    # Spark exposes KLL merge only as the two-arg scalar
+    # kll_sketch_merge_double (no union aggregate, unlike HLL/Theta),
+    # so per-group merging collects the cell sketches and folds. Each
+    # sketch is O(k) bytes and cells-per-group is the *coarsening*
+    # factor (hours per bucket), so the collected list stays small even
+    # when the underlying rows are terabytes.
+    merged = cells.groupBy(group_col).agg(
+        F.collect_list("__sk").alias("__sks"),
+        F.count(F.lit(1)).alias("n_cells"),
+    ).select(
+        group_col,
+        "n_cells",
+        F.expr(
+            "aggregate(slice(__sks, 2, size(__sks) - 1), __sks[0], "
+            "(acc, s) -> kll_sketch_merge_double(acc, s))"
+        ).alias("__m"),
+    )
+    est_cols = [
+        F.round(
+            F.kll_sketch_get_quantile_double(F.col("__m"), F.lit(float(q))), 4
+        ).alias(f"est_p{int(q * 100)}")
+        for q in quantiles
+    ]
+    exact = df.groupBy(group_col).agg(
+        *[
+            F.round(
+                F.expr(f"percentile({value_col}, {q})"), 4
+            ).alias(f"exact_p{int(q * 100)}")
+            for q in quantiles
+        ]
+    )
+    return merged.select(group_col, "n_cells", *est_cols).join(exact, group_col)
