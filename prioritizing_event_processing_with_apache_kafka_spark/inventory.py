@@ -938,6 +938,79 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type:
+    ``parse_json(props)`` once into the binary variant encoding, then
+    typed ``variant_get`` paths — the engine-native path for schemaless
+    columns (parse once, extract many, no per-path string re-parse the
+    ``get_json_object`` twin ``events_json_extract`` pays). Same
+    aggregate contract as that twin, distinct aliases, DuckDB JSON
+    oracle."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        events.withColumn("__k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__k").alias("variant_sum_k"),
+            F.min("__k").alias("variant_min_k"),
+            F.max("__k").alias("variant_max_k"),
+        )
+    )
+
+
+SQL_EVENTS_VARIANT_EXTRACT = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS variant_sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS variant_min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS variant_max_k
+FROM events GROUP BY 1
+"""
+
+
+def q_bucket_metric_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape with the native ``unpivot`` (the inverse of
+    ``bucket_pivot``): per-bucket metrics computed once in wide form,
+    melted into (bucket, metric, metric_value) rows — one aggregation
+    pass plus a zero-shuffle projection, vs the UNION-ALL oracle's
+    three scans."""
+    tagged = _events_tagged(spark, sf_dir)
+    wide = tagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.countDistinct("user_id").cast("double").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    return wide.unpivot(
+        ids=["bucket"],
+        values=["n_events", "n_users", "sum_value"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )
+
+
+SQL_BUCKET_METRIC_UNPIVOT = """
+WITH tagged AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'Platinum'
+              WHEN event_type = 'purchase' THEN 'Gold'
+              ELSE 'Standard' END AS bucket,
+         user_id, value
+  FROM events
+), wide AS (
+  SELECT bucket,
+         CAST(COUNT(*) AS DOUBLE) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM tagged GROUP BY 1
+)
+SELECT bucket, 'n_events' AS metric, n_events AS metric_value FROM wide
+UNION ALL
+SELECT bucket, 'n_users', n_users FROM wide
+UNION ALL
+SELECT bucket, 'sum_value', sum_value FROM wide
+"""
+
+
 def q_bucket_user_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct reach: per-(bucket, hour) HLL sketches of
     user_id merged into per-bucket totals — the sketch-rollup pattern
@@ -1839,6 +1912,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucket_user_reach_hll": q_bucket_user_reach_hll,
     "user_overlap_theta": q_user_overlap_theta,
     "bucket_value_kll": q_bucket_value_kll,
+    "events_variant_extract": q_events_variant_extract,
+    "bucket_metric_unpivot": q_bucket_metric_unpivot,
     "events_asof_last_purchase": q_events_asof_last_purchase,
     "events_asof_next_error": q_events_asof_next_error,
     "incident_window_counts": q_incident_window_counts,
@@ -1892,6 +1967,8 @@ ORACLES: dict[str, str] = {
     "stream_windowed_throughput": SQL_STREAM_WINDOWED_THROUGHPUT,
     "stream_sessionized_users": SQL_STREAM_SESSIONIZED_USERS,
     "stream_dedup_keys": SQL_STREAM_DEDUP_KEYS,
+    "events_variant_extract": SQL_EVENTS_VARIANT_EXTRACT,
+    "bucket_metric_unpivot": SQL_BUCKET_METRIC_UNPIVOT,
     "events_asof_last_purchase": SQL_EVENTS_ASOF_LAST_PURCHASE,
     "events_asof_next_error": SQL_EVENTS_ASOF_NEXT_ERROR,
     "incident_window_counts": SQL_INCIDENT_WINDOW_COUNTS,
