@@ -20,6 +20,10 @@ Format notes encoded here rather than rediscovered per pipeline:
 - Both formats are splittable line formats (uncompressed or with a
   splittable codec), so read parallelism survives; schema-on-read
   keeps the scan single-pass.
+- **XML** (built into Spark 4; the former spark-xml package) covers
+  the enterprise-feed edge: one element per record under ``rowTag``,
+  explicit microsecond ``timestampFormat`` both directions, values
+  XML-escaped so embedded JSON strings survive bit-exact.
 - **ORC** is the columnar alternative when a downstream consumer is
   Hive/Trino-shaped: full type fidelity (arrays, structs, binary,
   timestamps), predicate pushdown and column pruning like parquet, so
@@ -38,6 +42,8 @@ __all__ = [
     "read_jsonl",
     "write_orc",
     "read_orc",
+    "write_xml",
+    "read_xml",
 ]
 
 _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
@@ -112,3 +118,37 @@ def write_orc(df: DataFrame, path: str) -> None:
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """Read ORC (self-describing — schema travels with the files)."""
     return spark.read.orc(path)
+
+
+_XML_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def write_xml(df: DataFrame, path: str, *, row_tag: str = "row") -> None:
+    """Write as XML (Spark 4's built-in data source, the former
+    spark-xml package): one ``<row_tag>`` element per record.
+
+    Timestamps use an explicit ISO-8601 microsecond pattern — writer
+    and reader must agree, same contract as the CSV helpers (the
+    default pattern drops sub-second digits and the round trip stops
+    being bit-exact)."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("timestampFormat", _XML_TS_FMT)
+        .mode("overwrite")
+        .save(path)
+    )
+
+
+def read_xml(
+    spark: SparkSession, path: str, schema: T.StructType, *, row_tag: str = "row"
+) -> DataFrame:
+    """Read XML with schema-on-read (never inference — sampling types
+    by luck costs an extra full scan at 100 TB, same rule as CSV/JSONL)."""
+    return (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .option("timestampFormat", _XML_TS_FMT)
+        .schema(schema)
+        .load(path)
+    )

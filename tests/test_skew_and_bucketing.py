@@ -340,3 +340,20 @@ class TestSaltedJoin:
         left = spark.createDataFrame([(1, "a")], ["k", "lv"])
         with _pytest.raises(ValueError, match="inner"):
             salted_join(left, left, "k", how="right")
+
+    def test_events_xml_roundtrip(self, spark, sf_dir, tmp_path):
+        from prioritizing_event_processing_with_apache_kafka_spark.sources.formats import (
+            read_xml,
+            write_xml,
+        )
+        from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import load_table
+
+        events = load_table(spark, sf_dir, "events")
+        path = str(tmp_path / "events_xml")
+        write_xml(events, path, row_tag="event")
+        back = read_xml(spark, path, events.schema, row_tag="event")
+        assert back.schema == events.schema
+        # bit-exact round trip including microsecond timestamps and the
+        # embedded-JSON props strings (XML-escaped on the way through)
+        assert back.exceptAll(events).count() == 0
+        assert events.exceptAll(back).count() == 0
