@@ -69,6 +69,7 @@ HEADLINE = [
 
 def main() -> int:
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F  # noqa: F401 — warmup aggregates
 
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -126,6 +127,30 @@ def main() -> int:
 
     # Warmup: spin up executor threads, codegen, parquet footers.
     materialize(queries["route_distribution"](spark, SF_DIR))
+
+    # JIT warmup for the shared evaluation machinery the dedup/text
+    # queries lean on (higher-order lambda interpreter, xxhash64,
+    # levenshtein, array ops). Profiling showed identical back-to-back
+    # pairs of the same query run 2-3× slower early in a session than
+    # late — both runs of a pair, so min-of-two can't mask it — because
+    # C2 compilation of these shared paths completes over session
+    # lifetime. A warm cluster has them compiled; exercising them once
+    # up front measures that steady state instead of JIT luck.
+    warm = spark.range(300_000).selectExpr(
+        "id",
+        "repeat(concat('tok', cast(id % 997 AS STRING), ' '), 12) AS text",
+    ).selectExpr(
+        "xxhash64(text) AS h",
+        # XOR fold: associative, overflow-free under ANSI mode
+        "aggregate(transform(split(text, ' '), x -> xxhash64(x)), 0L, (a, b) -> a ^ b) AS fold",
+        "size(array_distinct(split(text, ' '))) AS nd",
+        "levenshtein(substr(text, 1, 40), substr(text, 3, 40), 20) AS lev",
+    )
+    materialize(
+        warm.groupBy((warm.h % 64).alias("g")).agg(
+            F.max("fold").alias("s"), F.max("lev").alias("m"), F.sum("nd").alias("n")
+        )
+    )
 
     # Best of two runs per query: the first run pays one-off costs
     # (codegen compile, parquet footer reads, broadcast build); the min
