@@ -221,3 +221,36 @@ def test_tws_counter_continues_across_micro_batches(spark, dirs):
         assert both[104] == (9, 2)
     finally:
         q.stop()
+
+
+def test_statestore_reader_exposes_counter_state(spark, dirs):
+    """Spark 4's state data source reads a streaming checkpoint's state
+    store as a batch DataFrame — the ops path for inspecting (or
+    auditing) live stateful-routing state without stopping the query.
+    The lifetime counter kept by applyInPandasWithState must be visible
+    there and equal the number of routed records per bucket."""
+    src, chk = dirs
+    chunk(spark, src, 0, 7)
+    source = spark.readStream.schema(SCHEMA).parquet(src)
+    routed = route_stream_stateful(source, CFG, 10, order_col="event_id")
+    q = (
+        routed.writeStream.format("memory")
+        .queryName("statestore_probe")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = spark.read.format("statestore").load(chk)
+    # schema: key (struct with the grouping column), value (state struct)
+    rows = state.collect()
+    assert rows, "state store must contain the per-bucket counter state"
+    by_bucket = {r["key"][0]: r["value"] for r in rows}
+    assert "Platinum" in by_bucket
+    # 7 records routed through the Platinum counter; the stored state's
+    # counter field must have advanced to exactly that count.
+    # value nests the applyInPandasWithState struct under groupState
+    assert by_bucket["Platinum"]["groupState"]["counter"] == 7
