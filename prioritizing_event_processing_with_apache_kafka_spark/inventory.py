@@ -690,22 +690,58 @@ FROM routed GROUP BY 1
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct per bucket — sketch aggregation for
     high-cardinality keys at scale. No SQL oracle (engine-specific
-    sketch); driver records a rows-only check."""
+    sketch); instead the exact distinct is computed in the same plan
+    and ``rel_error_pct`` makes every row self-auditing — the local
+    correctness gate (tools/check_oracle.py) enforces the rsd bound as
+    a hard pass/fail."""
     routed = _events_tagged(spark, sf_dir)
     return routed.groupBy("bucket").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    ).select(
+        "bucket",
+        "approx_users",
+        "exact_users",
+        F.round(
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            * 100,
+            2,
+        ).alias("rel_error_pct"),
     )
 
 
 def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentile sketch (GK algorithm) per bucket — the
     constant-memory streaming-friendly counterpart of the exact
-    `bucket_value_percentiles`. Engine-specific sketch → rows-only
-    check; accuracy is bounded by the 1000-row GK error parameter."""
+    `bucket_value_percentiles`. Engine-specific sketch → no SQL
+    oracle; the exact percentiles ride along in the same plan and
+    ``max_rel_error_pct`` (worst of p50/p90 value-space error) is
+    enforced as a hard bound by tools/check_oracle.py."""
     routed = _events_tagged(spark, sf_dir)
-    return routed.groupBy("bucket").agg(
+    agg = routed.groupBy("bucket").agg(
         F.percentile_approx("value", 0.5, 1000).alias("p50_approx"),
         F.percentile_approx("value", 0.9, 1000).alias("p90_approx"),
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.expr("percentile(value, 0.9)").alias("p90_exact"),
+    )
+
+    def _rel(approx: str, exact: str):
+        return F.abs(F.col(approx) - F.col(exact)) / F.abs(
+            F.nullif(F.col(exact), F.lit(0.0))
+        ) * 100
+
+    return agg.select(
+        "bucket",
+        "p50_approx",
+        "p90_approx",
+        F.round(
+            F.greatest(
+                F.coalesce(_rel("p50_approx", "p50_exact"), F.lit(0.0)),
+                F.coalesce(_rel("p90_approx", "p90_exact"), F.lit(0.0)),
+            ),
+            3,
+        ).alias("max_rel_error_pct"),
     )
 
 
@@ -864,13 +900,12 @@ def q_stream_sessionized_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``session_window(ts, '30 minutes')`` aggregation (streaming/telemetry
     ``user_sessions``) replayed availableNow in complete mode, so every
     merged session is emitted and the result equals the batch
-    gaps-and-islands sessionization exactly. Note the boundary
-    semantics: Spark merges sessions only when windows *overlap*, so a
-    gap of exactly 30 minutes starts a NEW session — the oracle flags
-    ``gap >= 30min`` (the batch analog ``sessionized_events``
-    deliberately keeps the ``>``-flavored classic formulation; the two
-    differ only on exact-gap ties, absent from these fixtures but
-    pinned by each query's own oracle)."""
+    gaps-and-islands sessionization exactly. Boundary semantics: each
+    event's window is ``[ts, ts + 30min]`` and Spark merges sessions
+    whenever the next window's start is <= the running session end, so
+    a gap of EXACTLY 30 minutes still merges into ONE session — the
+    oracle therefore flags a new session only on ``gap > 30min``,
+    matching the batch ``sessionized_events`` oracle."""
     from prioritizing_event_processing_with_apache_kafka_spark.streaming.telemetry import (
         user_sessions,
     )
@@ -888,7 +923,7 @@ SQL_STREAM_SESSIONIZED_USERS = """
 WITH flagged AS (
   SELECT user_id, ts,
          CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
-                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 30 * 60 * 1000000
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30 * 60 * 1000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -913,14 +948,20 @@ def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrival-order-dependent, so the query projects only the dedup keys —
     that set (= the distinct pairs seen) is deterministic and equals the
     batch DISTINCT, while the run still exercises the real streaming
-    state store (first-seen emit, watermark-bounded state)."""
+    state store (first-seen emit, watermark-bounded state). The
+    watermark is set wider than the fixture's full time span so the
+    DISTINCT equivalence holds even if the replay runs as multiple
+    microbatches (e.g. maxFilesPerTrigger or a multi-file fixture):
+    a short watermark would evict state between batches and re-emit
+    keys. Production callers pass a horizon matched to their lateness
+    bound instead."""
     from prioritizing_event_processing_with_apache_kafka_spark.streaming.telemetry import (
         dedup_within_watermark,
     )
 
     def build(stream: DataFrame) -> DataFrame:
         return dedup_within_watermark(
-            stream, keys=["user_id", "event_type"]
+            stream, keys=["user_id", "event_type"], watermark="3650 days"
         ).select("user_id", "event_type")
 
     return _replay_events_stream(

@@ -92,6 +92,13 @@ def theta_set_overlap(
     side's sketch is one map-side-combinable aggregate over its
     filtered rows; the set operations run on two KB-sized sketch
     values. Exact counts from the same input ride along for the audit.
+
+    An empty population yields a NULL sketch from ``theta_sketch_agg``
+    (and would null/poison the set ops), so every estimate treats a
+    NULL sketch as the empty set: ∩ and \\ collapse to 0 / the other
+    side, ∪ degrades to the surviving sketch's estimate. The exact
+    side's zero-row aggregates are coalesced to 0 the same way, so
+    both columns agree that "nobody did X" is 0, not NULL.
     """
     left = F.col(set_col) == left_value
     right = F.col(set_col) == right_value
@@ -99,16 +106,24 @@ def theta_set_overlap(
         F.theta_sketch_agg(F.when(left, F.col(key_col))).alias("__a"),
         F.theta_sketch_agg(F.when(right, F.col(key_col))).alias("__b"),
     )
+    a, b = F.col("__a"), F.col("__b")
+
+    def _lest(sketch):  # estimate of a possibly-NULL sketch, as long
+        return F.round(F.theta_sketch_estimate(sketch)).cast("long")
+
     est = sketches.select(
-        F.round(
-            F.theta_sketch_estimate(F.theta_intersection(F.col("__a"), F.col("__b")))
-        ).cast("long").alias("est_overlap"),
-        F.round(
-            F.theta_sketch_estimate(F.theta_union(F.col("__a"), F.col("__b")))
-        ).cast("long").alias("est_union"),
-        F.round(
-            F.theta_sketch_estimate(F.theta_difference(F.col("__a"), F.col("__b")))
-        ).cast("long").alias("est_left_only"),
+        F.when(a.isNull() | b.isNull(), F.lit(0).cast("long"))
+        .otherwise(_lest(F.theta_intersection(a, b)))
+        .alias("est_overlap"),
+        F.when(a.isNull() & b.isNull(), F.lit(0).cast("long"))
+        .when(a.isNull(), _lest(b))
+        .when(b.isNull(), _lest(a))
+        .otherwise(_lest(F.theta_union(a, b)))
+        .alias("est_union"),
+        F.when(a.isNull(), F.lit(0).cast("long"))
+        .when(b.isNull(), _lest(a))
+        .otherwise(_lest(F.theta_difference(a, b)))
+        .alias("est_left_only"),
     )
     exact = (
         df.filter(left | right)
@@ -118,12 +133,17 @@ def theta_set_overlap(
             F.max(right.cast("int")).alias("__in_b"),
         )
         .agg(
-            F.sum((F.col("__in_a") * F.col("__in_b"))).alias("exact_overlap"),
+            F.coalesce(
+                F.sum((F.col("__in_a") * F.col("__in_b"))), F.lit(0)
+            ).alias("exact_overlap"),
             F.count(F.lit(1)).alias("exact_union"),
-            F.sum(F.col("__in_a") * (1 - F.col("__in_b"))).alias("exact_left_only"),
+            F.coalesce(
+                F.sum(F.col("__in_a") * (1 - F.col("__in_b"))), F.lit(0)
+            ).alias("exact_left_only"),
         )
     )
-    return est.join(exact)
+    # 1×1 join by construction — crossJoin makes the intent explicit.
+    return est.crossJoin(exact)
 
 
 def kll_value_quantiles(
@@ -141,8 +161,12 @@ def kll_value_quantiles(
     The exact ``percentile`` aggregate needs a full sort of the group;
     the KLL path keeps a bounded-size summary per cell and answers any
     re-slicing by merge — the only viable shape when the group is a
-    terabyte. Exact percentiles from the same input ride along per
-    quantile for the audit.
+    terabyte. Two audit families ride along per quantile: the exact
+    percentile (``exact_pXX``, informative — value-space error at an
+    extreme quantile of a heavy tail is unbounded by design) and the
+    RANK error ``rank_err_pXX`` = |rank(est_pXX) − q|, which is the
+    quantity KLL actually guarantees (~1.65% normalized rank error at
+    k=200); the local correctness gate enforces the rank bound.
     """
     cells = df.groupBy(group_col, cell_col).agg(
         F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(k)).alias("__sk")
@@ -170,6 +194,7 @@ def kll_value_quantiles(
         ).alias(f"est_p{int(q * 100)}")
         for q in quantiles
     ]
+    est_df = merged.select(group_col, "n_cells", *est_cols)
     exact = df.groupBy(group_col).agg(
         *[
             F.round(
@@ -178,4 +203,28 @@ def kll_value_quantiles(
             for q in quantiles
         ]
     )
-    return merged.select(group_col, "n_cells", *est_cols).join(exact, group_col)
+    # Rank audit: broadcast the (tiny) per-group estimates back over
+    # the rows and measure each estimate's actual rank — one extra
+    # map-side-combinable scan, no extra shuffle shape.
+    ranks = (
+        df.join(F.broadcast(est_df.drop("n_cells")), group_col)
+        .groupBy(group_col)
+        .agg(
+            *[
+                F.round(
+                    F.abs(
+                        F.avg(
+                            (
+                                F.col(value_col).cast("double")
+                                <= F.col(f"est_p{int(q * 100)}")
+                            ).cast("double")
+                        )
+                        - q
+                    ),
+                    4,
+                ).alias(f"rank_err_p{int(q * 100)}")
+                for q in quantiles
+            ]
+        )
+    )
+    return est_df.join(exact, group_col).join(ranks, group_col)

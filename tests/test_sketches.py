@@ -68,6 +68,38 @@ class TestThetaOverlap:
         assert out["est_union"] == 1_000
         assert out["est_left_only"] == 400
 
+    def test_empty_population_is_zero_not_null(self, spark):
+        # theta_sketch_agg over zero rows yields a NULL sketch; the
+        # operator must degrade it to the empty set (0s), not NULL-
+        # poison the set algebra. Three cases: right empty, left
+        # empty, both empty.
+        rows = [(k, "a") for k in range(100)]
+        df = spark.createDataFrame(rows, "k long, s string")
+        right_empty = S.theta_set_overlap(
+            df, key_col="k", set_col="s", left_value="a", right_value="zzz"
+        ).collect()[0]
+        assert right_empty["est_overlap"] == 0
+        assert right_empty["est_union"] == 100
+        assert right_empty["est_left_only"] == 100
+        assert right_empty["exact_overlap"] == 0
+        assert right_empty["exact_union"] == 100
+        assert right_empty["exact_left_only"] == 100
+        left_empty = S.theta_set_overlap(
+            df, key_col="k", set_col="s", left_value="zzz", right_value="a"
+        ).collect()[0]
+        assert left_empty["est_overlap"] == 0
+        assert left_empty["est_union"] == 100
+        assert left_empty["est_left_only"] == 0
+        both_empty = S.theta_set_overlap(
+            df, key_col="k", set_col="s", left_value="x", right_value="y"
+        ).collect()[0]
+        assert both_empty["est_overlap"] == 0
+        assert both_empty["est_union"] == 0
+        assert both_empty["est_left_only"] == 0
+        assert both_empty["exact_overlap"] == 0
+        assert both_empty["exact_union"] == 0
+        assert both_empty["exact_left_only"] == 0
+
 
 class TestKllQuantiles:
     def test_quantiles_within_rank_tolerance(self, spark):

@@ -226,6 +226,69 @@ class TestTelemetry:
         }
         assert batch_out == stream_out  # batch/stream unification
 
+    def test_session_window_exact_gap_tie_merges(self, spark):
+        # Pins the boundary semantics the stream_sessionized_users
+        # oracle relies on: each event's window is [ts, ts+30min] and
+        # Spark merges when the next start <= running end, so a gap of
+        # EXACTLY 30 minutes is ONE session; only gap > 30min splits.
+        import datetime as dt
+
+        base = dt.datetime.fromisoformat("2024-01-01 00:00:00")
+        schema = "event_id long, ts timestamp, user_id long, key string"
+        tie = spark.createDataFrame(
+            [(0, base, 1, "k"), (1, base + dt.timedelta(minutes=30), 1, "k")], schema
+        )
+        assert user_sessions(tie).count() == 1  # exact tie merges
+        split = spark.createDataFrame(
+            [
+                (0, base, 1, "k"),
+                (1, base + dt.timedelta(minutes=30, seconds=1), 1, "k"),
+            ],
+            schema,
+        )
+        assert user_sessions(split).count() == 2  # gap > 30min splits
+
+    def test_dedup_multibatch_replay_distinct(self, spark, stream_dir):
+        # The DISTINCT equivalence the stream_dedup_keys oracle claims
+        # must survive a MULTI-batch replay: with a watermark narrower
+        # than the data's time span, state is evicted between batches
+        # and re-emits keys; with a span-covering watermark it cannot.
+        import datetime as dt
+
+        base = dt.datetime.fromisoformat("2024-01-01 00:00:00")
+        rows = [
+            (i, base + dt.timedelta(days=i % 4), i % 3, f"Platinum-{i % 5}")
+            for i in range(20)
+        ]
+        # Two chunks, duplicated keys across both, 3-day time span.
+        write_chunk(spark, stream_dir, rows[:10], 0)
+        write_chunk(spark, stream_dir, rows[10:], 1)
+        source = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, key string"
+            )
+            .option("maxFilesPerTrigger", "1")  # force one chunk per batch
+            .parquet(f"{stream_dir}/chunk=*")
+        )
+        q = (
+            dedup_within_watermark(
+                source, keys=["user_id", "key"], watermark="3650 days"
+            )
+            .select("user_id", "key")
+            .writeStream.format("memory")
+            .queryName("dedup_mb")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = sorted(
+            (r["user_id"], r["key"]) for r in spark.table("dedup_mb").collect()
+        )
+        expected = sorted({(u, k) for (_, _, u, k) in rows})
+        assert got == expected  # exactly DISTINCT, no re-emits
+
     def test_dedup_within_watermark_on_stream(self, spark, stream_dir):
         rows = keyed_rows(10)
         write_chunk(spark, stream_dir, rows + rows[:5], 0)  # 5 dups

@@ -91,6 +91,121 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     return problems
 
 
+# ---------------------------------------------------------------------------
+# Self-audit enforcement for the approximate queries.
+#
+# Seven queries are approximate by design (sketches, GK percentiles,
+# ANN) and cannot be DuckDB-hash-oracled. Each computes its exact
+# answer (or exact top-k recall) IN THE SAME PLAN and emits an audit
+# column; the registry below turns that in-plan audit into a hard
+# machine-checked pass/fail, so `no_oracle` rows disappear from the
+# artifact. Bounds are derived from each sketch's published error
+# (HLL rsd=0.02 -> 3sigma = 6%; lgk=14 HLL rse ~0.8% -> 3%; KLL k=200
+# rank error ~1.65% -> 10% value-space headroom; ANN contract >= 0.8).
+# ---------------------------------------------------------------------------
+
+
+def _audit_abs_max(cols: str | list[str], bound: float):
+    """Worst |col| across rows (and cols) must be <= bound."""
+    col_list = [cols] if isinstance(cols, str) else list(cols)
+
+    def audit(pdf: pd.DataFrame) -> list[str]:
+        problems = []
+        if len(pdf) == 0:
+            return ["self-audit: empty result"]
+        for col in col_list:
+            if col not in pdf.columns:
+                problems.append(f"self-audit column {col!r} missing from result")
+                continue
+            worst = float(pdf[col].abs().max())
+            if worst > bound:
+                problems.append(
+                    f"self-audit: worst |{col}| = {worst:.4f} > bound {bound}"
+                )
+        return problems
+
+    return audit
+
+
+def _audit_min(col: str, bound: float):
+    """Every row's col must be >= bound (recall columns)."""
+
+    def audit(pdf: pd.DataFrame) -> list[str]:
+        if col not in pdf.columns:
+            return [f"self-audit column {col!r} missing from result"]
+        if len(pdf) == 0:
+            return ["self-audit: empty result"]
+        worst = float(pdf[col].min())
+        if worst < bound:
+            return [f"self-audit: min {col} = {worst:.3f} < bound {bound}"]
+        return []
+
+    return audit
+
+
+def _audit_mean_per_query(col: str, bound: float, *, by: str = "query_id"):
+    """Mean of per-query col (deduped on `by`) must be >= bound —
+    the standard recall@k report, robust to per-query row counts."""
+
+    def audit(pdf: pd.DataFrame) -> list[str]:
+        if col not in pdf.columns or by not in pdf.columns:
+            return [f"self-audit columns {col!r}/{by!r} missing from result"]
+        if len(pdf) == 0:
+            return ["self-audit: empty result"]
+        mean = float(pdf.groupby(by)[col].first().mean())
+        if mean < bound:
+            return [f"self-audit: mean {col} = {mean:.3f} < bound {bound}"]
+        return []
+
+    return audit
+
+
+def _audit_est_exact_pairs(pairs: list[tuple[str, str]], bound_pct: float):
+    """|est - exact| / max(exact, 1) * 100 <= bound for each pair."""
+
+    def audit(pdf: pd.DataFrame) -> list[str]:
+        problems = []
+        if len(pdf) == 0:
+            return ["self-audit: empty result"]
+        for est_col, exact_col in pairs:
+            if est_col not in pdf.columns or exact_col not in pdf.columns:
+                problems.append(f"self-audit columns {est_col}/{exact_col} missing")
+                continue
+            est = pdf[est_col].astype("float64")
+            exact = pdf[exact_col].astype("float64")
+            rel = ((est - exact).abs() / exact.abs().clip(lower=1.0) * 100).max()
+            if rel > bound_pct:
+                problems.append(
+                    f"self-audit: {est_col} vs {exact_col} worst rel error "
+                    f"{rel:.3f}% > bound {bound_pct}%"
+                )
+        return problems
+
+    return audit
+
+
+SELF_AUDITS = {
+    "approx_distinct_users": _audit_abs_max("rel_error_pct", 6.0),
+    "approx_value_percentiles": _audit_abs_max("max_rel_error_pct", 5.0),
+    "bucket_user_reach_hll": _audit_abs_max("rel_error_pct", 3.0),
+    "user_overlap_theta": _audit_est_exact_pairs(
+        [
+            ("est_overlap", "exact_overlap"),
+            ("est_union", "exact_union"),
+            ("est_left_only", "exact_left_only"),
+        ],
+        5.0,
+    ),
+    # KLL guarantees RANK error (~1.65% at k=200), not value error —
+    # the operator measures rank(est_q) in-plan; bound = 3x guarantee.
+    "bucket_value_kll": _audit_abs_max(
+        [f"rank_err_p{q}" for q in (50, 90, 99)], 0.05
+    ),
+    "embedding_ann_lsh": _audit_mean_per_query("recall_vs_exact", 0.8),
+    "embedding_ann_ivf": _audit_mean_per_query("recall_vs_exact", 0.8),
+}
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     json_out: str | None = None
@@ -150,14 +265,33 @@ def main() -> int:
             }
             continue
         if name not in oracles:
-            rows_only += 1
-            print(f"rows  {name}: {len(spark_pdf)} rows (no oracle, rows-only) "
-                  f"[{time.time()-t0:.1f}s]")
+            audit = SELF_AUDITS.get(name)
+            if audit is None:
+                rows_only += 1
+                print(f"rows  {name}: {len(spark_pdf)} rows (no oracle, rows-only) "
+                      f"[{time.time()-t0:.1f}s]")
+                records[name] = {
+                    "rows_match": None, "schema_match": None, "hash_match": None,
+                    "spark_rows": len(spark_pdf), "oracle_rows": None,
+                    "err": "no_oracle",
+                }
+                continue
+            problems = audit(spark_pdf)
+            checked += 1
             records[name] = {
                 "rows_match": None, "schema_match": None, "hash_match": None,
                 "spark_rows": len(spark_pdf), "oracle_rows": None,
-                "err": "no_oracle",
+                "self_audit": "fail" if problems else "pass",
+                "err": "; ".join(problems)[:500] if problems else None,
             }
+            if problems:
+                failures += 1
+                print(f"FAIL  {name} (self-audit) [{time.time()-t0:.1f}s]")
+                for p in problems:
+                    print(f"      {p}")
+            else:
+                print(f"ok    {name}: {len(spark_pdf)} rows "
+                      f"(in-plan self-audit enforced) [{time.time()-t0:.1f}s]")
             continue
         try:
             oracle_pdf = conn.execute(oracles[name]).fetchdf()
@@ -191,17 +325,19 @@ def main() -> int:
     if json_out:
         # Staleness marker: the round-3 regression was an events-ts
         # physical-encoding change invalidating a committed artifact
-        # with no way to tell. Record the encoding the run saw.
+        # with no way to tell. Record the encoding the run saw — as a
+        # SIBLING of the query records, so consumers iterating the
+        # query map never see a pseudo-query key.
         import pyarrow.parquet as pq
 
-        records["__meta__"] = {
+        meta = {
             "sf_dir": sf_dir,
             "events_ts_physical": str(
                 pq.read_schema(f"{sf_dir.rstrip('/')}/events.parquet").field("ts").type
             ),
         }
         with open(json_out, "w") as fh:
-            json.dump(records, fh, indent=1)
+            json.dump({"meta": meta, "queries": records}, fh, indent=1)
         print(f"wrote {json_out}")
     return 1 if failures else 0
 

