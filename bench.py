@@ -64,6 +64,12 @@ HEADLINE = [
     "stream_sessionized_users",
     "bucket_user_reach_hll",
     "bucket_value_kll",
+    # round-5 additions: steady-state incremental-dedup twin (the
+    # operator's actual per-batch contract — run 1 builds the sig
+    # store, run 2 probes it, min-of-two reports the probe) and the
+    # real-image-decode pipeline.
+    "dedup_incremental_steady",
+    "multimodal_image_decode",
 ]
 
 

@@ -837,6 +837,40 @@ WHERE CAST(len(list_intersect(nx.shingles, oy.shingles)) AS DOUBLE)
 """
 
 
+def q_dedup_incremental_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STEADY-STATE contract of incremental ingestion dedup
+    (``streaming/ingest.py``): in production the history's signature
+    store already exists — persisted by every prior batch — so a new
+    batch pays only sign-batch + probe-store + exact-verify. This twin
+    materializes the store to parquet once per (fixture, mtime) and
+    reads it back, so repeated runs measure the per-batch probe cost
+    rather than the store build ``dedup_incremental`` deliberately
+    replays (its worst-case number). Results are identical: same
+    split, same candidate generation, same truth set and oracle."""
+    import hashlib
+    import os
+    import tempfile
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    new_batch = docs.filter(F.col("doc_id") % 10 == 0)
+    history = docs.filter(F.col("doc_id") % 10 != 0)
+
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    stat = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{stat.st_mtime_ns}:{stat.st_size}".encode()
+    ).hexdigest()[:12]
+    store_path = os.path.join(tempfile.gettempdir(), f"peps-sigstore-{tag}")
+    if not os.path.exists(os.path.join(store_path, "_SUCCESS")):
+        D.with_minhash_signature(history, k=4, num_hashes=32).select(
+            "doc_id", "minhash"
+        ).write.mode("overwrite").parquet(store_path)
+    store = spark.read.parquet(store_path)
+    return D.incremental_minhash_pairs(
+        new_batch, store, history, k=4, num_hashes=32, bands=8, threshold=0.5
+    )
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicate-span removal: 10-token spans seen in
     more than one document are stripped from every document (planted
@@ -1862,6 +1896,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_segment_revenue": q_salted_segment_revenue,
     # Appended round 5 (keep ordering of earlier entries stable).
     "multimodal_image_decode": q_multimodal_image_decode,
+    "dedup_incremental_steady": q_dedup_incremental_steady,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -1914,4 +1949,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_pagerank": SQL_DEDUP_PAGERANK,
     "salted_segment_revenue": SQL_SALTED_SEGMENT_REVENUE,
     "multimodal_image_decode": SQL_MULTIMODAL_IMAGE_DECODE,
+    "dedup_incremental_steady": SQL_DEDUP_INCREMENTAL,
 }

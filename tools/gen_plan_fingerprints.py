@@ -1,0 +1,81 @@
+"""Regenerate tests/plan_fingerprints.json (plan-shape regression guard).
+
+Builds each guarded query's DataFrame with the SAME session config as
+tests/conftest.py (local[4], shuffle.partitions=4, AQE on, sf0.001)
+and records its exchange counts. Run after any deliberate plan change;
+commit the updated JSON together with the code that changed the plan.
+
+Usage: python tools/gen_plan_fingerprints.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# Batch headline queries whose plan shape is the scale contract.
+# Streaming-replay queries are excluded (their work happens inside a
+# writeStream drain, not in the returned DataFrame's plan).
+GUARDED = [
+    "route_events_exact",
+    "bucket_extract",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "top_events_per_user",
+    "bucket_rollup",
+    "bucket_throughput_hourly",
+    "sessionized_events",
+    "conversion_funnel",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embedding_topk",
+    "text_token_stats",
+    "doc_fingerprint",
+    "events_asof_last_purchase",
+    "multimodal_image_decode",
+]
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+OUT = os.path.join(REPO, "tests", "plan_fingerprints.json")
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    from prioritizing_event_processing_with_apache_kafka_spark.plans.fingerprint import (
+        plan_exchange_counts,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("peps-fingerprints")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    fingerprints: dict[str, dict[str, int]] = {}
+    for name in GUARDED:
+        fingerprints[name] = plan_exchange_counts(queries[name](spark, SF_DIR))
+        print(f"{name:28s} {fingerprints[name]}")
+    with open(OUT, "w") as fh:
+        json.dump(fingerprints, fh, indent=1, sort_keys=True)
+    print(f"wrote {OUT}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
