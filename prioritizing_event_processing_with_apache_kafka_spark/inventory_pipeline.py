@@ -837,6 +837,47 @@ WHERE CAST(len(list_intersect(nx.shingles, oy.shingles)) AS DOUBLE)
 """
 
 
+def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal round trip: synthesize PPM/BMP payloads, decode,
+    nearest-neighbor-resize to 3×2, RE-ENCODE in the same format, then
+    decode again and reduce to channel sums. Exercises decoder AND
+    encoder inside the distributed path; the floor-convention sampling
+    (src pixel = (r*H//out_h, c*W//out_w)) is replayed arithmetically
+    by the DuckDB oracle, so a one-pixel sampling offset or a
+    re-encode corruption breaks the hash match."""
+    docs = load_table(spark, sf_dir, "documents")
+    resized = M.resize_images(M.synth_image_blobs(docs), out_w=3, out_h=2)
+    return M.decode_image_features(
+        resized.select("doc_id", "format", "payload")
+    )
+
+
+SQL_MULTIMODAL_IMAGE_RESIZE = """
+WITH dims AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image/x-portable-pixmap'
+              ELSE 'image/bmp' END AS format,
+         4 + doc_id % 5 AS width,
+         3 + doc_id % 4 AS height
+  FROM documents
+), src AS (
+  -- output grid is 3x2; nearest-neighbor floor convention maps output
+  -- pixel (ro, co) to source flat index (ro*H//2)*W + (co*W//3)
+  SELECT d.doc_id, d.format,
+         ((g.i // 3) * d.height // 2) * d.width + ((g.i % 3) * d.width // 3) AS si
+  FROM dims d CROSS JOIN generate_series(0, 5) AS g(i)
+)
+SELECT doc_id, format,
+       CAST(3 AS INTEGER) AS width,
+       CAST(2 AS INTEGER) AS height,
+       CAST(6 AS INTEGER) AS n_pixels,
+       CAST(SUM((doc_id + si) % 256) AS BIGINT) AS r_sum,
+       CAST(SUM(255 - (doc_id + si) % 256) AS BIGINT) AS g_sum,
+       CAST(6 * (doc_id % 256) AS BIGINT) AS b_sum
+FROM src GROUP BY doc_id, format
+"""
+
+
 def q_dedup_incremental_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STEADY-STATE contract of incremental ingestion dedup
     (``streaming/ingest.py``): in production the history's signature
@@ -1897,6 +1938,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Appended round 5 (keep ordering of earlier entries stable).
     "multimodal_image_decode": q_multimodal_image_decode,
     "dedup_incremental_steady": q_dedup_incremental_steady,
+    "multimodal_image_resize": q_multimodal_image_resize,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -1950,4 +1992,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "salted_segment_revenue": SQL_SALTED_SEGMENT_REVENUE,
     "multimodal_image_decode": SQL_MULTIMODAL_IMAGE_DECODE,
     "dedup_incremental_steady": SQL_DEDUP_INCREMENTAL,
+    "multimodal_image_resize": SQL_MULTIMODAL_IMAGE_RESIZE,
 }

@@ -38,6 +38,7 @@ __all__ = [
     "encode_ppm",
     "encode_bmp",
     "extract_features",
+    "resize_images",
     "resize_payloads",
     "sample_frames",
     "synth_image_blobs",
@@ -383,6 +384,69 @@ def synth_image_blobs(documents: DataFrame) -> DataFrame:
             )
 
     return documents.select("doc_id").mapInPandas(batches, BLOB_SCHEMA)
+
+
+def resize_images(
+    blobs: DataFrame, *, out_w: int, out_h: int
+) -> DataFrame:
+    """REAL image resize: decode each payload, nearest-neighbor-sample
+    to (out_h, out_w) — output pixel (r, c) takes source pixel
+    (r*H//out_h, c*W//out_w), the floor convention — then RE-ENCODE in
+    the payload's own format. Emitting a decodable payload (not just
+    stats) proves the encoder inside the distributed path too; the
+    exact channel sums of the resized image ride along for the oracle.
+    Arrow-batched ``mapInPandas``, partition-parallel."""
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("format", T.StringType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+            T.StructField("r_sum", T.LongType(), False),
+            T.StructField("g_sum", T.LongType(), False),
+            T.StructField("b_sum", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {f.name: [] for f in schema}
+            for doc_id, fmt, payload in zip(
+                pdf["doc_id"], pdf["format"], pdf["payload"]
+            ):
+                arr = decode_image(bytes(payload))
+                h, w, _ = arr.shape
+                rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                small = arr[rows][:, cols]
+                encoded = (
+                    encode_ppm(small) if bytes(payload)[:2] == b"P6" else encode_bmp(small)
+                )
+                sums = small.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out["doc_id"].append(doc_id)
+                out["format"].append(fmt)
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["payload"].append(encoded)
+                out["r_sum"].append(int(sums[0]))
+                out["g_sum"].append(int(sums[1]))
+                out["b_sum"].append(int(sums[2]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "format": out["format"],
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "payload": out["payload"],
+                    "r_sum": pd.Series(out["r_sum"], dtype="int64"),
+                    "g_sum": pd.Series(out["g_sum"], dtype="int64"),
+                    "b_sum": pd.Series(out["b_sum"], dtype="int64"),
+                }
+            )
+
+    return blobs.mapInPandas(batches, schema)
 
 
 def decode_image_features(blobs: DataFrame) -> DataFrame:

@@ -220,6 +220,39 @@ class TestImageCodecs:
         with pytest.raises(NotImplementedError):  # compressed → honest seam
             M.decode_image(b"\x89PNG\r\n\x1a\n....")
 
+    def test_resize_images_nearest_neighbor_round_trip(self, spark):
+        # decode -> NN resize -> re-encode -> decode: the emitted
+        # payload must decode to exactly the floor-convention sample
+        # of the source pixels, in both formats.
+        import numpy as np
+
+        docs = spark.createDataFrame(
+            [(i, "t", "en", "s", 1) for i in range(4)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in M.resize_images(
+                M.synth_image_blobs(docs), out_w=3, out_h=2
+            ).collect()
+        }
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.multimodal import (
+            _synth_pixels,
+        )
+
+        for doc_id in range(4):
+            src = _synth_pixels(doc_id)
+            h, w, _ = src.shape
+            rows = (np.arange(2) * h) // 2
+            cols = (np.arange(3) * w) // 3
+            expected = src[rows][:, cols]
+            decoded = M.decode_image(bytes(out[doc_id]["payload"]))
+            assert np.array_equal(decoded, expected), f"doc {doc_id}"
+            sums = expected.reshape(-1, 3).sum(axis=0)
+            assert out[doc_id]["r_sum"] == int(sums[0])
+            assert out[doc_id]["g_sum"] == int(sums[1])
+            assert out[doc_id]["b_sum"] == int(sums[2])
+
     def test_synth_decode_features_spark(self, spark):
         # End-to-end through mapInPandas: synthesize → decode → sums,
         # verified against the analytic pixel pattern for both codecs.

@@ -69,5 +69,10 @@ def test_fingerprints_cover_zero_shuffle_pipelines(queries):
     fingerprint is zero shuffles, so any future groupBy/join sneaking
     in fails test_no_new_exchanges. This meta-test just pins that the
     zero-entries exist (the guard above does the real work)."""
-    for name in ("bucket_extract", "doc_fingerprint", "multimodal_image_decode"):
+    for name in (
+        "bucket_extract",
+        "doc_fingerprint",
+        "multimodal_image_decode",
+        "multimodal_image_resize",
+    ):
         assert FINGERPRINTS[name]["shuffle_exchanges"] == 0

@@ -183,7 +183,8 @@ def test_tws_counter_continues_across_micro_batches(spark, dirs):
     # transformWithState API (typed ValueState in a StatefulProcessor).
     # The state-server protocol is protobuf-framed; skip where the
     # container lacks protobuf (route_stream_stateful covers the
-    # semantics dependency-free).
+    # semantics dependency-free; conftest wires a locally-available
+    # protobuf onto the worker PYTHONPATH when it finds one).
     pytest.importorskip("google.protobuf")
     from prioritizing_event_processing_with_apache_kafka_spark.streaming.stateful import (
         route_stream_tws,
@@ -193,6 +194,15 @@ def test_tws_counter_continues_across_micro_batches(spark, dirs):
     chunk(spark, src, 0, 5)
     source = spark.readStream.schema(SCHEMA).parquet(src)
     routed = route_stream_tws(source, CFG, 10, order_col="event_id")
+    # transformWithState keeps each state variable in its own column
+    # family — only the RocksDB provider supports that (the default
+    # HDFS-backed provider refuses); scope the provider to this query.
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_prov = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
     q = (
         routed.writeStream.format("memory")
         .queryName("tws_routed")
@@ -221,6 +231,10 @@ def test_tws_counter_continues_across_micro_batches(spark, dirs):
         assert both[104] == (9, 2)
     finally:
         q.stop()
+        if prev_prov is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev_prov)
 
 
 def test_statestore_reader_exposes_counter_state(spark, dirs):

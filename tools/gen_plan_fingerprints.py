@@ -38,6 +38,7 @@ GUARDED = [
     "doc_fingerprint",
     "events_asof_last_purchase",
     "multimodal_image_decode",
+    "multimodal_image_resize",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
