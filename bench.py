@@ -70,6 +70,7 @@ HEADLINE = [
     # real-image-decode pipeline.
     "dedup_incremental_steady",
     "multimodal_image_decode",
+    "heavy_hitter_users",
 ]
 
 

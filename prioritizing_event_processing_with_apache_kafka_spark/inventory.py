@@ -1903,6 +1903,36 @@ FROM events GROUP BY 1
 """
 
 
+def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 hottest users by event count via the mergeable
+    Misra-Gries candidate pass + exact verify
+    (operators/heavyhitters.py) — the hot-key detector that feeds
+    ``salted_agg``/``salted_join``. The MG stage caps the first
+    shuffle at ``capacity`` rows per map task regardless of key
+    cardinality; the verify pass recounts only candidates, so the
+    output is EXACT and equals the oracle's plain
+    GROUP BY / ORDER BY / LIMIT. Fixture note: the synthetic key
+    space is smaller than ``capacity``, so the summary runs the
+    zero-decrement (exact) path here; the decrement/bound path is
+    unit-tested on Zipf data (tests/test_heavyhitters.py)."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.heavyhitters import (
+        heavy_hitters_topk,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return heavy_hitters_topk(
+        events, "user_id", k=20, capacity=4096, count_alias="n_events"
+    )
+
+
+SQL_HEAVY_HITTER_USERS = """
+SELECT user_id, COUNT(*) AS n_events
+FROM events WHERE user_id IS NOT NULL
+GROUP BY 1 ORDER BY n_events DESC, user_id ASC
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1966,6 +1996,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucket_value_percentiles": q_bucket_value_percentiles,
     "bucket_pivot": q_bucket_pivot,
     "salted_type_counts": q_salted_type_counts,
+    "heavy_hitter_users": q_heavy_hitter_users,
 }
 
 ORACLES: dict[str, str] = {
@@ -2021,4 +2052,5 @@ ORACLES: dict[str, str] = {
     "bucket_value_percentiles": SQL_BUCKET_VALUE_PERCENTILES,
     "bucket_pivot": SQL_BUCKET_PIVOT,
     "salted_type_counts": SQL_SALTED_TYPE_COUNTS,
+    "heavy_hitter_users": SQL_HEAVY_HITTER_USERS,
 }

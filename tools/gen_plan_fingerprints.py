@@ -39,6 +39,7 @@ GUARDED = [
     "events_asof_last_purchase",
     "multimodal_image_decode",
     "multimodal_image_resize",
+    "heavy_hitter_users",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
