@@ -34,7 +34,11 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     conn = duckdb.connect()
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(path):
+        if os.path.isdir(path):
+            # Spark-written table (directory of part files) — e.g. the
+            # scale-probe replicas under /tmp; fixtures are single files.
+            conn.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}/*.parquet'")
+        elif os.path.exists(path):
             conn.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return conn
 
@@ -328,12 +332,17 @@ def main() -> int:
         # with no way to tell. Record the encoding the run saw — as a
         # SIBLING of the query records, so consumers iterating the
         # query map never see a pseudo-query key.
+        import glob as _glob
+
         import pyarrow.parquet as pq
 
+        events_path = f"{sf_dir.rstrip('/')}/events.parquet"
+        if os.path.isdir(events_path):
+            events_path = sorted(_glob.glob(f"{events_path}/*.parquet"))[0]
         meta = {
             "sf_dir": sf_dir,
             "events_ts_physical": str(
-                pq.read_schema(f"{sf_dir.rstrip('/')}/events.parquet").field("ts").type
+                pq.read_schema(events_path).field("ts").type
             ),
         }
         with open(json_out, "w") as fh:
