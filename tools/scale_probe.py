@@ -15,13 +15,16 @@ Interpretation caveats (docs/SCALE.md "Round-5 scale probe"):
 - At 10x the fixtures are still only ~30 MB, so most plans remain
   overhead-bound (~0.3 s floor) and the ratio is ~1. Use --copies 100
   (~2 GB of rows) for throughput-bound measurements.
-- Text content is replicated VERBATIM per copy, so every document
-  gains N-1 exact twins: dedup workloads see duplicate GROUPS grow
-  Nx and true duplicate PAIRS grow ~N^2 x. A dedup query whose
-  OUTPUT is pairs therefore has a super-linear lower bound on this
-  replica by construction — judge those queries by candidate-volume
-  growth, not wall-clock ratio. Queries in DEDUP_PROBES are probed
-  at the replica level but flagged `output_superlinear` in the JSON.
+- Document TEXT is decorrelated per copy (every token gets a
+  ``_<copy>`` suffix), so copies are NOT near-duplicates of each
+  other: each copy reproduces the base corpus's duplicate-group
+  structure and true duplicate pairs grow LINEARLY — the honest
+  growth model for a corpus N times larger. (A verbatim replica
+  would give every doc N-1 exact twins and pair counts an N^2 lower
+  bound no plan can beat; that regime measures the data shape, not
+  the plan.) Vocabulary also grows Nx, which is how real corpora
+  behave. Embeddings are copied verbatim (vector twins), so
+  similarity probes over embeddings still see duplicated vectors.
 
 The replica lives under /tmp and is rebuilt only when missing or
 stale (fixture mtime tag). Usage:
@@ -56,13 +59,16 @@ PROBED = [
     "lm_doc_score",
 ]
 
-# Near-dup detection: pair/group output grows super-linearly on a
-# verbatim-replicated corpus BY CONSTRUCTION (every doc gains N-1
-# twins). Probed for crash/robustness and reported, but wall-clock
-# ratio is not a plan-quality signal here.
+# Near-dup detection: linear-output on the decorrelated replica, but
+# Sigma-bucket^2 candidate volume makes it the heaviest probe —
+# skippable at large N via --no-dedup.
 DEDUP_PROBES = [
     "dedup_minhash_lsh",
 ]
+
+# Bump when the replica construction changes so stale /tmp replicas
+# from earlier revisions are not reused.
+_REPLICA_VERSION = "v2-decorrelated-text"
 
 TABLES = ("events", "documents", "embeddings")
 # Tables the probed queries need but that aren't replicated (TPC-H
@@ -76,7 +82,7 @@ def replica_dir(sf_dir: str, copies: int) -> str:
     src = f"{sf_dir.rstrip('/')}/events.parquet"
     stat = os.stat(src)
     tag = hashlib.md5(
-        f"{src}:{stat.st_mtime_ns}:{stat.st_size}:{copies}".encode()
+        f"{src}:{stat.st_mtime_ns}:{stat.st_size}:{copies}:{_REPLICA_VERSION}".encode()
     ).hexdigest()[:12]
     return os.path.join("/tmp", f"peps-scale-{copies}x-{tag}")
 
@@ -101,6 +107,21 @@ def build_replica(spark, sf_dir: str, out_dir: str, copies: int) -> None:
         for col in id_cols:
             big = big.withColumn(
                 col, F.col(col) + F.col("__copy") * F.lit(span[col])
+            )
+        if t == "documents" and "text" in big.columns:
+            # Decorrelate text across copies (see module docstring):
+            # suffix every token with the copy index so near-dup
+            # structure and vocabulary scale linearly, not N^2.
+            tag = F.concat(F.lit("_"), F.col("__copy").cast("string"))
+            big = big.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda tok: F.concat(tok, tag),
+                    ),
+                    " ",
+                ),
             )
         big = big.drop("__copy")
         out_parts = max(8, min(256, copies * 4))
@@ -184,7 +205,7 @@ def main() -> int:
     probe_list = [(n, False) for n in PROBED]
     if not skip_dedup:
         probe_list += [(n, True) for n in DEDUP_PROBES]
-    for name, superlinear in probe_list:
+    for name, is_dedup in probe_list:
         t1 = timed(name, sf_dir)
         tn = timed(name, big_dir)
         ratio = tn / t1 if t1 > 0 else float("inf")
@@ -192,11 +213,11 @@ def main() -> int:
             "sec_1x": round(t1, 3),
             f"sec_{copies}x": round(tn, 3),
             "ratio": round(ratio, 2),
-            "output_superlinear": superlinear,
+            "dedup_probe": is_dedup,
         }
         print(
             f"{name:28s} 1x={t1:6.2f}s {copies}x={tn:7.2f}s "
-            f"ratio={ratio:5.2f}{'  [output superlinear by construction]' if superlinear else ''}",
+            f"ratio={ratio:5.2f}",
             flush=True,
         )
 
