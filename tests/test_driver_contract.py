@@ -1,0 +1,43 @@
+"""Driver-contract invariants: the rotation must never break the
+queries()/oracle_sql() surface the per-round gate consumes."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+
+
+def test_driver_head_names_exist():
+    qs = entry.queries()
+    missing = [n for n in entry._DRIVER_HEAD if n not in qs]
+    assert not missing, f"_DRIVER_HEAD typos (not in queries()): {missing}"
+
+
+def test_rotation_preserves_the_full_surface():
+    qs = entry.queries()
+    # rotation reorders, never drops or duplicates
+    assert len(qs) == len(set(qs)) >= 124
+    oracles = entry.oracle_sql()
+    assert set(oracles) <= set(qs)
+
+
+def test_head_50_is_oracle_backed():
+    # The gate's sample should be fully hash-checkable: every head-50
+    # query needs an oracle (approximate/self-audit queries sit after
+    # the head by design).
+    qs = list(entry.queries())[:50]
+    oracles = entry.oracle_sql()
+    missing = [n for n in qs if n not in oracles]
+    assert not missing, f"head-50 queries without oracle SQL: {missing}"
+
+
+def test_pinned_core_leads_every_round():
+    core = [
+        "route_events_exact",
+        "route_distribution",
+        "bucket_extract",
+        "layout_golden",
+        "starved_discard_audit",
+        "assignment_golden",
+        "bucket_allocation_vs_load",
+    ]
+    assert list(entry.queries())[: len(core)] == core
