@@ -727,9 +727,18 @@ def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _rel(approx: str, exact: str):
-        return F.abs(F.col(approx) - F.col(exact)) / F.abs(
-            F.nullif(F.col(exact), F.lit(0.0))
-        ) * 100
+        # exact == 0 would null the division and a coalesce-to-0 would
+        # BLIND the audit (any approx value would pass); fall back to
+        # the absolute error there instead, so a wrong sketch at an
+        # exactly-zero percentile still trips the bound.
+        return F.when(
+            F.col(exact) == 0.0,
+            F.abs(F.col(approx)) * 100,
+        ).otherwise(
+            F.abs(F.col(approx) - F.col(exact))
+            / F.abs(F.col(exact))
+            * 100
+        )
 
     return agg.select(
         "bucket",
@@ -737,8 +746,8 @@ def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p90_approx",
         F.round(
             F.greatest(
-                F.coalesce(_rel("p50_approx", "p50_exact"), F.lit(0.0)),
-                F.coalesce(_rel("p90_approx", "p90_exact"), F.lit(0.0)),
+                _rel("p50_approx", "p50_exact"),
+                _rel("p90_approx", "p90_exact"),
             ),
             3,
         ).alias("max_rel_error_pct"),

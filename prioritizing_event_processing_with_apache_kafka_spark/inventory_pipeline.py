@@ -896,16 +896,31 @@ def q_dedup_incremental_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_batch = docs.filter(F.col("doc_id") % 10 == 0)
     history = docs.filter(F.col("doc_id") % 10 != 0)
 
+    # Tag includes the signature parameters AND a code-version token:
+    # a store built by older signature code (or different k/num_hashes)
+    # would band-mismatch every probe with nothing pointing at the
+    # stale cache (the scale-probe replica learned the same lesson).
+    sig_params = "k=4:num_hashes=32:sigstore-v2"
     src = f"{sf_dir.rstrip('/')}/documents.parquet"
     stat = os.stat(src)
     tag = hashlib.md5(
-        f"{src}:{stat.st_mtime_ns}:{stat.st_size}".encode()
+        f"{src}:{stat.st_mtime_ns}:{stat.st_size}:{sig_params}".encode()
     ).hexdigest()[:12]
     store_path = os.path.join(tempfile.gettempdir(), f"peps-sigstore-{tag}")
     if not os.path.exists(os.path.join(store_path, "_SUCCESS")):
+        # Build in a private dir, publish by atomic rename: a second
+        # session racing the build either wins the rename or reads the
+        # winner's complete store — never a half-written directory.
+        import shutil
+
+        tmp_path = f"{store_path}.tmp-{os.getpid()}"
         D.with_minhash_signature(history, k=4, num_hashes=32).select(
             "doc_id", "minhash"
-        ).write.mode("overwrite").parquet(store_path)
+        ).write.mode("overwrite").parquet(tmp_path)
+        try:
+            os.rename(tmp_path, store_path)
+        except OSError:
+            shutil.rmtree(tmp_path, ignore_errors=True)
     store = spark.read.parquet(store_path)
     return D.incremental_minhash_pairs(
         new_batch, store, history, k=4, num_hashes=32, bands=8, threshold=0.5

@@ -46,6 +46,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+from prioritizing_event_processing_with_apache_kafka_spark.operators.caching import (
+    scoped_persist,
+)
+
 __all__ = ["misra_gries_partial", "heavy_hitters_topk", "heavy_hitters_audit"]
 
 
@@ -131,8 +135,13 @@ def misra_gries_partial(
     return narrow.mapInPandas(summarize, schema)
 
 
-def _candidates(df: DataFrame, key_col: str, capacity: int) -> DataFrame:
-    parts = misra_gries_partial(df, key_col, capacity)
+def _candidates(
+    df: DataFrame, key_col: str, capacity: int
+) -> tuple[DataFrame, DataFrame]:
+    # The summaries feed several plan branches (candidate keys, error
+    # bound, candidate count); persist so the Python MG pass runs once
+    # per action instead of once per branch.
+    parts = scoped_persist(misra_gries_partial(df, key_col, capacity))
     merged = (
         parts.filter(F.col(key_col).isNotNull())
         .groupBy(key_col)
@@ -176,9 +185,15 @@ def heavy_hitters_audit(
     capacity: int = 4096,
 ) -> DataFrame:
     """One-row audit frame: ``(err_bound, total_rows, n_candidates,
-    kth_count, guaranteed)``. ``guaranteed`` is true iff the true
-    k-th frequency provably exceeds the max possible MG underestimate,
-    i.e. the top-k set from :func:`heavy_hitters_topk` is complete."""
+    kth_count, n_topk, guaranteed)``. ``guaranteed`` is true iff the
+    top-k set from :func:`heavy_hitters_topk` is provably complete:
+    the candidate pool yielded a full k results AND the k-th exact
+    frequency exceeds the max possible MG underestimate (any
+    non-candidate key has true count ≤ ``err_bound``). A short
+    candidate pool (``n_topk < k``) can NOT be guaranteed — the
+    missing ranks may be non-candidate keys — unless ``err_bound``
+    is 0, in which case the summary was exact and holds every key
+    (there simply are fewer than k distinct keys)."""
     merged, parts = _candidates(df, key_col, capacity)
     meta = (
         parts.select("mg_pid", "mg_offset", "mg_rows")
@@ -211,6 +226,15 @@ def heavy_hitters_audit(
             "total_rows",
             "n_candidates",
             "kth_count",
-            (F.col("kth_count") > F.col("err_bound")).alias("guaranteed"),
+            "n_topk",
+            (
+                # zero decrements = the summary was exact and holds
+                # EVERY key, so even a short top-k is complete
+                (F.col("err_bound") == 0)
+                | (
+                    (F.col("n_topk") == F.lit(k))
+                    & (F.col("kth_count") > F.col("err_bound"))
+                )
+            ).alias("guaranteed"),
         )
     )

@@ -135,9 +135,17 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     if maxval != 255:
         raise NotImplementedError(f"PPM maxval {maxval} unsupported (only 255)")
     need = w * h * 3
-    raster = payload[off : off + need]
+    raster = payload[off:]
+    # EXACT length required: the spec puts a single whitespace byte
+    # between maxval and the raster. A lenient >= check would silently
+    # decode CRLF-terminated headers one byte shifted (every pixel
+    # wrong, no error).
     if len(raster) != need:
-        raise ValueError(f"PPM raster truncated: need {need}, got {len(raster)}")
+        raise ValueError(
+            f"PPM raster length {len(raster)} != {need} expected — "
+            "truncated payload, or more than one whitespace byte after "
+            "maxval (e.g. a CRLF-writing encoder)"
+        )
     return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3).copy()
 
 

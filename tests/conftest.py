@@ -32,10 +32,16 @@ def _wire_local_protobuf() -> None:
     vendored = "/usr/lib/google-cloud-sdk/platform/google_appengine"
     if not os.path.isdir(os.path.join(vendored, "google", "protobuf")):
         return
-    sys.path.insert(0, vendored)
+    # APPEND, don't prepend: the appengine dir ships a regular
+    # `google` package that would otherwise shadow any site-packages
+    # google.* namespace distribution (google-auth etc.) in the driver
+    # and every worker. As a fallback for absent protobuf the tail of
+    # the path is sufficient.
+    sys.path.append(vendored)
+    existing = os.environ.get("PYTHONPATH", "")
     os.environ["PYTHONPATH"] = (
-        vendored + os.pathsep + os.environ.get("PYTHONPATH", "")
-    ).rstrip(os.pathsep)
+        (existing + os.pathsep if existing else "") + vendored
+    )
     os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
 
 

@@ -119,6 +119,27 @@ def test_partial_summaries_respect_capacity_and_bound(spark):
     assert total_rows == 20_000
 
 
+def test_short_candidate_pool_not_guaranteed(spark):
+    # k larger than the candidate pool under heavy decrements: the
+    # audit must refuse the guarantee even if every candidate's exact
+    # count clears the bound (the missing ranks may be non-candidates).
+    df = _zipf_df(spark, n_rows=5_000, n_keys=3_000, parts=2)
+    audit = heavy_hitters_audit(df, "key", k=200, capacity=8).collect()[0]
+    assert audit["err_bound"] > 0
+    assert audit["n_topk"] < 200
+    assert not audit["guaranteed"]
+
+
+def test_short_topk_guaranteed_when_summary_exact(spark):
+    # fewer distinct keys than k, zero decrements: complete by
+    # construction, the audit should say so
+    df = spark.range(1_000).select((F.col("id") % 7).alias("key"))
+    audit = heavy_hitters_audit(df, "key", k=50, capacity=64).collect()[0]
+    assert audit["err_bound"] == 0
+    assert audit["n_topk"] == 7
+    assert audit["guaranteed"]
+
+
 def test_null_keys_dropped(spark):
     df = spark.createDataFrame(
         [(1,), (1,), (None,), (2,), (None,)], "key long"

@@ -188,6 +188,16 @@ class TestImageCodecs:
         payload = b"P6\n# a comment\n3 2\n# another\n255\n" + arr.tobytes()
         assert np.array_equal(M.decode_ppm(payload), arr)
 
+    def test_ppm_crlf_header_rejected_not_shifted(self):
+        import pytest as _pytest
+
+        arr = self._rand_img(3, 4, seed=2)
+        # CRLF after maxval: must error loudly, never decode pixels
+        # shifted by one byte
+        payload = b"P6\n4 3\n255\r\n" + arr.tobytes()
+        with _pytest.raises(ValueError, match="whitespace|length"):
+            M.decode_ppm(payload)
+
     def test_bmp_round_trip_all_paddings(self):
         import numpy as np
 

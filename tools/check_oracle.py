@@ -122,7 +122,12 @@ def _audit_abs_max(cols: str | list[str], bound: float):
                 problems.append(f"self-audit column {col!r} missing from result")
                 continue
             worst = float(pdf[col].abs().max())
-            if worst > bound:
+            # NaN/None audit values mean the check was never computed;
+            # 'NaN > bound' is False, so fail explicitly instead of
+            # silently passing.
+            if worst != worst or pdf[col].isna().any():
+                problems.append(f"self-audit: {col} has NaN/None values")
+            elif worst > bound:
                 problems.append(
                     f"self-audit: worst |{col}| = {worst:.4f} > bound {bound}"
                 )
@@ -139,6 +144,8 @@ def _audit_min(col: str, bound: float):
             return [f"self-audit column {col!r} missing from result"]
         if len(pdf) == 0:
             return ["self-audit: empty result"]
+        if pdf[col].isna().any():
+            return [f"self-audit: {col} has NaN/None values"]
         worst = float(pdf[col].min())
         if worst < bound:
             return [f"self-audit: min {col} = {worst:.3f} < bound {bound}"]
@@ -147,16 +154,30 @@ def _audit_min(col: str, bound: float):
     return audit
 
 
-def _audit_mean_per_query(col: str, bound: float, *, by: str = "query_id"):
+def _audit_mean_per_query(
+    col: str, bound: float, *, by: str = "query_id", expect_queries: int = 0
+):
     """Mean of per-query col (deduped on `by`) must be >= bound —
-    the standard recall@k report, robust to per-query row counts."""
+    the standard recall@k report, robust to per-query row counts.
+    ``expect_queries`` > 0 additionally requires that many distinct
+    query ids in the result: a query that returned zero rows would
+    otherwise silently drop out of the mean and overstate recall."""
 
     def audit(pdf: pd.DataFrame) -> list[str]:
         if col not in pdf.columns or by not in pdf.columns:
             return [f"self-audit columns {col!r}/{by!r} missing from result"]
         if len(pdf) == 0:
             return ["self-audit: empty result"]
-        mean = float(pdf.groupby(by)[col].first().mean())
+        if pdf[col].isna().any():
+            return [f"self-audit: {col} has NaN/None values"]
+        per_query = pdf.groupby(by)[col].first()
+        if expect_queries and len(per_query) != expect_queries:
+            return [
+                f"self-audit: {len(per_query)} queries in result, "
+                f"expected {expect_queries} (a zero-row query would "
+                "silently inflate the mean)"
+            ]
+        mean = float(per_query.mean())
         if mean < bound:
             return [f"self-audit: mean {col} = {mean:.3f} < bound {bound}"]
         return []
@@ -177,6 +198,11 @@ def _audit_est_exact_pairs(pairs: list[tuple[str, str]], bound_pct: float):
                 continue
             est = pdf[est_col].astype("float64")
             exact = pdf[exact_col].astype("float64")
+            if est.isna().any() or exact.isna().any():
+                problems.append(
+                    f"self-audit: {est_col}/{exact_col} has NaN/None values"
+                )
+                continue
             rel = ((est - exact).abs() / exact.abs().clip(lower=1.0) * 100).max()
             if rel > bound_pct:
                 problems.append(
@@ -205,8 +231,13 @@ SELF_AUDITS = {
     "bucket_value_kll": _audit_abs_max(
         [f"rank_err_p{q}" for q in (50, 90, 99)], 0.05
     ),
-    "embedding_ann_lsh": _audit_mean_per_query("recall_vs_exact", 0.8),
-    "embedding_ann_ivf": _audit_mean_per_query("recall_vs_exact", 0.8),
+    # both ANN queries probe the 5 fixed query vectors vec_id < 5
+    "embedding_ann_lsh": _audit_mean_per_query(
+        "recall_vs_exact", 0.8, expect_queries=5
+    ),
+    "embedding_ann_ivf": _audit_mean_per_query(
+        "recall_vs_exact", 0.8, expect_queries=5
+    ),
 }
 
 

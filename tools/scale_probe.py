@@ -79,10 +79,15 @@ PASSTHROUGH = (
 
 
 def replica_dir(sf_dir: str, copies: int) -> str:
-    src = f"{sf_dir.rstrip('/')}/events.parquet"
-    stat = os.stat(src)
+    # Tag every replicated source table's identity, not just events:
+    # regenerated documents/embeddings fixtures must invalidate too.
+    parts = []
+    for t in TABLES:
+        src = f"{sf_dir.rstrip('/')}/{t}.parquet"
+        stat = os.stat(src)
+        parts.append(f"{src}:{stat.st_mtime_ns}:{stat.st_size}")
     tag = hashlib.md5(
-        f"{src}:{stat.st_mtime_ns}:{stat.st_size}:{copies}:{_REPLICA_VERSION}".encode()
+        (":".join(parts) + f":{copies}:{_REPLICA_VERSION}").encode()
     ).hexdigest()[:12]
     return os.path.join("/tmp", f"peps-scale-{copies}x-{tag}")
 
@@ -171,7 +176,10 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     big_dir = replica_dir(sf_dir, copies)
-    if not os.path.exists(os.path.join(big_dir, TABLES[-1] + ".parquet")):
+    # _SUCCESS of the LAST-written table marks a complete build; a
+    # bare directory left by an interrupted build must not be reused.
+    done_marker = os.path.join(big_dir, TABLES[-1] + ".parquet", "_SUCCESS")
+    if not os.path.exists(done_marker):
         t0 = time.time()
         build_replica(spark, sf_dir, big_dir, copies)
         print(f"built {copies}x replica at {big_dir} in {time.time()-t0:.1f}s")
