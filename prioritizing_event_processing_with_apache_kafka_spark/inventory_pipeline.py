@@ -1896,6 +1896,48 @@ FROM agg
 """
 
 
+def q_corpus_diff_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version delta (operators/diffing.py): two corpus
+    versions carved deterministically from the fixture — v1 drops
+    ``doc_id % 7 == 0`` (those are *added* in v2) and appends an
+    edit marker to ``doc_id % 11 == 0`` texts (*changed*); v2 drops
+    ``doc_id % 13 == 0`` (*removed*). The diff reduces each side to
+    (key, xxhash64(text)) and full-outer joins 16-byte rows — the
+    oracle replays the same status logic by direct text comparison,
+    so a hash-collision bug or join-type slip would hash-mismatch."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.diffing import (
+        corpus_diff_summary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" [v1]"))
+        ).otherwise(F.col("text")),
+    )
+    new = docs.filter(F.col("doc_id") % 13 != 0)
+    return corpus_diff_summary(old, new)
+
+
+SQL_CORPUS_DIFF_STATUS = """
+WITH old AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' [v1]' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+), new AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
+)
+SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text <> n.text THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       COUNT(*) AS n_docs
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1947,6 +1989,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_value_ewma": q_user_value_ewma,
     "bucket_hourly_anomaly": q_bucket_hourly_anomaly,
     "source_dup_profile": q_source_dup_profile,
+    "corpus_diff_status": q_corpus_diff_status,
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "dedup_pagerank": q_dedup_pagerank,
     "salted_segment_revenue": q_salted_segment_revenue,
@@ -2002,6 +2045,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "user_value_ewma": SQL_USER_VALUE_EWMA,
     "bucket_hourly_anomaly": SQL_BUCKET_HOURLY_ANOMALY,
     "source_dup_profile": SQL_SOURCE_DUP_PROFILE,
+    "corpus_diff_status": SQL_CORPUS_DIFF_STATUS,
     "bpe_merge_pairs": SQL_BPE_MERGE_PAIRS,
     "dedup_pagerank": SQL_DEDUP_PAGERANK,
     "salted_segment_revenue": SQL_SALTED_SEGMENT_REVENUE,
