@@ -110,6 +110,9 @@ _DRIVER_HEAD = [
     "q19_disjunctive_filter",
     "q20_excess_shippers",
     "q22_idle_customers",
+    # round-5 additions, also queued for the round-6 head
+    "heavy_hitter_users",
+    "corpus_diff_status",
 ]
 
 
