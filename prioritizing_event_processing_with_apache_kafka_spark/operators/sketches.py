@@ -195,21 +195,19 @@ def kll_value_quantiles(
         for q in quantiles
     ]
     est_df = merged.select(group_col, "n_cells", *est_cols)
-    exact = df.groupBy(group_col).agg(
-        *[
-            F.round(
-                F.expr(f"percentile({value_col}, {q})"), 4
-            ).alias(f"exact_p{int(q * 100)}")
-            for q in quantiles
-        ]
-    )
-    # Rank audit: broadcast the (tiny) per-group estimates back over
-    # the rows and measure each estimate's actual rank — one extra
-    # map-side-combinable scan, no extra shuffle shape.
-    ranks = (
+    # Audit pass: broadcast the (tiny) per-group estimates back over
+    # the rows; ONE scan computes both the exact percentiles and each
+    # estimate's actual rank (previously two scans + an extra join).
+    audit = (
         df.join(F.broadcast(est_df.drop("n_cells")), group_col)
         .groupBy(group_col)
         .agg(
+            *[
+                F.round(
+                    F.expr(f"percentile({value_col}, {q})"), 4
+                ).alias(f"exact_p{int(q * 100)}")
+                for q in quantiles
+            ],
             *[
                 F.round(
                     F.abs(
@@ -224,7 +222,7 @@ def kll_value_quantiles(
                     4,
                 ).alias(f"rank_err_p{int(q * 100)}")
                 for q in quantiles
-            ]
+            ],
         )
     )
-    return est_df.join(exact, group_col).join(ranks, group_col)
+    return est_df.join(audit, group_col)
