@@ -197,7 +197,13 @@ def assign(
             topic=config.topic,
         )
         consumers_per_bucket: dict[str, list[str]] = {r.bucket: [] for r in layout}
-        for s in sorted(bucket_subs, key=lambda s: s.consumer):
+        # Iterate in CALLER order, as the reference iterates the
+        # subscription map it is handed (BucketPriorityAssignor.java:
+        # 104-124) — sorting here would silently reassign partition
+        # ownership whenever consumer ids arrive non-alphabetically,
+        # breaking A/B parity with a reference deployment. Callers
+        # wanting id-deterministic output sort their subscription list.
+        for s in bucket_subs:
             # unknown or missing bucket ⇒ consumer stays in the result
             # with zero partitions (no NPE-parity, see module docstring)
             if s.effective_bucket in consumers_per_bucket:

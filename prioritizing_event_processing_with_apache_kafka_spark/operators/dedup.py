@@ -472,6 +472,7 @@ def with_minhash_signature(
     num_hashes: int = 128,
     seed: int = 42,
     out_col: str = "minhash",
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature: ``sig[i] = min over shingles of (aᵢ·h + bᵢ) mod p``.
 
@@ -479,8 +480,14 @@ def with_minhash_signature(
     every product fits int64 (ANSI-safe). Computed via the codegen-
     friendly explode/aggregate grid, then reassembled into an array
     column ordered by seed index.
+
+    ``shingled`` (a frame already carrying a ``shingles`` column from
+    :func:`with_shingles` with the same ``k``) skips re-tokenization —
+    the sharing hook multi-stage pipelines use to pay the split/zip
+    cost once.
     """
-    shingled = scoped_persist(with_shingles(df, text_col=text_col, k=k))
+    if shingled is None:
+        shingled = scoped_persist(with_shingles(df, text_col=text_col, k=k))
     mins = _minhash_grid(shingled, id_col, num_hashes, seed)
     sig = mins.groupBy(id_col).agg(
         F.expr("transform(sort_array(collect_list(struct(__i, __min))), x -> x.__min)").alias(
@@ -518,6 +525,7 @@ def incremental_minhash_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     max_signature_freq: int | None = None,
+    new_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dups of an incoming batch against an already-indexed corpus
     — the incremental-ingestion pattern: dedupe each new crawl against
@@ -539,13 +547,23 @@ def incremental_minhash_pairs(
 
     Returns ``(new_id, old_id, jaccard)`` for cross-set pairs at or
     above ``threshold``.
+
+    ``new_signatures`` — the batch's frame from
+    :func:`with_minhash_signature` (same ``k``/``num_hashes``/``seed``;
+    must still carry the ``shingles`` column) — skips step 1 when the
+    caller already signed the batch, e.g. an ingest loop that also
+    appends the survivors' signatures to the store.
     """
     _check_banding(num_hashes, bands)
     rows = num_hashes // bands
-    new_sig = scoped_persist(
-        with_minhash_signature(
-            new_docs, id_col=id_col, text_col=text_col, k=k,
-            num_hashes=num_hashes, seed=seed,
+    new_sig = (
+        new_signatures
+        if new_signatures is not None
+        else scoped_persist(
+            with_minhash_signature(
+                new_docs, id_col=id_col, text_col=text_col, k=k,
+                num_hashes=num_hashes, seed=seed,
+            )
         )
     )
     nb = _band_hashes(new_sig, id_col, "minhash", bands, rows, "new_id")

@@ -70,7 +70,9 @@ def consume_plan(
     bucket's partitions spread over its fair share of cores. Starved
     buckets (no partitions) get no spec — there is nothing to read.
     """
-    layout = compute_layout(num_partitions, config.buckets_with_allocation())
+    layout = compute_layout(
+            num_partitions, config.buckets_with_allocation(), topic=config.topic
+        )
     wanted = set(buckets) if buckets is not None else None
     specs: list[BucketReaderSpec] = []
     for r in layout:

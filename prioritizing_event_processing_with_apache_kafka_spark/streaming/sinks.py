@@ -36,18 +36,18 @@ def idempotent_parquet_sink(path: str) -> Callable[[DataFrame, int], None]:
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                batch_df.withColumn(_BATCH_COL, F.lit(int(batch_id)))
-                .write.mode("overwrite")
-                .partitionBy(_BATCH_COL)
-                .parquet(path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", before)
+        (
+            batch_df.withColumn(_BATCH_COL, F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            # per-WRITE option, deliberately not a session-conf toggle:
+            # two concurrent queries (this engine runs one per bucket)
+            # racing a set/restore of partitionOverwriteMode can leave
+            # one write in static mode, which truncates the entire
+            # path instead of replacing one batch partition.
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(_BATCH_COL)
+            .parquet(path)
+        )
 
     return write
 

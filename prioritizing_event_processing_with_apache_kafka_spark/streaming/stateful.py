@@ -42,8 +42,13 @@ __all__ = [
     "route_stream_stateful",
     "route_stream_tws",
     "STATEFUL_OUTPUT_SCHEMA",
+    "stateful_output_schema",
 ]
 
+# Default-column schema (order_col="event_id": long, key_col="key":
+# string) — kept as a constant for back-compat; the operators derive
+# the actual schema from the input stream via stateful_output_schema
+# so non-default key/order columns keep their real names and types.
 STATEFUL_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -53,6 +58,31 @@ STATEFUL_OUTPUT_SCHEMA = T.StructType(
         T.StructField("seq", T.LongType()),
     ]
 )
+
+
+def stateful_output_schema(
+    stream: DataFrame, *, key_col: str = "key", order_col: str = "event_id"
+) -> T.StructType:
+    """Output schema for the stateful routers, derived from the actual
+    ``order_col``/``key_col`` types of the input stream (a hardcoded
+    long/string pair would mislabel or break e.g. a timestamp order
+    column or binary keys at the Arrow conversion)."""
+    by_name = {f.name: f.dataType for f in stream.schema.fields}
+    missing = [c for c in (order_col, key_col) if c not in by_name]
+    if missing:
+        raise ValueError(
+            f"columns {missing} not found in stream schema "
+            f"{[f.name for f in stream.schema.fields]}"
+        )
+    return T.StructType(
+        [
+            T.StructField(order_col, by_name[order_col]),
+            T.StructField(key_col, by_name[key_col]),
+            T.StructField("bucket", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
 
 _STATE_SCHEMA = T.StructType([T.StructField("counter", T.LongType())])
 
@@ -76,7 +106,9 @@ def route_stream_stateful(
     """
     layout = {
         r.bucket: (r.partition_lo, r.size)
-        for r in compute_layout(num_partitions, config.buckets_with_allocation())
+        for r in compute_layout(
+            num_partitions, config.buckets_with_allocation(), topic=config.topic
+        )
     }
 
     def advance(
@@ -105,8 +137,8 @@ def route_stream_stateful(
                 partition = pd.Series(seq % size + lo, dtype="Int64")
             yield pd.DataFrame(
                 {
-                    "event_id": pdf[order_col].values,
-                    "key": pdf[key_col].values,
+                    order_col: pdf[order_col].values,
+                    key_col: pdf[key_col].values,
                     "bucket": bucket,
                     "partition": partition.values,
                     "seq": pd.Series(seq, dtype="int64").values,
@@ -120,7 +152,7 @@ def route_stream_stateful(
     )
     return keyed.groupBy("bucket").applyInPandasWithState(
         advance,
-        STATEFUL_OUTPUT_SCHEMA,
+        stateful_output_schema(stream, key_col=key_col, order_col=order_col),
         _STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,
@@ -163,7 +195,9 @@ def route_stream_tws(
 
     layout = {
         r.bucket: (r.partition_lo, r.size)
-        for r in compute_layout(num_partitions, config.buckets_with_allocation())
+        for r in compute_layout(
+            num_partitions, config.buckets_with_allocation(), topic=config.topic
+        )
     }
 
     class _Counter(StatefulProcessor):
@@ -191,8 +225,8 @@ def route_stream_tws(
                     partition = pd.Series(seq % size + lo, dtype="Int64")
                 yield pd.DataFrame(
                     {
-                        "event_id": pdf[order_col].values,
-                        "key": pdf[key_col].values,
+                        order_col: pdf[order_col].values,
+                        key_col: pdf[key_col].values,
                         "bucket": bucket,
                         "partition": partition.values,
                         "seq": pd.Series(seq, dtype="int64").values,
@@ -209,7 +243,9 @@ def route_stream_tws(
     )
     return keyed.groupBy("bucket").transformWithStateInPandas(
         statefulProcessor=_Counter(),
-        outputStructType=STATEFUL_OUTPUT_SCHEMA,
+        outputStructType=stateful_output_schema(
+            stream, key_col=key_col, order_col=order_col
+        ),
         outputMode="Append",
         timeMode="None",
     )

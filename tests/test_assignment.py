@@ -205,3 +205,18 @@ class TestFallbackAssignors:
         result = assign({"orders": 10, "clicks": 3}, subs, cfg)
         assert result["r0"] == [("clicks", 0), ("clicks", 2)]
         assert result["r1"] == [("clicks", 1)]
+
+
+class TestSubscriptionOrderParity:
+    def test_caller_order_drives_round_robin(self):
+        # BucketPriorityAssignor.java:104-124 iterates the subscription
+        # map in the order it is handed — no sorting. Non-alphabetical
+        # arrival order must shift ownership accordingly.
+        subs = [
+            Subscription("c2", ["orders"], "B1"),
+            Subscription("c1", ["orders"], "B1"),
+        ]
+        result = assign({"orders": 10}, subs, CFG)
+        # B1 = partitions [0..7]; shared counter deals 0 to c2 first
+        assert owned_partitions(result, "c2") == [0, 2, 4, 6]
+        assert owned_partitions(result, "c1") == [1, 3, 5, 7]

@@ -770,3 +770,28 @@ class TestDedupIngest:
         assert sorted(
             r.doc_id for r in spark.read.parquet(corpus).collect()
         ) == [0, 1]
+
+    def test_replayed_batch_id_is_idempotent(self, spark, stream_dir):
+        # foreachBatch is at-least-once: the same batch_id re-delivered
+        # after a crash must REPLACE its own output, not append a second
+        # copy (corpus) or leave its signatures missing (store).
+        from prioritizing_event_processing_with_apache_kafka_spark.streaming import (
+            dedup_ingest_batch,
+        )
+
+        corpus = f"{stream_dir}/corpus3"
+        store = f"{stream_dir}/store3"
+        b = spark.createDataFrame(
+            [(0, self.DOCS[0]), (1, self.DOCS[1])], "doc_id long, text string"
+        )
+        for _ in range(2):  # deliver batch 0 twice
+            n = dedup_ingest_batch(
+                b, corpus_path=corpus, store_path=store, batch_id=0
+            )
+        # replay dedups against its own first delivery's store, so the
+        # second pass reports 0 survivors but the output stays complete
+        assert n == 0
+        docs = spark.read.parquet(corpus)
+        assert sorted(r.doc_id for r in docs.collect()) == [0, 1]
+        sigs = spark.read.parquet(store)
+        assert sorted(r.doc_id for r in sigs.collect()) == [0, 1]
