@@ -192,5 +192,14 @@ def pagerank(
                 "rank"
             )
         )
+    # Materialize the final ranks BEFORE releasing sym: the returned
+    # plan references sym once per iteration, so unpersisting the
+    # still-lazy result would recompute the symmetrize+distinct
+    # shuffle n_iter+1 times at action time (connected_components
+    # avoids this the same way — its labels are checkpointed while
+    # the cache is live).
+    out = ranks.select("node", F.round("rank", 6).alias("rank")).localCheckpoint(
+        eager=True
+    )
     sym.unpersist()
-    return ranks.select("node", F.round("rank", 6).alias("rank"))
+    return out

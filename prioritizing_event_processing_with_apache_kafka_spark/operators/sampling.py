@@ -42,10 +42,34 @@ _A = 1_103_515_245
 _C = 12_345
 
 
+# Knuth's multiplicative constant spreads the salt across the key's
+# bits via XOR. XOR, not addition: the two LCG rounds compose into ONE
+# affine map mod 2^31, so an additive salt would shift every key's
+# coin by the same constant — two "independent" salted samples would
+# overlap either ~0% or ~100% (an interval rotation), never the
+# expected product of their rates. XOR is not affine in modular
+# arithmetic, so per-key differences survive. salt=0 XORs with 0 and
+# reproduces the unsalted pipeline bit-for-bit.
+_KNUTH = 2_654_435_761
+
+
+def _salt_mix(salt: int) -> int:
+    return (int(salt) * _KNUTH) % _M
+
+
 def hash_coin(key: str | Column, *, salt: int = 0) -> Column:
-    """Deterministic uniform [0, 1) double from an integer key column."""
+    """Deterministic uniform [0, 1) double from an integer key column.
+
+    The key is first reduced with ``pmod`` (a plain ``%`` keeps the
+    dividend's sign, so negative keys would yield negative coins that
+    every ``coin < fraction`` filter keeps unconditionally), then
+    XOR-mixed with the spread salt (see ``_KNUTH``), then passed
+    through two LCG rounds.
+    """
     k = F.col(key) if isinstance(key, str) else key
-    x = (k.cast("long") + F.lit(int(salt))) % F.lit(_M)
+    x = F.pmod(k.cast("long"), F.lit(_M))
+    if salt:
+        x = x.bitwiseXOR(F.lit(_salt_mix(salt)))
     x = (x * F.lit(_A) + F.lit(_C)) % F.lit(_M)
     x = (x * F.lit(_A) + F.lit(_C)) % F.lit(_M)
     return x.cast("double") / F.lit(float(_M))
@@ -53,7 +77,9 @@ def hash_coin(key: str | Column, *, salt: int = 0) -> Column:
 
 def hash_coin_sql(key_expr: str, *, salt: int = 0) -> str:
     """The DuckDB/ANSI replay of :func:`hash_coin` (same bits)."""
-    x = f"((CAST({key_expr} AS BIGINT) + {salt}) % {_M})"
+    x = f"(((CAST({key_expr} AS BIGINT) % {_M}) + {_M}) % {_M})"
+    if salt:
+        x = f"xor({x}, {_salt_mix(salt)})"
     x = f"(({x} * {_A} + {_C}) % {_M})"
     x = f"(({x} * {_A} + {_C}) % {_M})"
     return f"(CAST({x} AS DOUBLE) / {float(_M)})"

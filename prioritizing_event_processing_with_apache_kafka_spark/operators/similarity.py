@@ -97,13 +97,23 @@ def cosine_topk(
         c.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
         .withColumn("cos_sim", F.round(cos, 6))
     )
+    return _topk_per_query(scored, query_id_col, id_col, k, "cos_sim")
+
+
+
+def _topk_per_query(
+    scored, query_id_col: str, id_col: str, k: int, score_col: str
+):
+    """Shared rank-and-trim epilogue for every top-k variant: best k
+    rows per query by (score desc, id asc) — one place to change
+    tie-break or rounding policy for all four operators."""
     w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cos_sim"), F.asc(id_col)
+        F.desc(score_col), F.asc(id_col)
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "rank", "cos_sim")
+        .select(query_id_col, id_col, "rank", score_col)
     )
 
 
@@ -116,6 +126,28 @@ def _random_planes(num_planes: int, dim: int, seed: int = 7) -> list[list[float]
 
 def _plane_literal(plane: list[float]) -> str:
     return "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in plane) + ")"
+
+
+
+def _dim_checked(expr_sql: str, vec_col: str, dim: int) -> str:
+    """Wrap a bucketing expression so a vector whose length differs
+    from the configured ``dim`` fails loudly. Without this,
+    ``zip_with`` pads the shorter side with NULLs, the dot products go
+    NULL, every sign test reads false, and ALL rows silently collapse
+    into bucket/cell 0 — an ANN index that degrades to a full scan
+    with no error anywhere.
+
+    Folded into the OUTPUT expression as ``nvl(assert_true(...), e)``
+    — one size comparison per row. (Wrapping the vector column itself
+    in a when/raise_error was measured 40x slower on the LSH query:
+    the conditional re-evaluates per plane reference and defeats
+    common-subexpression elimination.)"""
+    check = (
+        f"assert_true(size({vec_col}) = {dim}, "
+        f"concat('{vec_col}: vector length != configured dim {dim}: got ', "
+        f"CAST(size({vec_col}) AS STRING)))"
+    )
+    return f"nvl({check}, {expr_sql})"
 
 
 def with_lsh_bucket(
@@ -139,7 +171,7 @@ def with_lsh_bucket(
         f"{1 << j}, 0)"
         for j, p in enumerate(planes)
     )
-    return df.withColumn(out_col, F.expr(bits))
+    return df.withColumn(out_col, F.expr(_dim_checked(bits, vec_col, dim)))
 
 
 def cosine_pandas(a: str | Column, b: str | Column) -> Column:
@@ -207,8 +239,12 @@ def with_ivf_cell(
         f"x -> x.cell)"
     )
     if nprobe == 1:
-        return df.withColumn(out_col, F.expr(f"element_at({ranked}, 1)"))
-    return df.withColumn(out_col, F.expr(f"slice({ranked}, 1, {nprobe})"))
+        return df.withColumn(
+            out_col, F.expr(_dim_checked(f"element_at({ranked}, 1)", vec_col, dim))
+        )
+    return df.withColumn(
+        out_col, F.expr(_dim_checked(f"slice({ranked}, 1, {nprobe})", vec_col, dim))
+    )
 
 
 def ivf_ann_topk(
@@ -262,12 +298,7 @@ def ivf_ann_topk(
         .filter(F.col(query_id_col) != F.col(id_col))
         .withColumn("cos_sim", F.round(cos, 6))
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "rank", "cos_sim")
-    )
+    return _topk_per_query(scored, query_id_col, id_col, k, "cos_sim")
 
 
 def lsh_ann_topk(
@@ -328,12 +359,7 @@ def lsh_ann_topk(
     # Norms precomputed per side (see cosine_topk): one fold per pair.
     cos = dot("__qvec", vec_col) / (F.sqrt(F.col("__n2c")) * F.sqrt(F.col("__n2q")))
     scored = cands.withColumn("cos_sim", F.round(cos, 6))
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "rank", "cos_sim")
-    )
+    return _topk_per_query(scored, query_id_col, id_col, k, "cos_sim")
 
 
 def quantize_vectors(
@@ -424,12 +450,7 @@ def quantized_ann_topk(
             ),
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("qcos_sim"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "rank", "qcos_sim")
-    )
+    return _topk_per_query(scored, query_id_col, id_col, k, "qcos_sim")
 
 
 def semantic_neardup_pairs(

@@ -43,19 +43,31 @@ def windowed_ewma(
     bit-identical across engines and partitionings. The frame list is
     at most ``window`` elements, so memory per row is bounded.
     ``order_cols`` must be unique per key for a deterministic frame.
+
+    NULL values: rows stay in the frame (a bare ``collect_list``
+    would silently DROP them and shift every older value onto the
+    wrong lag weight), contribute nothing to numerator or
+    denominator, and the remaining weights renormalize — the EWMA of
+    the *observed* values at their true lags. A frame of only NULLs
+    yields NULL.
     """
     w = (
         Window.partitionBy(partition_col)
         .orderBy(*[F.asc(c) for c in order_cols])
         .rowsBetween(-(window - 1), 0)
     )
-    frame = F.collect_list(F.col(value_col).cast("double")).over(w)
+    # struct-wrap: collect_list skips NULL elements but keeps structs
+    # with a NULL field, preserving lag alignment
+    frame = F.collect_list(
+        F.struct(F.col(value_col).cast("double").alias("v"))
+    ).over(w)
     # element i of the frame (0-based, oldest first) has lag n-1-i
     ewma = F.expr(
         "aggregate(zip_with(__peps_fr, sequence(size(__peps_fr) - 1, 0, -1), "
-        "(x, k) -> x * pow(0.5D, k)), 0.0D, (a, v) -> a + v)"
-        " / aggregate(sequence(size(__peps_fr) - 1, 0, -1), 0.0D, "
-        "(a, k) -> a + pow(0.5D, k))"
+        "(x, k) -> if(x.v is null, 0.0D, x.v * pow(0.5D, k))), 0.0D, (a, v) -> a + v)"
+        " / nullif(aggregate(zip_with(__peps_fr, "
+        "sequence(size(__peps_fr) - 1, 0, -1), "
+        "(x, k) -> if(x.v is null, 0.0D, pow(0.5D, k))), 0.0D, (a, v) -> a + v), 0.0D)"
     )
     return (
         df.withColumn("__peps_fr", frame)
@@ -97,9 +109,17 @@ def rolling_zscore(
     x = F.col(value_col).cast("long")
     n = F.count(F.lit(1)).over(w)
     s1 = F.sum(x).over(w)
-    s2 = F.sum(x * x).over(w)
+    # Squares in DECIMAL, not long: x*x overflows int64 silently (in
+    # non-ANSI sessions) once x exceeds ~3e9. decimal(19,0) holds any
+    # long; its square is exact up to the decimal(38) cap — beyond
+    # that Spark raises/NULLs instead of wrapping, a loud failure.
+    xd = x.cast("decimal(19,0)")
+    s2 = F.sum(xd * xd).over(w)
+    s1d = s1.cast("decimal(19,0)")
     mean = s1.cast("double") / n.cast("double")
-    var = (n * s2 - s1 * s1).cast("double") / (n * n).cast("double")
+    var = (n.cast("decimal(19,0)") * s2 - s1d * s1d).cast("double") / (
+        n * n
+    ).cast("double")
     z: Column = (x.cast("double") - mean) / F.sqrt(var)
     scored = F.when((n == window) & (var > 0), F.round(z, 6))
     return df.withColumn("zscore", scored).withColumn(

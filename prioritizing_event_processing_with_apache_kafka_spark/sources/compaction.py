@@ -25,7 +25,29 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["directory_bytes", "compact_parquet"]
+__all__ = ["directory_bytes", "compact_parquet", "partition_columns"]
+
+
+def partition_columns(spark: SparkSession, path: str) -> list[str]:
+    """Hive-style partition columns of a parquet directory, outermost
+    first, discovered by walking ``key=value`` directory levels (the
+    same metadata-only walk Spark's scan planning performs)."""
+    jvm = spark._jvm
+    fs_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    cols: list[str] = []
+    current = fs_path
+    while True:
+        level = None
+        for status in fs.listStatus(current):
+            name = status.getPath().getName()
+            if status.isDirectory() and "=" in name and not name.startswith("_"):
+                level = (name.split("=", 1)[0], status.getPath())
+                break
+        if level is None:
+            return cols
+        cols.append(level[0])
+        current = level[1]
 
 
 def directory_bytes(spark: SparkSession, path: str, *, suffix: str = ".parquet") -> int:
@@ -52,15 +74,34 @@ def compact_parquet(
     order_by: list[str] | None = None,
 ) -> int:
     """Rewrite ``in_path`` into right-sized parquet files at
-    ``out_path``; returns the number of output files written."""
+    ``out_path``; returns the number of output files written.
+
+    Hive-partitioned input (``key=value`` directory levels, e.g.
+    ``write_ivf_partitioned``'s ``ivf_cell=N`` layout) keeps its
+    partitioning: the discovered partition columns are re-applied
+    with ``partitionBy`` on the rewrite, so the partition-pruning
+    layout the directory structure encodes survives compaction
+    instead of being silently flattened into data columns.
+    """
     if target_file_bytes <= 0:
         raise ValueError("target_file_bytes must be positive")
     total = directory_bytes(spark, in_path)
     n = max(1, math.ceil(total / target_file_bytes))
     df: DataFrame = spark.read.parquet(in_path)
+    part_cols = partition_columns(spark, in_path)
     if order_by:
         df = df.repartitionByRange(n, *order_by).sortWithinPartitions(*order_by)
+    elif part_cols:
+        # shuffle BY the partition columns: round-robin would hand
+        # every task rows of every partition value and the writer
+        # would emit n × #partitions files — worse fragmentation than
+        # the input. Hash-clustering caps output at one file per
+        # (task, value) with each value on one task.
+        df = df.repartition(n, *part_cols)
     else:
         df = df.repartition(n)
-    df.write.mode("overwrite").parquet(out_path)
+    writer = df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(out_path)
     return n
