@@ -84,8 +84,10 @@ ORDER BY o_orderpriority
 
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: shipping volume between two nations by year, both
-    directions. Nation dims broadcast; the one shuffle is the
-    lineitem⋈orders fact join."""
+    directions. Nation dims are explicitly broadcast (constant-size);
+    customer/supplier are deliberately UNHINTED — they grow with scale
+    factor, so a hard F.broadcast would OOM at 100 TB, while AQE
+    broadcasts them at runtime exactly while they fit."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") <= F.lit("1997-12-31"))
@@ -103,8 +105,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = (_dec("l_extendedprice") * (_one() - _dec("l_discount")))
     joined = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(n1), supp["s_nationkey"] == F.col("s_nk"))
         .join(F.broadcast(n2), cust["c_nationkey"] == F.col("c_nk"))
         .filter(
@@ -161,10 +163,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     volume = (_dec("l_extendedprice") * (_one() - _dec("l_discount")))
     joined = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(n_cust), cust["c_nationkey"] == F.col("cn_nk"))
         .join(F.broadcast(region), F.col("cn_rk") == region["r_regionkey"])
         .join(F.broadcast(n_supp), supp["s_nationkey"] == F.col("sn_nk"))
@@ -215,8 +217,8 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     amount = (_dec("l_extendedprice") * (_one() - _dec("l_discount")))
     joined = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
     )
     return (
@@ -256,7 +258,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(revenue.alias("revenue"))
@@ -313,8 +315,11 @@ ORDER BY custdist DESC, c_count DESC
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) with the maximum 3-month revenue.
-    The max is a window over the aggregated (tiny) per-supplier frame —
-    one scan of lineitem, no self-join."""
+    The max is a one-row scalar aggregate broadcast back onto the
+    per-supplier frame (the q22 avg_bal pattern) — an unpartitioned
+    ``dense_rank`` window would shuffle the whole per-supplier frame
+    (scale-proportional: sf × 10k rows) onto ONE task just to find a
+    scalar."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1996-04-01"))
@@ -324,14 +329,15 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     )
     per_supp = li.groupBy("l_suppkey").agg(revenue.alias("total_revenue"))
-    w = Window.orderBy(F.desc("total_revenue"))
+    best = per_supp.agg(F.max("total_revenue").alias("__best"))
     top = (
-        per_supp.withColumn("__rk", F.dense_rank().over(w))
-        .filter(F.col("__rk") == 1)
-        .drop("__rk")
+        per_supp.join(
+            F.broadcast(best), F.col("total_revenue") == F.col("__best")
+        )
+        .drop("__best")
     )
     return (
-        top.join(F.broadcast(supp), top["l_suppkey"] == supp["s_suppkey"])
+        top.join(supp, top["l_suppkey"] == supp["s_suppkey"])
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -357,7 +363,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     into one broadcast-join scan, single revenue scalar."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    joined = li.join(part, li["l_partkey"] == part["p_partkey"])
     cond = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -454,7 +460,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     ps = (
-        li.join(F.broadcast(euro_supp), li["l_suppkey"] == euro_supp["s_suppkey"])
+        li.join(euro_supp, li["l_suppkey"] == euro_supp["s_suppkey"])
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             (
@@ -470,8 +476,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__min_cost")
     )
     return (
-        cheapest.join(F.broadcast(part), cheapest["l_partkey"] == part["p_partkey"])
-        .join(F.broadcast(euro_supp), cheapest["l_suppkey"] == euro_supp["s_suppkey"])
+        cheapest.join(part, cheapest["l_partkey"] == part["p_partkey"])
+        .join(euro_supp, cheapest["l_suppkey"] == euro_supp["s_suppkey"])
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supply_cost")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -517,7 +523,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     value = _dec("l_extendedprice") * (_one() - _dec("l_discount"))
     per_part = (
-        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
         .groupBy(F.col("l_partkey").alias("ps_partkey"))
         .agg(F.sum(value).alias("__val_dec"))
@@ -605,9 +611,9 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = li.select("l_partkey", "l_suppkey").distinct()
     return (
         pairs.join(
-            F.broadcast(bad_supp), pairs["l_suppkey"] == bad_supp["s_suppkey"], "left_anti"
+            bad_supp, pairs["l_suppkey"] == bad_supp["s_suppkey"], "left_anti"
         )
-        .join(F.broadcast(part), pairs["l_partkey"] == part["p_partkey"])
+        .join(part, pairs["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -642,7 +648,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
     heavy = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(_dec("l_quantity")).alias("__qty"))
         .filter(F.col("__qty") > F.lit(40).cast("decimal(18,2)"))
@@ -704,7 +710,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sole_late.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .join(supp, F.col("l_suppkey") == supp["s_suppkey"])
         .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
         .select("s_name", "n_name", "numwait")
         .orderBy(F.desc("numwait"), "s_name")

@@ -180,7 +180,8 @@ def remove_duplicate_spans(
     input document; a fully-boilerplate document survives with an empty
     ``clean_text`` rather than disappearing.
     """
-    sp = _span_rows(df, id_col, text_col, span_tokens)
+    # persisted: sp feeds the frequency aggregate AND the keep-join
+    sp = scoped_persist(_span_rows(df, id_col, text_col, span_tokens))
     freq = sp.groupBy("__span").agg(
         F.countDistinct(id_col).alias("__n_docs")
     )
@@ -556,6 +557,19 @@ def incremental_minhash_pairs(
     """
     _check_banding(num_hashes, bands)
     rows = num_hashes // bands
+    # Fail fast on a store built with a different num_hashes: slicing
+    # a shorter array past its end yields EMPTY band slices, so
+    # xxhash64('') gives every historical doc the IDENTICAL band hash
+    # — one quadratic candidate bucket (or, with a hot-bucket cap,
+    # silently missed duplicates). One size comparison per store row.
+    signature_store = signature_store.select(
+        F.col(id_col),
+        F.expr(
+            f"nvl(assert_true(size(minhash) = {num_hashes}, "
+            f"concat('signature store minhash length != num_hashes="
+            f"{num_hashes}: got ', CAST(size(minhash) AS STRING))), minhash)"
+        ).alias("minhash"),
+    )
     new_sig = (
         new_signatures
         if new_signatures is not None
@@ -700,7 +714,10 @@ def with_simhash(
     exploded-grid formulation shuffles 64× the rows for the same
     answer), no interpreted lambdas, map-side partial aggregation.
     """
-    shingled = with_shingles(df, text_col=text_col, k=k)
+    # persisted: the frame feeds both the bit-vote aggregate and the
+    # final join (two plan branches with no shared exchange) — without
+    # the cache the dominant shingle lambdas run twice per action
+    shingled = scoped_persist(with_shingles(df, text_col=text_col, k=k))
     hashed = shingled.select(F.col(id_col), F.explode("shingles").alias("__s")).select(
         id_col, F.xxhash64("__s").alias("__h")
     )

@@ -25,6 +25,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from prioritizing_event_processing_with_apache_kafka_spark.operators.caching import (
+    scoped_persist,
+)
+
 __all__ = [
     "STOPWORDS",
     "tokens",
@@ -99,8 +103,18 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "stopword_ratio",
             _stopword_hits(text_col).cast("double") / n_tokens.cast("double"),
         )
-        .withColumn("alnum_ratio", n_alnum.cast("double") / n_chars.cast("double"))
-        .withColumn("digit_ratio", n_digit.cast("double") / n_chars.cast("double"))
+        # empty document -> NULL ratios (not DIVIDE_BY_ZERO under ANSI
+        # sessions / NaN elsewhere; DuckDB's x/0 is NULL, so the oracle
+        # agrees). n_tokens needs no guard: split('') yields [''], so
+        # it is always >= 1.
+        .withColumn(
+            "alnum_ratio",
+            F.when(n_chars > 0, n_alnum.cast("double") / n_chars.cast("double")),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.when(n_chars > 0, n_digit.cast("double") / n_chars.cast("double")),
+        )
     )
 
 
@@ -383,8 +397,13 @@ def corpus_bigram_stats(
         f"slice({toks}, 2, greatest(size({toks}) - 1, 0))), "
         f"s -> concat_ws(' ', s.`0`, s.`1`))"
     )
-    bg = df.withColumn(toks, tokens(text_col)).select(
-        id_col, F.explode(F.expr(bigram)).alias("__bg")
+    # persisted: bg feeds the frequency aggregate AND the score join
+    # (the lm.py bigram_lm_score pattern) — without the cache the
+    # tokenize+explode runs twice per action
+    bg = scoped_persist(
+        df.withColumn(toks, tokens(text_col)).select(
+            id_col, F.explode(F.expr(bigram)).alias("__bg")
+        )
     )
     freq = bg.groupBy("__bg").agg(F.count(F.lit(1)).alias("__freq"))
     return (

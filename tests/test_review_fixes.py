@@ -142,3 +142,39 @@ class TestCompactionKeepsPartitions:
         back = spark.read.parquet(out)
         assert back.count() == 1_000
         assert back.filter(F.col("cell") == 2).count() == 250
+
+
+class TestEmptyDocQuality:
+    def test_empty_document_yields_null_ratios_not_error(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.text import (
+            quality_features,
+        )
+
+        df = spark.createDataFrame(
+            [(0, ""), (1, "the cat")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in quality_features(df).collect()}
+        assert rows[0]["alnum_ratio"] is None
+        assert rows[0]["digit_ratio"] is None
+        assert rows[1]["alnum_ratio"] == pytest.approx(6 / 7)
+
+
+class TestIncrementalStoreValidation:
+    def test_mismatched_store_num_hashes_raises(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.dedup import (
+            incremental_minhash_pairs,
+            with_minhash_signature,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "one two three four five six"), (1, "seven eight nine ten")],
+            "doc_id long, text string",
+        )
+        store = with_minhash_signature(docs, num_hashes=16).select(
+            "doc_id", "minhash"
+        )
+        with pytest.raises(Exception) as ei:
+            incremental_minhash_pairs(
+                docs, store, docs, num_hashes=32, bands=8
+            ).collect()
+        assert "num_hashes=32" in str(ei.value)
