@@ -212,7 +212,10 @@ def q_starved_discard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DiscardPartitioner.java:15-18; README.md:79-84)."""
     cfg = BucketPriorityConfig(topic="events", buckets=["Platinum", "Gold"], allocation=[70, 30])
     events = with_routing_key(load_table(spark, sf_dir, "events"))
-    routed = route(events, cfg, 10, order_col="event_id", mode="exact")
+    # hash mode: this audit never reads `partition`, so it skips the
+    # exact path's range shuffle + persisted midframe (route_status and
+    # bucket are mode-invariant — the oracle is unchanged)
+    routed = route(events, cfg, 10, mode="hash")
     return (
         routed.filter(F.col("route_status") == "unroutable")
         .groupBy("event_type")
@@ -282,7 +285,7 @@ def q_bucket_allocation_vs_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     (README.md:5-17): does Platinum's 50% partition share cover its load?
     """
     layout = layout_table(spark, EVENTS_CONFIG, EVENTS_NUM_PARTITIONS)
-    routed = _events_routed(spark, sf_dir)
+    routed = _events_tagged(spark, sf_dir)  # partition unread -> hash mode
     per_bucket = routed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_records"))
     return (
         per_bucket.join(F.broadcast(layout), "bucket")
@@ -651,7 +654,7 @@ GROUP BY user_id
 
 def q_running_bucket_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame aggregate: running event count per bucket over event time."""
-    routed = _events_routed(spark, sf_dir)
+    routed = _events_tagged(spark, sf_dir)  # partition unread -> hash mode
     w = (
         Window.partitionBy("bucket")
         .orderBy("event_id")
@@ -886,19 +889,18 @@ def q_stream_windowed_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches."""
 
     def build(stream: DataFrame) -> DataFrame:
+        from prioritizing_event_processing_with_apache_kafka_spark.streaming.telemetry import (
+            bucket_throughput,
+        )
+
         keyed = with_routing_key(stream)
         bucket = extract_bucket(F.col("key"), EVENTS_CONFIG.delimiter)
-        return (
-            keyed.withColumn("bucket", bucket)
-            .withWatermark("ts", "2 hours")
-            .groupBy(F.window("ts", "1 hour").alias("w"), F.col("bucket"))
-            .agg(F.count(F.lit(1)).alias("n_events"))
-            .select(
-                F.col("w.start").alias("hour_start"),
-                "bucket",
-                "n_events",
-            )
-        )
+        # the SAME telemetry operator the batch twin
+        # (q_bucket_throughput_hourly) runs — one shared code path for
+        # both oracle checks, not two hand-kept copies
+        return bucket_throughput(
+            keyed.withColumn("bucket", bucket), watermark="2 hours"
+        ).withColumnRenamed("window_start", "hour_start")
 
     return _replay_events_stream(
         spark, sf_dir, build, name_prefix="stream_windowed", normalize_ts=True
@@ -941,7 +943,7 @@ def q_stream_sessionized_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_STREAM_SESSIONIZED_USERS = """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
                 OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30 * 60 * 1000000
               THEN 1 ELSE 0 END AS new_session
@@ -949,7 +951,7 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 )
@@ -1557,6 +1559,10 @@ SQL_BUCKET_QUIET_HOURS = f"""
   FROM routed
 ), spine AS (
   SELECT make_timestamp(epoch_us(b.lo) + g.i * 3600000000) AS hour_ts
+  -- static-series cap: 10,000 hours ~ 416 days; the fixtures span
+  -- 719 hours (measured), same convention as SQL_SPAN_DEDUP's 300-span
+  -- cap. A corpus past the cap would truncate the oracle's spine, not
+  -- the Spark side's unbounded sequence().
   FROM bounds b CROSS JOIN generate_series(0, 9999) AS g(i)
   WHERE make_timestamp(epoch_us(b.lo) + g.i * 3600000000) <= b.hi
 ), grid AS (
@@ -1710,14 +1716,17 @@ JOIN events e
 
 
 def q_bucket_throughput_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour window per bucket (batch analog of the streaming
-    throughput query): window start, bucket, event count."""
-    routed = _events_tagged(spark, sf_dir)
-    return (
-        routed.groupBy(F.window("ts", "1 hour").alias("w"), F.col("bucket"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("w.start").alias("window_start"), "bucket", "n_events")
+    """Tumbling 1-hour window per bucket — the BATCH run of the very
+    expressions the streaming dashboard uses (streaming/telemetry
+    ``bucket_throughput``, watermark skipped on batch input), so the
+    oracle check here really exercises the shared code path rather
+    than a hand-kept copy."""
+    from prioritizing_event_processing_with_apache_kafka_spark.streaming.telemetry import (
+        bucket_throughput,
     )
+
+    routed = _events_tagged(spark, sf_dir)
+    return bucket_throughput(routed, watermark=None)
 
 
 SQL_BUCKET_THROUGHPUT_HOURLY = f"""
@@ -1758,7 +1767,8 @@ def q_discard_audit_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement of `starved_discard_audit` (exceptAll operator)."""
     cfg = BucketPriorityConfig(topic="events", buckets=["Platinum", "Gold"], allocation=[70, 30])
     events = with_routing_key(load_table(spark, sf_dir, "events"))
-    routed = route(events, cfg, 10, order_col="event_id", mode="exact")
+    # hash mode: route_status is mode-invariant and partition is unread
+    routed = route(events, cfg, 10, mode="hash")
     routable = routed.filter(F.col("route_status") == "routed").select(
         "event_id", "event_type"
     )
@@ -1830,14 +1840,24 @@ def q_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS through the engine's SQL surface
     (spark.sql over a routed temp view) — finer-grained than
     rollup/cube: (bucket), (bucket, event_type), and grand total."""
-    _events_tagged(spark, sf_dir).createOrReplaceTempView("peps_routed_events")
-    return spark.sql(
-        """
-        SELECT bucket, event_type, COUNT(*) AS n_events
-        FROM peps_routed_events
-        GROUP BY GROUPING SETS ((bucket), (bucket, event_type), ())
-        """
-    )
+    import uuid
+
+    # per-call unique view name: a fixed session-global name lets two
+    # threads constructing this query swap each other's input frame
+    # between createOrReplaceTempView and spark.sql analysis. The view
+    # is dropped right after analysis (spark.sql resolves eagerly).
+    view = f"peps_routed_events_{uuid.uuid4().hex[:8]}"
+    _events_tagged(spark, sf_dir).createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            SELECT bucket, event_type, COUNT(*) AS n_events
+            FROM {view}
+            GROUP BY GROUPING SETS ((bucket), (bucket, event_type), ())
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 SQL_PRIORITY_GROUPING_SETS = f"""

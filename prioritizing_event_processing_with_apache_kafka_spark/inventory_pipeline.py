@@ -921,6 +921,14 @@ def q_dedup_incremental_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.rename(tmp_path, store_path)
         except OSError:
             shutil.rmtree(tmp_path, ignore_errors=True)
+            # a failed rename is only benign if a COMPLETE store won
+            # the race; a _SUCCESS-less directory at store_path (tmp
+            # reaper, crashed writer) must not be read silently
+            if not os.path.exists(os.path.join(store_path, "_SUCCESS")):
+                raise RuntimeError(
+                    f"signature store at {store_path} exists but is "
+                    "incomplete (no _SUCCESS marker); remove it and retry"
+                )
     store = spark.read.parquet(store_path)
     return D.incremental_minhash_pairs(
         new_batch, store, history, k=4, num_hashes=32, bands=8, threshold=0.5
