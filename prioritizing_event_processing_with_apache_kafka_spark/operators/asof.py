@@ -9,8 +9,11 @@ the scale-correct composition instead:
 
 1. union the two sides into one frame, tagged with a side marker;
 2. one shuffle: ``Window.partitionBy(keys).orderBy(ts, side)``;
-3. ``last(right_col, ignorenulls=True)`` over the running frame carries
-   the most recent right-side values forward onto each left row.
+3. one ``last(struct(right_ts, right_cols), ignorenulls=True)`` over
+   the running frame carries the most recent right ROW forward onto
+   each left row (a single struct, not per-column carries — those
+   would mix values from different right rows when a right column is
+   legitimately NULL).
 
 Cost is a single hash shuffle on the join keys plus a per-key sort —
 the same price as one sort-merge join, with **zero** join explosion and
@@ -76,6 +79,23 @@ def asof_join(
     right_cols = right_cols or []
 
     left_payload = [c for c in left.columns if c not in keys and c != left_ts]
+    # Output columns are keys + left columns + matched_ts_col +
+    # right_cols: a collision would emit duplicate names and fail (or
+    # mislabel) downstream — reject it up front.
+    collisions = [
+        c
+        for c in [matched_ts_col, *right_cols]
+        if c in left_payload or c == left_ts or c in keys
+    ]
+    if collisions:
+        raise ValueError(
+            f"output column collision with the left frame: {collisions}; "
+            "rename via matched_ts_col/right-side aliases"
+        )
+    # A NULL right timestamp can never qualify as an as-of match, but
+    # nulls-first ordering would let such a row's payload be carried
+    # onto left rows — drop them before the union.
+    right = right.filter(F.col(right_ts).isNotNull())
     l_side, r_side = _side_order(allow_exact)
 
     left_types = dict(left.dtypes)
@@ -87,6 +107,17 @@ def asof_join(
     # lose the promised determinism.
     tie_type = right_types[right_tie] if right_tie is not None else "double"
     tie_col = F.col(right_tie) if right_tie is not None else F.lit(0.0).cast("double")
+    # The right payload travels as ONE struct per right row, carried by
+    # a single last(ignorenulls=True): per-column carries would mix
+    # values from DIFFERENT right rows whenever a right column is
+    # legitimately NULL (the most recent non-null of each column
+    # independently — a row that never existed; pandas merge_asof and
+    # DuckDB ASOF both return the matched row's NULL instead).
+    r_struct = F.struct(
+        F.col(right_ts).alias("__rt"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    r_struct_type = right.select(r_struct.alias("x")).schema[0].dataType
     lhs = left.select(
         *keys,
         F.col(left_ts).alias("__ts"),
@@ -95,8 +126,7 @@ def asof_join(
         F.lit(None).cast(tie_type).alias("__tie"),
         *[F.col(c).alias(f"__l_{c}") for c in left_payload],
         # Right payload rides along only on right rows.
-        *[F.lit(None).cast(right_types[c]).alias(f"__r_{c}") for c in right_cols],
-        F.lit(None).cast(right_types[right_ts]).alias("__r_ts"),
+        F.lit(None).cast(r_struct_type).alias("__r_all"),
     )
     rhs = right.select(
         *keys,
@@ -105,8 +135,7 @@ def asof_join(
         F.lit(0).alias("__is_left"),
         tie_col.alias("__tie"),
         *[F.lit(None).cast(left_types[c]).alias(f"__l_{c}") for c in left_payload],
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-        F.col(right_ts).alias("__r_ts"),
+        r_struct.alias("__r_all"),
     )
 
     unioned = lhs.unionByName(rhs.select(*lhs.columns))
@@ -122,24 +151,22 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [F.last("__r_ts", ignorenulls=True).over(w).alias(matched_ts_col)] + [
-        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c) for c in right_cols
-    ]
+    match = F.last("__r_all", ignorenulls=True).over(w)
     out = (
         unioned.select(
             *keys,
             "__ts",
             "__is_left",
             *[f"__l_{c}" for c in left_payload],
-            *carried,
+            match.alias("__m"),
         )
         .filter(F.col("__is_left") == 1)
         .select(
             *keys,
             F.col("__ts").alias(left_ts),
             *[F.col(f"__l_{c}").alias(c) for c in left_payload],
-            matched_ts_col,
-            *right_cols,
+            F.col("__m.__rt").alias(matched_ts_col),
+            *[F.col(f"__m.{c}").alias(c) for c in right_cols],
         )
     )
     # SQL join semantics: NULL never equals NULL. Window partitioning

@@ -32,16 +32,24 @@ def grouped_percent_rank(
 
     Output: (group, id, value, pct_rank) with
     ``pct_rank = (min_rank - 1) / (n - 1)`` (0 for singleton groups) —
-    exactly SQL's ``percent_rank()``.
+    exactly SQL's ``percent_rank()``, including NULL placement: SQL
+    window ordering sorts NULLs FIRST ascending, so NULL values take
+    the lowest ranks (pandas' default would emit NaN ranks instead,
+    silently diverging from the oracle).
     """
     narrow = df.select(group_col, id_col, value_col)
+    # schema derived from the input dtypes — hardcoding long/long/
+    # double would break (Arrow conversion error) for e.g. a string
+    # group column, despite the configurable column names
+    in_types = dict(narrow.dtypes)
     schema = (
-        f"{group_col} long, {id_col} long, {value_col} double, pct_rank double"
+        f"{group_col} {in_types[group_col]}, {id_col} {in_types[id_col]}, "
+        f"{value_col} {in_types[value_col]}, pct_rank double"
     )
 
     def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
-        ranks = pdf[value_col].rank(method="min", ascending=True)
+        ranks = pdf[value_col].rank(method="min", ascending=True, na_option="top")
         pdf = pdf.copy()
         pdf["pct_rank"] = 0.0 if n == 1 else (ranks - 1.0) / (n - 1.0)
         return pdf

@@ -424,13 +424,14 @@ def resize_images(
             for doc_id, fmt, payload in zip(
                 pdf["doc_id"], pdf["format"], pdf["payload"]
             ):
-                arr = decode_image(bytes(payload))
+                raw = bytes(payload)  # one copy; reused for the magic check
+                arr = decode_image(raw)
                 h, w, _ = arr.shape
                 rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
                 cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
                 small = arr[rows][:, cols]
                 encoded = (
-                    encode_ppm(small) if bytes(payload)[:2] == b"P6" else encode_bmp(small)
+                    encode_ppm(small) if raw[:2] == b"P6" else encode_bmp(small)
                 )
                 sums = small.reshape(-1, 3).sum(axis=0, dtype=np.int64)
                 out["doc_id"].append(doc_id)

@@ -65,9 +65,13 @@ def hll_distinct_rollup(
             "n_cells",
             F.round("__est").cast("long").alias("est_distinct"),
             "exact_distinct",
+            # greatest(exact, 1): a group whose keys are all NULL has
+            # exact_distinct 0 (and a 0-estimate sketch) — plain
+            # division would abort the job under ANSI; the clamp keeps
+            # the audit meaningful (|est| percent) instead of blind
             F.round(
                 (F.col("__est") - F.col("exact_distinct"))
-                / F.col("exact_distinct")
+                / F.greatest(F.col("exact_distinct"), F.lit(1))
                 * 100,
                 2,
             ).alias("rel_error_pct"),
@@ -126,7 +130,9 @@ def theta_set_overlap(
         .alias("est_left_only"),
     )
     exact = (
-        df.filter(left | right)
+        # the sketch aggregates skip NULL keys; the exact audit must
+        # too, or a NULL-keyed row reads as sketch error
+        df.filter((left | right) & F.col(key_col).isNotNull())
         .groupBy(key_col)
         .agg(
             F.max(left.cast("int")).alias("__in_a"),
@@ -168,8 +174,19 @@ def kll_value_quantiles(
     quantity KLL actually guarantees (~1.65% normalized rank error at
     k=200); the local correctness gate enforces the rank bound.
     """
-    cells = df.groupBy(group_col, cell_col).agg(
-        F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(k)).alias("__sk")
+    # NULL values never enter a quantile; dropping them (and any cell
+    # whose rows were ALL NULL, which yields a NULL sketch) keeps the
+    # merge fold off degenerate buffers — one all-NULL group used to
+    # kill the whole query with KLL_INVALID_INPUT_SKETCH_BUFFER.
+    cells = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, cell_col)
+        .agg(
+            F.kll_sketch_agg_double(
+                F.col(value_col).cast("double"), F.lit(k)
+            ).alias("__sk")
+        )
+        .filter(F.col("__sk").isNotNull())
     )
     # Spark exposes KLL merge only as the two-arg scalar
     # kll_sketch_merge_double (no union aggregate, unlike HLL/Theta),

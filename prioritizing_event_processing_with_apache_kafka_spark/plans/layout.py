@@ -148,6 +148,12 @@ def compute_layout(
     Returns:
         ``BucketRange`` tuple in priority (allocation-descending) order.
     """
+    if not buckets:
+        # reachable without a config object (which would have rejected
+        # it); the round-robin below would otherwise die on % by zero
+        raise InvalidConfigurationException(
+            "at least one bucket is required to compute a layout"
+        )
     return _layout_cached(
         int(num_partitions),
         tuple((str(n), int(a)) for n, a in buckets),

@@ -178,3 +178,95 @@ class TestIncrementalStoreValidation:
                 docs, store, docs, num_hashes=32, bands=8
             ).collect()
         assert "num_hashes=32" in str(ei.value)
+
+
+class TestAsofNullHandling:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10)], "k long, ts long"
+        ).select("k", F.timestamp_seconds("ts").alias("ts"))
+        right = spark.createDataFrame(
+            [(1, 1, 5.0), (1, 5, None)], "k long, ts long, price double"
+        ).select("k", F.timestamp_seconds("ts").alias("ts"), "price")
+        return left, right
+
+    def test_matched_row_null_column_stays_null(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.asof import (
+            asof_join,
+        )
+
+        left, right = self._frames(spark)
+        row = asof_join(
+            left, right, on="k", right_cols=["price"], direction="backward"
+        ).collect()[0]
+        # the matched right row is t=5 whose price IS NULL; per-column
+        # carries used to splice t=1's 5.0 into it (a row that never
+        # existed — pandas merge_asof and DuckDB ASOF return NULL)
+        assert row["asof_ts"].second == 5
+        assert row["price"] is None
+
+    def test_null_right_timestamp_rows_are_ignored(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.asof import (
+            asof_join,
+        )
+
+        left = spark.createDataFrame([(1, 10)], "k long, ts long").select(
+            "k", F.timestamp_seconds("ts").alias("ts")
+        )
+        right = spark.createDataFrame(
+            [(1, None, 99.0)], "k long, ts long, price double"
+        ).select("k", F.timestamp_seconds("ts").alias("ts"), "price")
+        row = asof_join(
+            left, right, on="k", right_cols=["price"], direction="backward"
+        ).collect()[0]
+        assert row["asof_ts"] is None and row["price"] is None
+
+    def test_output_name_collision_raises(self, spark):
+        import pytest as _pytest
+
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.asof import (
+            asof_join,
+        )
+
+        left, right = self._frames(spark)
+        with _pytest.raises(ValueError, match="collision"):
+            asof_join(
+                left.withColumn("asof_ts", F.lit(1)),
+                right,
+                on="k",
+                right_cols=["price"],
+            )
+
+
+class TestSketchNullGroups:
+    def test_kll_all_null_group_does_not_crash(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.sketches import (
+            kll_value_quantiles,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1, 1.0), ("a", 1, 2.0), ("b", 1, None), ("b", 2, None)],
+            "g string, c long, v double",
+        )
+        rows = kll_value_quantiles(
+            df, value_col="v", group_col="g", cell_col="c"
+        ).collect()
+        # the all-NULL group drops out instead of poisoning the job
+        assert [r["g"] for r in rows] == ["a"]
+
+    def test_hll_all_null_group_does_not_crash(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.sketches import (
+            hll_distinct_rollup,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1, "u1"), ("b", 1, None)], "g string, c long, k string"
+        )
+        rows = {
+            r["g"]: r
+            for r in hll_distinct_rollup(
+                df, key_col="k", group_col="g", cell_col="c"
+            ).collect()
+        }
+        assert rows["b"]["exact_distinct"] == 0
+        assert rows["b"]["rel_error_pct"] == 0.0
