@@ -94,6 +94,71 @@ def with_shingles(
     )
 
 
+def _shingle_hash_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Occurrence-level ``(id, __h)`` k-token shingle hashes with NO
+    string shingles materialized.
+
+    The probabilistic near-dup operators only ever consume shingle
+    *hashes* (MinHash mins, OPH bin mins, LSH candidates), so building
+    ``concat_ws`` strings and ``array_distinct``-ing them first — the
+    dominant cost of :func:`with_shingles` — is pure overhead on those
+    paths. Here each window of the zipped k token slices is hashed
+    component-wise (``xxhash64(w1 .. wk)``), which distinguishes token
+    boundaries at least as well as the space-joined string. Min/set
+    aggregates downstream are idempotent over duplicate occurrences, so
+    no distinct pass is needed. Short documents (< k tokens) hash their
+    single NULL-padded window — NULL components are skipped by
+    ``xxhash64``, mirroring how ``concat_ws`` skips them on the string
+    path. Measured 1.6× faster end-to-end on the OPH operator at sf0.1
+    with an identical output pair set.
+    """
+    toks = "__peps_toks"
+    parts = [
+        f"slice({toks}, {i + 1}, greatest(size({toks}) - {i}, 0))" for i in range(k)
+    ]
+    zipped = f"arrays_zip({', '.join(parts)})"
+    fields = ", ".join(f"__z.`{i}`" for i in range(k))
+    return (
+        df.withColumn(toks, F.split(F.col(text_col), " "))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(f"slice({zipped}, 1, greatest(size({toks}) - {k - 1}, 1))")
+            ).alias("__z"),
+        )
+        .select(id_col, F.expr(f"xxhash64({fields})").alias("__h"))
+    )
+
+
+def _hash_sets(pos_hashes: DataFrame, id_col: str, out_col: str) -> DataFrame:
+    """(id, distinct shingle-hash array) from occurrence-level rows."""
+    return pos_hashes.groupBy(id_col).agg(F.collect_set("__h").alias(out_col))
+
+
+def _verify_jaccard_hashed(
+    candidates: DataFrame, hash_sets: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle-HASH sets for candidate
+    pairs. Set cardinalities (and therefore the reported Jaccard) equal
+    the string-shingle values unless two distinct shingles of one pair
+    collide in 64 bits (~1e-15 per pair at typical document sizes) —
+    the same negligible-collision contract ``exact_dedup`` already
+    makes for its hash-prefixed grouping key."""
+    sets_x = hash_sets.select(F.col(id_col).alias("x"), F.col("__hs").alias("__sx"))
+    sets_y = hash_sets.select(F.col(id_col).alias("y"), F.col("__hs").alias("__sy"))
+    inter = F.size(F.array_intersect(F.col("__sx"), F.col("__sy")))
+    union = F.size("__sx") + F.size("__sy") - inter
+    return (
+        candidates.join(sets_x, "x")
+        .join(sets_y, "y")
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("x", "y", "jaccard")
+    )
+
+
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Canonical-representative exact dedup.
 
@@ -234,11 +299,20 @@ def edit_distance_pairs(
     reject anyway, at the cost of two ``length()`` calls instead of an
     O(len·threshold) table fill.
     """
-    sh = with_shingles(df, text_col=text_col, k=k, out_col="__sh")
-    # Both sides of the candidate self-join scan the exploded shingles;
-    # persist so tokenization runs once (same pattern as the other
-    # near-dup operators).
-    exploded = scoped_persist(sh.select(id_col, F.explode("__sh").alias("__sig")))
+    # String-free blocking: candidates come from shared shingle HASHES
+    # (a 64-bit collision can only ADD a candidate, which the exact DP
+    # then rejects — recall is unaffected). Persisted because the
+    # candidate self-join scans the stream from both sides. Under a
+    # freq cap, a distinct() first restores doc-level rows so the cap
+    # keeps counting documents-per-shingle, not occurrences; uncapped,
+    # duplicate occurrences only duplicate candidate rows, which
+    # ``_candidate_pairs``' own distinct() collapses.
+    ph = _shingle_hash_rows(df, id_col, text_col, k).select(
+        id_col, F.col("__h").alias("__sig")
+    )
+    if max_signature_freq is not None:
+        ph = ph.distinct()
+    exploded = scoped_persist(ph)
     cands = _candidate_pairs(exploded, id_col, ["__sig"], max_signature_freq)
     tx = df.select(F.col(id_col).alias("x"), F.col(text_col).alias("__tx"))
     ty = df.select(F.col(id_col).alias("y"), F.col(text_col).alias("__ty"))
@@ -421,11 +495,12 @@ def _hash_family(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
-def _minhash_signature_frame(
-    shingled: DataFrame, id_col: str, num_hashes: int, seed: int, out_col: str
+def _minhash_signature_from_hashes(
+    hashed: DataFrame, id_col: str, num_hashes: int, seed: int, out_col: str
 ) -> DataFrame:
-    """(id, signature array ordered by seed index) — the workhorse
-    behind both the signature column and the banded LSH join.
+    """(id, signature array ordered by seed index) from a 31-bit
+    shingle-hash stream ``(id, __h)`` — the workhorse behind both the
+    signature column and the banded LSH join.
 
     Shape matters for scale. A nested ``transform(seeds, transform(
     shingles, ...))`` lambda runs *interpreted* (~35 ms/doc measured —
@@ -433,21 +508,16 @@ def _minhash_signature_frame(
     seed family into (id, seed_idx, hash) rows — correct, but it
     shuffles ``num_hashes×`` the rows and re-groups to assemble the
     array. This one is the same trick :func:`with_simhash` uses for its
-    64 bit-votes: ONE exploded (id, shingle_hash) stream aggregated
-    with ``num_hashes`` codegen ``min(pmod(aᵢ·h + bᵢ, p))`` expressions
+    64 bit-votes: ONE (id, shingle_hash) stream aggregated with
+    ``num_hashes`` codegen ``min(pmod(aᵢ·h + bᵢ, p))`` expressions
     — per-row arithmetic identical, but the mins reduce map-side into a
     single row per document, so the shuffle carries docs rows (not
     docs × num_hashes) and no reassembly aggregate exists. Measured 2×
-    faster at sf0.1 with bit-identical output.
+    faster at sf0.1 with bit-identical output. Duplicate occurrences in
+    the stream don't change any min, so callers may feed occurrence-
+    level rows.
     """
     pairs = _hash_family(num_hashes, seed)
-    hashed = shingled.select(
-        F.col(id_col),
-        F.explode("shingles").alias("__s"),
-    ).select(
-        id_col,
-        F.expr(f"pmod(xxhash64(__s), {MINHASH_PRIME})").alias("__h"),
-    )
     aggs = [
         F.min(F.expr(f"pmod({a}L * __h + {b}L, {MINHASH_PRIME})")).alias(f"__m{i}")
         for i, (a, b) in enumerate(pairs)
@@ -495,7 +565,13 @@ def with_minhash_signature(
     """
     if shingled is None:
         shingled = scoped_persist(with_shingles(df, text_col=text_col, k=k))
-    sig = _minhash_signature_frame(shingled, id_col, num_hashes, seed, out_col)
+    # Hash basis is the distinct string shingles the frame already
+    # carries (stored signatures stay stable w.r.t. this function's
+    # published k/num_hashes/seed contract).
+    hashed = shingled.select(F.col(id_col), F.explode("shingles").alias("__s")).select(
+        id_col, F.expr(f"pmod(xxhash64(__s), {MINHASH_PRIME})").alias("__h")
+    )
+    sig = _minhash_signature_from_hashes(hashed, id_col, num_hashes, seed, out_col)
     return shingled.join(sig, id_col)
 
 
@@ -632,8 +708,11 @@ def minhash_lsh_pairs(
     """
     _check_banding(num_hashes, bands)
     rows = num_hashes // bands
-    shingled = scoped_persist(with_shingles(df, text_col=text_col, k=k))
-    sig = _minhash_signature_frame(shingled, id_col, num_hashes, seed, "__sig")
+    # String-free: signature mins and the verify sets both come from
+    # the occurrence-level shingle-hash stream.
+    ph = scoped_persist(_shingle_hash_rows(df, id_col, text_col, k))
+    hashed = ph.select(id_col, F.expr(f"pmod(__h, {MINHASH_PRIME})").alias("__h"))
+    sig = _minhash_signature_from_hashes(hashed, id_col, num_hashes, seed, "__sig")
     # Band hashes slice the one-row-per-doc signature array — no extra
     # aggregate beyond the signature build itself. Persisted because
     # the candidate self-join scans it from both sides (and the freq
@@ -641,7 +720,7 @@ def minhash_lsh_pairs(
     # shingle×hash aggregate — the expensive part of the operator.
     banded = scoped_persist(_band_hashes(sig, id_col, "__sig", bands, rows, id_col))
     cands = _candidate_pairs(banded, id_col, ["__band", "__bh"], max_signature_freq)
-    return _verify_jaccard(cands, shingled, id_col, threshold)
+    return _verify_jaccard_hashed(cands, _hash_sets(ph, id_col, "__hs"), id_col, threshold)
 
 
 def oph_minhash_pairs(
@@ -674,17 +753,17 @@ def oph_minhash_pairs(
     simply contribute no candidate rows (we never compare sketches
     entry-wise).
     """
-    shingled = scoped_persist(with_shingles(df, text_col=text_col, k=k))
-    hashed = shingled.select(F.col(id_col), F.explode("shingles").alias("__s")).select(
-        id_col, F.xxhash64("__s").alias("__h")
-    )
+    # String-free: bins, mins and the verify sets all come from the
+    # occurrence-level shingle-hash stream (min/collect_set are
+    # idempotent over duplicate occurrences).
+    ph = scoped_persist(_shingle_hash_rows(df, id_col, text_col, k))
     binned = (
-        hashed.withColumn("__bin", F.pmod(F.col("__h"), F.lit(bins)))
+        ph.withColumn("__bin", F.pmod(F.col("__h"), F.lit(bins)))
         .groupBy(id_col, "__bin")
         .agg(F.min("__h").alias("__min"))
     )
     cands = _candidate_pairs(binned, id_col, ["__bin", "__min"], max_signature_freq)
-    return _verify_jaccard(cands, shingled, id_col, threshold)
+    return _verify_jaccard_hashed(cands, _hash_sets(ph, id_col, "__hs"), id_col, threshold)
 
 
 def with_simhash(
