@@ -159,17 +159,24 @@ def main() -> int:
         )
     )
 
-    # Best of two runs per query: the first run pays one-off costs
-    # (codegen compile, parquet footer reads, broadcast build); the min
-    # is the steady-state number a warm cluster would see. Run 2 can't
-    # reuse run 1's caches — clearCache between runs.
+    # One untimed warm run, then best of two timed runs per query.
+    # The warm run pays the one-off costs (codegen compile, parquet
+    # footer reads, broadcast build) AND most of the C2 JIT of the
+    # query's generated code — measured on the OPH dedup query, four
+    # identical back-to-back runs go 4.7 → 5.2 → 3.1 → 1.9 s at sf0.1,
+    # so a min-of-two-from-cold still reports a half-JITted number for
+    # codegen-heavy plans. The min of the two post-warm runs is the
+    # steady-state number a warm cluster would see, which is what this
+    # bench is defined to report. Runs can't reuse each other's data
+    # caches — clearCache between runs.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for rep in range(3):
             t0 = time.time()
             materialize(queries[name](spark, SF_DIR))
-            best = min(best, time.time() - t0)
+            if rep > 0:
+                best = min(best, time.time() - t0)
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
         isolate()
