@@ -387,6 +387,65 @@ class TestDecontamination:
         assert rows[(1, 100)] >= 0.5
 
 
+class TestHashedShingleBasis:
+    """The string-free blocking paths promise: Jaccard over distinct
+    shingle-HASH sets equals Jaccard over distinct shingle STRINGS
+    (absent a 64-bit collision), including the short-doc NULL-padded
+    window and empty-text edges."""
+
+    def _string_shingles(self, text: str, k: int = 4) -> set[str]:
+        # Reference semantics of with_shingles: one window per position
+        # up to max(len - k + 1, 1); concat_ws skips the NULL tail.
+        toks = text.split(" ")
+        n = max(len(toks) - k + 1, 1)
+        return {" ".join(toks[i : i + k]) for i in range(n)}
+
+    def test_hashed_jaccard_equals_string_jaccard(self, spark):
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),
+            (2, "a b c d a b c d a b c d"),          # repeated shingles
+            (3, "one two three"),                     # < k tokens
+            (4, "one two"),                           # < k tokens, prefix of 3
+            (5, ""),                                  # empty text
+            (6, "the quick brown fox leaps over the lazy dog"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        ids = [r[0] for r in rows]
+        cands = spark.createDataFrame(
+            [(x, y) for x in ids for y in ids if x < y], "x long, y long"
+        )
+        ph = D._shingle_hash_rows(df, "doc_id", "text", 4)
+        got = {
+            (r["x"], r["y"]): r["jaccard"]
+            for r in D._verify_jaccard_hashed(
+                cands, D._hash_sets(ph, "doc_id", "__hs"), "doc_id", 0.0
+            ).collect()
+        }
+        sets = {i: self._string_shingles(t) for i, t in rows}
+        for x in ids:
+            for y in ids:
+                if x < y:
+                    inter = len(sets[x] & sets[y])
+                    union = len(sets[x] | sets[y])
+                    assert got[(x, y)] == pytest.approx(inter / union, abs=1e-12), (
+                        x, y,
+                    )
+
+    def test_hash_rows_distinct_count_matches_string_shingles(self, spark):
+        rows = [(0, "a b c d e f"), (1, "x y"), (2, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        counts = {
+            r["doc_id"]: r["n"]
+            for r in D._shingle_hash_rows(df, "doc_id", "text", 4)
+            .groupBy("doc_id")
+            .agg(F.countDistinct("__h").alias("n"))
+            .collect()
+        }
+        for i, t in rows:
+            assert counts[i] == len(self._string_shingles(t)), i
+
+
 class TestEditDistance:
     def test_blocked_levenshtein_pairs(self, spark):
         from prioritizing_event_processing_with_apache_kafka_spark.operators.dedup import (
