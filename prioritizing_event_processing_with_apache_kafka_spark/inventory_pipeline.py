@@ -1600,7 +1600,9 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     document, as a bigram-LM log-likelihood ratio."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     target = docs.filter(F.col("source") == "src0")
-    return LM.dsir_importance(docs, target)
+    return LM.dsir_importance(
+        docs, target, target_ids=target.select("doc_id")
+    )
 
 
 SQL_DSIR_WEIGHTS = f"""

@@ -102,8 +102,14 @@ def bigram_lm_score(
     # shared-subtree pattern as the near-dup operators; release via
     # caching.cache_scope or clearCache).
     bg = scoped_persist(bigram_rows(df, id_col=id_col, text_col=text_col))
-    c_bg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cbg"))
-    c_w1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("__cw1"))
+    # c_w1 rolls up from c_bg (C(w1·) = Σ_w2 C(w1,w2)) instead of
+    # re-aggregating the full occurrence stream — one fewer scan, and
+    # the rollup input is the (much smaller) count table. Persisted:
+    # c_bg feeds both the score join and this rollup.
+    c_bg = scoped_persist(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cbg"))
+    )
+    c_w1 = c_bg.groupBy("w1").agg(F.sum("__cbg").alias("__cw1"))
     vocab = (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("__t"))
         .agg(F.countDistinct("__t").alias("__v"))
@@ -135,6 +141,7 @@ def dsir_importance(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    target_ids: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR log importance weight per corpus document.
 
@@ -152,13 +159,28 @@ def dsir_importance(
     corpus-typical; resample ∝ exp weight for DSIR selection.
 
     Returns ``(id, n_bigrams, dsir_logratio)``.
+
+    ``target_ids`` — when the target is a SUBSET of ``df`` (the usual
+    DSIR setup: an in-domain slice of the corpus), pass its id frame so
+    the target's bigrams are carved out of the already-tokenized corpus
+    stream by a semi-join instead of re-tokenizing ``target``; bigrams
+    are per-document, so the result is identical.
     """
-    # Corpus bigrams feed the score join + count table + total; the
-    # (small) target side feeds its count table + total.
+    # Corpus bigrams feed the score join + count table; both totals
+    # and the smoothing support roll up from the count tables (exact:
+    # N = Σ counts, support = distinct keys of the union), so the
+    # occurrence streams are each scanned once.
     bg_c = scoped_persist(bigram_rows(df, id_col=id_col, text_col=text_col))
-    bg_t = scoped_persist(bigram_rows(target, id_col=id_col, text_col=text_col))
-    c_corpus = bg_c.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cc"))
-    c_target = bg_t.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__ct"))
+    if target_ids is not None:
+        bg_t = bg_c.join(target_ids.select(id_col), id_col, "left_semi")
+    else:
+        bg_t = bigram_rows(target, id_col=id_col, text_col=text_col)
+    c_corpus = scoped_persist(
+        bg_c.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cc"))
+    )
+    c_target = scoped_persist(
+        bg_t.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__ct"))
+    )
     # shared smoothing support: distinct bigram types of the union
     support = (
         c_corpus.select("w1", "w2")
@@ -166,8 +188,8 @@ def dsir_importance(
         .distinct()
         .agg(F.count(F.lit(1)).alias("__b"))
     )
-    n_corpus = bg_c.agg(F.count(F.lit(1)).alias("__nc"))
-    n_target = bg_t.agg(F.count(F.lit(1)).alias("__nt"))
+    n_corpus = c_corpus.agg(F.sum("__cc").alias("__nc"))
+    n_target = c_target.agg(F.sum("__ct").alias("__nt"))
     p_t = (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1)).cast("double") / (
         F.col("__nt") + F.col("__b")
     ).cast("double")
