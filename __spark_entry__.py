@@ -113,6 +113,7 @@ _DRIVER_HEAD = [
     # round-5 additions, also queued for the round-6 head
     "heavy_hitter_users",
     "corpus_diff_status",
+    "decontamination_bloom",
 ]
 
 

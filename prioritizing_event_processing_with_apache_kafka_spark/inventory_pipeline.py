@@ -1187,6 +1187,22 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.contamination_pairs(corpus, benchmark, k=4, threshold=0.6)
 
 
+def q_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination: identical answer to
+    ``decontamination`` (same split, same threshold — the shared oracle
+    pins the equality), but the corpus scan drops
+    definitely-not-benchmark shingles against a broadcast Bloom bitmap
+    BEFORE the exact membership join — the regime where the benchmark
+    suite's shingle set is too big to broadcast as a join hash table
+    but fits as filter bits."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return D.bloom_contamination_pairs(corpus, benchmark, k=4, threshold=0.6)
+
+
 SQL_DECONTAMINATION = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
@@ -1979,6 +1995,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": q_mixture_sample,
     "dedup_edit_distance": q_dedup_edit_distance,
     "decontamination": q_decontamination,
+    "decontamination_bloom": q_decontamination_bloom,
     "dedup_incremental": q_dedup_incremental,
     "span_dedup": q_span_dedup,
     "boilerplate_spans": q_boilerplate_spans,
@@ -2035,6 +2052,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "dedup_edit_distance": SQL_DEDUP_EDIT_DISTANCE,
     "decontamination": SQL_DECONTAMINATION,
+    "decontamination_bloom": SQL_DECONTAMINATION,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "span_dedup": SQL_SPAN_DEDUP,
     "boilerplate_spans": SQL_BOILERPLATE_SPANS,

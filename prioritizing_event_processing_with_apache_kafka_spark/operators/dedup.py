@@ -48,6 +48,7 @@ __all__ = [
     "remove_duplicate_spans",
     "span_frequencies",
     "contamination_pairs",
+    "bloom_contamination_pairs",
     "edit_distance_pairs",
     "ngram_jaccard_pairs",
     "with_minhash_signature",
@@ -372,6 +373,113 @@ def contamination_pairs(
     )
     b_ex = b.select(
         F.col(bench_id_col), F.explode("__sh").alias("__s")
+    )
+    return (
+        c_ex.join(F.broadcast(b_ex), "__s")
+        .groupBy(id_col, bench_id_col, "__n_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .withColumn(
+            "containment",
+            F.round(F.col("n_shared").cast("double") / F.col("__n_doc"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .drop("__n_doc")
+    )
+
+
+def bloom_contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    k: int = 4,
+    threshold: float = 0.5,
+    bits_per_item: int = 16,
+) -> DataFrame:
+    """:func:`contamination_pairs` with a Bloom-filter pre-filter on
+    the corpus scan — bit-identical output, different scale regime.
+
+    The plain operator broadcasts the benchmark's exploded shingles as
+    a hash table. That is right while the benchmark fits executor
+    memory as a JOIN relation (~8 B/entry plus object overhead); a
+    billion-shingle benchmark suite does not, but its Bloom filter at
+    ``bits_per_item`` bits per shingle (16 → ~0.05 % false positives)
+    is 50× smaller and still broadcastable. The corpus scan then drops
+    every shingle the filter definitely hasn't seen BEFORE the exact
+    membership join, so the join's probe side shrinks from "all corpus
+    shingles" to "shingles that may touch the benchmark" (fp-rate
+    bounded extras). Correctness is unchanged: ``might_contain`` has no
+    false negatives, and a false positive merely forwards a shingle the
+    exact join then fails to match.
+
+    The filter itself is built in plain DataFrame algebra (Spark's
+    internal ``bloom_filter_agg`` expression is not in the public
+    function registry): bit positions are ``pmod(xxhash64(shingle, j),
+    m)`` for ``num_hashes`` seeds, OR-ed into 64-bit words with the
+    map-side-combinable ``bit_or`` aggregate, and shipped as ONE
+    ``map<word_idx, bits>`` row — a mergeable sketch in the same sense
+    as the HLL/Theta/KLL operators (build is partition-parallel,
+    distributable, and unions by ``bit_or``). The probe is
+    ``num_hashes`` codegen map lookups per corpus shingle; absent words
+    read as zero via ``coalesce``.
+
+    One deliberate driver scalar: the bitmap needs literal sizing, so
+    the benchmark's distinct-shingle count is computed first (a job
+    over the SMALL side only — same pattern as the k-means/graph
+    per-round scalars, not a corpus collect).
+
+    Returns ``(id_col, bench_id_col, n_shared, containment)`` — the
+    same contract as :func:`contamination_pairs`.
+    """
+    num_hashes = 7  # ~optimal k for 10-16 bits/item; fpp ≈ 0.1-0.8 %
+    b_ex = scoped_persist(
+        with_shingles(benchmark, text_col=text_col, k=k, out_col="__sh").select(
+            F.col(bench_id_col), F.explode("__sh").alias("__s")
+        )
+    )
+    n_items = max(b_ex.select("__s").distinct().count(), 1)
+    m = max(64, bits_per_item * n_items)
+
+    def position_sql(col: str, j: int) -> str:
+        return f"pmod(xxhash64({col}, {j}), {m}L)"
+
+    pos_array = ", ".join(position_sql("__s", j) for j in range(num_hashes))
+    bloom = (
+        b_ex.select(F.explode(F.expr(f"array({pos_array})")).alias("__p"))
+        .select(
+            F.expr("__p div 64").alias("__w"),
+            F.expr("shiftleft(1L, CAST(__p % 64 AS INT))").alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(F.expr("bit_or(__b)").alias("__bits"))
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("__w", "__bits"))).alias(
+                "__bf"
+            )
+        )
+    )
+    # Explicit AND of the per-seed bit tests — whole-stage codegen on
+    # the corpus scan (a forall() lambda would run interpreted there).
+    # Absent map keys read as zero words via coalesce.
+    might_contain = F.expr(
+        " AND ".join(
+            f"coalesce((shiftright(element_at(__bf, {position_sql('__s', j)} div 64), "
+            f"CAST({position_sql('__s', j)} % 64 AS INT)) & 1L) = 1, false)"
+            for j in range(num_hashes)
+        )
+    )
+    c = with_shingles(corpus, text_col=text_col, k=k, out_col="__sh")
+    c_ex = (
+        c.select(
+            F.col(id_col),
+            F.size("__sh").alias("__n_doc"),
+            F.explode("__sh").alias("__s"),
+        )
+        .join(F.broadcast(bloom))
+        .filter(might_contain)
+        .drop("__bf")
     )
     return (
         c_ex.join(F.broadcast(b_ex), "__s")

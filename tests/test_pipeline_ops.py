@@ -387,6 +387,52 @@ class TestDecontamination:
         assert rows[(1, 100)] >= 0.5
 
 
+class TestBloomContamination:
+    def test_bloom_path_equals_plain_path(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "totally unrelated words in this training document here"),
+                (3, "x y"),  # sub-k doc
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog"), (101, "")],
+            "bench_id long, text string",
+        )
+        plain = sorted(
+            D.contamination_pairs(corpus, bench, k=4, threshold=0.3).collect()
+        )
+        bloom = sorted(
+            D.bloom_contamination_pairs(corpus, bench, k=4, threshold=0.3).collect()
+        )
+        assert bloom == plain
+        assert plain  # the crafted overlap must actually be found
+
+    def test_empty_benchmark_yields_no_pairs(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "some training text goes here now")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame([], "bench_id long, text string")
+        assert (
+            D.bloom_contamination_pairs(corpus, bench, k=4, threshold=0.1).count() == 0
+        )
+
+    def test_prefilter_drops_non_benchmark_shingles(self, spark):
+        # A corpus disjoint from the benchmark must produce zero rows
+        # even at threshold 0 — every shingle is a definite negative.
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(100, "one two three four five six")], "bench_id long, text string"
+        )
+        assert (
+            D.bloom_contamination_pairs(corpus, bench, k=4, threshold=0.0).count() == 0
+        )
+
+
 class TestHashedShingleBasis:
     """The string-free blocking paths promise: Jaccard over distinct
     shingle-HASH sets equals Jaccard over distinct shingle STRINGS
