@@ -71,6 +71,7 @@ HEADLINE = [
     "dedup_incremental_steady",
     "multimodal_image_decode",
     "heavy_hitter_users",
+    "decontamination_bloom",
 ]
 
 
