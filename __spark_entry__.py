@@ -114,6 +114,7 @@ _DRIVER_HEAD = [
     "heavy_hitter_users",
     "corpus_diff_status",
     "decontamination_bloom",
+    "stream_enriched_segments",
 ]
 
 

@@ -963,6 +963,45 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+def q_stream_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join, oracle-checked: the replayed
+    event stream inner-joins the static customer dimension
+    (``user_id = c_custkey``) inside the streaming query, then
+    aggregates event counts and exact-decimal revenue per
+    (market segment, event type) in complete mode. This is the
+    standard dimension-enrichment shape at scale: the static side is
+    planned per micro-batch (broadcast hash join, no streaming state
+    for the join itself), so dimension updates are picked up between
+    batches and the stream side never shuffles for the join."""
+    customers = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.join(customers, stream["user_id"] == customers["c_custkey"])
+            .groupBy("c_mktsegment", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+
+    return _replay_events_stream(
+        spark, sf_dir, build, name_prefix="stream_enriched_segments"
+    )
+
+
+SQL_STREAM_ENRICHED_SEGMENTS = """
+SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup, oracle-checked:
     ``dropDuplicatesWithinWatermark`` on (user_id, event_type) over the
@@ -2025,6 +2064,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_windowed_throughput": q_stream_windowed_throughput,
     "stream_sessionized_users": q_stream_sessionized_users,
     "stream_dedup_keys": q_stream_dedup_keys,
+    "stream_enriched_segments": q_stream_enriched_segments,
     "bucket_user_reach_hll": q_bucket_user_reach_hll,
     "user_overlap_theta": q_user_overlap_theta,
     "bucket_value_kll": q_bucket_value_kll,
@@ -2084,6 +2124,7 @@ ORACLES: dict[str, str] = {
     "stream_windowed_throughput": SQL_STREAM_WINDOWED_THROUGHPUT,
     "stream_sessionized_users": SQL_STREAM_SESSIONIZED_USERS,
     "stream_dedup_keys": SQL_STREAM_DEDUP_KEYS,
+    "stream_enriched_segments": SQL_STREAM_ENRICHED_SEGMENTS,
     "events_variant_extract": SQL_EVENTS_VARIANT_EXTRACT,
     "bucket_metric_unpivot": SQL_BUCKET_METRIC_UNPIVOT,
     "events_asof_last_purchase": SQL_EVENTS_ASOF_LAST_PURCHASE,
