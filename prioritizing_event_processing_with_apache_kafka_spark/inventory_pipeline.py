@@ -900,7 +900,7 @@ def q_dedup_incremental_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a store built by older signature code (or different k/num_hashes)
     # would band-mismatch every probe with nothing pointing at the
     # stale cache (the scale-probe replica learned the same lesson).
-    sig_params = "k=4:num_hashes=32:sigstore-v2"
+    sig_params = "k=4:num_hashes=32:sigstore-v3"
     src = f"{sf_dir.rstrip('/')}/documents.parquet"
     stat = os.stat(src)
     tag = hashlib.md5(

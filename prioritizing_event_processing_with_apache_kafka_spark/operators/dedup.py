@@ -661,26 +661,26 @@ def with_minhash_signature(
 ) -> DataFrame:
     """MinHash signature: ``sig[i] = min over shingles of (aᵢ·h + bᵢ) mod p``.
 
-    ``h = pmod(xxhash64(shingle), p)`` is reduced to 31 bits first so
-    every product fits int64 (ANSI-safe). Computed via the codegen-
-    friendly explode/aggregate grid, then reassembled into an array
-    column ordered by seed index.
+    ``h = pmod(xxhash64(w1..wk), p)`` is reduced to 31 bits first so
+    every product fits int64 (ANSI-safe). The shingle-hash basis is the
+    string-free component-wise stream (:func:`_shingle_hash_rows`), so
+    signing never materializes string shingles — the dominant cost of
+    the signature build at corpus scale. Signature *values* therefore
+    constitute a store version: stores persisted by the string-basis
+    revision ("sigstore-v2" in the version tags) must be rebuilt, which
+    the tag-keyed store paths do automatically.
 
-    ``shingled`` (a frame already carrying a ``shingles`` column from
-    :func:`with_shingles` with the same ``k``) skips re-tokenization —
-    the sharing hook multi-stage pipelines use to pay the split/zip
-    cost once.
+    ``shingled`` is the frame to attach the signature column to (any
+    frame carrying ``id_col``, e.g. the :func:`with_shingles` output a
+    pipeline also feeds its exact-Jaccard pass) — it no longer affects
+    how the hashes are computed; ``df`` must still carry ``text_col``.
     """
-    if shingled is None:
-        shingled = scoped_persist(with_shingles(df, text_col=text_col, k=k))
-    # Hash basis is the distinct string shingles the frame already
-    # carries (stored signatures stay stable w.r.t. this function's
-    # published k/num_hashes/seed contract).
-    hashed = shingled.select(F.col(id_col), F.explode("shingles").alias("__s")).select(
-        id_col, F.expr(f"pmod(xxhash64(__s), {MINHASH_PRIME})").alias("__h")
+    hashed = _shingle_hash_rows(df, id_col, text_col, k).select(
+        id_col, F.expr(f"pmod(__h, {MINHASH_PRIME})").alias("__h")
     )
     sig = _minhash_signature_from_hashes(hashed, id_col, num_hashes, seed, out_col)
-    return shingled.join(sig, id_col)
+    base = shingled if shingled is not None else df
+    return base.join(sig, id_col)
 
 
 def _band_hashes(
@@ -728,17 +728,20 @@ def incremental_minhash_pairs(
        per historical doc, not its text);
     3. exact-verify candidates only: the texts of the few colliding
        historical docs are fetched from ``corpus`` by a semi-join and
-       shingled on demand, so precision is exact while the verify cost
-       scales with candidates, not history.
+       hashed on demand (shingle-hash sets — same Jaccard values as
+       string shingles modulo 64-bit collisions, the module's standard
+       contract), so precision is exact while the verify cost scales
+       with candidates, not history.
 
     Returns ``(new_id, old_id, jaccard)`` for cross-set pairs at or
     above ``threshold``.
 
     ``new_signatures`` — the batch's frame from
-    :func:`with_minhash_signature` (same ``k``/``num_hashes``/``seed``;
-    must still carry the ``shingles`` column) — skips step 1 when the
-    caller already signed the batch, e.g. an ingest loop that also
-    appends the survivors' signatures to the store.
+    :func:`with_minhash_signature` (same ``k``/``num_hashes``/``seed``)
+    — skips step 1 when the caller already signed the batch, e.g. an
+    ingest loop that also appends the survivors' signatures to the
+    store. Verify hashes are derived from ``new_docs``'s text either
+    way.
     """
     _check_banding(num_hashes, bands)
     rows = num_hashes // bands
@@ -775,15 +778,20 @@ def incremental_minhash_pairs(
             .drop("__freq")
         )
     cands = nb.join(ob, ["__band", "__bh"]).select("new_id", "old_id").distinct()
-    old_sh = with_shingles(
-        corpus.join(
-            cands.select(F.col("old_id").alias(id_col)).distinct(), id_col, "left_semi"
-        ),
-        text_col=text_col,
-        k=k,
+    # Verify over shingle-hash sets, built only for the docs that
+    # actually collided (semi-joins on both sides).
+    new_hit = new_docs.join(
+        cands.select(F.col("new_id").alias(id_col)).distinct(), id_col, "left_semi"
     )
-    sx = new_sig.select(F.col(id_col).alias("new_id"), F.col("shingles").alias("__sx"))
-    sy = old_sh.select(F.col(id_col).alias("old_id"), F.col("shingles").alias("__sy"))
+    old_hit = corpus.join(
+        cands.select(F.col("old_id").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    sx = _hash_sets(
+        _shingle_hash_rows(new_hit, id_col, text_col, k), id_col, "__sx"
+    ).select(F.col(id_col).alias("new_id"), "__sx")
+    sy = _hash_sets(
+        _shingle_hash_rows(old_hit, id_col, text_col, k), id_col, "__sy"
+    ).select(F.col(id_col).alias("old_id"), "__sy")
     inter = F.size(F.array_intersect(F.col("__sx"), F.col("__sy")))
     union = F.size("__sx") + F.size("__sy") - inter
     return (
