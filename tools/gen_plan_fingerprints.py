@@ -40,6 +40,7 @@ GUARDED = [
     "multimodal_image_decode",
     "multimodal_image_resize",
     "heavy_hitter_users",
+    "decontamination_bloom",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
