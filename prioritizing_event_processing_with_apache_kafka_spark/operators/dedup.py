@@ -43,6 +43,7 @@ from prioritizing_event_processing_with_apache_kafka_spark.operators.caching imp
 )
 
 __all__ = [
+    "SIGNATURE_STORE_VERSION",
     "with_shingles",
     "exact_dedup",
     "remove_duplicate_spans",
@@ -61,11 +62,30 @@ __all__ = [
 
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne); keeps a*h+b in int64
 
+# Version of the persisted-signature hash basis. Signatures only match
+# across runs when both sides were produced by the same basis; a store
+# signed under an older basis band-matches NOTHING and would silently
+# admit every near-duplicate of history. v3 = component-wise
+# xxhash64(w1..wk) shingle hashes (v2 was xxhash64 of the space-joined
+# shingle string). Ingest stamps this into a ``sig_version`` column;
+# :func:`incremental_minhash_pairs` fails fast on a mismatch.
+SIGNATURE_STORE_VERSION = 3
+
 
 def with_shingles(
-    df: DataFrame, *, text_col: str = "text", k: int = 4, out_col: str = "shingles"
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 4,
+    out_col: str = "shingles",
+    keep_tokens: str | None = None,
 ) -> DataFrame:
     """Distinct k-token shingles per document (the near-dup alphabet).
+
+    ``keep_tokens`` — also expose the split token array under this
+    column name instead of dropping it, so a pipeline that later needs
+    the tokens again (e.g. :func:`with_minhash_signature` via its
+    ``tokens_col`` hook) pays the split once.
 
     Formulated as a zip of k shifted views of the token array rather
     than the obvious ``transform(sequence(...), i -> slice(tokens, i, k))``:
@@ -88,15 +108,20 @@ def with_shingles(
         f"array_distinct(transform(slice({zipped}, 1, greatest(size({toks}) - {k - 1}, 1)), "
         f"s -> concat_ws(' ', {fields})))"
     )
-    return (
-        df.withColumn(toks, F.split(F.col(text_col), " "))
-        .withColumn(out_col, F.expr(shingle_expr))
-        .drop(toks)
+    out = df.withColumn(toks, F.split(F.col(text_col), " ")).withColumn(
+        out_col, F.expr(shingle_expr)
     )
+    if keep_tokens is None:
+        return out.drop(toks)
+    return out.withColumnRenamed(toks, keep_tokens) if keep_tokens != toks else out
 
 
 def _shingle_hash_rows(
-    df: DataFrame, id_col: str, text_col: str, k: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Occurrence-level ``(id, __h)`` k-token shingle hashes with NO
     string shingles materialized.
@@ -114,23 +139,28 @@ def _shingle_hash_rows(
     ``xxhash64``, mirroring how ``concat_ws`` skips them on the string
     path. Measured 1.6× faster end-to-end on the OPH operator at sf0.1
     with an identical output pair set.
+
+    ``tokens_col`` — name of an existing token-array column (e.g. from
+    :func:`with_shingles`'s ``keep_tokens``) to window instead of
+    re-splitting ``text_col``; the split then runs once per pipeline.
     """
-    toks = "__peps_toks"
+    if tokens_col is not None:
+        toks = tokens_col
+        base = df
+    else:
+        toks = "__peps_toks"
+        base = df.withColumn(toks, F.split(F.col(text_col), " "))
     parts = [
         f"slice({toks}, {i + 1}, greatest(size({toks}) - {i}, 0))" for i in range(k)
     ]
     zipped = f"arrays_zip({', '.join(parts)})"
     fields = ", ".join(f"__z.`{i}`" for i in range(k))
-    return (
-        df.withColumn(toks, F.split(F.col(text_col), " "))
-        .select(
-            id_col,
-            F.explode(
-                F.expr(f"slice({zipped}, 1, greatest(size({toks}) - {k - 1}, 1))")
-            ).alias("__z"),
-        )
-        .select(id_col, F.expr(f"xxhash64({fields})").alias("__h"))
-    )
+    return base.select(
+        id_col,
+        F.explode(
+            F.expr(f"slice({zipped}, 1, greatest(size({toks}) - {k - 1}, 1))")
+        ).alias("__z"),
+    ).select(id_col, F.expr(f"xxhash64({fields})").alias("__h"))
 
 
 def _hash_sets(pos_hashes: DataFrame, id_col: str, out_col: str) -> DataFrame:
@@ -302,18 +332,19 @@ def edit_distance_pairs(
     """
     # String-free blocking: candidates come from shared shingle HASHES
     # (a 64-bit collision can only ADD a candidate, which the exact DP
-    # then rejects — recall is unaffected). Persisted because the
-    # candidate self-join scans the stream from both sides. Under a
-    # freq cap, a distinct() first restores doc-level rows so the cap
-    # keeps counting documents-per-shingle, not occurrences; uncapped,
-    # duplicate occurrences only duplicate candidate rows, which
-    # ``_candidate_pairs``' own distinct() collapses.
+    # then rejects — recall is unaffected). The distinct() is
+    # unconditional: the self-join must see each (doc, shingle) ONCE —
+    # occurrence-level rows would square within-document repetition
+    # (a boilerplate line repeated r times in two docs makes r² join
+    # rows per pair before the candidate distinct), breaking the
+    # Σ bucket² cost contract on exactly the repetitive inputs dedup
+    # targets — and it also keeps the ``max_signature_freq`` cap
+    # counting documents-per-shingle, not occurrences. Persisted
+    # because the candidate self-join scans the frame from both sides.
     ph = _shingle_hash_rows(df, id_col, text_col, k).select(
         id_col, F.col("__h").alias("__sig")
     )
-    if max_signature_freq is not None:
-        ph = ph.distinct()
-    exploded = scoped_persist(ph)
+    exploded = scoped_persist(ph.distinct())
     cands = _candidate_pairs(exploded, id_col, ["__sig"], max_signature_freq)
     tx = df.select(F.col(id_col).alias("x"), F.col(text_col).alias("__tx"))
     ty = df.select(F.col(id_col).alias("y"), F.col(text_col).alias("__ty"))
@@ -462,11 +493,18 @@ def bloom_contamination_pairs(
     )
     # Explicit AND of the per-seed bit tests — whole-stage codegen on
     # the corpus scan (a forall() lambda would run interpreted there).
-    # Absent map keys read as zero words via coalesce.
+    # The positions are materialized ONCE into a real array column
+    # before the filter: each bit test reads the hash twice (word index
+    # and bit offset), and inlined position expressions would evaluate
+    # xxhash64 2×num_hashes times per corpus shingle; a multi-referenced
+    # non-cheap projection is not collapsed into its consumers, so the
+    # hash work stays at num_hashes evaluations (the same CollapseProject
+    # property with_shingles relies on for its token column). Absent map
+    # keys read as zero words via coalesce.
     might_contain = F.expr(
         " AND ".join(
-            f"coalesce((shiftright(element_at(__bf, {position_sql('__s', j)} div 64), "
-            f"CAST({position_sql('__s', j)} % 64 AS INT)) & 1L) = 1, false)"
+            f"coalesce((shiftright(element_at(__bf, element_at(__pos, {j + 1}) div 64), "
+            f"CAST(element_at(__pos, {j + 1}) % 64 AS INT)) & 1L) = 1, false)"
             for j in range(num_hashes)
         )
     )
@@ -478,11 +516,18 @@ def bloom_contamination_pairs(
             F.explode("__sh").alias("__s"),
         )
         .join(F.broadcast(bloom))
+        .withColumn("__pos", F.expr(f"array({pos_array})"))
         .filter(might_contain)
-        .drop("__bf")
+        .drop("__bf", "__pos")
     )
+    # The exact membership join is deliberately UNHINTED: in this
+    # operator's motivating regime the benchmark shingle relation is
+    # exactly what no longer fits as a broadcast hash table (the Bloom
+    # bits replace it), so the join must be free to degrade to a
+    # shuffle join; while the benchmark is small, AQE broadcasts it on
+    # its own.
     return (
-        c_ex.join(F.broadcast(b_ex), "__s")
+        c_ex.join(b_ex, "__s")
         .groupBy(id_col, bench_id_col, "__n_doc")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .withColumn(
@@ -658,6 +703,7 @@ def with_minhash_signature(
     seed: int = 42,
     out_col: str = "minhash",
     shingled: DataFrame | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """MinHash signature: ``sig[i] = min over shingles of (aᵢ·h + bᵢ) mod p``.
 
@@ -673,9 +719,12 @@ def with_minhash_signature(
     ``shingled`` is the frame to attach the signature column to (any
     frame carrying ``id_col``, e.g. the :func:`with_shingles` output a
     pipeline also feeds its exact-Jaccard pass) — it no longer affects
-    how the hashes are computed; ``df`` must still carry ``text_col``.
+    how the hashes are computed; ``df`` must still carry ``text_col``
+    (or ``tokens_col``, the pre-split token-array sharing hook — pass
+    ``with_shingles(..., keep_tokens=...)`` output as ``df`` so the
+    split runs once per pipeline).
     """
-    hashed = _shingle_hash_rows(df, id_col, text_col, k).select(
+    hashed = _shingle_hash_rows(df, id_col, text_col, k, tokens_col).select(
         id_col, F.expr(f"pmod(__h, {MINHASH_PRIME})").alias("__h")
     )
     sig = _minhash_signature_from_hashes(hashed, id_col, num_hashes, seed, out_col)
@@ -745,6 +794,23 @@ def incremental_minhash_pairs(
     """
     _check_banding(num_hashes, bands)
     rows = num_hashes // bands
+    # Fail fast on a store signed under a different hash basis: such
+    # signatures band-match nothing, so every near-dup of history would
+    # be silently admitted. Stores written by the ingest path carry a
+    # ``sig_version`` column; a store WITHOUT the column is assumed to
+    # have been signed in-plan by the running code (the standalone
+    # queries' pattern) — callers persisting stores across deployments
+    # should keep the column.
+    if "sig_version" in signature_store.columns:
+        signature_store = signature_store.select(
+            F.col(id_col),
+            F.expr(
+                f"nvl(assert_true(sig_version = {SIGNATURE_STORE_VERSION}, "
+                f"concat('signature store version ', CAST(sig_version AS STRING), "
+                f"' != current {SIGNATURE_STORE_VERSION}: the hash basis changed; "
+                f"rebuild the store')), minhash)"
+            ).alias("minhash"),
+        )
     # Fail fast on a store built with a different num_hashes: slicing
     # a shorter array past its end yields EMPTY band slices, so
     # xxhash64('') gives every historical doc the IDENTICAL band hash

@@ -188,8 +188,11 @@ def dsir_importance(
         .distinct()
         .agg(F.count(F.lit(1)).alias("__b"))
     )
-    n_corpus = c_corpus.agg(F.sum("__cc").alias("__nc"))
-    n_target = c_target.agg(F.sum("__ct").alias("__nt"))
+    # coalesce: SUM over an empty count table is NULL, and an empty
+    # target (or one with only sub-2-token docs) must yield finite
+    # penalized ratios, not NULL-poison every output row.
+    n_corpus = c_corpus.agg(F.coalesce(F.sum("__cc"), F.lit(0)).alias("__nc"))
+    n_target = c_target.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__nt"))
     p_t = (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1)).cast("double") / (
         F.col("__nt") + F.col("__b")
     ).cast("double")

@@ -49,6 +49,7 @@ from prioritizing_event_processing_with_apache_kafka_spark.operators.caching imp
     scoped_persist,
 )
 from prioritizing_event_processing_with_apache_kafka_spark.operators.dedup import (
+    SIGNATURE_STORE_VERSION,
     incremental_minhash_pairs,
     ngram_jaccard_pairs,
     with_minhash_signature,
@@ -107,13 +108,18 @@ def dedup_ingest_batch(
     batch = batch.select(id_col, text_col)
 
     with cache_scope():
-        # 0. one tokenization for the whole batch lifecycle.
-        sh = scoped_persist(with_shingles(batch, text_col=text_col, k=k))
+        # 0. one tokenization for the whole batch lifecycle: the cached
+        # frame carries the token array so the signature hash stream
+        # windows it instead of re-splitting the text.
+        toks_col = "__peps_batch_toks"
+        sh = scoped_persist(
+            with_shingles(batch, text_col=text_col, k=k, keep_tokens=toks_col)
+        )
 
         # 1. within-batch near-dups: keep the min-id representative.
         self_pairs = ngram_jaccard_pairs(
             batch, id_col=id_col, text_col=text_col, k=k,
-            threshold=threshold, shingled=sh,
+            threshold=threshold, shingled=sh.drop(toks_col),
         )
         dup_ids = self_pairs.select(F.col("y").alias(id_col)).distinct()
         survivors_sh = sh.join(dup_ids, id_col, "left_anti")
@@ -123,7 +129,8 @@ def dedup_ingest_batch(
         sigs = scoped_persist(
             with_minhash_signature(
                 survivors_sh, id_col=id_col, text_col=text_col, k=k,
-                num_hashes=num_hashes, shingled=survivors_sh,
+                num_hashes=num_hashes, shingled=survivors_sh.drop(toks_col),
+                tokens_col=toks_col,
             )
         )
 
@@ -144,7 +151,17 @@ def dedup_ingest_batch(
         n = final.count()
         if n:
             _write(final.select(id_col, text_col), corpus_path, batch_id)
-            _write(final.select(id_col, "minhash"), store_path, batch_id)
+            # sig_version stamps the hash basis into the persisted store
+            # so a probe by a different code revision fails fast instead
+            # of silently band-matching nothing (constant column —
+            # RLE-compressed to bytes per file).
+            _write(
+                final.select(id_col, "minhash").withColumn(
+                    "sig_version", F.lit(SIGNATURE_STORE_VERSION)
+                ),
+                store_path,
+                batch_id,
+            )
     return n
 
 

@@ -387,6 +387,63 @@ class TestDecontamination:
         assert rows[(1, 100)] >= 0.5
 
 
+class TestSignatureStoreVersion:
+    def test_stale_store_version_fails_fast(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "one two three four five six"), (1, "seven eight nine ten up")],
+            "doc_id long, text string",
+        )
+        store = (
+            D.with_minhash_signature(docs, num_hashes=16)
+            .select("doc_id", "minhash")
+            .withColumn("sig_version", F.lit(2))
+        )
+        with pytest.raises(Exception) as ei:
+            D.incremental_minhash_pairs(
+                docs, store, docs, num_hashes=16, bands=4
+            ).collect()
+        assert "hash basis" in str(ei.value)
+
+    def test_current_store_version_passes(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "one two three four five six")], "doc_id long, text string"
+        )
+        store = (
+            D.with_minhash_signature(docs, num_hashes=16)
+            .select("doc_id", "minhash")
+            .withColumn("sig_version", F.lit(D.SIGNATURE_STORE_VERSION))
+        )
+        new = spark.createDataFrame(
+            [(10, "one two three four five six")], "doc_id long, text string"
+        )
+        out = D.incremental_minhash_pairs(
+            new, store, docs, num_hashes=16, bands=4, threshold=0.5
+        ).collect()
+        assert {(r["new_id"], r["old_id"]) for r in out} == {(10, 0)}
+
+    def test_tokens_col_hook_matches_text_signing(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "the quick brown fox jumps over it"), (1, "x y")],
+            "doc_id long, text string",
+        )
+        via_text = {
+            r["doc_id"]: r["minhash"]
+            for r in D.with_minhash_signature(docs, num_hashes=16)
+            .select("doc_id", "minhash")
+            .collect()
+        }
+        sh = D.with_shingles(docs, k=4, keep_tokens="__tk")
+        via_tokens = {
+            r["doc_id"]: r["minhash"]
+            for r in D.with_minhash_signature(
+                sh, num_hashes=16, shingled=sh.drop("__tk"), tokens_col="__tk"
+            )
+            .select("doc_id", "minhash")
+            .collect()
+        }
+        assert via_text == via_tokens
+
+
 class TestBloomContamination:
     def test_bloom_path_equals_plain_path(self, spark):
         corpus = spark.createDataFrame(

@@ -737,7 +737,12 @@ class TestDedupIngest:
         assert sorted(r.doc_id for r in final.collect()) == [0, 1, 11, 22]
         sigs = spark.read.parquet(store)
         assert sorted(r.doc_id for r in sigs.collect()) == [0, 1, 11, 22]
-        assert sigs.columns == ["doc_id", "minhash"]
+        assert sigs.columns == ["doc_id", "minhash", "sig_version"]
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.dedup import (
+            SIGNATURE_STORE_VERSION,
+        )
+
+        assert {r.sig_version for r in sigs.collect()} == {SIGNATURE_STORE_VERSION}
 
     def test_foreach_batch_end_to_end(self, spark, stream_dir):
         from prioritizing_event_processing_with_apache_kafka_spark.streaming import (
