@@ -491,16 +491,17 @@ def bloom_contamination_pairs(
             )
         )
     )
-    # Explicit AND of the per-seed bit tests — whole-stage codegen on
-    # the corpus scan (a forall() lambda would run interpreted there).
-    # The positions are materialized ONCE into a real array column
-    # before the filter: each bit test reads the hash twice (word index
-    # and bit offset), and inlined position expressions would evaluate
-    # xxhash64 2×num_hashes times per corpus shingle; a multi-referenced
-    # non-cheap projection is not collapsed into its consumers, so the
-    # hash work stays at num_hashes evaluations (the same CollapseProject
-    # property with_shingles relies on for its token column). Absent map
-    # keys read as zero words via coalesce.
+    # Explicit AND of the per-seed bit tests (a forall() lambda would
+    # run interpreted). The positions are materialized into a real
+    # array column BELOW the bloom cross-join: the probe filter merges
+    # into that join's condition (it references __bf, so it cannot be
+    # pushed lower), and a join condition substitutes any alias from
+    # the joined projects — an inline position expression therefore
+    # re-evaluates xxhash64 per conjunct PER SIDE inside an interpreted
+    # join predicate (measured 10× slower). As an attribute produced
+    # under the join, __pos is computed once per shingle in the scan's
+    # codegen stage and the condition only does map/array lookups.
+    # Absent map keys read as zero words via coalesce.
     might_contain = F.expr(
         " AND ".join(
             f"coalesce((shiftright(element_at(__bf, element_at(__pos, {j + 1}) div 64), "
@@ -515,8 +516,8 @@ def bloom_contamination_pairs(
             F.size("__sh").alias("__n_doc"),
             F.explode("__sh").alias("__s"),
         )
-        .join(F.broadcast(bloom))
         .withColumn("__pos", F.expr(f"array({pos_array})"))
+        .join(F.broadcast(bloom))
         .filter(might_contain)
         .drop("__bf", "__pos")
     )
