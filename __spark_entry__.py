@@ -115,6 +115,7 @@ _DRIVER_HEAD = [
     "corpus_diff_status",
     "decontamination_bloom",
     "stream_enriched_segments",
+    "stream_error_purchase_pairs",
 ]
 
 

@@ -782,25 +782,10 @@ FROM events GROUP BY 1
 """
 
 
-def _replay_events_stream(
-    spark: SparkSession,
-    sf_dir: str,
-    transform,
-    *,
-    name_prefix: str,
-    normalize_ts: bool = False,
-    output_mode: str = "complete",
-) -> DataFrame:
-    """Replay the events table as a real Structured Streaming file
-    source (availableNow), apply ``transform``, drain into a memory
-    sink, and return the sink table. The checkpoint dir is removed
-    after the drain (a memory sink cannot resume from one anyway)."""
-    import shutil
-    import tempfile
-    import uuid
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+def _events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A fresh Structured Streaming file source over the events table
+    (each call returns an independent source — a stream-stream self-
+    join needs two)."""
     events_path = f"{sf_dir.rstrip('/')}/events.parquet"
     schema = spark.read.parquet(events_path).schema
     import os as _os
@@ -809,26 +794,33 @@ def _replay_events_stream(
         # Spark-written table (directory of part files, e.g. the
         # scale-probe replicas): the directory itself is a valid file
         # streaming source.
-        stream = spark.readStream.schema(schema).parquet(events_path)
-    else:
-        # Single-file fixture: the file streaming source lists a
-        # *directory*, so list the parent with pathGlobFilter
-        # narrowing it to the events table (a glob on FILE names —
-        # it would match nothing if events.parquet were a directory).
-        stream = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir.rstrip("/"))
-        )
-    if normalize_ts:
-        # Same dtype-dispatched normalization load_table applies on the
-        # batch path (long-nanos / NTZ / tz-aware all handled).
-        stream = normalize_event_ts(stream)
+        return spark.readStream.schema(schema).parquet(events_path)
+    # Single-file fixture: the file streaming source lists a
+    # *directory*, so list the parent with pathGlobFilter
+    # narrowing it to the events table (a glob on FILE names —
+    # it would match nothing if events.parquet were a directory).
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+
+
+def _drain_to_memory_sink(
+    spark: SparkSession, df: DataFrame, *, name_prefix: str, output_mode: str
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a
+    memory sink and return the sink table. The checkpoint dir is
+    removed after the drain (a memory sink cannot resume from one
+    anyway)."""
+    import shutil
+    import tempfile
+    import uuid
+
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     chk = tempfile.mkdtemp(prefix="peps-replay-chk-")
     q = (
-        transform(stream)
-        .writeStream.format("memory")
+        df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
@@ -841,6 +833,30 @@ def _replay_events_stream(
         q.stop()
         shutil.rmtree(chk, ignore_errors=True)
     return spark.table(name)
+
+
+def _replay_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    transform,
+    *,
+    name_prefix: str,
+    normalize_ts: bool = False,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Replay the events table as a real Structured Streaming file
+    source (availableNow), apply ``transform``, drain into a memory
+    sink, and return the sink table."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = _events_stream_source(spark, sf_dir)
+    if normalize_ts:
+        # Same dtype-dispatched normalization load_table applies on the
+        # batch path (long-nanos / NTZ / tz-aware all handled).
+        stream = normalize_event_ts(stream)
+    return _drain_to_memory_sink(
+        spark, transform(stream), name_prefix=name_prefix, output_mode=output_mode
+    )
 
 
 def q_stream_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1754,6 +1770,52 @@ JOIN events e
 """
 
 
+def q_stream_error_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine stream-stream interval join, oracle-checked: purchases
+    and errors replayed as two INDEPENDENT watermarked file streams and
+    joined on user within a 30-minute lookback
+    (``streaming/telemetry.py::interval_join`` — the same operator the
+    batch ``error_purchase_interval`` query runs). The range predicate
+    doubles as the state-expiry bound, so join state per key is capped
+    by watermark + lookback and the query runs indefinitely at
+    production rates; an inner stream-stream join emits each pair as
+    soon as both sides arrive, so the emitted pair set equals the batch
+    SQL bit-for-bit (arrival order only affects emission order). The
+    watermark is set wider than the fixture's time span so a
+    multi-file replay (e.g. the scale-probe replicas) cannot evict
+    state between micro-batches — the same multi-batch-safety contract
+    ``stream_dedup_keys`` documents; production callers pass their
+    lateness bound instead."""
+    from prioritizing_event_processing_with_apache_kafka_spark.streaming.telemetry import (
+        interval_join,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    purchases = normalize_event_ts(_events_stream_source(spark, sf_dir)).filter(
+        F.col("event_type") == "purchase"
+    )
+    errors = normalize_event_ts(_events_stream_source(spark, sf_dir)).filter(
+        F.col("event_type") == "error"
+    )
+    joined = interval_join(
+        purchases,
+        errors,
+        on="user_id",
+        lookback="30 minutes",
+        watermark="3650 days",
+    )
+    out = joined.select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_id_r").alias("error_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_r"))).alias("gap_us"),
+    )
+    return _drain_to_memory_sink(
+        spark, out, name_prefix="stream_err_purch", output_mode="append"
+    )
+
+
 def q_bucket_throughput_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window per bucket — the BATCH run of the very
     expressions the streaming dashboard uses (streaming/telemetry
@@ -2065,6 +2127,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sessionized_users": q_stream_sessionized_users,
     "stream_dedup_keys": q_stream_dedup_keys,
     "stream_enriched_segments": q_stream_enriched_segments,
+    "stream_error_purchase_pairs": q_stream_error_purchase_pairs,
     "bucket_user_reach_hll": q_bucket_user_reach_hll,
     "user_overlap_theta": q_user_overlap_theta,
     "bucket_value_kll": q_bucket_value_kll,
@@ -2125,6 +2188,7 @@ ORACLES: dict[str, str] = {
     "stream_sessionized_users": SQL_STREAM_SESSIONIZED_USERS,
     "stream_dedup_keys": SQL_STREAM_DEDUP_KEYS,
     "stream_enriched_segments": SQL_STREAM_ENRICHED_SEGMENTS,
+    "stream_error_purchase_pairs": SQL_ERROR_PURCHASE_INTERVAL,
     "events_variant_extract": SQL_EVENTS_VARIANT_EXTRACT,
     "bucket_metric_unpivot": SQL_BUCKET_METRIC_UNPIVOT,
     "events_asof_last_purchase": SQL_EVENTS_ASOF_LAST_PURCHASE,
