@@ -116,6 +116,8 @@ _DRIVER_HEAD = [
     "decontamination_bloom",
     "stream_enriched_segments",
     "stream_error_purchase_pairs",
+    "changelog_compaction",
+    "scd2_customer_segments",
 ]
 
 

@@ -72,6 +72,8 @@ HEADLINE = [
     "multimodal_image_decode",
     "heavy_hitter_users",
     "decontamination_bloom",
+    "changelog_compaction",
+    "scd2_customer_segments",
 ]
 
 

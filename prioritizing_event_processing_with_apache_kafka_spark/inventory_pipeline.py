@@ -1964,6 +1964,142 @@ GROUP BY 1
 """
 
 
+def q_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read changelog compaction (operators/merge.py):
+    latest-wins snapshot of the ``documents`` base plus a deterministic
+    changelog carved from the fixture — ``doc_id % 3 == 0`` gets a v1
+    text update, ``doc_id % 10 == 0`` a v2 tombstone (the tombstone
+    outranks the update for keys hit by both), and ``doc_id % 50 == 0``
+    spawns a brand-new key at v1. One map-side-combinable ``max_by``
+    aggregate — no window sort. The oracle replays the same changelog
+    with a ROW_NUMBER-over-version plan, so a version-ordering or
+    tombstone bug hash-mismatches."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.merge import (
+        changelog_latest_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    updates = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" [u1]")).alias("text"),
+        "source",
+        F.lit(1).alias("version"),
+        F.lit(False).alias("is_delete"),
+    )
+    deletes = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        "text",
+        "source",
+        F.lit(2).alias("version"),
+        F.lit(True).alias("is_delete"),
+    )
+    inserts = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+        "source",
+        F.lit(1).alias("version"),
+        F.lit(False).alias("is_delete"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    return changelog_latest_snapshot(
+        docs,
+        changes,
+        key_cols=["doc_id"],
+        version_col="version",
+        delete_col="is_delete",
+    )
+
+
+SQL_CHANGELOG_COMPACTION = """
+WITH all_rows AS (
+  SELECT doc_id, text, source, 0 AS version, FALSE AS is_delete FROM documents
+  UNION ALL
+  SELECT doc_id, text || ' [u1]', source, 1, FALSE FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, text, source, 2, TRUE FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 100000, 'new ' || text, source, 1, FALSE
+  FROM documents WHERE doc_id % 50 = 0
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+  FROM all_rows
+)
+SELECT doc_id, text, source FROM ranked WHERE rn = 1 AND NOT is_delete
+"""
+
+
+def q_scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension merge (operators/merge.py): seed a history table
+    from ``customer`` (every row open since 2024-01-01), then merge a
+    deterministic update batch — ``c_custkey % 5 == 0`` changes
+    segment (close + open), ``% 7 == 0`` (and not %5) re-delivers the
+    identical segment (idempotent no-op), ``% 97 == 0`` arrives as a
+    brand-new key. Validity bounds are ISO strings so the oracle
+    compares exactly. The update batch is broadcast — the open slice
+    of a 100 TB dimension is never shuffled. The oracle rebuilds the
+    expected history with two joins, so a wrong close/open/no-op
+    decision or a dropped closed row hash-mismatches."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.merge import (
+        scd2_merge,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    history = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changed = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.concat(F.col("c_mktsegment"), F.lit("-R2")).alias("c_mktsegment"),
+    )
+    noop = cust.filter(
+        (F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 5 != 0)
+    ).select("c_custkey", "c_mktsegment")
+    fresh = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+    )
+    updates = (
+        changed.unionByName(noop)
+        .unionByName(fresh)
+        .withColumn("effective", F.lit("2024-06-01"))
+    )
+    return scd2_merge(
+        history,
+        updates,
+        key_cols=["c_custkey"],
+        tracked_cols=["c_mktsegment"],
+        effective_col="effective",
+        broadcast_updates=True,
+    )
+
+
+SQL_SCD2_CUSTOMER_SEGMENTS = """
+WITH upd AS (
+  SELECT c_custkey, c_mktsegment || '-R2' AS seg FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment FROM customer
+  WHERE c_custkey % 7 = 0 AND c_custkey % 5 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEWSEG' FROM customer WHERE c_custkey % 97 = 0
+)
+SELECT c.c_custkey,
+       c.c_mktsegment,
+       '2024-01-01' AS valid_from,
+       CASE WHEN u.seg IS NOT NULL AND u.seg <> c.c_mktsegment
+            THEN '2024-06-01' END AS valid_to,
+       (u.seg IS NULL OR u.seg = c.c_mktsegment) AS is_current
+FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+UNION ALL
+SELECT u.c_custkey, u.seg, '2024-06-01', NULL, TRUE
+FROM upd u LEFT JOIN customer c ON u.c_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL OR u.seg <> c.c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2024,6 +2160,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_decode": q_multimodal_image_decode,
     "dedup_incremental_steady": q_dedup_incremental_steady,
     "multimodal_image_resize": q_multimodal_image_resize,
+    "changelog_compaction": q_changelog_compaction,
+    "scd2_customer_segments": q_scd2_customer_segments,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -2080,4 +2218,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "multimodal_image_decode": SQL_MULTIMODAL_IMAGE_DECODE,
     "dedup_incremental_steady": SQL_DEDUP_INCREMENTAL,
     "multimodal_image_resize": SQL_MULTIMODAL_IMAGE_RESIZE,
+    "changelog_compaction": SQL_CHANGELOG_COMPACTION,
+    "scd2_customer_segments": SQL_SCD2_CUSTOMER_SEGMENTS,
 }

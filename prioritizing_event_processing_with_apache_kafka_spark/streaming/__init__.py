@@ -14,6 +14,14 @@ from prioritizing_event_processing_with_apache_kafka_spark.streaming.ingest impo
     dedup_ingest_batch,
     dedup_ingest_foreach_batch,
 )
+from prioritizing_event_processing_with_apache_kafka_spark.streaming.dimension import (
+    scd2_apply_batch,
+    scd2_current,
+    scd2_foreach_batch,
+    scd2_history_at,
+    scd2_init_history,
+    scd2_prune_versions,
+)
 from prioritizing_event_processing_with_apache_kafka_spark.streaming.sinks import (
     idempotent_parquet_sink,
     read_idempotent_output,
@@ -38,6 +46,12 @@ __all__ = [
     "read_idempotent_output",
     "dedup_ingest_batch",
     "dedup_ingest_foreach_batch",
+    "scd2_apply_batch",
+    "scd2_current",
+    "scd2_foreach_batch",
+    "scd2_history_at",
+    "scd2_init_history",
+    "scd2_prune_versions",
     "routed_foreach_batch",
     "bucket_throughput",
     "dedup_within_watermark",

@@ -1,0 +1,180 @@
+"""Upsert/merge operators: changelog compaction and SCD2 history.
+
+Covers the contracts that matter under re-delivery and ordering:
+tombstones outrank lower-versioned updates, multi-row update batches
+collapse latest-wins, SCD2 close/open/no-op classification, and
+idempotency of re-merging the same batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prioritizing_event_processing_with_apache_kafka_spark.operators.merge import (
+    changelog_latest_snapshot,
+    scd2_merge,
+)
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "alpha"), (2, "bravo"), (3, "charlie")],
+        "k long, text string",
+    )
+
+
+def test_compaction_latest_wins_and_tombstone(spark):
+    base = _base(spark)
+    changes = spark.createDataFrame(
+        [
+            (1, "alpha v1", 1, False),
+            (1, "alpha v2", 2, False),  # higher version wins
+            (2, None, 5, True),  # tombstone
+            (2, "bravo v1", 1, False),  # outranked by the tombstone
+            (4, "delta", 1, False),  # brand-new key
+        ],
+        "k long, text string, version long, is_delete boolean",
+    )
+    got = {
+        r["k"]: r["text"]
+        for r in changelog_latest_snapshot(
+            base, changes, key_cols=["k"], version_col="version",
+            delete_col="is_delete",
+        ).collect()
+    }
+    assert got == {1: "alpha v2", 3: "charlie", 4: "delta"}
+
+
+def test_compaction_no_deletes_arg(spark):
+    base = _base(spark)
+    changes = spark.createDataFrame(
+        [(3, "charlie v1", 7)], "k long, text string, version long"
+    )
+    got = {
+        r["k"]: r["text"]
+        for r in changelog_latest_snapshot(
+            base, changes, key_cols=["k"], version_col="version"
+        ).collect()
+    }
+    assert got == {1: "alpha", 2: "bravo", 3: "charlie v1"}
+
+
+def _history(spark):
+    return spark.createDataFrame(
+        [
+            # closed historical row for k=1, open successor
+            (1, "seg-a0", "2023-01-01", "2024-01-01", False),
+            (1, "seg-a1", "2024-01-01", None, True),
+            (2, "seg-b", "2024-01-01", None, True),
+            (3, "seg-c", "2024-01-01", None, True),
+        ],
+        "k long, seg string, valid_from string, valid_to string, is_current boolean",
+    )
+
+
+def _merge(history, updates):
+    return scd2_merge(
+        history,
+        updates,
+        key_cols=["k"],
+        tracked_cols=["seg"],
+        effective_col="eff",
+    )
+
+
+def test_scd2_close_open_noop_insert(spark):
+    history = _history(spark)
+    updates = spark.createDataFrame(
+        [
+            (1, "seg-a2", "2024-06-01"),  # changed -> close + open
+            (2, "seg-b", "2024-06-01"),  # identical -> no-op
+            (9, "seg-new", "2024-06-01"),  # new key -> insert open
+        ],
+        "k long, seg string, eff string",
+    )
+    rows = {
+        (r["k"], r["seg"]): (r["valid_from"], r["valid_to"], r["is_current"])
+        for r in _merge(history, updates).collect()
+    }
+    assert rows == {
+        (1, "seg-a0"): ("2023-01-01", "2024-01-01", False),
+        (1, "seg-a1"): ("2024-01-01", "2024-06-01", False),
+        (1, "seg-a2"): ("2024-06-01", None, True),
+        (2, "seg-b"): ("2024-01-01", None, True),
+        (3, "seg-c"): ("2024-01-01", None, True),
+        (9, "seg-new"): ("2024-06-01", None, True),
+    }
+
+
+def test_scd2_idempotent_redelivery(spark):
+    """Merging the same batch into the merged result changes nothing."""
+    history = _history(spark)
+    updates = spark.createDataFrame(
+        [(1, "seg-a2", "2024-06-01"), (9, "seg-new", "2024-06-01")],
+        "k long, seg string, eff string",
+    )
+    once = _merge(history, updates)
+    twice = _merge(once, updates)
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
+
+
+def test_scd2_multi_row_batch_collapses_latest(spark):
+    history = _history(spark)
+    updates = spark.createDataFrame(
+        [(3, "seg-c1", "2024-03-01"), (3, "seg-c2", "2024-06-01")],
+        "k long, seg string, eff string",
+    )
+    rows = {
+        (r["k"], r["seg"]): (r["valid_from"], r["valid_to"], r["is_current"])
+        for r in _merge(history, updates).collect()
+        if r["k"] == 3
+    }
+    # Only the latest update applies; the intermediate never lands.
+    assert rows == {
+        (3, "seg-c"): ("2024-01-01", "2024-06-01", False),
+        (3, "seg-c2"): ("2024-06-01", None, True),
+    }
+
+
+def test_scd2_broadcast_plan(spark):
+    """broadcast_updates pins a broadcast join on the open slice."""
+    history = _history(spark)
+    updates = spark.createDataFrame(
+        [(1, "seg-a2", "2024-06-01")], "k long, seg string, eff string"
+    )
+    merged = scd2_merge(
+        history,
+        updates,
+        key_cols=["k"],
+        tracked_cols=["seg"],
+        effective_col="eff",
+        broadcast_updates=True,
+    )
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_scd2_null_tracked_values(spark):
+    """NULL tracked values compare null-safe: NULL->NULL is a no-op,
+    NULL->value and value->NULL are changes."""
+    history = spark.createDataFrame(
+        [(1, None, "2024-01-01", None, True), (2, "x", "2024-01-01", None, True)],
+        "k long, seg string, valid_from string, valid_to string, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, None, "2024-06-01"), (2, None, "2024-06-01")],
+        "k long, seg string, eff string",
+    )
+    out = _merge(history, updates)
+    by_key = {}
+    for r in out.collect():
+        by_key.setdefault(r["k"], []).append(
+            (r["seg"], r["valid_from"], r["valid_to"], r["is_current"])
+        )
+    assert by_key[1] == [(None, "2024-01-01", None, True)]
+    assert sorted(by_key[2], key=lambda t: (t[0] is not None, t)) == [
+        (None, "2024-06-01", None, True),
+        ("x", "2024-01-01", "2024-06-01", False),
+    ]

@@ -41,6 +41,8 @@ GUARDED = [
     "multimodal_image_resize",
     "heavy_hitter_users",
     "decontamination_bloom",
+    "changelog_compaction",
+    "scd2_customer_segments",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
