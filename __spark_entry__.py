@@ -118,6 +118,7 @@ _DRIVER_HEAD = [
     "stream_error_purchase_pairs",
     "changelog_compaction",
     "scd2_customer_segments",
+    "events_tier_at_time",
 ]
 
 

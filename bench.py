@@ -74,6 +74,7 @@ HEADLINE = [
     "decontamination_bloom",
     "changelog_compaction",
     "scd2_customer_segments",
+    "events_tier_at_time",
 ]
 
 

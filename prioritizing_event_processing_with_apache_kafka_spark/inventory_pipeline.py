@@ -2100,6 +2100,97 @@ WHERE c.c_custkey IS NULL OR u.seg <> c.c_mktsegment
 """
 
 
+def q_events_tier_at_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment against an SCD2 history
+    (operators/merge.py::scd2_point_in_time): build a per-user tier
+    history by chaining TWO ``scd2_merge`` batches in-plan (everyone
+    'standard' from Jan 1; ``user_id % 3 == 0`` promoted to 'gold'
+    effective Jan 11; ``user_id % 6 == 0`` promoted again to
+    'platinum' effective Jan 21), then join every event to the tier
+    valid AT ITS TIMESTAMP and roll up count + exact value micros per
+    (tier, event_type). The oracle derives each event's tier directly
+    with a CASE over (ts, user_id) — a fully independent replay, so a
+    wrong close/open decision, interval boundary (>= from, < to), or
+    join-match bug hash-mismatches. Value sums use
+    ``floor(value * 1e6)`` longs: exact and identical across engines
+    (double CAST-to-int rounds differently in Spark vs DuckDB;
+    ``floor`` does not)."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.merge import (
+        scd2_merge,
+        scd2_point_in_time,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    # The dimension side is tiny (distinct users); persist the seed and
+    # the finished history so the chained merges don't replicate their
+    # subtrees into every downstream branch — the fact-side plan is
+    # then one broadcast hash join over a single events scan.
+    users = scoped_persist(events.select("user_id").distinct())
+    history = users.select(
+        "user_id",
+        F.lit("standard").alias("tier"),
+        F.to_timestamp(F.lit("2024-01-01")).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    gold = users.filter(F.col("user_id") % 3 == 0).select(
+        "user_id",
+        F.lit("gold").alias("tier"),
+        F.to_timestamp(F.lit("2024-01-11")).alias("eff"),
+    )
+    platinum = users.filter(F.col("user_id") % 6 == 0).select(
+        "user_id",
+        F.lit("platinum").alias("tier"),
+        F.to_timestamp(F.lit("2024-01-21")).alias("eff"),
+    )
+    h1 = scd2_merge(
+        history,
+        gold,
+        key_cols=["user_id"],
+        tracked_cols=["tier"],
+        effective_col="eff",
+        broadcast_updates=True,
+    )
+    h2 = scoped_persist(
+        scd2_merge(
+            h1,
+            platinum,
+            key_cols=["user_id"],
+            tracked_cols=["tier"],
+            effective_col="eff",
+            broadcast_updates=True,
+        )
+    )
+    enriched = scd2_point_in_time(
+        events, h2, key_cols=["user_id"], ts_col="ts"
+    )
+    return enriched.groupBy("tier", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * F.lit(1000000.0)).cast("long")).alias(
+            "value_micros"
+        ),
+    )
+
+
+SQL_EVENTS_TIER_AT_TIME = """
+SELECT CASE
+         WHEN ts < TIMESTAMP '2024-01-11' THEN 'standard'
+         WHEN ts < TIMESTAMP '2024-01-21'
+           THEN CASE WHEN user_id % 3 = 0 THEN 'gold' ELSE 'standard' END
+         ELSE CASE WHEN user_id % 6 = 0 THEN 'platinum'
+                   WHEN user_id % 3 = 0 THEN 'gold'
+                   ELSE 'standard' END
+       END AS tier,
+       event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS value_micros
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2162,6 +2253,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_resize": q_multimodal_image_resize,
     "changelog_compaction": q_changelog_compaction,
     "scd2_customer_segments": q_scd2_customer_segments,
+    "events_tier_at_time": q_events_tier_at_time,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -2220,4 +2312,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "multimodal_image_resize": SQL_MULTIMODAL_IMAGE_RESIZE,
     "changelog_compaction": SQL_CHANGELOG_COMPACTION,
     "scd2_customer_segments": SQL_SCD2_CUSTOMER_SEGMENTS,
+    "events_tier_at_time": SQL_EVENTS_TIER_AT_TIME,
 }

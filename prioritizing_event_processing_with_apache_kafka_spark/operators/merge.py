@@ -34,10 +34,13 @@ these are engine additions for the training-data-pipeline mandate.
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["changelog_latest_snapshot", "scd2_merge"]
+__all__ = ["changelog_latest_snapshot", "scd2_merge", "scd2_point_in_time"]
 
 
 def changelog_latest_snapshot(
@@ -213,3 +216,54 @@ def scd2_merge(
         F.lit(True).alias(current_col),
     )
     return closed_rows.unionByName(existing).unionByName(brand_new)
+
+
+def scd2_point_in_time(
+    facts: DataFrame,
+    history: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+    broadcast_history: bool = True,
+) -> DataFrame:
+    """Enrich facts with the dimension attributes valid at fact time.
+
+    The canonical consumer of an SCD2 history: each fact row picks up
+    the tracked attributes from the interval containing its
+    timestamp — ``valid_from <= ts < valid_to`` (open rows have NULL
+    ``valid_to`` = infinity). Facts whose key has no covering
+    interval keep NULL attributes (left join).
+
+    A well-formed history partitions time per key, so each fact
+    matches at most one interval. The equality keys drive a hash
+    join; the interval predicate rides along as a join condition, so
+    with ``broadcast_history=True`` (dimensions are small next to
+    100 TB of facts) this is one broadcast hash join, zero shuffles
+    of the fact table. For a fact-sized history use
+    ``operators/rangejoin.py``'s bin-bucketed plan instead.
+    """
+    attr_cols = [
+        c
+        for c in history.columns
+        if c not in {*key_cols, valid_from_col, valid_to_col, current_col}
+    ]
+    f, h = facts.alias("__f"), history.alias("__h")
+    cond = functools.reduce(
+        operator.and_,
+        [F.col(f"__f.{k}") == F.col(f"__h.{k}") for k in key_cols],
+    )
+    cond = (
+        cond
+        & (F.col(f"__f.{ts_col}") >= F.col(f"__h.{valid_from_col}"))
+        & (
+            F.col(f"__h.{valid_to_col}").isNull()
+            | (F.col(f"__f.{ts_col}") < F.col(f"__h.{valid_to_col}"))
+        )
+    )
+    right = F.broadcast(h) if broadcast_history else h
+    return f.join(right, cond, "left").select(
+        "__f.*", *[F.col(f"__h.{c}").alias(c) for c in attr_cols]
+    )

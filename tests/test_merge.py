@@ -178,3 +178,76 @@ def test_scd2_null_tracked_values(spark):
         (None, "2024-06-01", None, True),
         ("x", "2024-01-01", "2024-06-01", False),
     ]
+
+
+class TestPointInTime:
+    def _history(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "a0", "2024-01-01 00:00:00", "2024-02-01 00:00:00", False),
+                (1, "a1", "2024-02-01 00:00:00", None, True),
+                (2, "b", "2024-01-01 00:00:00", None, True),
+            ],
+            "k long, seg string, valid_from string, valid_to string, is_current boolean",
+        ).selectExpr(
+            "k",
+            "seg",
+            "CAST(valid_from AS timestamp) AS valid_from",
+            "CAST(valid_to AS timestamp) AS valid_to",
+            "is_current",
+        )
+
+    def _facts(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, ts string").selectExpr(
+            "k", "CAST(ts AS timestamp) AS ts"
+        )
+
+    def test_interval_selection(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.merge import (
+            scd2_point_in_time,
+        )
+
+        facts = self._facts(
+            spark,
+            [
+                (1, "2024-01-15 12:00:00"),  # inside closed interval -> a0
+                (1, "2024-02-01 00:00:00"),  # boundary: >= from of a1 -> a1
+                (1, "2024-03-01 00:00:00"),  # open interval -> a1
+                (2, "2024-06-01 00:00:00"),  # open -> b
+                (3, "2024-01-15 00:00:00"),  # unknown key -> NULL
+            ],
+        )
+        out = scd2_point_in_time(
+            facts, self._history(spark), key_cols=["k"], ts_col="ts"
+        )
+        got = sorted((r["k"], str(r["ts"]), r["seg"]) for r in out.collect())
+        assert got == [
+            (1, "2024-01-15 12:00:00", "a0"),
+            (1, "2024-02-01 00:00:00", "a1"),
+            (1, "2024-03-01 00:00:00", "a1"),
+            (2, "2024-06-01 00:00:00", "b"),
+            (3, "2024-01-15 00:00:00", None),
+        ]
+
+    def test_fact_before_history_unmatched(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.merge import (
+            scd2_point_in_time,
+        )
+
+        facts = self._facts(spark, [(1, "2023-06-01 00:00:00")])
+        out = scd2_point_in_time(
+            facts, self._history(spark), key_cols=["k"], ts_col="ts"
+        )
+        assert [r["seg"] for r in out.collect()] == [None]
+
+    def test_broadcast_plan(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.merge import (
+            scd2_point_in_time,
+        )
+
+        facts = self._facts(spark, [(1, "2024-01-15 12:00:00")])
+        out = scd2_point_in_time(
+            facts, self._history(spark), key_cols=["k"], ts_col="ts"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan

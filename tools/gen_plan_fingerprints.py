@@ -43,6 +43,7 @@ GUARDED = [
     "decontamination_bloom",
     "changelog_compaction",
     "scd2_customer_segments",
+    "events_tier_at_time",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

@@ -57,6 +57,12 @@ PROBED = [
     "bucket_user_reach_hll",
     "embedding_kmeans",
     "lm_doc_score",
+    # round-5 merge surface: one-shuffle max_by compaction over the
+    # replicated documents; SCD2 point-in-time enrich over the
+    # replicated events (fact side scales, dimension side is built
+    # in-plan from distinct users and stays broadcast).
+    "changelog_compaction",
+    "events_tier_at_time",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
