@@ -14,7 +14,7 @@ def test_driver_head_names_exist():
 
 def test_rotation_preserves_the_full_surface():
     qs = entry.queries()
-    assert len(qs) >= 124
+    assert len(qs) >= 131
     # a duplicated name in _DRIVER_HEAD would silently shrink the
     # head-50 window's coverage (dicts dedupe, so check the LIST)
     assert len(entry._DRIVER_HEAD) == len(set(entry._DRIVER_HEAD))
