@@ -251,3 +251,73 @@ class TestPointInTime:
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestCompactionProperties:
+    """Brute-force cross-check: for ANY changelog, the distributed
+    max_by compaction equals a sequential dict replay."""
+
+    @staticmethod
+    def _reference(base_rows, change_rows):
+        state = {k: (0, text, False) for k, text in base_rows}
+        for k, text, version, is_delete in change_rows:
+            cur = state.get(k)
+            if cur is None or version > cur[0]:
+                state[k] = (version, text, is_delete)
+        return {
+            k: text for k, (v, text, dele) in state.items() if not dele
+        }
+
+    def test_random_changelogs(self, spark):
+        # Spark-backed property check: a handful of seeded random
+        # changelogs (per-example Spark jobs are too slow for
+        # hypothesis's default example counts; the layout kernel's
+        # pure-Python suites carry the 100s-of-examples load).
+        import random
+
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.merge import (
+            changelog_latest_snapshot,
+        )
+
+        rng = random.Random(20260814)
+        for _ in range(6):
+            n_keys = rng.randint(1, 12)
+            base_rows = [
+                (k, f"base-{k}")
+                for k in range(n_keys)
+                if rng.random() < 0.7
+            ]
+            change_rows = []
+            version = 0
+            for _ in range(rng.randint(0, 25)):
+                version += 1  # unique versions, contract-conform
+                change_rows.append(
+                    (
+                        rng.randrange(n_keys + 3),  # some brand-new keys
+                        f"v{version}",
+                        version,
+                        rng.random() < 0.25,
+                    )
+                )
+            base = spark.createDataFrame(
+                base_rows or [(999_999, "sentinel")], "k long, text string"
+            )
+            changes = spark.createDataFrame(
+                change_rows or [(999_998, "noop", 1, True)],
+                "k long, text string, version long, is_delete boolean",
+            )
+            got = {
+                r["k"]: r["text"]
+                for r in changelog_latest_snapshot(
+                    base,
+                    changes,
+                    key_cols=["k"],
+                    version_col="version",
+                    delete_col="is_delete",
+                ).collect()
+            }
+            expected = self._reference(
+                base_rows or [(999_999, "sentinel")],
+                change_rows or [(999_998, "noop", 1, True)],
+            )
+            assert got == expected, (base_rows, change_rows)
