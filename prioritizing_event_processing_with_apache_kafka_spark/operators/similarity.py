@@ -458,9 +458,10 @@ def semantic_neardup_pairs(
     *,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
-    k: int = 8,
+    k: int | str = 8,
     n_iter: int = 2,
     threshold: float = 0.4,
+    target_cluster_size: int = 5000,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs: k-means the
     embedding space, then score exact cosine only *within* each cluster.
@@ -474,6 +475,16 @@ def semantic_neardup_pairs(
     tasks. Recall is bounded by assignment: a pair split across two
     clusters is missed, which is the accepted SemDeDup trade-off.
 
+    A FIXED k is quadratic under growth (10× vectors with the same k
+    → 100× in-cluster pairs; measured 7.2× wall at 10× volume,
+    ``docs/artifacts/scale_probe_r05d_10x.json``). Pass ``k="auto"``
+    to size ``k = max(8, ceil(n / target_cluster_size))`` from a
+    count of the input, which pins the average cluster size — and
+    therefore per-cluster pair cost — as the corpus grows. The
+    oracle-checked registry query keeps the fixture-pinned k=8 so its
+    DuckDB k-means replay stays static; auto-k is the production
+    configuration.
+
     Clustering reuses :func:`..clustering.kmeans_assignments`
     (deterministic seeding, rounded distances), so the full output —
     cluster ids included — is reproducible and oracle-checkable.
@@ -485,6 +496,10 @@ def semantic_neardup_pairs(
         kmeans_assignments,
     )
 
+    if k == "auto":
+        import math
+
+        k = max(8, math.ceil(vecs.count() / target_cluster_size))
     assigned = kmeans_assignments(
         vecs, vector_col=vector_col, id_col=id_col, k=k, n_iter=n_iter
     ).select(id_col, "cluster")

@@ -675,6 +675,32 @@ class TestSemanticDedup:
         assert set(sem) <= truth  # precision is exact: no false pairs
         assert len(sem) > 0
 
+    def test_auto_k_resolves_and_keeps_exact_precision(self, spark):
+        # 60 vectors in two near-orthogonal blobs; target_cluster_size=30
+        # -> k = max(8, ceil(60/30)) = 8. Auto-k must resolve the
+        # sentinel to an int k-means, and the SemDeDup contract must
+        # hold: precision is exact (no cross-blob pair can score
+        # cosine >= 0.9), pairs are non-empty, recall is bounded by
+        # co-clustering (k=8 may split a blob into sub-clusters, so
+        # equality with the full same-blob truth set is NOT asserted).
+        rows = []
+        for i in range(60):
+            base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+            rows.append((i, [c + 0.0005 * i for c in base]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        pairs = S.semantic_neardup_pairs(
+            df, k="auto", n_iter=2, threshold=0.9, target_cluster_size=30
+        ).collect()
+        got = {(r.x, r.y) for r in pairs}
+        same_blob = {
+            (x, y) for x in range(60) for y in range(60)
+            if x < y and x % 2 == y % 2
+        }
+        assert got and got <= same_blob
+        # auto-k actually spreads the space: more than the 2 natural
+        # blobs' worth of cluster ids appear (k=8 was honored).
+        assert len({r.cluster for r in pairs}) > 2
+
 
 class TestIncrementalDedup:
     def test_new_batch_matches_history_via_signature_store(self, spark):

@@ -70,6 +70,11 @@ PROBED = [
 # skippable at large N via --no-dedup.
 DEDUP_PROBES = [
     "dedup_minhash_lsh",
+    # the two 10x-bench heavyweights (bench_10x_r05.json): both
+    # shingle-volume-bound, both expected sub-linear — track them so a
+    # regression to super-linear growth is visible per round.
+    "decontamination_bloom",
+    "semantic_dedup",
 ]
 
 # Bump when the replica construction changes so stale /tmp replicas
