@@ -48,7 +48,34 @@ _DRIVER_HEAD = [
     "starved_discard_audit",
     "assignment_golden",
     "bucket_allocation_vs_load",
-    # never driver-drawn through r04 — dedup family
+    # round-6 head: the 18 queries never driver-drawn through r05
+    # (10 TPC-H tail + 8 late round-5 additions) — after this round
+    # every declared query has at least one driver-green draw.
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q12_priority_by_lateness",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_filter",
+    "q20_excess_shippers",
+    "q22_idle_customers",
+    "heavy_hitter_users",
+    "corpus_diff_status",
+    "decontamination_bloom",
+    "stream_enriched_segments",
+    "stream_error_purchase_pairs",
+    "changelog_compaction",
+    "scd2_customer_segments",
+    "events_tier_at_time",
+    # new round-6 queries (zero prior draws) — drawn immediately;
+    # semantic_dedup re-drawn because its declared shape changed to
+    # the scale-safe k="auto" (oracle unchanged: auto-k = 8 at
+    # fixture scale).
+    "scd2_stream_history",
+    "semantic_dedup",
+    # drawn once (r05) — dedup family
     "dedup_minhash_oph",
     "dedup_edit_distance",
     "dedup_incremental",
@@ -59,7 +86,6 @@ _DRIVER_HEAD = [
     "curation_funnel",
     "dedup_components",
     "dedup_pagerank",
-    "semantic_dedup",
     # never drawn — text / LM scoring
     "term_doc_frequency",
     "tfidf_top_terms",
@@ -93,32 +119,11 @@ _DRIVER_HEAD = [
     "user_value_ewma",
     "bucket_hourly_anomaly",
     "salted_segment_revenue",
-    # never drawn — TPC-H tail (4 distinct join/agg shapes; the other
-    # ten are queued first for the round-6 rotation)
+    # drawn once (r05) — TPC-H shapes
     "q4_order_priority",
     "q9_profit_by_nation_year",
     "q13_order_count_distribution",
     "q21_waiting_suppliers",
-    # remaining never-drawn TPC-H tail, next in line
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q12_priority_by_lateness",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q19_disjunctive_filter",
-    "q20_excess_shippers",
-    "q22_idle_customers",
-    # round-5 additions, also queued for the round-6 head
-    "heavy_hitter_users",
-    "corpus_diff_status",
-    "decontamination_bloom",
-    "stream_enriched_segments",
-    "stream_error_purchase_pairs",
-    "changelog_compaction",
-    "scd2_customer_segments",
-    "events_tier_at_time",
 ]
 
 

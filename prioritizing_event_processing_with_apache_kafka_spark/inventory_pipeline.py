@@ -516,12 +516,20 @@ SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, d2 FROM a1
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup: k-means the embedding space (k=8, 2 Lloyd iterations),
-    then exact cosine near-dup pairs within each cluster only."""
+    """SemDeDup: k-means the embedding space, then exact cosine near-dup
+    pairs within each cluster only. The declared query runs the
+    SCALE-SAFE configuration ``k="auto"`` — k = max(8, ceil(n/5000)) —
+    which pins the average cluster size (and so the Σ cluster² pair
+    cost) as the corpus grows; a fixed k is quadratic under growth
+    (measured 7.2× wall at 10× volume before this change). At every
+    fixture scale (n ≤ 2000) auto-k deterministically resolves to 8,
+    so the unrolled k=8 DuckDB k-means oracle remains bit-exact; the
+    oracle is valid while n ≤ 40 000 (above that auto-k grows past 8
+    by design). Fixed-k behaviour stays covered by unit tests."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.semantic_neardup_pairs(emb, k=8, n_iter=2, threshold=0.4).withColumn(
-        "cluster", F.col("cluster").cast("int")
-    )
+    return S.semantic_neardup_pairs(
+        emb, k="auto", n_iter=2, threshold=0.4
+    ).withColumn("cluster", F.col("cluster").cast("int"))
 
 
 SQL_SEMANTIC_DEDUP = f"""
@@ -1993,8 +2001,13 @@ def q_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).alias("version"),
         F.lit(True).alias("is_delete"),
     )
+    # Synthetic insert keys live in the NEGATIVE key space: real
+    # doc_ids are non-negative at every scale/replica factor, so the
+    # inserts can never collide with a real key (a fixed +100000
+    # offset would collide once replicas push max(doc_id) past it,
+    # creating v1-vs-v1 ties that max_by breaks nondeterministically).
     inserts = docs.filter(F.col("doc_id") % 50 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
         F.concat(F.lit("new "), F.col("text")).alias("text"),
         "source",
         F.lit(1).alias("version"),
@@ -2018,7 +2031,7 @@ WITH all_rows AS (
   UNION ALL
   SELECT doc_id, text, source, 2, TRUE FROM documents WHERE doc_id % 10 = 0
   UNION ALL
-  SELECT doc_id + 100000, 'new ' || text, source, 1, FALSE
+  SELECT -(doc_id + 1), 'new ' || text, source, 1, FALSE
   FROM documents WHERE doc_id % 50 = 0
 ), ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
@@ -2058,8 +2071,10 @@ def q_scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     noop = cust.filter(
         (F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 5 != 0)
     ).select("c_custkey", "c_mktsegment")
+    # Brand-new keys in the negative key space — disjoint from real
+    # custkeys at any scale/replica factor (see changelog_compaction).
     fresh = cust.filter(F.col("c_custkey") % 97 == 0).select(
-        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        (-(F.col("c_custkey") + 1)).alias("c_custkey"),
         F.lit("NEWSEG").alias("c_mktsegment"),
     )
     updates = (
@@ -2084,7 +2099,7 @@ WITH upd AS (
   SELECT c_custkey, c_mktsegment FROM customer
   WHERE c_custkey % 7 = 0 AND c_custkey % 5 <> 0
   UNION ALL
-  SELECT c_custkey + 1000000, 'NEWSEG' FROM customer WHERE c_custkey % 97 = 0
+  SELECT -(c_custkey + 1), 'NEWSEG' FROM customer WHERE c_custkey % 97 = 0
 )
 SELECT c.c_custkey,
        c.c_mktsegment,
@@ -2176,6 +2191,7 @@ def q_events_tier_at_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EVENTS_TIER_AT_TIME = """
 SELECT CASE
+         WHEN ts < TIMESTAMP '2024-01-01' THEN NULL
          WHEN ts < TIMESTAMP '2024-01-11' THEN 'standard'
          WHEN ts < TIMESTAMP '2024-01-21'
            THEN CASE WHEN user_id % 3 = 0 THEN 'gold' ELSE 'standard' END
@@ -2188,6 +2204,129 @@ SELECT CASE
        SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS value_micros
 FROM events
 GROUP BY 1, 2
+"""
+
+
+def q_scd2_stream_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 maintainer (streaming/dimension.py), driven end to
+    end by a REAL Structured Streaming file source: the ``customer``
+    dimension is seeded as version-0 history (everyone open since
+    2024-01-01), a two-batch changelog is staged as two parquet files
+    with strictly increasing modification times, and
+    ``foreachBatch(scd2_apply_batch)`` consumes them availableNow with
+    ``maxFilesPerTrigger=1`` — so the maintainer runs its actual
+    versioned-parquet exactly-once protocol (version n = batch n + 1,
+    dynamic partition overwrite), not a batch shortcut.
+
+    Batch 0 (effective 2024-03-01): ``c_custkey % 5 == 0`` changes
+    segment to ``<seg>-B1``. Batch 1 (effective 2024-06-01):
+    ``c_custkey % 7 == 0`` changes to ``<seg>-B2``. Keys divisible by
+    both therefore accrue a THREE-row chain (seed closed at 03-01, B1
+    closed at 06-01, B2 open) — the shape only a correctly ordered
+    two-batch merge produces; a single collapsed latest-wins batch
+    would drop the middle version and hash-mismatch. The oracle
+    rebuilds the expected final history arithmetically from the
+    customer table. Validity bounds are ISO strings (exact across
+    engines). The returned frame is eagerly localCheckpoint-ed so the
+    temp history/checkpoint dirs can be removed before the driver
+    collects."""
+    import os
+    import shutil
+    import tempfile
+
+    from prioritizing_event_processing_with_apache_kafka_spark.streaming.dimension import (
+        scd2_current,
+        scd2_foreach_batch,
+        scd2_init_history,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    root = tempfile.mkdtemp(prefix="peps-scd2-stream-")
+    changelog_dir = os.path.join(root, "changelog")
+    history_path = os.path.join(root, "history")
+    chk = os.path.join(root, "chk")
+    os.makedirs(changelog_dir)
+    try:
+        scd2_init_history(cust, history_path, valid_from="2024-01-01")
+        batches = [
+            (
+                cust.filter(F.col("c_custkey") % 5 == 0).select(
+                    "c_custkey",
+                    F.concat(F.col("c_mktsegment"), F.lit("-B1")).alias(
+                        "c_mktsegment"
+                    ),
+                    F.lit("2024-03-01").alias("effective"),
+                ),
+                "2024-03-01",
+            ),
+            (
+                cust.filter(F.col("c_custkey") % 7 == 0).select(
+                    "c_custkey",
+                    F.concat(F.col("c_mktsegment"), F.lit("-B2")).alias(
+                        "c_mktsegment"
+                    ),
+                    F.lit("2024-06-01").alias("effective"),
+                ),
+                "2024-06-01",
+            ),
+        ]
+        # Stage each batch as ONE parquet file with a strictly later
+        # mtime than its predecessor — FileStreamSource orders files by
+        # modification time, so batch boundaries AND order are exact.
+        schema = None
+        for i, (b, _eff) in enumerate(batches):
+            stage = os.path.join(root, f"stage{i}")
+            b.coalesce(1).write.parquet(stage)
+            part = next(
+                p for p in os.listdir(stage) if p.endswith(".parquet")
+            )
+            dst = os.path.join(changelog_dir, f"batch-{i}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 3600,) * 2)
+            schema = b.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(changelog_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                scd2_foreach_batch(
+                    history_path=history_path,
+                    key_cols=["c_custkey"],
+                    tracked_cols=["c_mktsegment"],
+                    effective_col="effective",
+                    broadcast_updates=True,
+                )
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # Eager, lineage-truncating materialization: the result must
+        # outlive the temp dirs removed below.
+        return scd2_current(spark, history_path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_SCD2_STREAM_HISTORY = """
+WITH c AS (SELECT c_custkey AS k, c_mktsegment AS s FROM customer)
+SELECT k AS c_custkey, s AS c_mktsegment,
+       '2024-01-01' AS valid_from,
+       CASE WHEN k % 5 = 0 THEN '2024-03-01'
+            WHEN k % 7 = 0 THEN '2024-06-01' END AS valid_to,
+       (k % 5 <> 0 AND k % 7 <> 0) AS is_current
+FROM c
+UNION ALL
+SELECT k, s || '-B1', '2024-03-01',
+       CASE WHEN k % 7 = 0 THEN '2024-06-01' END,
+       k % 7 <> 0
+FROM c WHERE k % 5 = 0
+UNION ALL
+SELECT k, s || '-B2', '2024-06-01', NULL, TRUE
+FROM c WHERE k % 7 = 0
 """
 
 
@@ -2254,6 +2393,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "changelog_compaction": q_changelog_compaction,
     "scd2_customer_segments": q_scd2_customer_segments,
     "events_tier_at_time": q_events_tier_at_time,
+    "scd2_stream_history": q_scd2_stream_history,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -2313,4 +2453,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "changelog_compaction": SQL_CHANGELOG_COMPACTION,
     "scd2_customer_segments": SQL_SCD2_CUSTOMER_SEGMENTS,
     "events_tier_at_time": SQL_EVENTS_TIER_AT_TIME,
+    "scd2_stream_history": SQL_SCD2_STREAM_HISTORY,
 }

@@ -150,8 +150,15 @@ def scd2_merge(
         *[F.col(f"__u.{c}").alias(f"__new_{c}") for c in tracked_cols],
         F.col(f"__u.{effective_col}").alias("__eff"),
     )
-    has_open = F.col(valid_from_col).isNotNull()
-    has_upd = F.col("__eff").isNotNull()
+    # Presence on each side of the outer join is detected via literal
+    # marker columns, NOT via nullability of data columns: an open row
+    # whose valid_from is legitimately NULL (the schema permits it)
+    # must still be recognized as existing history, and an update
+    # whose effective timestamp is NULL must still count as an update.
+    open_side = open_rows.withColumn("__has_open", F.lit(True))
+    upd = upd.withColumn("__has_upd", F.lit(True))
+    has_open = F.col("__has_open").isNotNull()
+    has_upd = F.col("__has_upd").isNotNull()
     same = F.struct(*[F.col(c) for c in tracked_cols]).eqNullSafe(
         F.struct(*[F.col(f"__new_{c}").alias(c) for c in tracked_cols])
     )
@@ -189,7 +196,7 @@ def scd2_merge(
     )
 
     if not broadcast_updates:
-        j = open_rows.join(upd, key_cols, "full_outer")
+        j = open_side.join(upd, key_cols, "full_outer")
         merged_open = j.select(*key_cols, F.explode(emitted).alias("__r")).select(
             *key_cols, "__r.*"
         )
@@ -201,7 +208,7 @@ def scd2_merge(
     # (b) brand-new keys, isolated by a broadcast semi/anti pair whose
     # intermediate (open keys that have an update) is at most
     # batch-sized. The dimension is never shuffled.
-    j = open_rows.join(F.broadcast(upd), key_cols, "left")
+    j = open_side.join(F.broadcast(upd), key_cols, "left")
     existing = j.select(*key_cols, F.explode(emitted).alias("__r")).select(
         *key_cols, "__r.*"
     )

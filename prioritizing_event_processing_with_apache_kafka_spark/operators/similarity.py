@@ -496,9 +496,16 @@ def semantic_neardup_pairs(
         kmeans_assignments,
     )
 
-    if k == "auto":
+    if isinstance(k, str):
+        if k != "auto":
+            raise ValueError(
+                f"k must be an int or the literal 'auto', got {k!r}"
+            )
         import math
 
+        # One eager count of the input — acceptable: auto-k exists
+        # precisely because n is unknown, and the count is a
+        # column-pruned scan, not a shuffle.
         k = max(8, math.ceil(vecs.count() / target_cluster_size))
     assigned = kmeans_assignments(
         vecs, vector_col=vector_col, id_col=id_col, k=k, n_iter=n_iter
