@@ -151,3 +151,84 @@ def test_apply_without_seed_raises(spark, tmp_path):
     path = str(tmp_path / "nope")
     with pytest.raises(FileNotFoundError):
         _apply(spark, path, [(1, "z", "2024-02-01")], 0)
+
+
+def test_crash_after_version_write_heals_on_replay(spark, tmp_path):
+    """Failure injection: the maintainer dies AFTER writing its output
+    version but BEFORE the streaming checkpoint commits — the worst
+    spot, because a naive 'read latest version' merge would now merge
+    the replayed batch on top of its OWN (possibly torn) output,
+    double-closing rows. Worse still, the pre-crash write may be TORN
+    (partial rows). The replay must (a) re-read the parent version,
+    not the orphan, and (b) fully replace the orphan partition."""
+    from prioritizing_event_processing_with_apache_kafka_spark.streaming.dimension import (
+        _write_version,
+    )
+
+    path = str(tmp_path / "dim")
+    _seed(spark, path)
+    _apply(spark, path, [(1, "seg-a2", "2024-02-01")], 0)  # version 1
+
+    # Crash simulation: batch 1's output (version 2) lands TORN — only
+    # one of the merged rows got written before the process died, and
+    # the checkpoint never committed batch 1.
+    torn = spark.createDataFrame(
+        [(999, "torn-garbage", "2024-03-01", None, False)],
+        "k long, seg string, valid_from string, valid_to string, is_current boolean",
+    )
+    _write_version(torn, path, 2)
+
+    # Streaming replay re-delivers batch 1 (at-least-once).
+    _apply(
+        spark, path, [(1, "seg-a3", "2024-03-01"), (9, "seg-new", "2024-03-01")], 1
+    )
+
+    ref = str(tmp_path / "dim_ref")
+    _seed(spark, ref)
+    _apply(spark, ref, [(1, "seg-a2", "2024-02-01")], 0)
+    _apply(
+        spark, ref, [(1, "seg-a3", "2024-03-01"), (9, "seg-new", "2024-03-01")], 1
+    )
+    healed = _snapshot(spark, path)
+    assert healed == _snapshot(spark, ref)
+    assert not any(k == 999 for (k, _seg) in healed)  # orphan fully replaced
+
+
+def test_double_crash_replay_chain(spark, tmp_path):
+    """Two consecutive replays of the same batch (crash, replay, crash
+    again before commit, replay again) still converge to the clean
+    chain — idempotence holds under REPEATED failure, not just one."""
+    path = str(tmp_path / "dim")
+    _seed(spark, path)
+    _apply(spark, path, [(2, "seg-b2", "2024-02-01")], 0)
+    before = _snapshot(spark, path)
+    for _ in range(2):
+        _apply(spark, path, [(2, "seg-b2", "2024-02-01")], 0)
+    assert _snapshot(spark, path) == before
+
+
+def test_multi_key_collision_batch(spark, tmp_path):
+    """One micro-batch carrying colliding work across keys: the same
+    key updated twice (latest effective wins, the intermediate never
+    lands), an idempotent re-delivery of the current value (no-op),
+    and a brand-new key — all in a single merge."""
+    path = str(tmp_path / "dim")
+    _seed(spark, path)
+    _apply(
+        spark,
+        path,
+        [
+            (1, "seg-a1", "2024-02-01"),  # same key twice: earlier...
+            (1, "seg-a2", "2024-03-01"),  # ...and later — later wins
+            (2, "seg-b", "2024-03-01"),  # identical to current: no-op
+            (9, "seg-new", "2024-03-01"),  # brand-new key
+        ],
+        0,
+    )
+    assert _snapshot(spark, path) == {
+        (1, "seg-a"): ("2024-01-01", "2024-03-01", False),
+        (1, "seg-a2"): ("2024-03-01", None, True),
+        (2, "seg-b"): ("2024-01-01", None, True),
+        (3, "seg-c"): ("2024-01-01", None, True),
+        (9, "seg-new"): ("2024-03-01", None, True),
+    }

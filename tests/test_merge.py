@@ -45,6 +45,30 @@ def test_compaction_latest_wins_and_tombstone(spark):
     assert got == {1: "alpha v2", 3: "charlie", 4: "delta"}
 
 
+def test_compaction_tombstone_then_resurrect(spark):
+    """The reverse collision: a key tombstoned at a LOW version and
+    re-inserted at a higher one must resurrect — deletes are ordinary
+    versioned entries, not terminal states."""
+    base = _base(spark)
+    changes = spark.createDataFrame(
+        [
+            (1, None, 1, True),  # tombstone first...
+            (1, "alpha reborn", 2, False),  # ...then a higher-version insert
+            (3, None, 4, True),
+            (3, "charlie v3", 3, False),  # outranked: key stays deleted
+        ],
+        "k long, text string, version long, is_delete boolean",
+    )
+    got = {
+        r["k"]: r["text"]
+        for r in changelog_latest_snapshot(
+            base, changes, key_cols=["k"], version_col="version",
+            delete_col="is_delete",
+        ).collect()
+    }
+    assert got == {1: "alpha reborn", 2: "bravo"}
+
+
 def test_compaction_no_deletes_arg(spark):
     base = _base(spark)
     changes = spark.createDataFrame(
@@ -251,6 +275,159 @@ class TestPointInTime:
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestScd2Properties:
+    """Hypothesis property suite: for ANY seed dimension + batch
+    sequence, the distributed scd2_merge chain equals a sequential
+    per-key replay, and the SCD2 structural invariants hold — per key
+    exactly one open row, validity intervals partition time (each
+    closed row's valid_to is the next row's valid_from), and
+    re-delivering the final batch is a no-op."""
+
+    SEGS = ["red", "green", "blue", None]  # None exercises null-safe compare
+
+    @staticmethod
+    def _key(row):
+        # None-safe total order (tuples mix str and None)
+        return tuple((v is None, v if v is not None else "") for v in row)
+
+    @staticmethod
+    def _replay(seed_rows, batches):
+        """Sequential per-key reference (plain Python)."""
+        hist = {k: [[seg, "2024-01-01", None, True]] for k, seg in seed_rows}
+        for batch in batches:
+            latest = {}
+            for k, seg, eff in batch:
+                if k not in latest or eff > latest[k][1]:
+                    latest[k] = (seg, eff)
+            for k, (seg, eff) in latest.items():
+                rows = hist.setdefault(k, [])
+                open_row = next((r for r in rows if r[3]), None)
+                if open_row is None:
+                    rows.append([seg, eff, None, True])
+                elif open_row[0] == seg:  # None == None is a no-op
+                    continue
+                else:
+                    open_row[2] = eff
+                    open_row[3] = False
+                    rows.append([seg, eff, None, True])
+        return sorted(
+            ((k, r[0], r[1], r[2], r[3]) for k, rows in hist.items() for r in rows),
+            key=TestScd2Properties._key,
+        )
+
+    @classmethod
+    def _scenario_strategy(cls):
+        from hypothesis import strategies as st
+
+        keys = st.integers(0, 5)
+        segs = st.sampled_from(cls.SEGS)
+
+        @st.composite
+        def scenario(draw):
+            seed_keys = draw(
+                st.lists(keys, unique=True, min_size=1, max_size=5)
+            )
+            seed_rows = [(k, draw(segs)) for k in seed_keys]
+            batches = []
+            for i in range(draw(st.integers(1, 3))):
+                batch = []
+                for k in draw(st.lists(keys, unique=True, max_size=4)):
+                    days = draw(
+                        st.lists(
+                            st.integers(1, 28),
+                            unique=True,
+                            min_size=1,
+                            max_size=2,
+                        )
+                    )
+                    for d in days:
+                        batch.append((k, draw(segs), f"2024-0{i + 3}-{d:02d}"))
+                batches.append(batch)
+            return seed_rows, batches
+
+        return scenario()
+
+    def test_scd2_equals_sequential_replay(self, spark):
+        from hypothesis import HealthCheck, given, settings
+
+        schema_h = (
+            "k long, seg string, valid_from string, "
+            "valid_to string, is_current boolean"
+        )
+        schema_u = "k long, seg string, eff string"
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(self._scenario_strategy())
+        def run(scenario):
+            seed_rows, batches = scenario
+            hist = spark.createDataFrame(
+                [(k, s, "2024-01-01", None, True) for k, s in seed_rows],
+                schema_h,
+            )
+            for i, batch in enumerate(batches):
+                updates = spark.createDataFrame(batch, schema_u)
+                hist = scd2_merge(
+                    hist,
+                    updates,
+                    key_cols=["k"],
+                    tracked_cols=["seg"],
+                    effective_col="eff",
+                    # alternate plans so both join strategies are property-checked
+                    broadcast_updates=(i % 2 == 1),
+                )
+            got = sorted(
+                (
+                    (r["k"], r["seg"], r["valid_from"], r["valid_to"], r["is_current"])
+                    for r in hist.collect()
+                ),
+                key=self._key,
+            )
+            expected = self._replay(seed_rows, batches)
+            assert got == expected, (seed_rows, batches)
+
+            # structural invariants on the final history
+            by_key = {}
+            for k, seg, vf, vt, cur in got:
+                by_key.setdefault(k, []).append((vf, vt, cur))
+            for k, rows in by_key.items():
+                assert sum(1 for _vf, _vt, cur in rows if cur) == 1, k
+                rows.sort(key=lambda r: r[0])
+                for (_f1, t1, _c1), (f2, _t2, _c2) in zip(rows, rows[1:]):
+                    assert t1 == f2, (k, rows)  # intervals chain exactly
+                assert rows[-1][1] is None  # the open row is last
+
+            # idempotent re-delivery of the final batch
+            if batches and batches[-1]:
+                updates = spark.createDataFrame(batches[-1], schema_u)
+                again = scd2_merge(
+                    hist,
+                    updates,
+                    key_cols=["k"],
+                    tracked_cols=["seg"],
+                    effective_col="eff",
+                )
+                got2 = sorted(
+                    (
+                        (
+                            r["k"],
+                            r["seg"],
+                            r["valid_from"],
+                            r["valid_to"],
+                            r["is_current"],
+                        )
+                        for r in again.collect()
+                    ),
+                    key=self._key,
+                )
+                assert got2 == got, (seed_rows, batches)
+
+        run()
 
 
 class TestCompactionProperties:
