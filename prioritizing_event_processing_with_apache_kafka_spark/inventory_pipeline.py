@@ -604,17 +604,19 @@ WHERE g.i * 64 < strlen(text)
 
 
 def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode end-to-end: deterministic PPM (even doc_ids)
-    and 24-bit BMP (odd doc_ids) payloads are synthesized per document,
+    """REAL image decode end-to-end over a MIXED-format fixture:
+    deterministic PNG (doc_id % 3 == 0 — the compressed path, stdlib
+    zlib + per-filter unfiltering), PPM (remaining even doc_ids) and
+    24-bit BMP (remaining odd) payloads are synthesized per document,
     then decoded back by the pure-numpy codecs in
-    ``operators/multimodal.py`` (``decode_ppm`` / ``decode_bmp``) and
-    reduced to dimensions + exact per-channel pixel sums — all inside
-    Arrow-batched ``mapInPandas``, partition-parallel, no driver
-    involvement. The pixel pattern is a pure function of doc_id
-    (R[i] = (doc_id+i) % 256, G = 255-R, B = doc_id % 256), so the
-    DuckDB oracle recomputes every channel sum arithmetically: a single
-    flipped byte, padding-row mistake, or BGR/RGB swap in the decoder
-    breaks the hash match."""
+    ``operators/multimodal.py`` and reduced to dimensions + exact
+    per-channel pixel sums — all inside Arrow-batched ``mapInPandas``,
+    partition-parallel, no driver involvement. The pixel pattern is a
+    pure function of doc_id (R[i] = (doc_id+i) % 256, G = 255-R,
+    B = doc_id % 256), so the DuckDB oracle recomputes every channel
+    sum arithmetically: a single flipped byte, padding-row mistake,
+    filter-reversal bug, or BGR/RGB swap in any decoder breaks the
+    hash match."""
     docs = load_table(spark, sf_dir, "documents")
     return M.decode_image_features(M.synth_image_blobs(docs))
 
@@ -622,7 +624,8 @@ def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MULTIMODAL_IMAGE_DECODE = """
 WITH dims AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 2 = 0 THEN 'image/x-portable-pixmap'
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 2 = 0 THEN 'image/x-portable-pixmap'
               ELSE 'image/bmp' END AS format,
          4 + doc_id % 5 AS width,
          3 + doc_id % 4 AS height
@@ -846,7 +849,8 @@ WHERE CAST(len(list_intersect(nx.shingles, oy.shingles)) AS DOUBLE)
 
 
 def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full multimodal round trip: synthesize PPM/BMP payloads, decode,
+    """Full multimodal round trip: synthesize PNG/PPM/BMP payloads
+    (mixed fixture — see q_multimodal_image_decode), decode,
     nearest-neighbor-resize to 3×2, RE-ENCODE in the same format, then
     decode again and reduce to channel sums. Exercises decoder AND
     encoder inside the distributed path; the floor-convention sampling
@@ -863,7 +867,8 @@ def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MULTIMODAL_IMAGE_RESIZE = """
 WITH dims AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 2 = 0 THEN 'image/x-portable-pixmap'
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 2 = 0 THEN 'image/x-portable-pixmap'
               ELSE 'image/bmp' END AS format,
          4 + doc_id % 5 AS width,
          3 + doc_id % 4 AS height

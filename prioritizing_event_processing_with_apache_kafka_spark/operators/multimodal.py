@@ -5,13 +5,14 @@ typed metadata struct; decode/feature-extraction runs as Arrow-batched
 ``mapInPandas`` so the heavy per-item work is vectorized per partition
 and never bottlenecks the driver.
 
-REAL image decode is implemented for the two uncompressed formats a
-pure numpy decoder can own outright — binary PPM (P6) and 24-bit
-uncompressed BMP (``decode_image``, round-trip-tested against the
-matching encoders). Compressed formats (JPEG/PNG) and audio/video
-still route through ``decode_stub``'s explicit ``NotImplementedError``
-seam: the container ships no codec libraries, and a half-real JPEG
-parser would be worse than an honest boundary. ``extract_features``
+REAL image decode is implemented for the three formats stdlib + numpy
+can own outright — binary PPM (P6), 24-bit uncompressed BMP, and
+8-bit truecolor non-interlaced PNG (DEFLATE via stdlib ``zlib``, all
+five scanline filters unfiltered in numpy) — each round-trip-tested
+against the matching encoder. JPEG and audio/video still route
+through ``decode_stub``'s explicit ``NotImplementedError`` seam: the
+container ships no codec libraries, and a half-real JPEG parser would
+be worse than an honest boundary. ``extract_features``
 additionally computes a byte-level feature set for ANY payload, so the
 Spark-side plumbing — binary schema, Arrow batch shapes,
 partition-parallel UDF execution, metadata passthrough — is exercised
@@ -37,6 +38,8 @@ __all__ = [
     "decode_image_features",
     "encode_ppm",
     "encode_bmp",
+    "encode_png",
+    "decode_png",
     "extract_features",
     "resize_images",
     "resize_payloads",
@@ -199,15 +202,151 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return bgr[:, :, ::-1].copy()  # BGR → RGB
 
 
+# --- PNG (8-bit RGB truecolor, non-interlaced) -----------------------------
+# Pure stdlib-zlib + numpy: DEFLATE is in the standard library, so a
+# compressed format is decodable without any codec dependency. The
+# decoder handles every scanline filter the spec defines (None/Sub/Up/
+# Average/Paeth); the encoder emits filter 0 (the decoder's round-trip
+# partner) — filter choice only affects compression ratio, not pixels.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an 8-bit truecolor,
+    non-interlaced PNG (filter 0 scanlines, one zlib IDAT)."""
+    import zlib
+
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) array, got shape {arr.shape}")
+    h, w, _ = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.ascontiguousarray(arr, dtype=np.uint8).reshape(h, w * 3)
+    scanlines = np.zeros((h, w * 3 + 1), dtype=np.uint8)
+    scanlines[:, 1:] = raw  # filter byte 0 per row
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scanlines.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(scanlines: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (bpp=3). Filters None/Sub/Up are
+    vectorized (Sub is a per-channel running sum, exact under mod-256
+    because addition commutes with the modulus); Average/Paeth need the
+    reconstructed left neighbor, so they walk the row — fine for the
+    fixture sizes, and rows are independent of nothing above them only
+    in filter 0/1, so rows process top-down."""
+    bpp = 3
+    rowlen = w * bpp
+    out = np.zeros((h, rowlen), dtype=np.uint8)
+    prev = np.zeros(rowlen, dtype=np.int64)
+    for y in range(h):
+        ftype = int(scanlines[y, 0])
+        row = scanlines[y, 1:].astype(np.int64)
+        if ftype == 0:
+            rec = row
+        elif ftype == 1:  # Sub
+            rec = row.reshape(w, bpp).cumsum(axis=0).reshape(rowlen)
+        elif ftype == 2:  # Up
+            rec = row + prev
+        elif ftype == 3:  # Average
+            rec = np.zeros(rowlen, dtype=np.int64)
+            for x in range(rowlen):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (row[x] + ((left + prev[x]) >> 1)) & 255
+        elif ftype == 4:  # Paeth
+            rec = np.zeros(rowlen, dtype=np.int64)
+            for x in range(rowlen):
+                a = rec[x - bpp] if x >= bpp else 0  # left
+                b = prev[x]  # up
+                c = prev[x - bpp] if x >= bpp else 0  # upper-left
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                rec[x] = (row[x] + pred) & 255
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype} on row {y}")
+        rec = rec & 255
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, bpp)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit truecolor (color type 2), non-interlaced PNG to
+    an (H, W, 3) uint8 RGB array. Chunk CRCs are verified; palette/
+    grayscale/alpha/interlaced variants raise through the explicit
+    unsupported-format path (they need conversion policy decisions a
+    data engine shouldn't take silently)."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    w = h = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, ctype_col, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype_col, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit truecolor non-interlaced PNG supported "
+                    f"(depth={depth}, color={ctype_col}, interlace={interlace})"
+                )
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    need = h * (w * 3 + 1)
+    if len(raw) != need:
+        raise ValueError(f"PNG scanline data {len(raw)} != {need} expected")
+    scanlines = np.frombuffer(raw, dtype=np.uint8).reshape(h, w * 3 + 1)
+    return _png_unfilter(scanlines, w, h)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an (H, W, 3) uint8 RGB array,
-    dispatching on magic bytes. PPM (P6) and 24-bit BMP decode for
-    real; anything else falls through to ``decode_stub``'s explicit
-    not-implemented seam (compressed formats need a codec library)."""
+    dispatching on magic bytes. PPM (P6), 24-bit BMP, and 8-bit RGB
+    PNG decode for real; anything else falls through to
+    ``decode_stub``'s explicit not-implemented seam (JPEG and
+    audio/video codecs aren't expressible with stdlib primitives)."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(payload)
     return decode_stub(payload, f"unknown(magic={payload[:2]!r})")
 
 
@@ -366,17 +505,23 @@ def _synth_pixels(doc_id: int) -> np.ndarray:
 
 
 def synth_image_blobs(documents: DataFrame) -> DataFrame:
-    """One deterministic image payload per document row — even doc_ids
-    encode as PPM, odd as BMP, so both codecs run in every partition.
-    Arrow-batched ``mapInPandas``: generation (like real ingest decode)
-    is partition-parallel and never touches the driver."""
+    """One deterministic image payload per document row — a
+    mixed-format fixture so all three real codecs run in every
+    partition: ``doc_id % 3 == 0`` encodes as PNG (the compressed
+    path), the remaining even doc_ids as PPM, the remaining odd as
+    24-bit BMP. Arrow-batched ``mapInPandas``: generation (like real
+    ingest decode) is partition-parallel and never touches the
+    driver."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, fmts, payloads = [], [], []
             for doc_id in pdf["doc_id"]:
                 arr = _synth_pixels(int(doc_id))
-                if doc_id % 2 == 0:
+                if doc_id % 3 == 0:
+                    fmts.append("image/png")
+                    payloads.append(encode_png(arr))
+                elif doc_id % 2 == 0:
                     fmts.append("image/x-portable-pixmap")
                     payloads.append(encode_ppm(arr))
                 else:
@@ -430,9 +575,12 @@ def resize_images(
                 rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
                 cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
                 small = arr[rows][:, cols]
-                encoded = (
-                    encode_ppm(small) if raw[:2] == b"P6" else encode_bmp(small)
-                )
+                if raw[:2] == b"P6":
+                    encoded = encode_ppm(small)
+                elif raw[:2] == b"BM":
+                    encoded = encode_bmp(small)
+                else:
+                    encoded = encode_png(small)
                 sums = small.reshape(-1, 3).sum(axis=0, dtype=np.int64)
                 out["doc_id"].append(doc_id)
                 out["format"].append(fmt)

@@ -163,8 +163,10 @@ class TestMultimodal:
 
 class TestImageCodecs:
     """Golden-pixel round trips for the REAL decoders (pure numpy PPM
-    P6 + 24-bit BMP). Widths chosen to exercise every BMP row-padding
-    case (w*3 % 4 in {0,1,2,3})."""
+    P6 + 24-bit BMP + stdlib-zlib PNG). Widths chosen to exercise
+    every BMP row-padding case (w*3 % 4 in {0,1,2,3}); the PNG suite
+    covers all five scanline filters, CRC verification, and the
+    unsupported-variant error path."""
 
     def _rand_img(self, h, w, seed=0):
         import numpy as np
@@ -227,8 +229,77 @@ class TestImageCodecs:
         arr = self._rand_img(3, 4, seed=2)
         assert np.array_equal(M.decode_image(M.encode_ppm(arr)), arr)
         assert np.array_equal(M.decode_image(M.encode_bmp(arr)), arr)
-        with pytest.raises(NotImplementedError):  # compressed → honest seam
-            M.decode_image(b"\x89PNG\r\n\x1a\n....")
+        assert np.array_equal(M.decode_image(M.encode_png(arr)), arr)
+        with pytest.raises(NotImplementedError):  # JPEG → honest seam
+            M.decode_image(b"\xff\xd8\xff\xe0....")
+
+    def test_png_round_trip(self):
+        import numpy as np
+
+        for h, w in [(1, 1), (3, 4), (8, 6), (5, 17)]:
+            arr = self._rand_img(h, w, seed=h * 31 + w)
+            out = M.decode_png(M.encode_png(arr))
+            assert np.array_equal(out, arr), (h, w)
+
+    def test_png_all_scanline_filters(self):
+        """Golden decode of a PNG whose five rows each use a different
+        scanline filter (None/Sub/Up/Average/Paeth) — hand-filtered
+        here, so a sign error or neighbor-index slip in any unfilter
+        branch flips pixels and fails."""
+        import struct as st
+        import zlib
+
+        import numpy as np
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+        h, w = 5, 7
+        arr = self._rand_img(h, w, seed=42)
+        rows = []
+        prev = np.zeros(w * 3, dtype=np.int64)
+        for y in range(h):
+            ftype = y % 5
+            rec = arr[y].reshape(-1).astype(np.int64)
+            filt = np.zeros(w * 3, dtype=np.int64)
+            for x in range(w * 3):
+                a = rec[x - 3] if x >= 3 else 0
+                b = prev[x]
+                c = prev[x - 3] if x >= 3 else 0
+                pred = [0, a, b, (a + b) >> 1, paeth(a, b, c)][ftype]
+                filt[x] = (rec[x] - pred) & 255
+            rows.append(bytes([ftype]) + bytes(filt.astype(np.uint8)))
+            prev = rec
+        ihdr = st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        png = (
+            M._PNG_SIG
+            + M._png_chunk(b"IHDR", ihdr)
+            + M._png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + M._png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(M.decode_png(png), arr)
+
+    def test_png_crc_mismatch_raises(self):
+        bad = bytearray(M.encode_png(self._rand_img(2, 2, seed=3)))
+        bad[-5] ^= 0xFF  # corrupt IEND CRC
+        with pytest.raises(ValueError, match="CRC"):
+            M.decode_png(bytes(bad))
+
+    def test_png_unsupported_color_type_raises(self):
+        import struct as st
+
+        # grayscale (color type 0) header: explicit unsupported error,
+        # not a garbage decode
+        ihdr = st.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        png = (
+            M._PNG_SIG
+            + M._png_chunk(b"IHDR", ihdr)
+            + M._png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError, match="truecolor"):
+            M.decode_png(png)
 
     def test_resize_images_nearest_neighbor_round_trip(self, spark):
         # decode -> NN resize -> re-encode -> decode: the emitted
@@ -282,9 +353,13 @@ class TestImageCodecs:
             r_sum = int(((doc_id + i) % 256).sum())
             row = rows[doc_id]
             assert (row["width"], row["height"]) == (w, h)
-            assert row["format"] == (
-                "image/x-portable-pixmap" if doc_id % 2 == 0 else "image/bmp"
-            )
+            if doc_id % 3 == 0:
+                expected_fmt = "image/png"
+            elif doc_id % 2 == 0:
+                expected_fmt = "image/x-portable-pixmap"
+            else:
+                expected_fmt = "image/bmp"
+            assert row["format"] == expected_fmt
             assert row["r_sum"] == r_sum
             assert row["g_sum"] == 255 * w * h - r_sum
             assert row["b_sum"] == (doc_id % 256) * w * h
