@@ -70,11 +70,12 @@ PROBED = [
 # skippable at large N via --no-dedup.
 DEDUP_PROBES = [
     "dedup_minhash_lsh",
-    # the two 10x-bench heavyweights (bench_10x_r05.json): both
-    # shingle-volume-bound, both expected sub-linear — track them so a
+    # the 10x-bench heavyweights (bench_10x_r05.json): all
+    # shingle-volume-bound, all expected sub-linear — track them so a
     # regression to super-linear growth is visible per round.
     "decontamination_bloom",
     "semantic_dedup",
+    "dedup_edit_distance",
 ]
 
 # Bump when the replica construction changes so stale /tmp replicas
@@ -166,6 +167,23 @@ def main() -> int:
     skip_dedup = "--no-dedup" in argv
     if skip_dedup:
         argv.remove("--no-dedup")
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    # For multi-minute per-run probes (200x+) the default warm + 2
+    # timed runs triples an already-long measurement while JIT noise
+    # is amortized inside any run that long; --reps 1 --no-warm gives
+    # a single honest number instead.
+    reps = 2
+    if "--reps" in argv:
+        i = argv.index("--reps")
+        reps = int(argv[i + 1])
+        del argv[i : i + 2]
+    no_warm = "--no-warm" in argv
+    if no_warm:
+        argv.remove("--no-warm")
     sf_dir = argv[0] if argv else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
@@ -210,10 +228,11 @@ def main() -> int:
         # 1x numbers (measured earlier in the session) carry the JIT
         # cost and the ratios skew BELOW 1 (observed: doc_fingerprint
         # "0.15x" at 10x before this fix).
-        materialize(queries[name](spark, d))
-        spark.catalog.clearCache()
+        if not no_warm:
+            materialize(queries[name](spark, d))
+            spark.catalog.clearCache()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(reps):
             t0 = time.time()
             materialize(queries[name](spark, d))
             best = min(best, time.time() - t0)
@@ -224,6 +243,8 @@ def main() -> int:
     probe_list = [(n, False) for n in PROBED]
     if not skip_dedup:
         probe_list += [(n, True) for n in DEDUP_PROBES]
+    if only is not None:
+        probe_list = [(n, d) for n, d in probe_list if n in only]
     for name, is_dedup in probe_list:
         t1 = timed(name, sf_dir)
         tn = timed(name, big_dir)
