@@ -79,6 +79,74 @@ def _update(assigned: DataFrame, *, vector_col: str) -> DataFrame:
     )
 
 
+def _assign_pruned(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    *,
+    vector_col: str,
+    id_col: str,
+    groups: int,
+) -> DataFrame:
+    """Two-level (coarse-quantized) assignment: cluster the CENTROIDS
+    into ``groups`` groups, route each vector to its nearest group
+    mean (n × groups distance evaluations), then score only that
+    group's centroids (n × k/groups on average) — O(n·√k) total with
+    ``groups ≈ √k`` instead of exact assignment's O(n·k).
+
+    This is the IVF coarse-quantizer idea applied to the assignment
+    stage itself (same shape as ``similarity.py::ivf_ann_topk``'s
+    cell routing). Approximate by construction: a vector whose true
+    nearest centroid lives in a *different* group than its nearest
+    group mean is assigned to a second-best cluster — the standard
+    IVF recall trade, bounded in practice because centroids near a
+    vector cluster together. Fully deterministic (same seeding,
+    rounding, and tie-breaks as the exact path).
+    """
+    # Group the k centroids with a tiny EXACT k-means over the
+    # centroid frame itself (k rows — negligible at any n). The
+    # point column is renamed so the recursive _assign's internal
+    # "__km_cvec" centroid column can't collide with it.
+    cents = centroids.select(
+        F.col("cluster").alias("__km_cid"),
+        F.col("__km_cvec").alias("__km_pt"),
+    )
+    grouping = kmeans_assignments(
+        cents,
+        vector_col="__km_pt",
+        id_col="__km_cid",
+        k=groups,
+        n_iter=2,
+    ).select(
+        F.col("__km_cid").alias("cluster"), F.col("cluster").alias("__km_group")
+    )
+    cents_g = centroids.join(grouping, "cluster").select(
+        F.col("__km_group"),
+        "cluster",
+        "__km_cvec",
+    )
+    group_means = _update(
+        cents_g.select(
+            F.col("__km_group").alias("cluster"),
+            F.col("__km_cvec").alias("__gm_vec"),
+        ),
+        vector_col="__gm_vec",
+    )
+    routed = _assign(
+        vecs, group_means, vector_col=vector_col, id_col=id_col
+    ).withColumnRenamed("cluster", "__km_group").drop("d2")
+    scored = routed.join(F.broadcast(cents_g), "__km_group").withColumn(
+        "d2", F.round(squared_distance(vector_col, "__km_cvec"), 6)
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cluster").asc())
+    )
+    return (
+        scored.withColumn("__km_rank", rank)
+        .filter(F.col("__km_rank") == 1)
+        .drop("__km_rank", "__km_cvec", "__km_group")
+    )
+
+
 def kmeans_assignments(
     vecs: DataFrame,
     *,
@@ -86,6 +154,8 @@ def kmeans_assignments(
     id_col: str = "vec_id",
     k: int = 8,
     n_iter: int = 2,
+    assignment: str = "exact",
+    groups: int | None = None,
 ) -> DataFrame:
     """Cluster assignment after ``n_iter`` Lloyd's iterations.
 
@@ -94,12 +164,42 @@ def kmeans_assignments(
     distances round to 6 decimals with cluster-id tie-breaks, so the
     full trajectory is reproducible and SQL-expressible.
 
+    ``assignment="exact"`` (default) scores every vector against every
+    centroid — n × k distance evaluations per iteration, the right
+    plan while k is small. With auto-sized k (k ∝ n, see
+    ``similarity.py::semantic_neardup_pairs``) that stage turns
+    quadratic around n ≈ 10⁷ vectors (``docs/SCALE.md`` round-6
+    note); ``assignment="pruned"`` swaps in the two-level
+    coarse-quantized assignment (``groups`` group means, default
+    ⌈√k⌉) for O(n·√k) per iteration — approximate at group
+    boundaries, the standard IVF trade, and NOT used by any
+    oracle-checked query (those pin the exact path).
+
     Returns ``(id_col, cluster, d2)`` — each vector, its cluster after
     the final assignment, and the (rounded) squared distance to the
     centroid it chose.
     """
     if k < 1 or n_iter < 1:
         raise ValueError("k and n_iter must be >= 1")
+    if assignment not in ("exact", "pruned"):
+        raise ValueError(
+            f"assignment must be 'exact' or 'pruned', got {assignment!r}"
+        )
+    if assignment == "pruned":
+        import math
+
+        groups = groups if groups is not None else max(2, math.isqrt(k))
+        groups = min(groups, k)
+
+        def assign_fn(v, c):
+            return _assign_pruned(
+                v, c, vector_col=vector_col, id_col=id_col, groups=groups
+            )
+
+    else:
+
+        def assign_fn(v, c):
+            return _assign(v, c, vector_col=vector_col, id_col=id_col)
     seed_rank = F.row_number().over(Window.orderBy(id_col))
     centroids = (
         vecs.orderBy(id_col)
@@ -111,12 +211,12 @@ def kmeans_assignments(
             ),
         )
     )
-    assigned = _assign(vecs, centroids, vector_col=vector_col, id_col=id_col)
+    assigned = assign_fn(vecs, centroids)
     for _ in range(n_iter - 1):
         # The k-row centroid frame is the whole state between
         # iterations; persisting it truncates the recompute chain (the
         # broadcast in the next _assign would otherwise replay every
         # earlier iteration) while caching only k × dim doubles.
         centroids = scoped_persist(_update(assigned, vector_col=vector_col))
-        assigned = _assign(vecs, centroids, vector_col=vector_col, id_col=id_col)
+        assigned = assign_fn(vecs, centroids)
     return assigned.select(id_col, "cluster", "d2")

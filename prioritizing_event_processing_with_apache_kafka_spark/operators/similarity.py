@@ -462,6 +462,7 @@ def semantic_neardup_pairs(
     n_iter: int = 2,
     threshold: float = 0.4,
     target_cluster_size: int = 5000,
+    assignment: str = "exact",
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs: k-means the
     embedding space, then score exact cosine only *within* each cluster.
@@ -507,8 +508,18 @@ def semantic_neardup_pairs(
         # precisely because n is unknown, and the count is a
         # column-pruned scan, not a shuffle.
         k = max(8, math.ceil(vecs.count() / target_cluster_size))
+    # assignment="pruned" forwards the two-level coarse-quantized
+    # assignment (clustering.py) — the configuration for n ≳ 10⁷
+    # vectors where auto-k makes exact assignment's n×k stage the
+    # bottleneck (docs/SCALE.md round-6 note). Oracle-checked queries
+    # pin the default exact path.
     assigned = kmeans_assignments(
-        vecs, vector_col=vector_col, id_col=id_col, k=k, n_iter=n_iter
+        vecs,
+        vector_col=vector_col,
+        id_col=id_col,
+        k=k,
+        n_iter=n_iter,
+        assignment=assignment,
     ).select(id_col, "cluster")
     # Persisted: both sides of the in-cluster self-join read this frame
     # (without the cache each side would replay the full k-means).

@@ -435,6 +435,69 @@ class TestKmeans:
             kmeans_assignments(df, k=0)
         with pytest.raises(ValueError):
             kmeans_assignments(df, n_iter=0)
+        with pytest.raises(ValueError, match="assignment"):
+            kmeans_assignments(df, assignment="bogus")
+
+    def _blob_frame(self, spark, n_blobs=6, per_blob=30):
+        import random
+
+        rng = random.Random(3)
+        rows = []
+        for b in range(n_blobs):
+            center = [20.0 * b + 10.0 * (d == b) for d in range(8)]
+            for i in range(per_blob):
+                rows.append(
+                    (
+                        b * per_blob + i,
+                        [c + rng.uniform(-0.5, 0.5) for c in center],
+                    )
+                )
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_pruned_assignment_groups_eq_k_is_exact(self, spark):
+        """With one group per centroid the coarse router can't prune
+        anything away, so the two-level path must reproduce the exact
+        assignment bit-for-bit — a structural identity, not a recall
+        statistic."""
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.clustering import (
+            kmeans_assignments,
+        )
+
+        df = self._blob_frame(spark)
+        exact = {
+            r["vec_id"]: (r["cluster"], r["d2"])
+            for r in kmeans_assignments(df, k=6, n_iter=3).collect()
+        }
+        pruned = {
+            r["vec_id"]: (r["cluster"], r["d2"])
+            for r in kmeans_assignments(
+                df, k=6, n_iter=3, assignment="pruned", groups=6
+            ).collect()
+        }
+        assert pruned == exact
+
+    def test_pruned_assignment_high_agreement(self, spark):
+        """Aggressive pruning (√k groups) keeps high agreement with the
+        exact assignment on separated blobs — the IVF recall trade,
+        bounded."""
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.clustering import (
+            kmeans_assignments,
+        )
+
+        df = self._blob_frame(spark)
+        exact = {
+            r["vec_id"]: r["cluster"]
+            for r in kmeans_assignments(df, k=6, n_iter=3).collect()
+        }
+        pruned = {
+            r["vec_id"]: r["cluster"]
+            for r in kmeans_assignments(
+                df, k=6, n_iter=3, assignment="pruned", groups=3
+            ).collect()
+        }
+        assert len(pruned) == len(exact)  # every vector still assigned
+        agreement = sum(exact[i] == pruned[i] for i in exact) / len(exact)
+        assert agreement >= 0.8, agreement
 
 
 class TestDecontamination:
