@@ -44,6 +44,10 @@ GUARDED = [
     "changelog_compaction",
     "scd2_customer_segments",
     "events_tier_at_time",
+    # round 6: the min-struct argmin k-means plan (one tiny-row
+    # exchange per assignment instead of a full scored-row sort)
+    "embedding_kmeans",
+    "semantic_dedup",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
