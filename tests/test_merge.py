@@ -430,6 +430,68 @@ class TestScd2Properties:
         run()
 
 
+class TestPointInTimeProperties:
+    """Hypothesis property: for ANY SCD2 history built by the replay
+    model and ANY fact timestamps (including pre-history ones),
+    scd2_point_in_time picks exactly the interval containing each
+    fact — verified against a brute-force per-fact lookup."""
+
+    def test_point_in_time_equals_bruteforce(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.merge import (
+            scd2_point_in_time,
+        )
+
+        scenario = TestScd2Properties._scenario_strategy()
+        # ISO strings compare lexicographically == chronologically, so
+        # the whole property runs on strings (exact across engines).
+        ts_strategy = st.tuples(
+            st.integers(0, 5),  # key (may be absent from history)
+            st.sampled_from(
+                ["2023-06-15", "2024-01-01", "2024-03-15", "2024-04-02",
+                 "2024-05-28", "2024-09-01"]
+            ),
+        )
+
+        @settings(
+            max_examples=6,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(scenario, st.lists(ts_strategy, min_size=1, max_size=12))
+        def run(scn, fact_rows):
+            seed_rows, batches = scn
+            hist_rows = TestScd2Properties._replay(seed_rows, batches)
+            history = spark.createDataFrame(
+                hist_rows,
+                "k long, seg string, valid_from string, valid_to string, "
+                "is_current boolean",
+            )
+            facts = spark.createDataFrame(
+                [(i, k, ts) for i, (k, ts) in enumerate(fact_rows)],
+                "fact_id long, k long, ts string",
+            )
+            out = {
+                r["fact_id"]: r["seg"]
+                for r in scd2_point_in_time(
+                    facts, history, key_cols=["k"], ts_col="ts"
+                ).collect()
+            }
+            expected = {}
+            for i, (k, ts) in enumerate(fact_rows):
+                seg = None
+                for hk, hseg, vf, vt, _cur in hist_rows:
+                    if hk == k and vf <= ts and (vt is None or ts < vt):
+                        seg = hseg
+                        break
+                expected[i] = seg
+            assert out == expected, (seed_rows, batches, fact_rows)
+
+        run()
+
+
 class TestCompactionProperties:
     """Brute-force cross-check: for ANY changelog, the distributed
     max_by compaction equals a sequential dict replay."""
