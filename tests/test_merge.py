@@ -180,6 +180,37 @@ def test_scd2_broadcast_plan(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_scd2_null_valid_from_still_recognized_as_history(spark):
+    """Regression: an open row whose valid_from is NULL (the schema
+    permits it) must be classified as EXISTING history — close + open
+    on change — not misread as a brand-new key (which would emit a
+    corrupted row with NULL tracked/validity columns). Presence is
+    detected via literal marker columns, not data-column nullability."""
+    history = spark.createDataFrame(
+        [(1, "seg-a", None, None, True)],
+        "k long, seg string, valid_from string, valid_to string, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "seg-b", "2024-06-01")], "k long, seg string, eff string"
+    )
+    for broadcast in (False, True):
+        rows = {
+            (r["k"], r["seg"]): (r["valid_from"], r["valid_to"], r["is_current"])
+            for r in scd2_merge(
+                history,
+                updates,
+                key_cols=["k"],
+                tracked_cols=["seg"],
+                effective_col="eff",
+                broadcast_updates=broadcast,
+            ).collect()
+        }
+        assert rows == {
+            (1, "seg-a"): (None, "2024-06-01", False),  # closed, NOT dropped
+            (1, "seg-b"): ("2024-06-01", None, True),
+        }, f"broadcast={broadcast}"
+
+
 def test_scd2_null_tracked_values(spark):
     """NULL tracked values compare null-safe: NULL->NULL is a no-op,
     NULL->value and value->NULL are changes."""
