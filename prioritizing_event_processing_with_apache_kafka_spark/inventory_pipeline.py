@@ -2254,32 +2254,26 @@ def q_scd2_stream_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         scd2_init_history(cust, history_path, valid_from="2024-01-01")
         batches = [
-            (
-                cust.filter(F.col("c_custkey") % 5 == 0).select(
-                    "c_custkey",
-                    F.concat(F.col("c_mktsegment"), F.lit("-B1")).alias(
-                        "c_mktsegment"
-                    ),
-                    F.lit("2024-03-01").alias("effective"),
+            cust.filter(F.col("c_custkey") % 5 == 0).select(
+                "c_custkey",
+                F.concat(F.col("c_mktsegment"), F.lit("-B1")).alias(
+                    "c_mktsegment"
                 ),
-                "2024-03-01",
+                F.lit("2024-03-01").alias("effective"),
             ),
-            (
-                cust.filter(F.col("c_custkey") % 7 == 0).select(
-                    "c_custkey",
-                    F.concat(F.col("c_mktsegment"), F.lit("-B2")).alias(
-                        "c_mktsegment"
-                    ),
-                    F.lit("2024-06-01").alias("effective"),
+            cust.filter(F.col("c_custkey") % 7 == 0).select(
+                "c_custkey",
+                F.concat(F.col("c_mktsegment"), F.lit("-B2")).alias(
+                    "c_mktsegment"
                 ),
-                "2024-06-01",
+                F.lit("2024-06-01").alias("effective"),
             ),
         ]
         # Stage each batch as ONE parquet file with a strictly later
         # mtime than its predecessor — FileStreamSource orders files by
         # modification time, so batch boundaries AND order are exact.
         schema = None
-        for i, (b, _eff) in enumerate(batches):
+        for i, b in enumerate(batches):
             stage = os.path.join(root, f"stage{i}")
             b.coalesce(1).write.parquet(stage)
             part = next(
