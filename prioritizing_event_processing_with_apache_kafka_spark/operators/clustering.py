@@ -124,8 +124,13 @@ def _assign_pruned(
     nearest centroid lives in a *different* group than its nearest
     group mean is assigned to a second-best cluster — the standard
     IVF recall trade, bounded in practice because centroids near a
-    vector cluster together. Fully deterministic (same seeding,
-    rounding, and tie-breaks as the exact path).
+    vector cluster together (and routing compares against
+    6-decimal-rounded group means, so even near-tie vectors can
+    flip at rounding boundaries). Fully deterministic (same seeding,
+    rounding, and tie-breaks as the exact path). Callers must pass
+    ``groups < k`` — ``kmeans_assignments`` routes ``groups >= k``
+    to the exact plan, since a router that prunes nothing adds only
+    approximation risk.
     """
     # Group the k centroids with a tiny EXACT k-means over the
     # centroid frame itself (k rows — negligible at any n). The
@@ -207,14 +212,20 @@ def kmeans_assignments(
         import math
 
         groups = groups if groups is not None else max(2, math.isqrt(k))
-        groups = min(groups, k)
+        # groups >= k prunes nothing, so run the exact plan — this
+        # also makes the groups=k degenerate case STRUCTURALLY
+        # identical to exact (routing through rounded group means
+        # could otherwise flip a near-tie assignment).
+        if groups >= k:
+            assignment = "exact"
+        else:
 
-        def assign_fn(v, c):
-            return _assign_pruned(
-                v, c, vector_col=vector_col, id_col=id_col, groups=groups
-            )
+            def assign_fn(v, c):
+                return _assign_pruned(
+                    v, c, vector_col=vector_col, id_col=id_col, groups=groups
+                )
 
-    else:
+    if assignment == "exact":
 
         def assign_fn(v, c):
             return _assign(v, c, vector_col=vector_col, id_col=id_col)

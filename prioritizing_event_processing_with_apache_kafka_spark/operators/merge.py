@@ -140,7 +140,15 @@ def scd2_merge(
     closed_rows = history.filter(~F.col(current_col)).select(*out_cols)
     vt_type = history.schema[valid_to_col].dataType
 
-    upd = updates.groupBy(*key_cols).agg(
+    # Rows with a NULL effective timestamp cannot close or open a
+    # validity interval, so they are dropped up front. This matters
+    # for more than hygiene: ``max_by`` ignores NULL-ordered rows, so
+    # a key whose every update has NULL effective would otherwise
+    # aggregate to a NULL payload while still LOOKING like an update —
+    # closing the open row with valid_to=NULL and inserting an
+    # all-NULL open row. Dropping them first makes such keys a no-op.
+    upd = updates.filter(F.col(effective_col).isNotNull())
+    upd = upd.groupBy(*key_cols).agg(
         F.max_by(
             F.struct(*tracked_cols, effective_col), F.col(effective_col)
         ).alias("__u")
@@ -153,8 +161,9 @@ def scd2_merge(
     # Presence on each side of the outer join is detected via literal
     # marker columns, NOT via nullability of data columns: an open row
     # whose valid_from is legitimately NULL (the schema permits it)
-    # must still be recognized as existing history, and an update
-    # whose effective timestamp is NULL must still count as an update.
+    # must still be recognized as existing history. (Updates with NULL
+    # effective timestamps were already dropped above, so __has_upd
+    # marks exactly the keys carrying a usable update.)
     open_side = open_rows.withColumn("__has_open", F.lit(True))
     upd = upd.withColumn("__has_upd", F.lit(True))
     has_open = F.col("__has_open").isNotNull()

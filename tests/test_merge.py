@@ -211,6 +211,41 @@ def test_scd2_null_valid_from_still_recognized_as_history(spark):
         }, f"broadcast={broadcast}"
 
 
+def test_scd2_null_effective_update_is_noop(spark):
+    """Regression: an update whose effective timestamp is NULL cannot
+    close or open a validity interval, so it must be a no-op — NOT a
+    change that closes the open row with valid_to=NULL and inserts an
+    all-NULL open row (which would then double-match every fact in
+    scd2_point_in_time, since valid_to NULL means open-ended). A key
+    mixing NULL- and non-NULL-effective rows uses only the usable
+    ones."""
+    history = spark.createDataFrame(
+        [(1, "seg-a", "2024-01-01", None, True), (2, "seg-b", "2024-01-01", None, True)],
+        "k long, seg string, valid_from string, valid_to string, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "seg-x", None), (2, "seg-ignored", None), (2, "seg-b2", "2024-06-01")],
+        "k long, seg string, eff string",
+    )
+    for broadcast in (False, True):
+        rows = {
+            (r["k"], r["seg"]): (r["valid_from"], r["valid_to"], r["is_current"])
+            for r in scd2_merge(
+                history,
+                updates,
+                key_cols=["k"],
+                tracked_cols=["seg"],
+                effective_col="eff",
+                broadcast_updates=broadcast,
+            ).collect()
+        }
+        assert rows == {
+            (1, "seg-a"): ("2024-01-01", None, True),  # untouched no-op
+            (2, "seg-b"): ("2024-01-01", "2024-06-01", False),
+            (2, "seg-b2"): ("2024-06-01", None, True),
+        }, f"broadcast={broadcast}"
+
+
 def test_scd2_null_tracked_values(spark):
     """NULL tracked values compare null-safe: NULL->NULL is a no-op,
     NULL->value and value->NULL are changes."""

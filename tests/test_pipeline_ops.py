@@ -455,10 +455,10 @@ class TestKmeans:
         return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
     def test_pruned_assignment_groups_eq_k_is_exact(self, spark):
-        """With one group per centroid the coarse router can't prune
-        anything away, so the two-level path must reproduce the exact
-        assignment bit-for-bit — a structural identity, not a recall
-        statistic."""
+        """groups >= k prunes nothing, so kmeans_assignments routes the
+        degenerate case to the exact plan — bit-for-bit identical by
+        construction (routing through rounded group means could
+        otherwise flip near-tie assignments)."""
         from prioritizing_event_processing_with_apache_kafka_spark.operators.clustering import (
             kmeans_assignments,
         )

@@ -172,6 +172,14 @@ def main() -> int:
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
         del argv[i : i + 2]
+        # Fail fast on typos BEFORE the multi-minute replica build.
+        unknown = sorted(only - set(PROBED) - set(DEDUP_PROBES))
+        if unknown:
+            print(
+                f"--only names not in PROBED/DEDUP_PROBES: {unknown}",
+                file=sys.stderr,
+            )
+            return 2
     # For multi-minute per-run probes (200x+) the default warm + 2
     # timed runs triples an already-long measurement while JIT noise
     # is amortized inside any run that long; --reps 1 --no-warm gives
@@ -244,7 +252,17 @@ def main() -> int:
     if not skip_dedup:
         probe_list += [(n, True) for n in DEDUP_PROBES]
     if only is not None:
+        excluded = sorted(only - {n for n, _d in probe_list})
+        if excluded:  # valid names filtered out by --no-dedup
+            print(
+                f"--only names excluded by --no-dedup: {excluded}",
+                file=sys.stderr,
+            )
+            return 2
         probe_list = [(n, d) for n, d in probe_list if n in only]
+    if not probe_list:
+        print("nothing to probe (check --only/--no-dedup)", file=sys.stderr)
+        return 2
     for name, is_dedup in probe_list:
         t1 = timed(name, sf_dir)
         tn = timed(name, big_dir)
