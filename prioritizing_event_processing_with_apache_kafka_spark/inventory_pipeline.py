@@ -2206,7 +2206,8 @@ SELECT CASE
        END AS tier,
        event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS value_micros
+       CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS value_micros
 FROM events
 GROUP BY 1, 2
 """

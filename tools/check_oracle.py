@@ -43,6 +43,99 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return conn
 
 
+# ---------------------------------------------------------------------------
+# Dtype strictness (round-7, verdict item 2).
+#
+# normalize() below coerces every integer dtype to Int64 and every float
+# to float64 BEFORE comparing — which masked exactly the class of
+# divergence the driver's hasher catches: DuckDB promoting integer SUMs
+# to HUGEINT (rendered as Decimal/float by the driver, as Int64 here).
+# So before any value comparison we DESCRIBE the oracle SQL (no data is
+# scanned) and check each oracle column's DuckDB type against the Spark
+# schema through an explicit allowed mapping; HUGEINT/UHUGEINT are
+# always fatal, DECIMAL is only legal when the Spark side is decimal.
+# ---------------------------------------------------------------------------
+
+_FORBIDDEN_DUCK_TYPES = {"HUGEINT", "UHUGEINT"}
+
+# spark dtype (simpleString) -> acceptable DuckDB base types
+_ALLOWED_DUCK = {
+    "bigint": {"BIGINT", "INTEGER", "SMALLINT", "TINYINT"},
+    "int": {"BIGINT", "INTEGER", "SMALLINT", "TINYINT"},
+    "smallint": {"BIGINT", "INTEGER", "SMALLINT", "TINYINT"},
+    "tinyint": {"BIGINT", "INTEGER", "SMALLINT", "TINYINT"},
+    "double": {"DOUBLE", "FLOAT"},
+    "float": {"DOUBLE", "FLOAT"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "binary": {"BLOB"},
+}
+
+
+def dtype_problems(
+    spark_dtypes: list[tuple[str, str]], duck_types: list[tuple[str, str]]
+) -> list[str]:
+    """Strict oracle-vs-engine type check. ``spark_dtypes`` is
+    ``DataFrame.dtypes``; ``duck_types`` is ``(name, type)`` from a
+    DuckDB ``DESCRIBE`` of the oracle SQL."""
+    problems = []
+    duck = {name: dtype.upper() for name, dtype in duck_types}
+    spark = dict(spark_dtypes)
+    for col, dtype in duck.items():
+        base = dtype.split("(")[0].strip()
+        if base in _FORBIDDEN_DUCK_TYPES:
+            problems.append(
+                f"oracle col {col}: DuckDB type {dtype} is forbidden — "
+                "CAST the oracle expression (DuckDB promotes integer "
+                "SUMs to HUGEINT, which the driver hashes differently "
+                "from Spark's bigint)"
+            )
+            continue
+        stype = spark.get(col)
+        if stype is None:
+            # column-name mismatch is reported by compare(); skip here
+            continue
+        if stype.startswith("decimal"):
+            if base != "DECIMAL":
+                problems.append(
+                    f"col {col}: spark {stype} vs oracle {dtype} (expected DECIMAL)"
+                )
+            continue
+        if base == "DECIMAL":
+            problems.append(
+                f"oracle col {col}: DECIMAL {dtype} but spark side is "
+                f"{stype} — cast the oracle to match"
+            )
+            continue
+        if stype.startswith("array"):
+            if not dtype.endswith("[]"):
+                problems.append(f"col {col}: spark {stype} vs oracle {dtype}")
+            continue
+        if stype.startswith("timestamp"):
+            if not base.startswith("TIMESTAMP"):
+                problems.append(f"col {col}: spark {stype} vs oracle {dtype}")
+            continue
+        allowed = _ALLOWED_DUCK.get(stype)
+        if allowed is None:
+            continue  # exotic spark type (map/struct) — value compare decides
+        if base not in allowed:
+            problems.append(
+                f"col {col}: spark {stype} vs oracle {dtype} "
+                f"(allowed: {sorted(allowed)})"
+            )
+    return problems
+
+
+def describe_oracle(
+    conn: duckdb.DuckDBPyConnection, sql: str
+) -> list[tuple[str, str]]:
+    """(name, DuckDB type) for the oracle's result — DESCRIBE only,
+    nothing is scanned."""
+    rows = conn.execute(f"DESCRIBE {sql.strip().rstrip(';')}").fetchall()
+    return [(r[0], r[1]) for r in rows]
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for col in df.columns:
@@ -248,6 +341,9 @@ def main() -> int:
         i = argv.index("--json")
         json_out = argv[i + 1]
         del argv[i : i + 2]
+    types_only = "--types-only" in argv
+    if types_only:
+        argv.remove("--types-only")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -282,6 +378,36 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+
+    if types_only:
+        # One-shot dtype audit over every oracle: DESCRIBE each oracle
+        # (nothing scanned) against the lazily-built Spark schema (no
+        # job runs). Catches HUGEINT/DECIMAL promotion at HEAD in ~1
+        # minute instead of after a driver draw.
+        bad = 0
+        for name, fn in queries.items():
+            if only and name not in only:
+                continue
+            if name not in oracles:
+                continue
+            try:
+                spark_dtypes = fn(spark, sf_dir).dtypes
+                duck_types = describe_oracle(conn, oracles[name])
+            except Exception as exc:  # noqa: BLE001
+                print(f"FAIL  {name}: describe error: {exc}")
+                bad += 1
+                continue
+            probs = dtype_problems(spark_dtypes, duck_types)
+            if probs:
+                bad += 1
+                print(f"FAIL  {name}")
+                for p in probs:
+                    print(f"      {p}")
+            else:
+                print(f"ok    {name}")
+        print(f"\ntypes audit: {bad} failures")
+        return 1 if bad else 0
+
     failures, checked, rows_only = 0, 0, 0
     records: dict[str, dict] = {}
     for name, fn in queries.items():
@@ -289,7 +415,9 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            spark_pdf = fn(spark, sf_dir).toPandas()
+            sdf = fn(spark, sf_dir)
+            spark_dtypes = sdf.dtypes
+            spark_pdf = sdf.toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
             failures += 1
@@ -339,7 +467,13 @@ def main() -> int:
                 "err": f"duckdb error: {exc}"[:500],
             }
             continue
-        problems = compare(name, spark_pdf, oracle_pdf)
+        try:
+            problems = dtype_problems(
+                spark_dtypes, describe_oracle(conn, oracles[name])
+            )
+        except Exception as exc:  # noqa: BLE001
+            problems = [f"describe error: {exc}"]
+        problems += compare(name, spark_pdf, oracle_pdf)
         checked += 1
         records[name] = {
             "rows_match": len(spark_pdf) == len(oracle_pdf),
