@@ -67,7 +67,14 @@ def _argmin_per_id(
     copies in the hashmap state dominate). Struct ordering is
     lexicographic — identical semantics (and bit-identical results)
     to the window's ``d2 ASC, cluster ASC`` tie-break, and ties
-    cannot survive it since cluster ids are distinct."""
+    cannot survive it since cluster ids are distinct.
+
+    Precondition: ``id_col`` values are UNIQUE in ``vecs`` (the
+    embeddings contract everywhere in this package). The old window
+    plan would emit one row per duplicate id picking each duplicate's
+    own best; the join-back here would instead fan out every
+    duplicate against the shared per-id minimum — so duplicate ids
+    are a caller bug, not a tie-break choice."""
     best = (
         scored.groupBy(id_col)
         .agg(F.min(F.struct("d2", "cluster")).alias("__km_best"))

@@ -248,8 +248,8 @@ def _png_unfilter(scanlines: np.ndarray, w: int, h: int) -> np.ndarray:
     vectorized (Sub is a per-channel running sum, exact under mod-256
     because addition commutes with the modulus); Average/Paeth need the
     reconstructed left neighbor, so they walk the row — fine for the
-    fixture sizes, and rows are independent of nothing above them only
-    in filter 0/1, so rows process top-down."""
+    fixture sizes. Filters 2-4 need the previous RECONSTRUCTED row, so
+    rows must process top-down."""
     bpp = 3
     rowlen = w * bpp
     out = np.zeros((h, rowlen), dtype=np.uint8)
@@ -306,6 +306,9 @@ def decode_png(payload: bytes) -> np.ndarray:
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + length > len(payload):
+            # keep the corrupt-format seam a ValueError, not struct.error
+            raise ValueError("truncated PNG chunk")
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)

@@ -287,6 +287,14 @@ class TestImageCodecs:
         with pytest.raises(ValueError, match="CRC"):
             M.decode_png(bytes(bad))
 
+    def test_png_truncated_chunk_raises_valueerror(self):
+        # the corrupt-format seam is ValueError, never struct.error:
+        # cut the payload mid-chunk (drop the CRC and part of the data)
+        full = M.encode_png(self._rand_img(4, 4, seed=7))
+        truncated = full[: len(M._PNG_SIG) + 8 + 5]  # sig + IHDR header + 5B
+        with pytest.raises(ValueError, match="truncated"):
+            M.decode_png(truncated)
+
     def test_png_unsupported_color_type_raises(self):
         import struct as st
 

@@ -189,6 +189,10 @@ def main() -> int:
         i = argv.index("--reps")
         reps = int(argv[i + 1])
         del argv[i : i + 2]
+        if reps < 1:
+            # reps=0 would leave best=inf and emit non-JSON `Infinity`
+            print(f"--reps must be >= 1, got {reps}", file=sys.stderr)
+            return 2
     no_warm = "--no-warm" in argv
     if no_warm:
         argv.remove("--no-warm")
