@@ -48,82 +48,65 @@ _DRIVER_HEAD = [
     "starved_discard_audit",
     "assignment_golden",
     "bucket_allocation_vs_load",
-    # round-6 head: the 18 queries never driver-drawn through r05
-    # (10 TPC-H tail + 8 late round-5 additions) — after this round
-    # every declared query has at least one driver-green draw.
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_revenue",
-    "q11_important_parts",
+    # round-7 priority: the two round-6 hash-reds, fixed this round
+    # (oracle SUMs cast to BIGINT — DuckDB's HUGEINT promotion was the
+    # whole divergence); immediate re-draw confirms.
     "q12_priority_by_lateness",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q19_disjunctive_filter",
-    "q20_excess_shippers",
-    "q22_idle_customers",
-    "heavy_hitter_users",
-    "corpus_diff_status",
-    "decontamination_bloom",
-    "stream_enriched_segments",
-    "stream_error_purchase_pairs",
-    "changelog_compaction",
-    "scd2_customer_segments",
     "events_tier_at_time",
-    # new round-6 queries (zero prior draws) — drawn immediately;
-    # semantic_dedup re-drawn because its declared shape changed to
-    # the scale-safe k="auto" (oracle unchanged: auto-k = 8 at
-    # fixture scale).
-    "scd2_stream_history",
-    "semantic_dedup",
-    # drawn once (r05) — dedup family
-    "dedup_minhash_oph",
-    "dedup_edit_distance",
-    "dedup_incremental",
-    "dedup_incremental_steady",
-    "span_dedup",
-    "boilerplate_spans",
-    "decontamination",
-    "curation_funnel",
-    "dedup_components",
-    "dedup_pagerank",
-    # never drawn — text / LM scoring
-    "term_doc_frequency",
-    "tfidf_top_terms",
-    "text_repetition",
-    "text_bigram_quality",
-    "doc_chunks",
-    "vocab_coverage",
-    "pii_redact",
-    "bpe_merge_pairs",
-    "lm_doc_score",
-    "dsir_weights",
-    # never drawn — similarity / clustering
-    "embedding_label_centroids",
-    "embedding_kmeans",
-    "embedding_quantize",
-    "embedding_ann_int8",
-    # never drawn — sampling / profiling
-    "stratified_sample",
-    "mixture_sample",
-    "reservoir_sample",
+    # new round-7 query (zero draws): machine-audited gate for the
+    # pruned k-means assignment path (driver records rows-only — the
+    # audit is enforced by tools/check_oracle.py SELF_AUDITS).
+    "kmeans_pruned_agreement",
+    # once-drawn, last drawn r01 — the oldest hard signals in the
+    # suite, all predating five rounds of engine changes. (Once-drawn
+    # SELF-AUDIT queries are deliberately NOT rotated back in:
+    # their driver draw is always rows-only, so a re-draw spends a
+    # hard-signal slot on a query the driver cannot hash-check.)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "embedding_neardup",
+    "embedding_topk",
+    "lang_id_eval",
+    "multimodal_features",
+    "text_quality",
+    "text_token_stats",
+    # once-drawn, last drawn r04
+    "bucket_metric_unpivot",
+    "events_variant_extract",
+    "stream_dedup_keys",
+    "stream_sessionized_users",
+    # once-drawn, last drawn r05
+    "bucket_hourly_anomaly",
     "dataset_split",
     "doc_packing",
-    "table_profile",
-    "source_dup_profile",
-    # never drawn — multimodal plumbing + real decode
-    "multimodal_resize",
+    "embedding_ann_int8",
+    "mixture_sample",
     "multimodal_frame_sample",
     "multimodal_image_decode",
     "multimodal_image_resize",
-    # never drawn — timeseries / skew
-    "user_value_ewma",
-    "bucket_hourly_anomaly",
-    "salted_segment_revenue",
-    # drawn once (r05) — TPC-H shapes
-    "q4_order_priority",
-    "q9_profit_by_nation_year",
+    "multimodal_resize",
     "q13_order_count_distribution",
     "q21_waiting_suppliers",
+    "q4_order_priority",
+    "q9_profit_by_nation_year",
+    "reservoir_sample",
+    "salted_segment_revenue",
+    "source_dup_profile",
+    "stratified_sample",
+    "table_profile",
+    "user_value_ewma",
+    # twice-drawn with the OLDEST last draw (r03)
+    "bucket_pivot",
+    "q2_min_cost_supplier",
+    # twice-drawn confirmation draws: lm_doc_score (round-7 work
+    # target), embedding_kmeans (argmin replan landed r06 — one more
+    # post-replan draw), dedup_minhash_oph (JIT-sensitive plan).
+    "lm_doc_score",
+    "embedding_kmeans",
+    "dedup_minhash_oph",
 ]
 
 

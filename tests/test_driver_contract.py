@@ -22,14 +22,17 @@ def test_rotation_preserves_the_full_surface():
     assert set(oracles) <= set(qs)
 
 
-def test_head_50_is_oracle_backed():
-    # The gate's sample should be fully hash-checkable: every head-50
-    # query needs an oracle (approximate/self-audit queries sit after
-    # the head by design).
+def test_head_50_is_oracle_backed_or_self_audited():
+    # The gate's sample must be fully machine-checkable: every head-50
+    # query needs a DuckDB oracle or a SELF_AUDITS entry (the latter
+    # get a rows-only driver record but a hard local audit — used only
+    # when a new audit query needs its declaration draw).
+    from tools.check_oracle import SELF_AUDITS
+
     qs = list(entry.queries())[:50]
     oracles = entry.oracle_sql()
-    missing = [n for n in qs if n not in oracles]
-    assert not missing, f"head-50 queries without oracle SQL: {missing}"
+    missing = [n for n in qs if n not in oracles and n not in SELF_AUDITS]
+    assert not missing, f"head-50 queries with no oracle/self-audit: {missing}"
 
 
 def test_pinned_core_leads_every_round():

@@ -507,6 +507,30 @@ class TestKmeans:
         agreement = sum(exact[i] == pruned[i] for i in exact) / len(exact)
         assert agreement >= 0.8, agreement
 
+    def test_pruned_agreement_audit_query(self, spark, sf_dir):
+        """The declared kmeans_pruned_agreement gate, enforced through
+        the SAME SELF_AUDITS entry the oracle harness runs — the test
+        and the gate cannot drift apart."""
+        from prioritizing_event_processing_with_apache_kafka_spark.inventory_pipeline import (
+            q_kmeans_pruned_agreement,
+        )
+        from tools.check_oracle import SELF_AUDITS
+
+        pdf = q_kmeans_pruned_agreement(spark, sf_dir).toPandas()
+        assert len(pdf) == 1
+        assert set(pdf.columns) == {
+            "n_vecs",
+            "agree_rate",
+            "inertia_ratio",
+            "min_excess_d2",
+            "inertia_ratio_full",
+        }
+        assert SELF_AUDITS["kmeans_pruned_agreement"](pdf) == []
+        row = pdf.iloc[0]
+        # same seed centroids -> pruned scores a subset, ratio >= 1
+        assert row["inertia_ratio"] >= 1.0
+        assert 0.0 <= row["agree_rate"] <= 1.0
+
 
 class TestDecontamination:
     def test_containment_is_directional(self, spark):

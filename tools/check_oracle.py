@@ -331,6 +331,16 @@ SELF_AUDITS = {
     "embedding_ann_ivf": _audit_mean_per_query(
         "recall_vs_exact", 0.8, expect_queries=5
     ),
+    # Pruned (IVF-style) k-means assignment vs exact, same seed
+    # centroids: inertia ratios bounded (measured ~1.03 on every
+    # fixture; 1.10 = the documented quality contract), and the
+    # per-vector excess must be structurally non-negative — the pruned
+    # argmin scores a subset of clusters, so a negative excess beyond
+    # rounding noise means the router itself broke.
+    "kmeans_pruned_agreement": lambda pdf: (
+        _audit_abs_max(["inertia_ratio", "inertia_ratio_full"], 1.10)(pdf)
+        + _audit_min("min_excess_d2", -1e-9)(pdf)
+    ),
 }
 
 
