@@ -53,10 +53,12 @@ _DRIVER_HEAD = [
     # whole divergence); immediate re-draw confirms.
     "q12_priority_by_lateness",
     "events_tier_at_time",
-    # new round-7 query (zero draws): machine-audited gate for the
-    # pruned k-means assignment path (driver records rows-only — the
-    # audit is enforced by tools/check_oracle.py SELF_AUDITS).
+    # new round-7 queries (zero draws): machine-audited gates for the
+    # pruned k-means assignment path and the simhash probabilistic
+    # recall band (driver records rows-only — the audits are enforced
+    # by tools/check_oracle.py SELF_AUDITS).
     "kmeans_pruned_agreement",
+    "simhash_recall_audit",
     # once-drawn, last drawn r01 — the oldest hard signals in the
     # suite, all predating five rounds of engine changes. (Once-drawn
     # SELF-AUDIT queries are deliberately NOT rotated back in:

@@ -129,6 +129,57 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Machine-enforced recall gate for the probabilistic band of
+    ``dedup_simhash``. The declared simhash query is truth-set-equal at
+    every fixture scale (hash-oracled against the exact Jaccard truth),
+    but its (7, 16] hamming capture is probabilistic by construction —
+    at 10× volume it measures 2548/2560 pairs (99.53% recall, the
+    priced trade in ``simhash_pairs``'s docstring). This query makes
+    that price a BOUND instead of prose: it computes the exact truth
+    set (``ngram_jaccard_pairs`` — shared-shingle candidates, nothing
+    quadratic) and the simhash pairs IN THE SAME PLAN, and reports one
+    row:
+
+    - ``n_truth`` / ``n_found`` — exact pair count and how many the
+      simhash pipeline recovered;
+    - ``recall`` — audited ≥ 0.99 (SELF_AUDITS in
+      ``tools/check_oracle.py``);
+    - ``n_extra`` — audited == 0: simhash output is Jaccard-verified
+      with the SAME shingle definition and threshold as the truth set,
+      so any extra pair means the verify stage broke, not the data.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    found = D.simhash_pairs(
+        docs, k=4, max_hamming=16, jaccard_threshold=0.5,
+        allow_probabilistic_radius=True,
+    ).select("x", "y")
+    truth = D.ngram_jaccard_pairs(docs, k=4, threshold=0.5).select("x", "y")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_found = truth.join(found, ["x", "y"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    n_extra = found.join(truth, ["x", "y"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_extra")
+    )
+    return (
+        n_truth.join(n_found)
+        .join(n_extra)
+        .select(
+            "n_truth",
+            "n_found",
+            F.when(F.col("n_truth") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.col("n_found").cast("double") / F.col("n_truth"), 6
+                )
+            )
+            .alias("recall"),
+            "n_extra",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity
 # ---------------------------------------------------------------------------
@@ -1677,12 +1728,13 @@ v AS (
 ),
 lp AS (
   SELECT b.doc_id,
-         CAST(round(log2(CAST(cbg + 1 AS DOUBLE) / (cw1 + v)), 6)
-              AS DECIMAL(28,6)) AS lp
+         CAST(CAST(round(log2(CAST(cbg + 1 AS DOUBLE) / (cw1 + v)), 6)
+                   AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS lpm
   FROM bgf b JOIN cbg USING (w1, w2) JOIN cw1 USING (w1) CROSS JOIN v
 )
 SELECT doc_id, COUNT(*) AS n_bigrams,
-       ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS lm_score
+       CAST(CAST(SUM(lpm) AS BIGINT) AS DOUBLE)
+         / (COUNT(*) * 1000000) AS lm_score
 FROM lp GROUP BY doc_id
 """
 
@@ -1717,17 +1769,18 @@ nc AS (SELECT COUNT(*) AS nc FROM bgc),
 nt AS (SELECT COUNT(*) AS nt FROM bgt),
 lr AS (
   SELECT g.doc_id,
-         CAST(round(log2(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (nt + b)), 6)
-              AS DECIMAL(28,6))
-         - CAST(round(log2(CAST(cc + 1 AS DOUBLE) / (nc + b)), 6)
-                AS DECIMAL(28,6)) AS lr
+         CAST(CAST(round(log2(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (nt + b)), 6)
+                   AS DECIMAL(28,6)) * 1000000 AS BIGINT)
+         - CAST(CAST(round(log2(CAST(cc + 1 AS DOUBLE) / (nc + b)), 6)
+                     AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS lrm
   FROM bgc g
   JOIN cc USING (w1, w2)
   LEFT JOIN ct USING (w1, w2)
   CROSS JOIN b CROSS JOIN nc CROSS JOIN nt
 )
 SELECT doc_id, COUNT(*) AS n_bigrams,
-       ROUND(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 6) AS dsir_logratio
+       CAST(CAST(SUM(lrm) AS BIGINT) AS DOUBLE)
+         / (COUNT(*) * 1000000) AS dsir_logratio
 FROM lr GROUP BY doc_id
 """
 
@@ -2404,6 +2457,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_oph": q_dedup_minhash_oph,
     "dedup_simhash": q_dedup_simhash,
+    "simhash_recall_audit": q_simhash_recall_audit,
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
     "embedding_ann_lsh": q_embedding_ann_lsh,

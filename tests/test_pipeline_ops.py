@@ -80,6 +80,24 @@ class TestNearDupPairs:
         sim = {(r["x"], r["y"]) for r in D.simhash_pairs(docs, k=4, jaccard_threshold=0.3).collect()}
         assert sim == truth
 
+    def test_simhash_recall_audit_query(self, spark, sf_dir):
+        """The declared simhash_recall_audit gate, enforced through the
+        SAME SELF_AUDITS entry the oracle harness runs."""
+        from prioritizing_event_processing_with_apache_kafka_spark.inventory_pipeline import (
+            q_simhash_recall_audit,
+        )
+        from tools.check_oracle import SELF_AUDITS
+
+        pdf = q_simhash_recall_audit(spark, sf_dir).toPandas()
+        assert len(pdf) == 1
+        assert set(pdf.columns) == {"n_truth", "n_found", "recall", "n_extra"}
+        assert SELF_AUDITS["simhash_recall_audit"](pdf) == []
+        row = pdf.iloc[0]
+        assert row["n_truth"] > 0  # the fixture plants near-dups
+        # fixtures are truth-set-equal (the probabilistic band only
+        # bites at 10×+ volume)
+        assert row["recall"] == 1.0
+
     def test_hot_shingle_cap_drops_degenerate_bucket(self, spark):
         # 10 docs sharing one hot shingle + 2 true dups; the cap must
         # drop the hot bucket but keep the dup pair discoverable.

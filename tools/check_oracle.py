@@ -341,6 +341,15 @@ SELF_AUDITS = {
         _audit_abs_max(["inertia_ratio", "inertia_ratio_full"], 1.10)(pdf)
         + _audit_min("min_excess_d2", -1e-9)(pdf)
     ),
+    # SimHash's probabilistic (7,16] hamming band, priced as a bound:
+    # recall vs the in-plan exact Jaccard truth >= 0.99 (fixtures
+    # measure 1.0; the 10x replica 0.9953), and zero extra pairs
+    # (found is Jaccard-verified with the same shingles/threshold, so
+    # found ⊆ truth structurally).
+    "simhash_recall_audit": lambda pdf: (
+        _audit_min("recall", 0.99)(pdf)
+        + _audit_abs_max("n_extra", 0)(pdf)
+    ),
 }
 
 
