@@ -48,6 +48,13 @@ GUARDED = [
     # exchange per assignment instead of a full scored-row sort)
     "embedding_kmeans",
     "semantic_dedup",
+    # round 7: the exact-lattice LM scores (bigint micros sums) and
+    # the two new audit queries (exact+pruned assignment / simhash
+    # truth+found in one plan — growth here doubles real scans)
+    "lm_doc_score",
+    "dsir_weights",
+    "kmeans_pruned_agreement",
+    "simhash_recall_audit",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
