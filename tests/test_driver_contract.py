@@ -35,6 +35,30 @@ def test_head_50_is_oracle_backed_or_self_audited():
     assert not missing, f"head-50 queries with no oracle/self-audit: {missing}"
 
 
+def test_correctness_full_artifact_is_not_stale():
+    """The committed CORRECTNESS_full.json must be generated from the
+    code it sits next to. The artifact stamps a content fingerprint of
+    every query-defining file at generation time; if this fails, run
+    ``python tools/gen_correctness_full.py`` as the LAST act before
+    committing (round-6 lesson: a stale artifact is not evidence)."""
+    import json
+    import os
+
+    from tools.gen_correctness_full import code_fingerprint
+
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_full.json")
+    artifact = json.load(open(path))
+    current = code_fingerprint()
+    for sf, payload in artifact.items():
+        stamped = payload["meta"].get("code_fingerprint")
+        assert stamped == current, (
+            f"CORRECTNESS_full.json[{sf}] was generated from different "
+            "query-defining code than this tree — regenerate it "
+            "(python tools/gen_correctness_full.py) as the last act of "
+            "the round"
+        )
+
+
 def test_pinned_core_leads_every_round():
     core = [
         "route_events_exact",

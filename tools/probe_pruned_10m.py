@@ -1,0 +1,163 @@
+"""One-shot probe: pruned k-means assignment at its DESIGN POINT.
+
+``docs/SCALE.md`` documents the exact assignment stage turning
+quadratic around n ≈ 10⁷ vectors and ships ``assignment="pruned"``
+(two-level coarse-quantized routing, ``clustering.py::_assign_pruned``)
+as the mitigation. This probe runs that configuration FOR REAL:
+
+- a synthetic 10⁷ × 64 blob-structured embedding table (deterministic,
+  generated Spark-side from xxhash64 — no driver materialization, no
+  RNG), cached as parquet under /tmp;
+- ONE pruned assignment pass at the auto-k design point
+  (k = n/5000 = 2000 clusters, groups = ⌈√k⌉ = 45), timed;
+- a sampled EXACT check: ~10k vectors assigned exactly against the
+  SAME seed centroids, reporting cluster agreement and the inertia
+  ratio on the sample (the same metrics `kmeans_pruned_agreement`
+  bounds at fixture scale).
+
+Writes the JSON artifact for docs/artifacts/. The exact full pass at
+this point would be ~25× the pruned wall (n·k vs n·(g + k/g) distance
+evaluations: 2000 vs 89 per vector) — the point of the probe is that
+the pruned path makes 10⁷ tractable, so the exact side is sampled,
+not raced.
+
+Usage: python tools/probe_pruned_10m.py [--n N] [--out OUT.json]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    argv = list(sys.argv[1:])
+    n = 10_000_000
+    if "--n" in argv:
+        i = argv.index("--n")
+        n = int(argv[i + 1])
+        del argv[i : i + 2]
+    out_path = os.path.join(REPO, "docs", "artifacts", "pruned_assign_10m_r07.json")
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        del argv[i : i + 2]
+    dim = 64
+    k = max(8, math.ceil(n / 5000))  # the semantic_dedup auto-k rule
+    groups = max(2, math.isqrt(k))
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.clustering import (
+        _assign,
+        _assign_pruned,
+    )
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .appName("probe-pruned-10m")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Deterministic blob-structured corpus: vector i belongs to blob
+    # (i % k); dim d = blob center in [0,1) plus ±0.025 noise. Every
+    # value derives from xxhash64, so the table is reproducible and
+    # generated entirely on executors.
+    path = f"/tmp/peps-probe-emb-{n}-{dim}"
+    if not os.path.isdir(path):
+        blob = f"(id % {k})"
+        center = f"(abs(xxhash64({blob}, d)) % 1000003) / 1000003.0"
+        noise = f"((abs(xxhash64(id, d, 7L)) % 1000003) / 1000003.0 - 0.5) * 0.05"
+        (
+            spark.range(n)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.expr(
+                    f"transform(sequence(0, {dim - 1}), d -> CAST({center} + {noise} AS DOUBLE))"
+                ).alias("embedding"),
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    vecs = spark.read.parquet(path)
+
+    # Seed centroids exactly as kmeans_assignments does: the first k
+    # vectors by id, clusters numbered in that order. ids 0..k-1 land
+    # one per blob here, so agreement is a meaningful signal.
+    centroids = (
+        vecs.filter(F.col("vec_id") < k)
+        .select(
+            F.col("vec_id").cast("int").alias("cluster"),
+            F.col("embedding").alias("__km_cvec"),
+        )
+    )
+    centroids = centroids.persist()
+    centroids.count()
+
+    t0 = time.time()
+    pruned = _assign_pruned(
+        vecs, centroids, vector_col="embedding", id_col="vec_id", groups=groups
+    ).select("vec_id", "cluster", "d2")
+    pruned.write.mode("overwrite").parquet(f"{path}-assigned")
+    wall_pruned = time.time() - t0
+
+    # Sampled exact check against the SAME centroids.
+    sample = vecs.filter(F.abs(F.xxhash64("vec_id", F.lit(13))) % (n // 10_000) == 0)
+    t1 = time.time()
+    exact_s = _assign(
+        sample, centroids, vector_col="embedding", id_col="vec_id"
+    ).select(
+        "vec_id",
+        F.col("cluster").alias("c_exact"),
+        F.col("d2").alias("d2_exact"),
+    )
+    pr = spark.read.parquet(f"{path}-assigned")
+    joined = exact_s.join(pr, "vec_id")
+    row = joined.agg(
+        F.count(F.lit(1)).alias("sample_n"),
+        F.avg((F.col("cluster") == F.col("c_exact")).cast("double")).alias("agreement"),
+        (F.sum("d2") / F.sum("d2_exact")).alias("inertia_ratio"),
+        F.min(F.col("d2") - F.col("d2_exact")).alias("min_excess_d2"),
+    ).first()
+    wall_exact_sample = time.time() - t1
+
+    result = {
+        "probe": "pruned_assignment_design_point",
+        "n": n,
+        "dim": dim,
+        "k": k,
+        "groups": groups,
+        "wall_pruned_assignment_sec": round(wall_pruned, 1),
+        "sample_n": row["sample_n"],
+        "agreement_vs_exact": round(float(row["agreement"]), 4),
+        "inertia_ratio_vs_exact": round(float(row["inertia_ratio"]), 6),
+        "min_excess_d2": round(float(row["min_excess_d2"]), 6),
+        "wall_exact_on_sample_sec": round(wall_exact_sample, 1),
+        "exact_full_pass_cost_model": (
+            f"n*k = {n * k:.2e} distance evals vs pruned n*(g+k/g) = "
+            f"{n * (groups + k / groups):.2e} — {k / (groups + k / groups):.1f}x"
+        ),
+    }
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
