@@ -111,6 +111,55 @@ def _update(assigned: DataFrame, *, vector_col: str) -> DataFrame:
     )
 
 
+def _route_top_groups(
+    vecs: DataFrame,
+    group_means: DataFrame,
+    *,
+    vector_col: str,
+    id_col: str,
+    probes: int,
+) -> DataFrame:
+    """(id, __km_group) — each vector's ``probes`` nearest group means.
+
+    ``probes=1`` is one map-side ``min(struct)`` aggregate (the r06
+    argmin pattern). For ``probes=p`` the minima are PEELED
+    iteratively: each round recomputes the broadcast-scored rows
+    (map-side, no shuffle) minus the groups already picked for that
+    id, and aggregates the next minimum — p narrow n-row shuffles
+    instead of the n×groups-row sort a window top-p would shuffle, or
+    the ~(groups×16B)-per-key partial states a collect_list top-p
+    would carry. p is 1-3 in practice, so the peeling loop costs p×
+    the routing stage, which is the cheap stage of the pruned plan."""
+    gm = group_means.select(
+        F.col("cluster").alias("__gm_g"), F.col("__km_cvec").alias("__gm_vec")
+    )
+    scored = vecs.select(id_col, vector_col).join(
+        F.broadcast(gm), F.lit(True)
+    ).select(
+        id_col,
+        F.col("__gm_g"),
+        F.round(squared_distance(vector_col, "__gm_vec"), 6).alias("__gd2"),
+    )
+    picked = None
+    for _ in range(probes):
+        remaining = (
+            scored
+            if picked is None
+            else scored.join(
+                picked.select(id_col, F.col("__km_group").alias("__gm_g")),
+                [id_col, "__gm_g"],
+                "left_anti",
+            )
+        )
+        nxt = (
+            remaining.groupBy(id_col)
+            .agg(F.min(F.struct("__gd2", "__gm_g")).alias("__b"))
+            .select(id_col, F.col("__b.__gm_g").alias("__km_group"))
+        )
+        picked = nxt if picked is None else picked.unionByName(nxt)
+    return picked
+
+
 def _assign_pruned(
     vecs: DataFrame,
     centroids: DataFrame,
@@ -118,6 +167,7 @@ def _assign_pruned(
     vector_col: str,
     id_col: str,
     groups: int,
+    probes: int = 1,
 ) -> DataFrame:
     """Two-level (coarse-quantized) assignment: cluster the CENTROIDS
     into ``groups`` groups, route each vector to its nearest group
@@ -138,6 +188,15 @@ def _assign_pruned(
     ``groups < k`` — ``kmeans_assignments`` routes ``groups >= k``
     to the exact plan, since a router that prunes nothing adds only
     approximation risk.
+
+    ``probes`` — number of nearest groups each vector scores against
+    (IVF multi-probe). The 10⁷×64 design-point probe
+    (``docs/artifacts/pruned_assign_10m_r07.json``) measures
+    ``probes=1`` at 87.5% exact-cluster agreement: misrouting happens
+    when the true nearest centroid's group mean is NOT the vector's
+    nearest group mean, and probing the second group catches most of
+    it for ~``probes``× the routing/scoring cost (still ≪ exact's
+    n×k while ``probes ≪ groups``).
     """
     # Group the k centroids with a tiny EXACT k-means over the
     # centroid frame itself (k rows — negligible at any n). The
@@ -168,9 +227,14 @@ def _assign_pruned(
         ),
         vector_col="__gm_vec",
     )
-    routed = _assign(
-        vecs, group_means, vector_col=vector_col, id_col=id_col
-    ).withColumnRenamed("cluster", "__km_group").drop("d2")
+    routes = _route_top_groups(
+        vecs,
+        group_means,
+        vector_col=vector_col,
+        id_col=id_col,
+        probes=min(max(1, probes), groups),
+    )
+    routed = routes.join(vecs.select(id_col, vector_col), id_col)
     scored = routed.join(F.broadcast(cents_g), "__km_group").withColumn(
         "d2", F.round(squared_distance(vector_col, "__km_cvec"), 6)
     )
@@ -186,6 +250,7 @@ def kmeans_assignments(
     n_iter: int = 2,
     assignment: str = "exact",
     groups: int | None = None,
+    probes: int = 1,
 ) -> DataFrame:
     """Cluster assignment after ``n_iter`` Lloyd's iterations.
 
@@ -203,7 +268,12 @@ def kmeans_assignments(
     coarse-quantized assignment (``groups`` group means, default
     ⌈√k⌉) for O(n·√k) per iteration — approximate at group
     boundaries, the standard IVF trade, and NOT used by any
-    oracle-checked query (those pin the exact path).
+    oracle-checked query (those pin the exact path). ``probes``
+    (pruned path only) scores each vector against its ``probes``
+    nearest groups instead of one — the IVF multi-probe knob: ~p×
+    the pruned cost, recovers most boundary misrouting, and
+    ``probes=groups`` degenerates to scoring every centroid
+    (bit-identical to exact, structurally).
 
     Returns ``(id_col, cluster, d2)`` — each vector, its cluster after
     the final assignment, and the (rounded) squared distance to the
@@ -229,7 +299,12 @@ def kmeans_assignments(
 
             def assign_fn(v, c):
                 return _assign_pruned(
-                    v, c, vector_col=vector_col, id_col=id_col, groups=groups
+                    v,
+                    c,
+                    vector_col=vector_col,
+                    id_col=id_col,
+                    groups=groups,
+                    probes=probes,
                 )
 
     if assignment == "exact":

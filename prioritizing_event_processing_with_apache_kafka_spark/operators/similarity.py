@@ -463,6 +463,7 @@ def semantic_neardup_pairs(
     threshold: float = 0.4,
     target_cluster_size: int = 5000,
     assignment: str = "exact",
+    probes: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs: k-means the
     embedding space, then score exact cosine only *within* each cluster.
@@ -520,6 +521,7 @@ def semantic_neardup_pairs(
         k=k,
         n_iter=n_iter,
         assignment=assignment,
+        probes=probes,
     ).select(id_col, "cluster")
     # Persisted: both sides of the in-cluster self-join read this frame
     # (without the cache each side would replay the full k-means).

@@ -525,6 +525,53 @@ class TestKmeans:
         agreement = sum(exact[i] == pruned[i] for i in exact) / len(exact)
         assert agreement >= 0.8, agreement
 
+    def test_multiprobe_probes_eq_groups_is_exact(self, spark):
+        """probes=groups scores every group, hence every centroid —
+        the multi-probe router must then be bit-identical to exact."""
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.clustering import (
+            kmeans_assignments,
+        )
+
+        df = self._blob_frame(spark)
+        exact = {
+            r["vec_id"]: (r["cluster"], r["d2"])
+            for r in kmeans_assignments(df, k=6, n_iter=2).collect()
+        }
+        probed = {
+            r["vec_id"]: (r["cluster"], r["d2"])
+            for r in kmeans_assignments(
+                df, k=6, n_iter=2, assignment="pruned", groups=3, probes=3
+            ).collect()
+        }
+        assert probed == exact
+
+    def test_multiprobe_improves_or_matches_single_probe(self, spark):
+        """probes=2 must keep every vector assigned and agree with the
+        exact assignment at least as often as probes=1 (the scored
+        candidate set only grows)."""
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.clustering import (
+            kmeans_assignments,
+        )
+
+        df = self._blob_frame(spark)
+        exact = {
+            r["vec_id"]: r["cluster"]
+            for r in kmeans_assignments(df, k=6, n_iter=2).collect()
+        }
+
+        def agreement(probes):
+            out = {
+                r["vec_id"]: r["cluster"]
+                for r in kmeans_assignments(
+                    df, k=6, n_iter=2, assignment="pruned", groups=3,
+                    probes=probes,
+                ).collect()
+            }
+            assert len(out) == len(exact)
+            return sum(exact[i] == out[i] for i in exact) / len(exact)
+
+        assert agreement(2) >= agreement(1)
+
     def test_pruned_agreement_audit_query(self, spark, sf_dir):
         """The declared kmeans_pruned_agreement gate, enforced through
         the SAME SELF_AUDITS entry the oracle harness runs — the test

@@ -108,14 +108,8 @@ def main() -> int:
     centroids = centroids.persist()
     centroids.count()
 
-    t0 = time.time()
-    pruned = _assign_pruned(
-        vecs, centroids, vector_col="embedding", id_col="vec_id", groups=groups
-    ).select("vec_id", "cluster", "d2")
-    pruned.write.mode("overwrite").parquet(f"{path}-assigned")
-    wall_pruned = time.time() - t0
-
-    # Sampled exact check against the SAME centroids.
+    # Sampled exact assignment against the SAME centroids (computed
+    # once; ~10k vectors, so wall is seconds not hours).
     sample = vecs.filter(F.abs(F.xxhash64("vec_id", F.lit(13))) % (n // 10_000) == 0)
     t1 = time.time()
     exact_s = _assign(
@@ -125,15 +119,47 @@ def main() -> int:
         F.col("cluster").alias("c_exact"),
         F.col("d2").alias("d2_exact"),
     )
-    pr = spark.read.parquet(f"{path}-assigned")
-    joined = exact_s.join(pr, "vec_id")
-    row = joined.agg(
-        F.count(F.lit(1)).alias("sample_n"),
-        F.avg((F.col("cluster") == F.col("c_exact")).cast("double")).alias("agreement"),
-        (F.sum("d2") / F.sum("d2_exact")).alias("inertia_ratio"),
-        F.min(F.col("d2") - F.col("d2_exact")).alias("min_excess_d2"),
-    ).first()
+    exact_s = exact_s.persist()
+    exact_s.count()
     wall_exact_sample = time.time() - t1
+
+    runs = []
+    for probes in (1, 2):
+        t0 = time.time()
+        pruned = _assign_pruned(
+            vecs,
+            centroids,
+            vector_col="embedding",
+            id_col="vec_id",
+            groups=groups,
+            probes=probes,
+        ).select("vec_id", "cluster", "d2")
+        pruned.write.mode("overwrite").parquet(f"{path}-assigned-p{probes}")
+        wall_pruned = time.time() - t0
+        pr = spark.read.parquet(f"{path}-assigned-p{probes}")
+        row = exact_s.join(pr, "vec_id").agg(
+            F.count(F.lit(1)).alias("sample_n"),
+            F.avg((F.col("cluster") == F.col("c_exact")).cast("double")).alias(
+                "agreement"
+            ),
+            (F.sum("d2") / F.sum("d2_exact")).alias("inertia_ratio"),
+            F.min(F.col("d2") - F.col("d2_exact")).alias("min_excess_d2"),
+        ).first()
+        runs.append(
+            {
+                "probes": probes,
+                "wall_pruned_assignment_sec": round(wall_pruned, 1),
+                "sample_n": row["sample_n"],
+                "agreement_vs_exact": round(float(row["agreement"]), 4),
+                # NOTE on conditioning: with tight synthetic blobs the
+                # exact inertia is near zero, so the RATIO explodes on
+                # any misroute — agreement and min_excess are the
+                # meaningful metrics here; the fixture-scale audit
+                # bounds the ratio on unstructured data instead.
+                "inertia_ratio_vs_exact": round(float(row["inertia_ratio"]), 4),
+                "min_excess_d2": round(float(row["min_excess_d2"]), 6),
+            }
+        )
 
     result = {
         "probe": "pruned_assignment_design_point",
@@ -141,15 +167,12 @@ def main() -> int:
         "dim": dim,
         "k": k,
         "groups": groups,
-        "wall_pruned_assignment_sec": round(wall_pruned, 1),
-        "sample_n": row["sample_n"],
-        "agreement_vs_exact": round(float(row["agreement"]), 4),
-        "inertia_ratio_vs_exact": round(float(row["inertia_ratio"]), 6),
-        "min_excess_d2": round(float(row["min_excess_d2"]), 6),
         "wall_exact_on_sample_sec": round(wall_exact_sample, 1),
+        "runs": runs,
         "exact_full_pass_cost_model": (
             f"n*k = {n * k:.2e} distance evals vs pruned n*(g+k/g) = "
-            f"{n * (groups + k / groups):.2e} — {k / (groups + k / groups):.1f}x"
+            f"{n * (groups + k / groups):.2e} — {k / (groups + k / groups):.1f}x "
+            f"(probes=p multiplies the pruned side by ~p)"
         ),
     }
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
