@@ -221,9 +221,14 @@ def main() -> int:
         "SPARK_GRAFT_SPREAD_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_spread.json"),
     )
-    with open(spread_path, "w") as fh:
-        json.dump({"sf": sf_value, "stat": "median_of_3", "spread": spreads}, fh)
-    # FINAL line of output, compact separators — nothing may print after.
+    try:
+        with open(spread_path, "w") as fh:
+            json.dump({"sf": sf_value, "stat": "median_of_3", "spread": spreads}, fh)
+    except OSError as exc:
+        # The sidecar is auxiliary — an unwritable path must never cost
+        # the headline line (the exact failure mode this split fixes).
+        print(f"spread sidecar not written: {exc}", file=sys.stderr)
+    # FINAL line of stdout, compact separators — nothing may print after.
     print(json.dumps(result, separators=(",", ":")))
     return 0
 

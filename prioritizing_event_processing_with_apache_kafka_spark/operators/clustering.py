@@ -266,7 +266,7 @@ def kmeans_assignments(
     quadratic around n ≈ 10⁷ vectors (``docs/SCALE.md`` round-6
     note); ``assignment="pruned"`` swaps in the two-level
     coarse-quantized assignment (``groups`` group means, default
-    ⌈√k⌉) for O(n·√k) per iteration — approximate at group
+    ``max(2, isqrt(k))``) for O(n·√k) per iteration — approximate at group
     boundaries, the standard IVF trade, and NOT used by any
     oracle-checked query (those pin the exact path). ``probes``
     (pruned path only) scores each vector against its ``probes``

@@ -328,9 +328,17 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif ctype == b"IEND":
             break
         pos += 12 + length
+    else:
+        # ran off the end without IEND (truncation leaving < 8
+        # trailing bytes escapes the in-loop guard) — keep the
+        # corrupt-format seam a ValueError
+        raise ValueError("truncated PNG: no IEND chunk")
     if w is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
     need = h * (w * 3 + 1)
     if len(raw) != need:
         raise ValueError(f"PNG scanline data {len(raw)} != {need} expected")

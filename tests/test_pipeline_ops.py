@@ -306,12 +306,15 @@ class TestImageCodecs:
             M.decode_png(bytes(bad))
 
     def test_png_truncated_chunk_raises_valueerror(self):
-        # the corrupt-format seam is ValueError, never struct.error:
-        # cut the payload mid-chunk (drop the CRC and part of the data)
+        # the corrupt-format seam is ValueError, never struct.error /
+        # zlib.error: truncate at EVERY offset and demand a clean
+        # raise (offsets that leave < 8 trailing bytes escape the
+        # in-loop guard and must be caught by the no-IEND check;
+        # corrupt-but-parseable IDAT must be caught at decompress)
         full = M.encode_png(self._rand_img(4, 4, seed=7))
-        truncated = full[: len(M._PNG_SIG) + 8 + 5]  # sig + IHDR header + 5B
-        with pytest.raises(ValueError, match="truncated"):
-            M.decode_png(truncated)
+        for cut in range(len(M._PNG_SIG) + 1, len(full) - 1, 3):
+            with pytest.raises(ValueError):
+                M.decode_png(full[:cut])
 
     def test_png_unsupported_color_type_raises(self):
         import struct as st

@@ -9,11 +9,14 @@ as the mitigation. This probe runs that configuration FOR REAL:
   generated Spark-side from xxhash64 — no driver materialization, no
   RNG), cached as parquet under /tmp;
 - ONE pruned assignment pass at the auto-k design point
-  (k = n/5000 = 2000 clusters, groups = ⌈√k⌉ = 45), timed;
+  (k = n/5000 = 2000 clusters, groups = isqrt(k) = 44), timed;
 - a sampled EXACT check: ~10k vectors assigned exactly against the
   SAME seed centroids, reporting cluster agreement and the inertia
   ratio on the sample (the same metrics `kmeans_pruned_agreement`
   bounds at fixture scale).
+
+(For k = 2000 the group count is ``max(2, isqrt(k))`` = 44 — floor,
+matching ``kmeans_assignments``' default and the committed artifact.)
 
 Writes the JSON artifact for docs/artifacts/. The exact full pass at
 this point would be ~25× the pruned wall (n·k vs n·(g + k/g) distance
@@ -110,7 +113,9 @@ def main() -> int:
 
     # Sampled exact assignment against the SAME centroids (computed
     # once; ~10k vectors, so wall is seconds not hours).
-    sample = vecs.filter(F.abs(F.xxhash64("vec_id", F.lit(13))) % (n // 10_000) == 0)
+    sample = vecs.filter(
+        F.abs(F.xxhash64("vec_id", F.lit(13))) % max(1, n // 10_000) == 0
+    )
     t1 = time.time()
     exact_s = _assign(
         sample, centroids, vector_col="embedding", id_col="vec_id"
