@@ -59,6 +59,9 @@ _DRIVER_HEAD = [
     # by tools/check_oracle.py SELF_AUDITS).
     "kmeans_pruned_agreement",
     "simhash_recall_audit",
+    # round-7 addition: distributed PCA/whitening gate (same
+    # machine-audited treatment — one draw on declaration).
+    "embedding_pca_audit",
     # once-drawn, last drawn r01 — the oldest hard signals in the
     # suite, all predating five rounds of engine changes. (Once-drawn
     # SELF-AUDIT queries are deliberately NOT rotated back in:

@@ -659,6 +659,64 @@ def q_kmeans_pruned_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_pca_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Machine-audited gate for the distributed PCA/whitening operator
+    (``operators/pca.py`` — the SemDeDup-paper preprocessing step:
+    covariance moments aggregated map-side, d×d eigh on the driver,
+    projection in native Column expressions). Fits ``p=4`` whitened
+    components on the embeddings table, projects every vector, and
+    reports one row of properties a CORRECT whitened PCA must satisfy
+    on any data, checked entirely in-plan from the projected output:
+
+    - ``max_abs_mean`` — projected components are centered: worst
+      |mean| over the p components (audited ≤ 1e-4; the only noise is
+      the 6-decimal rounding of projected values);
+    - ``min_comp_var`` / ``max_comp_var`` — whitening makes every
+      component's population variance 1 (audited within [0.98, 1.02]);
+    - ``max_offdiag_corr`` — PCA diagonalizes the sample covariance,
+      so distinct components are uncorrelated: worst |Pearson corr|
+      over the p(p−1)/2 pairs (audited ≤ 0.02);
+    - ``evr_margin`` — explained-variance ratio minus p/d, audited
+      ≥ −1e-6: the top-p eigenvalues can never explain LESS variance
+      than p isotropic directions, so a negative margin means the
+      eigensolver or the moment aggregation broke.
+
+    Enforced via the SELF_AUDITS registry in ``tools/check_oracle.py``
+    (same machinery as the ANN recall / pruned-k-means gates); not
+    SQL-oracled — DuckDB has no eigensolver, and the audit IS the
+    spec."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators import pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = 4
+    model = pca.fit_pca(emb, n_components=p, whiten=True)
+    proj = pca.project_embeddings(emb, model).select(
+        *[F.col("pca")[i].alias(f"c{i}") for i in range(p)]
+    )
+    pairs = [(i, j) for i in range(p) for j in range(i + 1, p)]
+    return proj.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.greatest(*[F.abs(F.avg(f"c{i}")) for i in range(p)]), 6
+        ).alias("max_abs_mean"),
+        F.round(
+            F.least(*[F.var_pop(f"c{i}") for i in range(p)]), 6
+        ).alias("min_comp_var"),
+        F.round(
+            F.greatest(*[F.var_pop(f"c{i}") for i in range(p)]), 6
+        ).alias("max_comp_var"),
+        F.round(
+            F.greatest(
+                *[F.abs(F.corr(f"c{i}", f"c{j}")) for i, j in pairs]
+            ),
+            6,
+        ).alias("max_offdiag_corr"),
+        F.round(
+            F.lit(model.explained_variance_ratio - p / model.dim), 6
+        ).alias("evr_margin"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -2472,6 +2530,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_kmeans": q_embedding_kmeans,
     "semantic_dedup": q_semantic_dedup,
     "kmeans_pruned_agreement": q_kmeans_pruned_agreement,
+    "embedding_pca_audit": q_embedding_pca_audit,
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frame_sample,
