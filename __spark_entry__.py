@@ -53,6 +53,9 @@ _DRIVER_HEAD = [
     # whole divergence); immediate re-draw confirms.
     "q12_priority_by_lateness",
     "events_tier_at_time",
+    # round-7 addition (zero draws, fully hash-oracled): distributed
+    # naive-Bayes train+apply on the integer-micros lattice.
+    "nb_lang_classifier",
     # new round-7 queries (zero draws): machine-audited gates for the
     # pruned k-means assignment path and the simhash probabilistic
     # recall band (driver records rows-only — the audits are enforced

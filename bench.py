@@ -78,6 +78,8 @@ HEADLINE = [
     # round-6 addition: the streaming SCD2 maintainer driven end to end
     # (file-source stream, versioned-parquet merge protocol)
     "scd2_stream_history",
+    # round 7: NB classifier (train + apply in one plan)
+    "nb_lang_classifier",
 ]
 
 

@@ -1843,6 +1843,94 @@ FROM lr GROUP BY doc_id
 """
 
 
+def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classifier, trained AND
+    applied distributively (``operators/nbayes.py``) — the relational
+    stand-in for the fasttext-style lang-ID/quality classifiers of
+    CCNet/GPT-3-era curation stacks. Train: vocab capped at the top-V
+    corpus tokens (V=1000; the knob that keeps the model a broadcast
+    at any corpus size), two map-side-combinable counts, a dense
+    (vocab x label) likelihood grid on the integer-micros log2
+    lattice. Apply: token stream x broadcast grid, one (doc, label,
+    int64) shuffle, map-side ``min(struct)`` argmax. Scores are exact
+    integer sums, so the WHOLE pipeline — including the learned model
+    — is hash-oracled against DuckDB."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators import (
+        nbayes as NB,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    priors, grid = NB.nb_train(docs, label_col="lang", vocab_size=1000)
+    pred = NB.nb_classify(docs, priors, grid, label_col="lang")
+    return pred.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        "pred_lang",
+        "score_micros",
+        (F.col("pred_lang") == F.col("lang")).alias("correct"),
+    )
+
+
+SQL_NB_LANG_CLASSIFIER = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents
+),
+vocab AS (
+  SELECT t FROM (
+    SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+    ORDER BY c DESC, t ASC LIMIT 1000
+  )
+),
+vtok AS (SELECT tok.doc_id, tok.lang, tok.t FROM tok JOIN vocab USING (t)),
+cnt AS (SELECT t, lang, COUNT(*) AS cnt FROM vtok GROUP BY 1, 2),
+tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT t) AS v FROM cnt),
+labels AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+n AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM labels),
+priors AS (
+  SELECT lang,
+         CAST(CAST(round(log2(CAST(n_docs AS DOUBLE) / n_total), 6)
+                   AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS prior_micros
+  FROM labels CROSS JOIN n
+),
+grid AS (
+  SELECT vt.t, tt.lang,
+         CAST(CAST(round(log2(CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE)
+                              / (tt.tot + v.v)), 6)
+                   AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS ll
+  FROM (SELECT DISTINCT t FROM cnt) vt
+  CROSS JOIN tot tt
+  LEFT JOIN cnt c ON c.t = vt.t AND c.lang = tt.lang
+  CROSS JOIN v
+),
+occ AS (
+  SELECT dt.doc_id, g.lang, CAST(SUM(g.ll) AS BIGINT) AS tok_sum
+  FROM (SELECT doc_id, t FROM tok) dt JOIN grid g ON dt.t = g.t
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.doc_id, p.lang, p.prior_micros + COALESCE(o.tok_sum, 0) AS score
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN priors p
+  LEFT JOIN occ o ON o.doc_id = d.doc_id AND o.lang = p.lang
+),
+best AS (
+  SELECT doc_id, lang AS pred_lang, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, lang ASC
+         ) AS rn
+  FROM scored
+)
+SELECT b.doc_id,
+       d.lang AS actual_lang,
+       b.pred_lang,
+       CAST(b.score AS BIGINT) AS score_micros,
+       b.pred_lang = d.lang AS correct
+FROM best b JOIN documents d USING (doc_id)
+WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Keyed time-series features (operators/timeseries.py)
 # ---------------------------------------------------------------------------
@@ -2531,6 +2619,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "kmeans_pruned_agreement": q_kmeans_pruned_agreement,
     "embedding_pca_audit": q_embedding_pca_audit,
+    "nb_lang_classifier": q_nb_lang_classifier,
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -2617,6 +2706,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "embedding_ann_int8": SQL_EMBEDDING_ANN_INT8,
     "lm_doc_score": SQL_LM_DOC_SCORE,
+    "nb_lang_classifier": SQL_NB_LANG_CLASSIFIER,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "user_value_ewma": SQL_USER_VALUE_EWMA,
     "bucket_hourly_anomaly": SQL_BUCKET_HOURLY_ANOMALY,

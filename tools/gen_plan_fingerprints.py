@@ -55,6 +55,10 @@ GUARDED = [
     "dsir_weights",
     "kmeans_pruned_agreement",
     "simhash_recall_audit",
+    # round 7: NB classifier — broadcast model grid + one
+    # (doc,label,int64) shuffle + min(struct) argmax; a window-sort
+    # or a non-broadcast grid join would show up here
+    "nb_lang_classifier",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
