@@ -115,3 +115,34 @@ def test_vocab_size_validation(spark):
     )
     with pytest.raises(ValueError, match="vocab_size must be >= 1"):
         NB.nb_train(df, label_col="lang", vocab_size=0)
+
+
+def test_property_matches_reference_on_random_corpora(spark):
+    """Hypothesis: on arbitrary small corpora (random token streams,
+    random labels, random vocab caps) the distributed NB agrees
+    EXACTLY — prediction and integer score — with the single-node
+    lattice reference."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    token = st.sampled_from(["a", "b", "c", "dd", "ee", "zz"])
+    doc = st.builds(
+        lambda toks, lbl: (toks, lbl),
+        st.lists(token, min_size=1, max_size=6),
+        st.sampled_from(["p", "q", "r"]),
+    )
+    corpus = st.lists(doc, min_size=2, max_size=8)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(corpus, st.integers(min_value=1, max_value=8))
+    def run(c, vocab_size):
+        docs = [(i, " ".join(toks), lbl) for i, (toks, lbl) in enumerate(c)]
+        assert _run(spark, docs, vocab_size) == _reference_scores(
+            docs, vocab_size
+        )
+
+    run()

@@ -129,3 +129,41 @@ def test_audit_query_bounds_on_fixture(spark):
     assert 0.98 <= row["min_comp_var"] <= row["max_comp_var"] <= 1.02
     assert abs(row["max_offdiag_corr"]) <= 0.02
     assert row["evr_margin"] >= -1e-6
+
+
+def test_property_matches_numpy_on_random_data(spark):
+    """Hypothesis: for arbitrary small (n, d, p, seed) the distributed
+    fit agrees with single-node numpy PCA on the same data, and the
+    projection invariants hold."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.integers(min_value=8, max_value=40),
+        st.integers(min_value=2, max_value=6),
+        st.integers(min_value=0, max_value=10_000),
+    )
+    def run(n, d, seed):
+        rng = np.random.default_rng(seed)
+        # distinct per-axis scales keep eigenvalues separated so the
+        # component comparison is well-posed (no degenerate subspaces)
+        x = rng.normal(size=(n, d)) * np.linspace(2.0, 0.5, d)
+        p = min(2, d)
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in x[i]]) for i in range(n)],
+            "vec_id: long, embedding: array<double>",
+        ).repartition(3)
+        model = pca.fit_pca(df, n_components=p, whiten=False)
+        mean, comps, vals, total = _numpy_pca(x, p)
+        assert np.allclose(model.mean, mean, atol=1e-9)
+        assert np.allclose(model.eigvals, vals, atol=1e-9)
+        assert model.total_var == pytest.approx(total, abs=1e-9)
+        b = np.array(model.components)
+        assert np.allclose(b @ b.T, np.eye(p), atol=1e-9)
+
+    run()
