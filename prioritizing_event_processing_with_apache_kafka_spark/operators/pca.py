@@ -96,11 +96,18 @@ def moment_partials(df: DataFrame, vector_col: str = "embedding") -> DataFrame:
             vecs = [v for v in pdf["__pca_vec"] if v is not None]
             if not vecs:
                 continue
-            x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
-            if x.ndim != 2:
+            # Explicit length check BEFORE np.asarray: a ragged batch
+            # would otherwise surface as numpy's opaque
+            # "inhomogeneous shape" error instead of ours.
+            lens = {len(v) for v in vecs}
+            if len(lens) != 1:
                 raise ValueError(
-                    "pca: ragged embedding lengths within a batch"
+                    f"pca: ragged embedding lengths within a batch: "
+                    f"{sorted(lens)}"
                 )
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in vecs]
+            )
             if s is not None and x.shape[1] != s.shape[0]:
                 raise ValueError(
                     f"pca: embedding length changed {s.shape[0]} -> "
@@ -175,12 +182,24 @@ def fit_pca(
             ).alias("pos", "v")
         )
         .groupBy("pos")
-        .agg(F.sum("v").alias("v"))
+        .agg(F.sum("v").alias("v"), F.count(F.lit(1)).alias("n_parts"))
         .orderBy("pos")
     )
     rows = combined.collect()
     if not rows:
         raise ValueError("pca: no non-null vectors to fit on")
+    # Cross-PARTITION dimensionality guard: the per-partition ragged
+    # check can't see a split where different partitions hold
+    # different-length vectors. Moment-array length is d²+d (injective
+    # in d), so mixed dims ⇒ mixed lengths ⇒ tail positions present in
+    # fewer partials ⇒ non-uniform per-pos counts. Catch it here
+    # instead of summing mismatched arrays into a garbage covariance.
+    n_parts = {r["n_parts"] for r in rows}
+    if len(n_parts) != 1:
+        raise ValueError(
+            "pca: embedding length differs across partitions "
+            "(moment partials have mismatched lengths)"
+        )
     flat = np.array([r["v"] for r in rows], dtype=np.float64)
     n = int(round(flat[0]))
     d = int(round((np.sqrt(4 * (len(flat) - 1) + 1) - 1) / 2))

@@ -167,3 +167,36 @@ def test_property_matches_numpy_on_random_data(spark):
         assert np.allclose(b @ b.T, np.eye(p), atol=1e-9)
 
     run()
+
+
+def test_ragged_dims_rejected_within_and_across_partitions(spark):
+    d4 = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(10)],
+        "vec_id: long, embedding: array<double>",
+    )
+    d8 = spark.createDataFrame(
+        [(100 + i, [float(i)] * 8) for i in range(10)],
+        "vec_id: long, embedding: array<double>",
+    )
+    # same partition (single-partition union) -> worker-side guard
+    mixed_one = d4.union(d8).coalesce(1)
+    with pytest.raises(Exception, match="pca: "):
+        pca.fit_pca(mixed_one, n_components=2)
+    # different partitions -> the combine-side uniform-count guard
+    # must catch what per-partition checks cannot. parallelize with
+    # explicit slices pins the partition boundary at the dim boundary
+    # (repartition/coalesce paths get AQE-merged back into one
+    # partition at this size, which would hit the worker guard
+    # instead).
+    rows = [(i, [float(i)] * 4) for i in range(10)] + [
+        (100 + i, [float(i)] * 8) for i in range(10)
+    ]
+    mixed_parts = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2),
+        "vec_id: long, embedding: array<double>",
+    )
+    assert mixed_parts.rdd.getNumPartitions() == 2
+    with pytest.raises(
+        ValueError, match="differs across partitions"
+    ):
+        pca.fit_pca(mixed_parts, n_components=2)
