@@ -53,9 +53,11 @@ _DRIVER_HEAD = [
     # whole divergence); immediate re-draw confirms.
     "q12_priority_by_lateness",
     "events_tier_at_time",
-    # round-7 addition (zero draws, fully hash-oracled): distributed
-    # naive-Bayes train+apply on the integer-micros lattice.
+    # round-7 additions (zero draws, fully hash-oracled): distributed
+    # naive-Bayes train+apply on the integer-micros lattice, and the
+    # near-dup-aware leakage-safe split (components -> group-key coin).
     "nb_lang_classifier",
+    "leakage_safe_split",
     # new round-7 queries (zero draws): machine-audited gates for the
     # pruned k-means assignment path and the simhash probabilistic
     # recall band (driver records rows-only — the audits are enforced

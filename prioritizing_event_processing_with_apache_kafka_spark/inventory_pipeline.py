@@ -1487,6 +1487,89 @@ FROM documents GROUP BY 1, 2
 SQL_DATASET_SPLIT = _sql_dataset_split()
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-AWARE train/val/test split — the leakage guard a plain
+    hash split lacks: two near-duplicate documents split independently
+    can land train/test and leak evaluation data (the failure mode
+    decontamination papers warn about INSIDE a single corpus). Here
+    the split key is the near-dup connected component (singletons fall
+    back to their own doc_id), so every member of a duplicate cluster
+    lands in the SAME split by construction — leakage is structurally
+    impossible, not statistically unlikely.
+
+    Composition of three already-oracled primitives, all reused at
+    their declared parameters: ``ngram_jaccard_pairs`` (k=4, 0.5) →
+    ``connected_components`` (min-label propagation + pointer jumping,
+    O(log diameter) hash-join rounds) → ``hash_coin`` on the group
+    key (engine-replayable arithmetic, no RNG state). At 100 TB the
+    pair/CC stages are the documented blocked/bounded machinery and
+    the split itself is a map-side expression — nothing new shuffles.
+    The DuckDB oracle replays the closure with a recursive CTE and
+    the identical coin arithmetic."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.graph import (
+        connected_components,
+    )
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sampling import (
+        hash_coin,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, k=4, threshold=0.5)
+    comp = connected_components(pairs, src="x", dst="y").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    grouped = (
+        docs.select("doc_id", "lang")
+        .join(comp, "doc_id", "left")
+        .withColumn(
+            "group_key",
+            F.coalesce(F.col("component"), F.col("doc_id")),
+        )
+    )
+    coin = hash_coin(F.col("group_key"))
+    split = (
+        F.when(coin < 0.8, F.lit("train"))
+        .when(coin < 0.9, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return grouped.select("doc_id", "group_key", split.alias("split"))
+
+
+def _sql_leakage_safe_split() -> str:
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sampling import (
+        hash_coin_sql,
+    )
+
+    coin = hash_coin_sql("COALESCE(c.component, d.doc_id)")
+    return f"""
+WITH RECURSIVE pairs AS (
+  {SQL_NGRAM_JACCARD}
+),
+edges AS (
+  SELECT x AS a, y AS b FROM pairs
+  UNION
+  SELECT y AS a, x AS b FROM pairs
+),
+reach AS (
+  SELECT DISTINCT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, reach.r FROM edges e JOIN reach ON reach.node = e.b
+),
+comp AS (
+  SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS group_key,
+       CASE WHEN {coin} < 0.8 THEN 'train'
+            WHEN {coin} < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+"""
+
+
+SQL_LEAKAGE_SAFE_SPLIT = _sql_leakage_safe_split()
+
+
 def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for pretraining batches: documents stream into
     fixed-capacity packs (1024 whitespace tokens) in doc_id order,
@@ -2620,6 +2703,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_pruned_agreement": q_kmeans_pruned_agreement,
     "embedding_pca_audit": q_embedding_pca_audit,
     "nb_lang_classifier": q_nb_lang_classifier,
+    "leakage_safe_split": q_leakage_safe_split,
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -2707,6 +2791,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "embedding_ann_int8": SQL_EMBEDDING_ANN_INT8,
     "lm_doc_score": SQL_LM_DOC_SCORE,
     "nb_lang_classifier": SQL_NB_LANG_CLASSIFIER,
+    "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "user_value_ewma": SQL_USER_VALUE_EWMA,
     "bucket_hourly_anomaly": SQL_BUCKET_HOURLY_ANOMALY,
