@@ -67,6 +67,13 @@ _DRIVER_HEAD = [
     # round-7 addition: distributed PCA/whitening gate (same
     # machine-audited treatment — one draw on declaration).
     "embedding_pca_audit",
+    # round-7 additions, second batch (zero draws, fully hash-oracled):
+    # prioritized-consumption drain schedule (route -> assign -> tick),
+    # dense hourly resample with linear interpolation, and two-round
+    # majority-vote label propagation over the near-dup graph.
+    "priority_drain_schedule",
+    "ts_gap_fill",
+    "label_propagation",
     # once-drawn, last drawn r01 — the oldest hard signals in the
     # suite, all predating five rounds of engine changes. (Once-drawn
     # SELF-AUDIT queries are deliberately NOT rotated back in:

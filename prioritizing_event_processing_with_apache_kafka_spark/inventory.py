@@ -308,6 +308,90 @@ GROUP BY 1, 2, 3
 """
 
 
+# The canonical drain fleet: 3 Platinum / 2 Gold / 1 Standard consumers
+# — the "more consumers on higher-priority buckets" deployment the
+# reference's README prescribes (README.md:11,17).
+DRAIN_FLEET = [
+    ("p0", "Platinum"), ("p1", "Platinum"), ("p2", "Platinum"),
+    ("g0", "Gold"), ("g1", "Gold"),
+    ("s0", "Standard"),
+]
+
+
+def q_priority_drain_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end prioritized consumption: route every event (exact
+    round-robin, ``BucketPriorityPartitioner.java:62-84``), assign the
+    partitions to the canonical 3/2/1 consumer fleet
+    (``BucketPriorityAssignor.java:92-149``), and derive the tick at
+    which each event is consumed under the fixed-stride poll model
+    (``operators/drain.py``) — the query that makes the pattern's whole
+    value proposition ("Platinum drains faster") measurable.
+    """
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.assignment import (
+        Subscription,
+        assign,
+    )
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.drain import (
+        consumer_map_table,
+        drain_schedule,
+    )
+
+    subs = [Subscription(c, ["events"], b) for c, b in DRAIN_FLEET]
+    plan = assign({"events": EVENTS_NUM_PARTITIONS}, subs, EVENTS_CONFIG)
+    cmap = consumer_map_table(spark, plan, topic="events")
+    # Scale path: the router's bucket sequence determines the position
+    # inside the partition arithmetically (partitions fill round-robin),
+    # so no per-partition window is needed — the schedule adds only a
+    # broadcast join over the routing plan (fingerprint-guarded).
+    events = with_routing_key(load_table(spark, sf_dir, "events"))
+    routed = route(
+        events,
+        EVENTS_CONFIG,
+        EVENTS_NUM_PARTITIONS,
+        order_col="event_id",
+        mode="exact",
+        seq_col="__drain_seq",
+    )
+    sizes = layout_table(spark, EVENTS_CONFIG, EVENTS_NUM_PARTITIONS).select(
+        "bucket", "bucket_size"
+    )
+    positioned = routed.join(F.broadcast(sizes), "bucket").withColumn(
+        # integer `div`, not `/`+cast: exact at any sequence magnitude
+        # (a double quotient loses integer precision past 2^53)
+        "__drain_pos",
+        F.expr("__drain_seq div bucket_size") + F.lit(1),
+    )
+    sched = drain_schedule(positioned, cmap, pos_col="__drain_pos")
+    return sched.select(
+        "event_id", "bucket", "partition", "consumer", "drain_tick"
+    )
+
+
+# The 12-row ownership literal is a GOLDEN, not derived from the
+# engine's assign() kernel — tests/test_drain.py asserts the kernel
+# reproduces it exactly (same independence discipline as
+# SQL_ASSIGNMENT_GOLDEN). Shared counter across buckets per
+# BucketPriorityAssignor.java:125-139: Platinum partitions 0-5 over
+# (p0,p1,p2), Gold 6-9 over (g0,g1) with the counter arriving at 6,
+# Standard 10-11 over s0.
+SQL_PRIORITY_DRAIN_SCHEDULE = f"""
+{_SQL_ROUTED},
+  cmap AS (
+    SELECT * FROM (VALUES
+      (0, 'p0', 2, 0), (1, 'p1', 2, 0), (2, 'p2', 2, 0),
+      (3, 'p0', 2, 1), (4, 'p1', 2, 1), (5, 'p2', 2, 1),
+      (6, 'g0', 2, 0), (7, 'g1', 2, 0),
+      (8, 'g0', 2, 1), (9, 'g1', 2, 1),
+      (10, 's0', 2, 0), (11, 's0', 2, 1)
+    ) AS t(partition, consumer, owned, poll_idx)
+  )
+SELECT r.event_id, r.bucket, r.partition, c.consumer,
+       CAST((ROW_NUMBER() OVER (PARTITION BY r.partition ORDER BY r.event_id) - 1)
+            * c.owned + c.poll_idx + 1 AS BIGINT) AS drain_tick
+FROM routed r JOIN cmap c USING (partition)
+"""
+
+
 # ---------------------------------------------------------------------------
 # B. Relational surface (TPC-H-ish over the fixture star schema)
 # ---------------------------------------------------------------------------
@@ -1637,6 +1721,68 @@ FROM quiet GROUP BY 1
 """
 
 
+def q_ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample of a sparse event slice (high-value events,
+    ``value >= 19``) with linear interpolation across the gap hours —
+    the densify step every downstream rolling/EWMA/anomaly computation
+    assumes (``operators/timeseries.py:gap_fill_interpolate``). Values
+    ride the exact cents lattice so both engines interpolate from
+    identical integers; ~15% of spine hours are gaps at sf0.01."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.timeseries import (
+        gap_fill_interpolate,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") >= 19.0)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+    )
+    return gap_fill_interpolate(hourly)
+
+
+SQL_TS_GAP_FILL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events WHERE value >= 19.0 GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, MIN(hour) AS mn, MAX(hour) AS mx FROM hourly GROUP BY 1
+), spine AS (
+  SELECT event_type, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+), j AS (
+  SELECT s.event_type, s.hour, h.n_events, h.value_cents
+  FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+), br AS (
+  SELECT *,
+    last_value(value_cents IGNORE NULLS) OVER w_back AS prev_v,
+    last_value(CASE WHEN value_cents IS NOT NULL THEN hour END IGNORE NULLS)
+      OVER w_back AS prev_h,
+    first_value(value_cents IGNORE NULLS) OVER w_fwd AS next_v,
+    first_value(CASE WHEN value_cents IS NOT NULL THEN hour END IGNORE NULLS)
+      OVER w_fwd AS next_h
+  FROM j
+  WINDOW
+    w_back AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_fwd AS (PARTITION BY event_type ORDER BY hour
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, hour,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+       ROUND(CASE WHEN value_cents IS NOT NULL THEN CAST(value_cents AS DOUBLE)
+             ELSE CAST(prev_v AS DOUBLE)
+                  + (CAST(next_v AS DOUBLE) - CAST(prev_v AS DOUBLE))
+                    * (CAST(date_diff('hour', prev_h, hour) AS DOUBLE)
+                       / CAST(date_diff('hour', prev_h, next_h) AS DOUBLE))
+             END, 6) AS filled,
+       value_cents IS NULL AS is_gap
+FROM br
+"""
+
+
 def q_user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile quartile assignment per user (high-cardinality window
     partitioning) with per-quartile spend stats."""
@@ -2092,6 +2238,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "starved_discard_audit": q_starved_discard_audit,
     "assignment_golden": q_assignment_golden,
     "bucket_allocation_vs_load": q_bucket_allocation_vs_load,
+    "priority_drain_schedule": q_priority_drain_schedule,
     # relational surface
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -2121,6 +2268,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucket_value_histogram": q_bucket_value_histogram,
     "user_value_quartiles": q_user_value_quartiles,
     "bucket_quiet_hours": q_bucket_quiet_hours,
+    "ts_gap_fill": q_ts_gap_fill,
     "sliding_window_throughput": q_sliding_window_throughput,
     "stream_route_counts": q_stream_route_counts,
     "stream_windowed_throughput": q_stream_windowed_throughput,
@@ -2155,6 +2303,7 @@ ORACLES: dict[str, str] = {
     "starved_discard_audit": SQL_STARVED_DISCARD_AUDIT,
     "assignment_golden": SQL_ASSIGNMENT_GOLDEN,
     "bucket_allocation_vs_load": SQL_BUCKET_ALLOCATION_VS_LOAD,
+    "priority_drain_schedule": SQL_PRIORITY_DRAIN_SCHEDULE,
     "q1_pricing_summary": SQL_Q1,
     "q3_shipping_priority": SQL_Q3,
     "q5_regional_revenue": SQL_Q5,
@@ -2182,6 +2331,7 @@ ORACLES: dict[str, str] = {
     "bucket_value_histogram": SQL_BUCKET_VALUE_HISTOGRAM,
     "user_value_quartiles": SQL_USER_VALUE_QUARTILES,
     "bucket_quiet_hours": SQL_BUCKET_QUIET_HOURS,
+    "ts_gap_fill": SQL_TS_GAP_FILL,
     "sliding_window_throughput": SQL_SLIDING_WINDOW_THROUGHPUT,
     "stream_route_counts": SQL_STREAM_ROUTE_COUNTS,
     "stream_windowed_throughput": SQL_STREAM_WINDOWED_THROUGHPUT,

@@ -1570,6 +1570,82 @@ FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 SQL_LEAKAGE_SAFE_SPLIT = _sql_leakage_safe_split()
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label spreading over the near-dup graph: every
+    fifth document keeps its ``lang`` as a seed label, two majority-vote
+    rounds spread it to unlabeled near-duplicates
+    (``operators/graph.py:label_propagation``) — the weak-supervision
+    step that turns a small labeled set into corpus-scale labels.
+    Deterministic by construction (vote counts are integers, ties break
+    to the smallest label), so the DuckDB oracle unrolls the same two
+    rounds as CTEs and must match hash-exact. Unreached documents come
+    back with NULL label — the caller's defaulting decision, surfaced
+    rather than hidden."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.graph import (
+        label_propagation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, k=4, threshold=0.5)
+    seeds = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("node"), F.col("lang").alias("label")
+    )
+    labels = label_propagation(pairs, seeds, rounds=2)
+    return (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", "label", "round_assigned")
+    )
+
+
+SQL_LABEL_PROPAGATION = f"""
+WITH pairs AS (
+  {SQL_NGRAM_JACCARD}
+),
+edges AS (
+  SELECT x AS a, y AS b FROM pairs
+  UNION
+  SELECT y AS a, x AS b FROM pairs
+),
+l0 AS (
+  SELECT doc_id AS node, lang AS label, 0 AS round_assigned
+  FROM documents WHERE doc_id % 5 = 0
+),
+v1 AS (
+  SELECT e.a AS node, l.label, COUNT(*) AS nv
+  FROM edges e JOIN l0 l ON l.node = e.b
+  WHERE e.a NOT IN (SELECT node FROM l0)
+  GROUP BY 1, 2
+),
+w1 AS (
+  SELECT node, label, 1 AS round_assigned FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY nv DESC, label ASC) AS rn
+    FROM v1
+  ) WHERE rn = 1
+),
+l1 AS (SELECT * FROM l0 UNION ALL SELECT * FROM w1),
+v2 AS (
+  SELECT e.a AS node, l.label, COUNT(*) AS nv
+  FROM edges e JOIN l1 l ON l.node = e.b
+  WHERE e.a NOT IN (SELECT node FROM l1)
+  GROUP BY 1, 2
+),
+w2 AS (
+  SELECT node, label, 2 AS round_assigned FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY nv DESC, label ASC) AS rn
+    FROM v2
+  ) WHERE rn = 1
+),
+l2 AS (SELECT * FROM l1 UNION ALL SELECT * FROM w2)
+SELECT d.doc_id, l.label, l.round_assigned
+FROM documents d LEFT JOIN l2 l ON l.node = d.doc_id
+"""
+
+
 def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for pretraining batches: documents stream into
     fixed-capacity packs (1024 whitespace tokens) in doc_id order,
@@ -2704,6 +2780,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pca_audit": q_embedding_pca_audit,
     "nb_lang_classifier": q_nb_lang_classifier,
     "leakage_safe_split": q_leakage_safe_split,
+    "label_propagation": q_label_propagation,
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -2792,6 +2869,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "lm_doc_score": SQL_LM_DOC_SCORE,
     "nb_lang_classifier": SQL_NB_LANG_CLASSIFIER,
     "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
+    "label_propagation": SQL_LABEL_PROPAGATION,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "user_value_ewma": SQL_USER_VALUE_EWMA,
     "bucket_hourly_anomaly": SQL_BUCKET_HOURLY_ANOMALY,

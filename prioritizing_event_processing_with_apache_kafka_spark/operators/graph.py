@@ -36,7 +36,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ConvergenceError", "connected_components", "pagerank"]
+__all__ = [
+    "ConvergenceError",
+    "connected_components",
+    "pagerank",
+    "label_propagation",
+]
 
 
 class ConvergenceError(RuntimeError):
@@ -203,3 +208,90 @@ def pagerank(
     )
     sym.unpersist()
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src: str = "x",
+    dst: str = "y",
+    node_col: str = "node",
+    label_col: str = "label",
+    rounds: int = 2,
+) -> DataFrame:
+    """Semi-supervised label spreading: propagate seed labels over the
+    graph by per-round majority vote — the weak-supervision step that
+    turns a small hand-labeled set into corpus-scale training labels
+    (near-duplicates of a labeled document almost certainly share its
+    language/domain/quality label).
+
+    Each round, every still-unlabeled node adopts the most common label
+    among its already-labeled neighbors, ties broken by the smallest
+    label (a total order, so the result is deterministic and
+    oracle-checkable — a SQL engine unrolling the same ``rounds`` as
+    CTEs must reproduce it exactly). Labeled nodes are immutable:
+    seeds keep their label forever, and a node labeled in round *r*
+    votes from round *r+1* on but never re-votes its own label. Nodes
+    unreached after ``rounds`` stay unlabeled (the caller decides
+    whether to default them).
+
+    ``rounds`` is FIXED, not convergence-driven, for the same reason as
+    :func:`pagerank`: a convergence loop's round count depends on data,
+    which makes the result un-oracle-able; label spreading in practice
+    uses 1-3 rounds before noise dominates. Every round is one hash
+    equi-join (edges ⋈ labels on the neighbor end) plus one integer
+    groupBy-count and one ``min(struct)`` argmax — all map-side
+    combinable, nothing collected to the driver; labels are
+    ``localCheckpoint``-ed per round so the reused subtree doesn't
+    double the plan (same discipline as :func:`connected_components`).
+
+    Returns ``(node, label, round_assigned)`` with ``round_assigned = 0``
+    for seeds.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        seeds.select(
+            F.col(node_col).alias("node"),
+            F.col(label_col).alias("label"),
+            F.lit(0).alias("round_assigned"),
+        )
+        .localCheckpoint()
+    )
+    for r in range(1, rounds + 1):
+        votes = (
+            sym.join(
+                labels.select(F.col("node").alias("b"), "label"), on="b"
+            )
+            .join(
+                labels.select(F.col("node").alias("a")),
+                on="a",
+                how="left_anti",
+            )
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__votes"))
+        )
+        # argmax by (votes desc, label asc) as a map-side min(struct):
+        # negating the count makes lexicographic MIN pick the majority
+        # label with the smallest-label tie-break — no window shuffle.
+        winners = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("__votes")).alias("nv"), F.col("label"))
+                ).alias("__w")
+            )
+            .select(
+                "node",
+                F.col("__w.label").alias("label"),
+                F.lit(r).alias("round_assigned"),
+            )
+        )
+        labels = labels.unionByName(winners).localCheckpoint()
+    sym.unpersist()
+    return labels

@@ -203,8 +203,18 @@ def route(
     topic_col: str | None = None,
     order_col: Column | str | None = None,
     mode: str = "spread",
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Attach ``bucket``, ``partition`` and ``route_status`` columns.
+
+    ``seq_col`` (exact mode only): also expose the 0-based rank of each
+    record within its bucket under this name. Downstream per-partition
+    positions are then pure arithmetic — ``seq div bucket_size`` is the
+    0-based position inside the chosen partition, because partitions
+    fill round-robin — so consumers of intra-partition order (the drain
+    schedule) avoid re-deriving it with a window keyed on the partition
+    id (≤ #topic-partitions keys: a guaranteed reducer bottleneck at
+    scale).
 
     ``partition`` semantics (sink contract — Spark's Kafka sink honors a
     ``partition`` column on write):
@@ -295,6 +305,10 @@ def route(
         .otherwise(F.lit("routed"))
     )
 
+    if seq_col is not None:
+        if mode != "exact":
+            raise ValueError("seq_col requires mode='exact' (no rank elsewhere)")
+        routed = routed.withColumn(seq_col, F.col("__peps_seq").cast("long"))
     out = (
         routed.withColumn("partition", partition)
         .withColumn("route_status", status)

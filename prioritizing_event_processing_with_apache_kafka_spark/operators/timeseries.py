@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["windowed_ewma", "rolling_zscore"]
+__all__ = ["windowed_ewma", "rolling_zscore", "gap_fill_interpolate"]
 
 
 def windowed_ewma(
@@ -125,4 +125,89 @@ def rolling_zscore(
     return df.withColumn("zscore", scored).withColumn(
         "anomalous",
         F.coalesce(F.abs(F.col("zscore")) >= F.lit(z_threshold), F.lit(False)),
+    )
+
+
+def gap_fill_interpolate(
+    hourly: DataFrame,
+    *,
+    partition_col: str = "event_type",
+    hour_col: str = "hour",
+    count_col: str = "n_events",
+    value_col: str = "value_cents",
+) -> DataFrame:
+    """Resample a keyed hourly aggregate onto a dense hour spine and
+    fill the gaps: counts become 0, values linearly interpolate between
+    the nearest observed neighbors.
+
+    Sparse hourly rollups (only hours with traffic appear) break
+    everything downstream that assumes a regular grid — rolling windows
+    silently span gaps, EWMA lags misalign, anomaly baselines shrink.
+    This is the densify step: per key, the spine runs from that key's
+    first to last observed hour (``sequence(min, max, interval 1
+    hour)`` exploded — no extrapolation beyond observed support, so
+    every gap has both neighbors by construction), a left join marks
+    the gaps, and two ignore-nulls windows fetch the bracketing
+    observations:
+
+        filled = prev + (next - prev) * (step / gap_hours)
+
+    evaluated in exactly that double order (``value_col`` must be an
+    exact integer lattice — cents/micros — so both engines interpolate
+    from identical inputs; the lone division is IEEE-exact given
+    identical operands, and the result is rounded to 6 places).
+
+    Scale: the spine is bounded by wall-clock span, not data volume
+    (a year is 8 760 rows/key), generated map-side from one tiny
+    min/max aggregate; the fill windows shuffle once on ``partition_
+    col`` — same exchange any per-key rollup already pays. Nothing
+    here grows with the 100 TB event count except the upstream hourly
+    aggregate, which has already collapsed it.
+
+    Output: ``partition_col, hour, n_events (0 on gaps), filled
+    (double), is_gap``.
+    """
+    mn, mx = F.min(F.col(hour_col)), F.max(F.col(hour_col))
+    spine = (
+        hourly.groupBy(partition_col)
+        .agg(mn.alias("__mn"), mx.alias("__mx"))
+        .select(
+            partition_col,
+            F.explode(
+                F.expr("sequence(__mn, __mx, interval 1 hour)")
+            ).alias(hour_col),
+        )
+    )
+    joined = spine.join(hourly, [partition_col, hour_col], "left")
+    v = F.col(value_col)
+    back = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.asc(hour_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.asc(hour_col))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    observed_hour = F.when(v.isNotNull(), F.col(hour_col))
+    with_brackets = (
+        joined.withColumn("__prev_v", F.last(v, ignorenulls=True).over(back))
+        .withColumn("__prev_h", F.last(observed_hour, ignorenulls=True).over(back))
+        .withColumn("__next_v", F.first(v, ignorenulls=True).over(fwd))
+        .withColumn("__next_h", F.first(observed_hour, ignorenulls=True).over(fwd))
+    )
+    step = F.expr(f"timestampdiff(HOUR, __prev_h, {hour_col})").cast("double")
+    gap = F.expr("timestampdiff(HOUR, __prev_h, __next_h)").cast("double")
+    prev_d = F.col("__prev_v").cast("double")
+    next_d = F.col("__next_v").cast("double")
+    filled = F.when(v.isNotNull(), v.cast("double")).otherwise(
+        prev_d + (next_d - prev_d) * (step / gap)
+    )
+    return with_brackets.select(
+        partition_col,
+        hour_col,
+        F.coalesce(F.col(count_col), F.lit(0)).cast("bigint").alias(count_col),
+        F.round(filled, 6).alias("filled"),
+        v.isNull().alias("is_gap"),
     )

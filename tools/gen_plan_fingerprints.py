@@ -59,6 +59,14 @@ GUARDED = [
     # (doc,label,int64) shuffle + min(struct) argmax; a window-sort
     # or a non-broadcast grid join would show up here
     "nb_lang_classifier",
+    # round 7, second batch: the drain schedule must stay one range
+    # shuffle (riding the exact router's exchange) + one broadcast map
+    # join; the gap fill must stay one per-key exchange + a tiny
+    # min/max spine side. label_propagation is excluded like the
+    # streaming replays: its per-round work hides behind eager
+    # localCheckpoints, so the returned plan is just checkpoint scans.
+    "priority_drain_schedule",
+    "ts_gap_fill",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
