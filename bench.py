@@ -80,6 +80,10 @@ HEADLINE = [
     "scd2_stream_history",
     # round 7: NB classifier (train + apply in one plan)
     "nb_lang_classifier",
+    # round 7, second batch: prioritized drain schedule (exact routing
+    # + zero-exchange tick derivation) and dense hourly gap fill
+    "priority_drain_schedule",
+    "ts_gap_fill",
 ]
 
 

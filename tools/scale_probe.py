@@ -63,6 +63,12 @@ PROBED = [
     # in-plan from distinct users and stays broadcast).
     "changelog_compaction",
     "events_tier_at_time",
+    # round-7 second batch: drain tick = routing plan + broadcast map
+    # (should track route_events_exact), and the hour-spine gap fill
+    # (spine bounded by wall clock, so the probe should be agg-bound
+    # and strongly sub-linear).
+    "priority_drain_schedule",
+    "ts_gap_fill",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
@@ -76,6 +82,10 @@ DEDUP_PROBES = [
     "decontamination_bloom",
     "semantic_dedup",
     "dedup_edit_distance",
+    # round-7 second batch: pair generation + 2 vote rounds; pair
+    # volume is the shingle-blocked candidate set, so expected
+    # near-linear on the decorrelated replica.
+    "label_propagation",
 ]
 
 # Bump when the replica construction changes so stale /tmp replicas
