@@ -341,8 +341,8 @@ def q_priority_drain_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     cmap = consumer_map_table(spark, plan, topic="events")
     # Scale path: the router's bucket sequence determines the position
     # inside the partition arithmetically (partitions fill round-robin),
-    # so no per-partition window is needed — the schedule adds only a
-    # broadcast join over the routing plan (fingerprint-guarded).
+    # so no per-partition window is needed — the schedule adds only two
+    # tiny broadcast joins over the routing plan (fingerprint-guarded).
     events = with_routing_key(load_table(spark, sf_dir, "events"))
     routed = route(
         events,

@@ -2042,7 +2042,15 @@ vocab AS (
 ),
 vtok AS (SELECT tok.doc_id, tok.lang, tok.t FROM tok JOIN vocab USING (t)),
 cnt AS (SELECT t, lang, COUNT(*) AS cnt FROM vtok GROUP BY 1, 2),
-tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+-- label dimension from the CORPUS labels, not the count table: a
+-- label with zero in-vocab tokens must still get smoothed 1/(0+V)
+-- likelihoods (mirrors nbayes.py's label_support fix)
+tot AS (
+  SELECT l.lang, CAST(COALESCE(SUM(c.cnt), 0) AS BIGINT) AS tot
+  FROM (SELECT DISTINCT lang FROM documents) l
+  LEFT JOIN cnt c ON c.lang = l.lang
+  GROUP BY 1
+),
 v AS (SELECT COUNT(DISTINCT t) AS v FROM cnt),
 labels AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
 n AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM labels),

@@ -29,8 +29,9 @@ partition empties). That makes the tick a closed-form expression —
 — a broadcast map join plus the position within the partition, which
 the exact router's bucket sequence already determines arithmetically
 (``seq div bucket_size``, because partitions fill round-robin): pass
-``pos_col`` and the schedule adds ZERO exchanges over the routing
-itself. The fallback (no ``pos_col``) derives the position with a
+``pos_col`` and the schedule adds zero SHUFFLE exchanges over the
+routing itself (only two broadcast joins — the ≤#partitions ownership
+map and, in the caller, the ≤#buckets size table). The fallback (no ``pos_col``) derives the position with a
 ``row_number`` window keyed on the partition id — correct, but ≤
 #topic-partitions distinct keys means that window funnels 100 TB
 through a handful of reducers; it exists for routed frames of unknown
@@ -104,6 +105,11 @@ def drain_schedule(
         pos = F.row_number().over(
             Window.partitionBy("partition").orderBy(F.asc(order_col))
         )
+    # widen BEFORE the arithmetic: row_number() is 32-bit, and
+    # (pos-1)*owned would wrap silently past ~2^31/owned rows per
+    # partition in non-ANSI sessions (the pos_col path is long-typed
+    # by contract; this keeps the fallback bit-identical to it)
+    pos = pos.cast("bigint")
     return (
         routed.join(F.broadcast(consumer_map), "partition")
         .withColumn(

@@ -247,7 +247,11 @@ def label_propagation(
     double the plan (same discipline as :func:`connected_components`).
 
     Returns ``(node, label, round_assigned)`` with ``round_assigned = 0``
-    for seeds.
+    for seeds. Seeds with a NULL label are dropped up front: an
+    unlabeled seed carries no information to spread, and letting NULL
+    through would make it votable (and win every tie, since struct-min
+    orders NULL first) — poisoning downstream rounds with an immutable
+    non-label.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -256,7 +260,8 @@ def label_propagation(
         .persist()
     )
     labels = (
-        seeds.select(
+        seeds.filter(F.col(label_col).isNotNull())
+        .select(
             F.col(node_col).alias("node"),
             F.col(label_col).alias("label"),
             F.lit(0).alias("round_assigned"),

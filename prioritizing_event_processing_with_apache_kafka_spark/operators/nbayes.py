@@ -135,11 +135,24 @@ def nb_train(
     )
     # Dense grid: every (vocab token, label) pair gets a smoothed
     # likelihood, including zero-count pairs — that's what makes the
-    # model a self-contained broadcast table.
+    # model a self-contained broadcast table. The label dimension MUST
+    # come from the corpus labels (label_docs), not from the count
+    # table: a label whose every token fell outside the vocab cap has
+    # no count rows, and deriving labels from counts would silently
+    # drop it from the model — scoring would then give it implicit
+    # likelihood 1 per token (prior-only) instead of the smoothed
+    # 1/(0+V) the multinomial model prescribes (hypothesis-found edge).
+    label_support = (
+        label_docs.select(label_col)
+        .join(label_tot, label_col, "left")
+        .select(
+            label_col, F.coalesce(F.col("__tot"), F.lit(0)).alias("__tot")
+        )
+    )
     grid = (
         counts.select("__t")
         .distinct()
-        .crossJoin(F.broadcast(label_tot))
+        .crossJoin(F.broadcast(label_support))
         .join(counts, ["__t", label_col], "left")
         .join(F.broadcast(v_realized))
         .select(

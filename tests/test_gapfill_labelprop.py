@@ -124,6 +124,18 @@ class TestLabelPropagation:
         nodes = {r.node for r in label_propagation(edges, seeds, rounds=2).collect()}
         assert nodes == {1, 2}
 
+    def test_null_label_seeds_dropped(self, spark):
+        # A NULL-label seed carries nothing to spread; letting it
+        # through would win every struct-min tie and poison rounds.
+        edges = spark.createDataFrame([(1, 2)], EDGES)
+        seeds = spark.createDataFrame([(1, None), (2, "en")], SEEDS)
+        out = {
+            r.node: (r.label, r.round_assigned)
+            for r in label_propagation(edges, seeds, rounds=1).collect()
+        }
+        # node 1 is NOT an immutable NULL seed — it gets labeled from 2.
+        assert out == {2: ("en", 0), 1: ("en", 1)}
+
     def test_isolated_seed_kept(self, spark):
         edges = spark.createDataFrame([(4, 5)], EDGES)
         seeds = spark.createDataFrame([(9, "en"), (4, "fr")], SEEDS)

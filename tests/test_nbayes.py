@@ -104,6 +104,22 @@ def test_oov_only_doc_falls_back_to_prior(spark):
     assert got[9] == ("h", prior_h)
 
 
+def test_label_with_no_invocab_tokens_gets_smoothed_grid(spark):
+    """Regression (hypothesis-found): a label whose every token falls
+    outside the vocab cap must still appear in the likelihood grid with
+    smoothed 1/(0+V) entries — deriving the grid's label dimension from
+    the count table silently dropped it, scoring it prior-only (an
+    implicit likelihood of 1 per token, a huge unearned advantage)."""
+    # vocab (top-2) = {a, b}; label p's only token 'c' is out-of-vocab
+    docs = [(0, "a b", "q"), (1, "c", "p")]
+    got = _run(spark, docs, vocab_size=2)
+    want = _reference_scores(docs, vocab_size=2)
+    assert got == want
+    # doc 0 scores p via prior + 2 smoothed zero-count lookups, NOT
+    # prior alone: 3×(-1e6), tying q, tie broken to 'p'
+    assert got[0] == ("p", -3_000_000)
+
+
 def test_vocab_cap_is_deterministic(spark):
     got = _run(spark, DOCS, vocab_size=1)
     assert got == _reference_scores(DOCS, vocab_size=1)
