@@ -74,6 +74,11 @@ _DRIVER_HEAD = [
     "priority_drain_schedule",
     "ts_gap_fill",
     "label_propagation",
+    # round-7 additions, third batch (zero draws, fully hash-oracled):
+    # canonical-survivor selection per near-dup cluster, and the NB
+    # score-bucket reliability table (threshold picking).
+    "dedup_keep_canonical",
+    "nb_calibration",
     # once-drawn, last drawn r01 — the oldest hard signals in the
     # suite, all predating five rounds of engine changes. (Once-drawn
     # SELF-AUDIT queries are deliberately NOT rotated back in:

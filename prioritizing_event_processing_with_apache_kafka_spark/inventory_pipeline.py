@@ -860,6 +860,109 @@ SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
 """
 
 
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's OUTPUT step: which document survives each
+    near-dup cluster. Components come from the exact-Jaccard closure
+    (singletons fall back to their own doc_id); the canonical member is
+    the longest text, ties to the smallest doc_id — the "keep longest"
+    heuristic curation stacks default to. Selection is a map-side
+    ``min(struct)`` argmax per group joined back to the members (no
+    window sort over the corpus); every stage is the already-measured
+    pair/CC machinery plus one hash join."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, k=4, threshold=0.5)
+    comp = connected_components(pairs, src="x", dst="y").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    members = (
+        docs.select("doc_id", F.length("text").alias("__len"))
+        .join(comp, "doc_id", "left")
+        .withColumn("group_key", F.coalesce(F.col("component"), F.col("doc_id")))
+    )
+    canon = members.groupBy("group_key").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(
+            F.struct((-F.col("__len")).alias("nl"), F.col("doc_id").alias("d"))
+        ).alias("__c"),
+    )
+    return members.join(canon, "group_key").select(
+        "doc_id",
+        "group_key",
+        "n_members",
+        F.col("__c.d").alias("canonical_doc_id"),
+        (F.col("doc_id") == F.col("__c.d")).alias("is_canonical"),
+    )
+
+
+SQL_DEDUP_KEEP_CANONICAL = f"""
+WITH RECURSIVE pairs AS (
+  {SQL_NGRAM_JACCARD}
+),
+edges AS (
+  SELECT x AS a, y AS b FROM pairs
+  UNION
+  SELECT y AS a, x AS b FROM pairs
+),
+reach AS (
+  SELECT DISTINCT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, reach.r FROM edges e JOIN reach ON reach.node = e.b
+),
+comp AS (
+  SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+),
+m AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_key,
+         length(d.text) AS len
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+),
+sel AS (
+  SELECT m.*,
+         FIRST_VALUE(doc_id) OVER (PARTITION BY group_key
+                                   ORDER BY len DESC, doc_id ASC)
+           AS canonical_doc_id,
+         COUNT(*) OVER (PARTITION BY group_key) AS n_members
+  FROM m
+)
+SELECT doc_id, group_key, CAST(n_members AS BIGINT) AS n_members,
+       canonical_doc_id, doc_id = canonical_doc_id AS is_canonical
+FROM sel
+"""
+
+
+def q_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the NB classifier — the threshold-picking
+    step of a quality/lang filter: bucket the exact integer scores
+    (5e6-micros ≈ 5-log2 wide bins) and report per-bucket volume and
+    accuracy. Composes the already-oracled classifier query; buckets
+    via double FLOOR on exactly-representable operands so both engines
+    bin identically."""
+    pred = q_nb_lang_classifier(spark, sf_dir)
+    bucket = F.floor(
+        F.col("score_micros").cast("double") / F.lit(5_000_000.0)
+    ).cast("bigint")
+    return (
+        pred.withColumn("score_bucket", bucket)
+        .groupBy("score_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("correct").cast("bigint")).alias("n_correct"),
+            (
+                F.sum(F.col("correct").cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("accuracy"),
+        )
+    )
+
+
+# SQL_NB_CALIBRATION is defined after SQL_NB_LANG_CLASSIFIER below
+# (it embeds that query as a CTE).
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: keep all errors, half the
     purchases, 10% of the rest — membership decided by a pure-arithmetic
@@ -2098,6 +2201,20 @@ WHERE rn = 1
 """
 
 
+SQL_NB_CALIBRATION = f"""
+WITH nb AS (
+{SQL_NB_LANG_CLASSIFIER}
+)
+SELECT CAST(FLOOR(CAST(score_micros AS DOUBLE) / 5000000.0) AS BIGINT)
+         AS score_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS accuracy
+FROM nb GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Keyed time-series features (operators/timeseries.py)
 # ---------------------------------------------------------------------------
@@ -2789,6 +2906,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nb_lang_classifier": q_nb_lang_classifier,
     "leakage_safe_split": q_leakage_safe_split,
     "label_propagation": q_label_propagation,
+    "dedup_keep_canonical": q_dedup_keep_canonical,
+    "nb_calibration": q_nb_calibration,
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -2878,6 +2997,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "nb_lang_classifier": SQL_NB_LANG_CLASSIFIER,
     "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
     "label_propagation": SQL_LABEL_PROPAGATION,
+    "dedup_keep_canonical": SQL_DEDUP_KEEP_CANONICAL,
+    "nb_calibration": SQL_NB_CALIBRATION,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "user_value_ewma": SQL_USER_VALUE_EWMA,
     "bucket_hourly_anomaly": SQL_BUCKET_HOURLY_ANOMALY,

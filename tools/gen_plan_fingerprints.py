@@ -67,6 +67,11 @@ GUARDED = [
     # localCheckpoints, so the returned plan is just checkpoint scans.
     "priority_drain_schedule",
     "ts_gap_fill",
+    # round 7, third batch: the calibration table must stay the NB
+    # plan + one more hash aggregate. dedup_keep_canonical is excluded
+    # like label_propagation: connected_components checkpoints
+    # internally, so the returned plan is mostly checkpoint scans.
+    "nb_calibration",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

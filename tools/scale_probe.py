@@ -69,6 +69,10 @@ PROBED = [
     # and strongly sub-linear).
     "priority_drain_schedule",
     "ts_gap_fill",
+    # round-7 third batch: NB scores bucketed — should track the NB
+    # classifier's measured 3.2× (the extra aggregate is over ≤ a few
+    # hundred bucket rows).
+    "nb_calibration",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
@@ -86,6 +90,8 @@ DEDUP_PROBES = [
     # volume is the shingle-blocked candidate set, so expected
     # near-linear on the decorrelated replica.
     "label_propagation",
+    # round-7 third batch: pair generation + CC + one argmax join.
+    "dedup_keep_canonical",
 ]
 
 # Bump when the replica construction changes so stale /tmp replicas
