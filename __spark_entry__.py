@@ -79,6 +79,10 @@ _DRIVER_HEAD = [
     # score-bucket reliability table (threshold picking).
     "dedup_keep_canonical",
     "nb_calibration",
+    # round-7 addition, fourth batch (zero draws): streaming LOCF fill
+    # — a genuine two-batch stateful replay whose result is
+    # bit-identical to the batch LOCF window, so it is hash-oracled.
+    "stream_locf_fill",
     # once-drawn, last drawn r01 — the oldest hard signals in the
     # suite, all predating five rounds of engine changes. (Once-drawn
     # SELF-AUDIT queries are deliberately NOT rotated back in:

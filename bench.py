@@ -84,6 +84,9 @@ HEADLINE = [
     # + zero-exchange tick derivation) and dense hourly gap fill
     "priority_drain_schedule",
     "ts_gap_fill",
+    # round 7, fourth batch: the streaming LOCF twin (real two-batch
+    # availableNow replay through the versioned state store)
+    "stream_locf_fill",
 ]
 
 

@@ -2760,6 +2760,89 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming last-observation-carried-forward fill
+    (``streaming/locf.py``) driven end to end by a REAL two-batch
+    Structured Streaming file source: events split at 2024-01-16 into
+    two parquet files with strictly increasing mtimes, consumed
+    availableNow with ``maxFilesPerTrigger=1``. High-value events
+    (``value >= 19``, the same "reading" slice as ``ts_gap_fill``)
+    carry forward; every other row is enriched with the latest reading
+    for its event_type — ACROSS the batch boundary, via the versioned
+    per-key state store (exactly-once under replay, crash tests in
+    ``tests/test_locf_stream.py``). Because the split respects event
+    time, the streamed result is bit-identical to the batch LOCF
+    window, which is how a genuine stateful streaming operator gets a
+    hash oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from prioritizing_event_processing_with_apache_kafka_spark.streaming.locf import (
+        locf_foreach_batch,
+        locf_result,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    root = tempfile.mkdtemp(prefix="peps-locf-stream-")
+    src_dir = os.path.join(root, "src")
+    state_path = os.path.join(root, "state")
+    out_path = os.path.join(root, "out")
+    chk = os.path.join(root, "chk")
+    os.makedirs(src_dir)
+    try:
+        cutoff = F.lit("2024-01-16").cast("timestamp")
+        batches = [
+            events.filter(F.col("ts") < cutoff),
+            events.filter(F.col("ts") >= cutoff),
+        ]
+        schema = None
+        for i, b in enumerate(batches):
+            stage = os.path.join(root, f"stage{i}")
+            b.coalesce(1).write.parquet(stage)
+            part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+            dst = os.path.join(src_dir, f"batch-{i}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 3600,) * 2)
+            schema = b.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                locf_foreach_batch(
+                    state_path=state_path,
+                    out_path=out_path,
+                    key_col="event_type",
+                    order_cols=("ts", "event_id"),
+                    obs_col=F.when(F.col("value") >= 19.0, F.col("value")),
+                )
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return locf_result(spark, out_path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_STREAM_LOCF_FILL = """
+SELECT event_id, event_type, ts, value,
+       last_value(CASE WHEN value >= 19.0 THEN value END IGNORE NULLS)
+         OVER (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS filled_value,
+       value < 19.0 AS was_filled
+FROM events
+"""
+
+
 def q_scd2_stream_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SCD2 maintainer (streaming/dimension.py), driven end to
     end by a REAL Structured Streaming file source: the ``customer``
@@ -2949,6 +3032,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_customer_segments": q_scd2_customer_segments,
     "events_tier_at_time": q_events_tier_at_time,
     "scd2_stream_history": q_scd2_stream_history,
+    "stream_locf_fill": q_stream_locf_fill,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -3014,4 +3098,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "scd2_customer_segments": SQL_SCD2_CUSTOMER_SEGMENTS,
     "events_tier_at_time": SQL_EVENTS_TIER_AT_TIME,
     "scd2_stream_history": SQL_SCD2_STREAM_HISTORY,
+    "stream_locf_fill": SQL_STREAM_LOCF_FILL,
 }

@@ -1,0 +1,167 @@
+"""Streaming last-observation-carried-forward (LOCF) enrichment —
+the CAUSAL twin of the batch gap fill.
+
+``operators/timeseries.py:gap_fill_interpolate`` interpolates between
+both neighbors, which needs the future and therefore only exists in
+batch. A live pipeline can only carry the last observation forward:
+every record is enriched with the most recent "reading" (a row
+matching the observation predicate) seen so far for its key — across
+micro-batch boundaries, which is what makes it a stateful streaming
+operator rather than a window expression.
+
+Protocol (same versioned-parquet exactly-once discipline as
+``streaming/dimension.py``, whose helpers this module reuses):
+
+- the STATE table holds one row per key — the latest observation's
+  ``(order_cols, value)`` — as ``__version=<n>`` partitions, version
+  ``n = batch_id + 1``; no seed version is required (an absent parent
+  means "no observations yet", which is exactly batch 0's state);
+- the OUTPUT table is also versioned by batch: batch N's enriched
+  rows land in partition ``N+1`` via dynamic partition overwrite, so
+  a replayed batch (``foreachBatch`` is at-least-once) atomically
+  replaces ITS OWN rows and re-reads its parent state — exactly-once
+  end to end without a table format;
+- within a batch, the fill is one ignore-nulls window over
+  ``(key, order_cols)`` seeded by a broadcast-size join against the
+  per-key state (state is #keys rows — tiny by construction).
+
+Determinism contract: if micro-batch boundaries respect the order
+columns (a time-split file stream, a Kafka topic keyed by time), the
+streamed result is bit-identical to the batch LOCF window over the
+full data — which is how the declared query is hash-oracled against
+DuckDB despite being a genuine two-batch stateful replay.
+
+Scale: state is one row per key and the output write is one pass over
+each batch; nothing accumulates beyond the key cardinality, and the
+window shuffles each batch once on the key — the same exchange any
+per-key streaming aggregation pays.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from prioritizing_event_processing_with_apache_kafka_spark.streaming.dimension import (
+    _latest_version_below,
+    _write_version,
+    _VERSION_COL,
+)
+
+__all__ = ["locf_apply_batch", "locf_foreach_batch", "locf_result"]
+
+
+def locf_apply_batch(
+    batch: DataFrame,
+    *,
+    state_path: str,
+    out_path: str,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    obs_col: Column,
+    batch_id: int,
+    filled_col: str = "filled_value",
+    flag_col: str = "was_filled",
+) -> int:
+    """Enrich one micro-batch with the carried-forward observation and
+    advance the state; returns the version written (``batch_id + 1``).
+
+    ``obs_col`` is the observation expression: non-NULL where the row
+    IS a reading (those rows carry their own value forward), NULL where
+    it must be filled from history. Replaying the same ``batch_id``
+    re-reads the same parent state and overwrites the same output and
+    state partitions — idempotent under ``foreachBatch`` replay.
+    """
+    spark = batch.sparkSession
+    target = int(batch_id) + 1
+    try:
+        parent = _latest_version_below(spark, state_path, target)
+        state = (
+            spark.read.parquet(state_path)
+            .filter(F.col(_VERSION_COL) == parent)
+            .select(key_col, F.col("__locf_obs").alias("__locf_seed"))
+        )
+    except FileNotFoundError:
+        state = None  # batch 0: no observations before the stream began
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    enriched = batch.withColumn(
+        "__locf_prev", F.last(obs_col, ignorenulls=True).over(w)
+    )
+    if state is not None:
+        enriched = enriched.join(F.broadcast(state), key_col, "left")
+    else:
+        enriched = enriched.withColumn(
+            "__locf_seed", F.lit(None).cast("double")
+        )
+    out = enriched.select(
+        *batch.columns,
+        F.coalesce(F.col("__locf_prev"), F.col("__locf_seed")).alias(
+            filled_col
+        ),
+        obs_col.isNull().alias(flag_col),
+    )
+    _write_version(out, out_path, target)
+
+    # Advance state: per key, the observation with the greatest order —
+    # a lexicographic max(struct(order..., obs)) is deterministic when
+    # (key, order_cols) is unique, and map-side combinable.
+    ordered_obs = F.struct(
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+        obs_col.alias("__v"),
+    )
+    batch_state = (
+        batch.filter(obs_col.isNotNull())
+        .groupBy(key_col)
+        .agg(F.max(ordered_obs).alias("__s"))
+        .select(key_col, F.col("__s.__v").alias("__locf_obs"))
+    )
+    if state is not None:
+        # old state loses to any newer batch observation for the key
+        carried = state.select(
+            key_col, F.col("__locf_seed").alias("__locf_obs")
+        ).join(batch_state.select(key_col), key_col, "left_anti")
+        batch_state = batch_state.unionByName(carried)
+    _write_version(batch_state, state_path, target)
+    return target
+
+
+def locf_foreach_batch(
+    *,
+    state_path: str,
+    out_path: str,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    obs_col: Column,
+    filled_col: str = "filled_value",
+    flag_col: str = "was_filled",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` wrapper around :func:`locf_apply_batch`."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        locf_apply_batch(
+            batch_df,
+            state_path=state_path,
+            out_path=out_path,
+            key_col=key_col,
+            order_cols=order_cols,
+            obs_col=obs_col,
+            batch_id=batch_id,
+            filled_col=filled_col,
+            flag_col=flag_col,
+        )
+
+    return apply
+
+
+def locf_result(spark: SparkSession, out_path: str) -> DataFrame:
+    """All enriched rows across every committed batch (each batch's
+    rows live in their own ``__version`` partition, so this is the
+    exactly-once union)."""
+    return spark.read.parquet(out_path).drop(_VERSION_COL)

@@ -73,6 +73,10 @@ PROBED = [
     # classifier's measured 3.2× (the extra aggregate is over ≤ a few
     # hundred bucket rows).
     "nb_calibration",
+    # round-7 fourth batch: streaming LOCF replay — wall includes the
+    # two-file staging write plus both micro-batches; per-batch work
+    # is one key-window + a #keys-row state join.
+    "stream_locf_fill",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
