@@ -89,6 +89,50 @@ WHERE CAST(len(list_intersect(sx.shingles, sy.shingles)) AS DOUBLE)
 """
 
 
+# Shared closure fragments over the ground-truth pairs. Four oracles
+# need the undirected edge list and three need the full component
+# closure; keeping ONE copy of each means a parameter retune (k,
+# threshold) or a closure change edits one fragment instead of
+# silently drifting four oracles apart. The Spark-side single source
+# is `_doc_components` below.
+SQL_NEARDUP_EDGE_CTES = f"""pairs AS (
+  {SQL_NGRAM_JACCARD}
+),
+edges AS (
+  SELECT x AS a, y AS b FROM pairs
+  UNION
+  SELECT y AS a, x AS b FROM pairs
+)"""
+
+SQL_NEARDUP_COMPONENT_CTES = (
+    SQL_NEARDUP_EDGE_CTES
+    + """,
+reach AS (
+  SELECT DISTINCT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, reach.r FROM edges e JOIN reach ON reach.node = e.b
+),
+comp AS (
+  SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+)"""
+)
+
+
+def _doc_components(docs: DataFrame) -> DataFrame:
+    """(doc_id, component) closure over the canonical near-dup pairs
+    (k=4, Jaccard >= 0.5) — the single Spark-side source for every
+    query that clusters the corpus (components, leakage-safe split,
+    canonical selection)."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = D.ngram_jaccard_pairs(docs, k=4, threshold=0.5)
+    return connected_components(pairs, src="x", dst="y").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     return D.ngram_jaccard_pairs(docs, k=4, threshold=0.5)
@@ -832,31 +876,13 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle computes the same closure with a recursive CTE —
     an iterative distributed algorithm proved bit-equal to the
     declarative fixpoint."""
-    from prioritizing_event_processing_with_apache_kafka_spark.operators.graph import (
-        connected_components,
-    )
-
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, k=4, threshold=0.5)
-    comp = connected_components(pairs, src="x", dst="y")
-    return comp.select(F.col("node").alias("doc_id"), "component")
+    return _doc_components(docs)
 
 
 SQL_DEDUP_COMPONENTS = f"""
-WITH RECURSIVE pairs AS (
-  {SQL_NGRAM_JACCARD}
-),
-edges AS (
-  SELECT x AS a, y AS b FROM pairs
-  UNION
-  SELECT y AS a, x AS b FROM pairs
-),
-reach AS (
-  SELECT DISTINCT a AS node, a AS r FROM edges
-  UNION
-  SELECT e.a AS node, reach.r FROM edges e JOIN reach ON reach.node = e.b
-)
-SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+WITH RECURSIVE {SQL_NEARDUP_COMPONENT_CTES}
+SELECT doc_id, component FROM comp
 """
 
 
@@ -864,22 +890,24 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's OUTPUT step: which document survives each
     near-dup cluster. Components come from the exact-Jaccard closure
     (singletons fall back to their own doc_id); the canonical member is
-    the longest text, ties to the smallest doc_id — the "keep longest"
-    heuristic curation stacks default to. Selection is a map-side
+    the byte-longest text (NULL text sorts last), ties to the smallest
+    doc_id — the "keep longest" heuristic curation stacks default to. Selection is a map-side
     ``min(struct)`` argmax per group joined back to the members (no
     window sort over the corpus); every stage is the already-measured
     pair/CC machinery plus one hash join."""
-    from prioritizing_event_processing_with_apache_kafka_spark.operators.graph import (
-        connected_components,
-    )
-
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, k=4, threshold=0.5)
-    comp = connected_components(pairs, src="x", dst="y").select(
-        F.col("node").alias("doc_id"), "component"
-    )
+    comp = _doc_components(docs)
+    # BYTE length on both engines (octet_length / strlen): Spark's
+    # length() counts code points while DuckDB's counts grapheme
+    # clusters, which diverges on non-ASCII text; bytes are identical
+    # everywhere. NULL text coalesces to -1 so it sorts LAST under
+    # "longest wins" in both engines (Spark's min(struct) would
+    # otherwise put the NULL first and elect the empty doc canonical).
     members = (
-        docs.select("doc_id", F.length("text").alias("__len"))
+        docs.select(
+            "doc_id",
+            F.coalesce(F.octet_length("text"), F.lit(-1)).alias("__len"),
+        )
         .join(comp, "doc_id", "left")
         .withColumn("group_key", F.coalesce(F.col("component"), F.col("doc_id")))
     )
@@ -899,25 +927,10 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_KEEP_CANONICAL = f"""
-WITH RECURSIVE pairs AS (
-  {SQL_NGRAM_JACCARD}
-),
-edges AS (
-  SELECT x AS a, y AS b FROM pairs
-  UNION
-  SELECT y AS a, x AS b FROM pairs
-),
-reach AS (
-  SELECT DISTINCT a AS node, a AS r FROM edges
-  UNION
-  SELECT e.a AS node, reach.r FROM edges e JOIN reach ON reach.node = e.b
-),
-comp AS (
-  SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
-),
+WITH RECURSIVE {SQL_NEARDUP_COMPONENT_CTES},
 m AS (
   SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_key,
-         length(d.text) AS len
+         COALESCE(strlen(d.text), -1) AS len
   FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 ),
 sel AS (
@@ -1609,18 +1622,12 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the split itself is a map-side expression — nothing new shuffles.
     The DuckDB oracle replays the closure with a recursive CTE and
     the identical coin arithmetic."""
-    from prioritizing_event_processing_with_apache_kafka_spark.operators.graph import (
-        connected_components,
-    )
     from prioritizing_event_processing_with_apache_kafka_spark.operators.sampling import (
         hash_coin,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, k=4, threshold=0.5)
-    comp = connected_components(pairs, src="x", dst="y").select(
-        F.col("node").alias("doc_id"), "component"
-    )
+    comp = _doc_components(docs)
     grouped = (
         docs.select("doc_id", "lang")
         .join(comp, "doc_id", "left")
@@ -1645,22 +1652,7 @@ def _sql_leakage_safe_split() -> str:
 
     coin = hash_coin_sql("COALESCE(c.component, d.doc_id)")
     return f"""
-WITH RECURSIVE pairs AS (
-  {SQL_NGRAM_JACCARD}
-),
-edges AS (
-  SELECT x AS a, y AS b FROM pairs
-  UNION
-  SELECT y AS a, x AS b FROM pairs
-),
-reach AS (
-  SELECT DISTINCT a AS node, a AS r FROM edges
-  UNION
-  SELECT e.a AS node, reach.r FROM edges e JOIN reach ON reach.node = e.b
-),
-comp AS (
-  SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
-)
+WITH RECURSIVE {SQL_NEARDUP_COMPONENT_CTES}
 SELECT d.doc_id,
        COALESCE(c.component, d.doc_id) AS group_key,
        CASE WHEN {coin} < 0.8 THEN 'train'
@@ -1702,14 +1694,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_LABEL_PROPAGATION = f"""
-WITH pairs AS (
-  {SQL_NGRAM_JACCARD}
-),
-edges AS (
-  SELECT x AS a, y AS b FROM pairs
-  UNION
-  SELECT y AS a, x AS b FROM pairs
-),
+WITH {SQL_NEARDUP_EDGE_CTES},
 l0 AS (
   SELECT doc_id AS node, lang AS label, 0 AS round_assigned
   FROM documents WHERE doc_id % 5 = 0
@@ -2838,7 +2823,10 @@ SELECT event_id, event_type, ts, value,
          OVER (PARTITION BY event_type ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          AS filled_value,
-       value < 19.0 AS was_filled
+       -- NULL-safe: the engine's flag is obs_col IS NULL, which is
+       -- TRUE for a NULL value; a bare `value < 19.0` would yield
+       -- NULL there and hash-diverge on nullable fixtures
+       (value IS NULL OR value < 19.0) AS was_filled
 FROM events
 """
 

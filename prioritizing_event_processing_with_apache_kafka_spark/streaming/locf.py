@@ -84,7 +84,18 @@ def locf_apply_batch(
             .select(key_col, F.col("__locf_obs").alias("__locf_seed"))
         )
     except FileNotFoundError:
-        state = None  # batch 0: no observations before the stream began
+        # No committed state version: correct for batch 0 and for a
+        # stream whose every batch so far carried zero observations
+        # (an all-gap prefix writes no state version). This sentinel
+        # CANNOT distinguish an operationally LOST store — as with any
+        # streaming state backend, the store must live on durable
+        # storage; a vanished store degrades to "no observations yet"
+        # rather than failing, exactly like losing a checkpoint dir.
+        state = None
+    # NULL seed of the OBSERVATION's type, resolved against this batch:
+    # a hardcoded double would fork the output schema between batch 0
+    # (no state) and later batches for non-double observations.
+    obs_type = batch.select(obs_col.alias("__t")).schema[0].dataType
 
     w = (
         Window.partitionBy(key_col)
@@ -98,7 +109,7 @@ def locf_apply_batch(
         enriched = enriched.join(F.broadcast(state), key_col, "left")
     else:
         enriched = enriched.withColumn(
-            "__locf_seed", F.lit(None).cast("double")
+            "__locf_seed", F.lit(None).cast(obs_type)
         )
     out = enriched.select(
         *batch.columns,

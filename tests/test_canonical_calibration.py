@@ -19,7 +19,8 @@ class TestKeepCanonical:
     def test_one_canonical_per_group_and_it_is_longest(self, spark):
         out = q_dedup_keep_canonical(spark, SF_DIR).collect()
         docs = {
-            r.doc_id: len(r.text)
+            # byte length — the operator's "longest" metric
+            r.doc_id: len(r.text.encode("utf-8"))
             for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
             .select("doc_id", "text")
             .collect()

@@ -107,6 +107,34 @@ class TestLocf:
         got = {r.event_id: r.filled_value for r in out}
         assert got == {1: 20.0, 2: 20.0, 3: 20.0}
 
+    def test_non_double_observation_keeps_one_output_type(self, spark):
+        # Regression (review-found): the batch-0 seed used a hardcoded
+        # double cast, forking the output schema between batch 0 and
+        # later batches for non-double observations.
+        import pyspark.sql.functions as F
+        from prioritizing_event_processing_with_apache_kafka_spark.streaming.locf import (
+            locf_apply_batch,
+        )
+
+        root = tempfile.mkdtemp(prefix="peps-locf-")
+        obs = F.when(F.col("value") >= 19.0, F.col("event_id"))  # long
+        for i, rows in enumerate(
+            [[(1, "a", _t(0), 20.0)], [(2, "a", _t(1), 1.0)]]
+        ):
+            locf_apply_batch(
+                _rows(spark, rows),
+                state_path=os.path.join(root, "state"),
+                out_path=os.path.join(root, "out"),
+                key_col="event_type",
+                order_cols=("ts", "event_id"),
+                obs_col=obs,
+                batch_id=i,
+            )
+        res = locf_result(spark, os.path.join(root, "out"))
+        assert dict(res.dtypes)["filled_value"] == "bigint", res.dtypes
+        got = {r.event_id: r.filled_value for r in res.collect()}
+        assert got == {1: 1, 2: 1}
+
     def test_batch_without_observations_carries_state(self, spark):
         root = tempfile.mkdtemp(prefix="peps-locf-")
         _apply(spark, _rows(spark, [(1, "a", _t(0), 20.0)]), root, 0)

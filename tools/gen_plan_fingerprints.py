@@ -57,7 +57,11 @@ GUARDED = [
     "simhash_recall_audit",
     # round 7: NB classifier — broadcast model grid + one
     # (doc,label,int64) shuffle + min(struct) argmax; a window-sort
-    # or a non-broadcast grid join would show up here
+    # or a non-broadcast grid join would show up here. Baseline moved
+    # 31/11 -> 33/12 with the zero-support-label fix (the grid's label
+    # dimension now left-joins label_docs so absent labels keep their
+    # smoothed entries — one more tiny aggregate + broadcast, priced
+    # and deliberate).
     "nb_lang_classifier",
     # round 7, second batch: the drain schedule must stay one range
     # shuffle (riding the exact router's exchange) + one broadcast map
