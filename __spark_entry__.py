@@ -83,6 +83,15 @@ _DRIVER_HEAD = [
     # — a genuine two-batch stateful replay whose result is
     # bit-identical to the batch LOCF window, so it is hash-oracled.
     "stream_locf_fill",
+    # round-7 additions, fifth batch (zero draws, fully hash-oracled):
+    # Deequ-style constraint audit, triangle participation over the
+    # near-dup graph, Markov transition matrix, exact rolling median,
+    # and integer-lattice time-weighted value (TWAP).
+    "data_quality_audit",
+    "dedup_triangle_count",
+    "event_transition_matrix",
+    "rolling_value_median",
+    "user_time_weighted_value",
     # once-drawn, last drawn r01 — the oldest hard signals in the
     # suite, all predating five rounds of engine changes. (Once-drawn
     # SELF-AUDIT queries are deliberately NOT rotated back in:

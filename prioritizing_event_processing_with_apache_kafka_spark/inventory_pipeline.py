@@ -2948,6 +2948,251 @@ FROM c WHERE k % 7 = 0
 """
 
 
+def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style ingest gate: a declarative constraint suite —
+    completeness, key uniqueness, referential integrity, range/domain
+    membership, and a lattice-exact sum metric — evaluated over the
+    ``orders`` batch in ONE aggregation pass plus one anti-join
+    (``operators/quality.py:constraint_audit``). The long-format
+    verdict table is what a pipeline alerts on before a batch is
+    allowed downstream. Every metric lands on the integer lattice, so
+    the DuckDB oracle must match hash-exact."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.quality import (
+        Check,
+        constraint_audit,
+        micros,
+        violation_count,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    checks = [
+        Check("null_custkey", violation_count(F.col("o_custkey").isNull()), 0),
+        Check(
+            "dup_orderkey",
+            (F.count(F.lit(1)) - F.countDistinct(F.col("o_orderkey"))).cast(
+                "bigint"
+            ),
+            0,
+        ),
+        Check(
+            "nonpositive_totalprice",
+            violation_count(F.col("o_totalprice") <= 0),
+            0,
+        ),
+        Check(
+            "bad_orderstatus",
+            violation_count(~F.col("o_orderstatus").isin("O", "F", "P")),
+            0,
+        ),
+        Check(
+            "early_orderdate",
+            violation_count(
+                F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp")
+            ),
+            0,
+        ),
+        # Metric row (always-pass bound): batch volume on the micros
+        # lattice — the drift signal a run ledger trends over batches.
+        Check(
+            "totalprice_sum_micros",
+            F.coalesce(F.sum(micros(F.col("o_totalprice"))), F.lit(0)).cast(
+                "bigint"
+            ),
+            1_000_000_000_000_000_000,
+        ),
+    ]
+    return constraint_audit(
+        orders,
+        checks,
+        anti_joins=[("orphan_custkey", customer, "o_custkey", "c_custkey")],
+    )
+
+
+SQL_DATA_QUALITY_AUDIT = """
+WITH s AS (
+  SELECT
+    CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS null_custkey,
+    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_orderkey,
+    CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS nonpositive_totalprice,
+    CAST(COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END), 0) AS BIGINT) AS bad_orderstatus,
+    CAST(COALESCE(SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01' THEN 1 ELSE 0 END), 0) AS BIGINT) AS early_orderdate,
+    CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 1000000.0) AS BIGINT)), 0) AS BIGINT) AS totalprice_sum_micros
+  FROM orders
+), r AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS orphan_custkey
+  FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT 'null_custkey' AS "check", null_custkey AS observed, null_custkey <= 0 AS passed FROM s
+UNION ALL SELECT 'dup_orderkey', dup_orderkey, dup_orderkey <= 0 FROM s
+UNION ALL SELECT 'nonpositive_totalprice', nonpositive_totalprice, nonpositive_totalprice <= 0 FROM s
+UNION ALL SELECT 'bad_orderstatus', bad_orderstatus, bad_orderstatus <= 0 FROM s
+UNION ALL SELECT 'early_orderdate', early_orderdate, early_orderdate <= 0 FROM s
+UNION ALL SELECT 'totalprice_sum_micros', totalprice_sum_micros,
+                 totalprice_sum_micros <= 1000000000000000000 FROM s
+UNION ALL SELECT 'orphan_custkey', orphan_custkey, orphan_custkey <= 0 FROM r
+"""
+
+
+def q_dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation over the canonical near-dup
+    graph (k=4, Jaccard >= 0.5) — the local-clustering signal that
+    separates genuine duplicate CLIQUES (members close triangles) from
+    chain-shaped transitive false positives (members do not). A curation
+    pipeline uses it to decide where single-survivor collapse is safe.
+    Ordered wedge join (``operators/graph.py:triangle_participation``):
+    each triangle a<b<c found exactly once, two hash joins over the
+    edge list, never the node list."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.graph import (
+        triangle_participation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, k=4, threshold=0.5)
+    return (
+        triangle_participation(pairs)
+        .withColumnRenamed("node", "doc_id")
+        .select("doc_id", "triangles")
+    )
+
+
+SQL_DEDUP_TRIANGLE_COUNT = f"""
+WITH pairs AS ({SQL_NGRAM_JACCARD}),
+tri AS (
+  SELECT p1.x AS a, p1.y AS b, p2.y AS c
+  FROM pairs p1
+  JOIN pairs p2 ON p2.x = p1.y
+  JOIN pairs p3 ON p3.x = p1.x AND p3.y = p2.y
+),
+corners AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM corners GROUP BY doc_id
+"""
+
+
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    (``operators/sequence.py:transition_matrix``) — the behavior-model
+    primitive under churn scoring and funnel repair. Counts and
+    integer-ppm row probabilities; the ppm ratio is pure integer
+    arithmetic (``count * 1e6 DIV row_total``), so the oracle replays
+    it bit-exact with no float division anywhere."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sequence import (
+        transition_matrix,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return transition_matrix(
+        events,
+        key_col="user_id",
+        state_col="event_type",
+        order_cols=("ts", "event_id"),
+    )
+
+
+SQL_EVENT_TRANSITION_MATRIX = """
+WITH steps AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state,
+         event_type AS next_state
+  FROM events
+), c AS (
+  SELECT prev_state, next_state, CAST(COUNT(*) AS BIGINT) AS transitions
+  FROM steps WHERE prev_state IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_state, next_state, transitions,
+       CAST((transitions * 1000000)
+            // SUM(transitions) OVER (PARTITION BY prev_state) AS BIGINT) AS prob_ppm
+FROM c
+"""
+
+
+def q_rolling_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-5 median of event value per user — the robust
+    despiker feature next to the EWMA. The median is an explicit
+    sorted-frame index (``operators/timeseries.py:rolling_median``),
+    not an engine ``median`` aggregate, so both engines compute the
+    identical IEEE expression and the hash must match on raw
+    doubles."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.timeseries import (
+        rolling_median,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return rolling_median(
+        events,
+        partition_col="user_id",
+        order_cols=("ts", "event_id"),
+        value_col="value",
+        window=5,
+    ).select("event_id", "user_id", "value", "rolling_median")
+
+
+SQL_ROLLING_VALUE_MEDIAN = """
+WITH fr AS (
+  SELECT event_id, user_id, value,
+         list_sort(list(CAST(value AS DOUBLE)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS fl
+  FROM events
+)
+SELECT event_id, user_id, value,
+       CASE WHEN len(fl) % 2 = 1 THEN fl[(len(fl) + 1) // 2]
+            ELSE (fl[len(fl) // 2] + fl[len(fl) // 2 + 1]) / 2.0
+       END AS rolling_median
+FROM fr
+"""
+
+
+def q_user_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted mean event value (TWAP) — each
+    observation weighted by the whole seconds it remained the user's
+    latest one (``operators/timeseries.py:time_weighted_mean``); the
+    feature-store aggregation that burst-proofs raw means. Holding
+    times come off the microsecond lattice (``unix_micros`` both
+    engines) floored to seconds, values off the micros lattice, and
+    the final ratio is integer division — every output column exact
+    BIGINT."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.timeseries import (
+        time_weighted_mean,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return time_weighted_mean(
+        events,
+        partition_col="user_id",
+        ts_col="ts",
+        order_cols=("ts", "event_id"),
+        value_col="value",
+    )
+
+
+SQL_USER_TIME_WEIGHTED_VALUE = """
+WITH h AS (
+  SELECT user_id,
+         CAST(FLOOR(value * 1000000.0) AS BIGINT) AS vm,
+         CAST(COALESCE(
+           (LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            - epoch_us(ts)) // 1000000, 0) AS BIGINT) AS hold_s
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(vm * hold_s) AS BIGINT) AS weighted_micros,
+       CAST(SUM(hold_s) AS BIGINT) AS held_seconds,
+       CASE WHEN SUM(hold_s) > 0
+            THEN CAST(CAST(SUM(vm * hold_s) AS BIGINT)
+                      // CAST(SUM(hold_s) AS BIGINT) AS BIGINT)
+       END AS twap_micros
+FROM h GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3021,6 +3266,12 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tier_at_time": q_events_tier_at_time,
     "scd2_stream_history": q_scd2_stream_history,
     "stream_locf_fill": q_stream_locf_fill,
+    # Appended round 7, session 4.
+    "data_quality_audit": q_data_quality_audit,
+    "dedup_triangle_count": q_dedup_triangle_count,
+    "event_transition_matrix": q_event_transition_matrix,
+    "rolling_value_median": q_rolling_value_median,
+    "user_time_weighted_value": q_user_time_weighted_value,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -3087,4 +3338,9 @@ PIPELINE_ORACLES: dict[str, str] = {
     "events_tier_at_time": SQL_EVENTS_TIER_AT_TIME,
     "scd2_stream_history": SQL_SCD2_STREAM_HISTORY,
     "stream_locf_fill": SQL_STREAM_LOCF_FILL,
+    "data_quality_audit": SQL_DATA_QUALITY_AUDIT,
+    "dedup_triangle_count": SQL_DEDUP_TRIANGLE_COUNT,
+    "event_transition_matrix": SQL_EVENT_TRANSITION_MATRIX,
+    "rolling_value_median": SQL_ROLLING_VALUE_MEDIAN,
+    "user_time_weighted_value": SQL_USER_TIME_WEIGHTED_VALUE,
 }

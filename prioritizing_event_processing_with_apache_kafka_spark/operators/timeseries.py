@@ -21,7 +21,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["windowed_ewma", "rolling_zscore", "gap_fill_interpolate"]
+__all__ = [
+    "windowed_ewma",
+    "rolling_zscore",
+    "gap_fill_interpolate",
+    "rolling_median",
+    "time_weighted_mean",
+]
 
 
 def windowed_ewma(
@@ -210,4 +216,110 @@ def gap_fill_interpolate(
         F.coalesce(F.col(count_col), F.lit(0)).cast("bigint").alias(count_col),
         F.round(filled, 6).alias("filled"),
         v.isNull().alias("is_gap"),
+    )
+
+
+def rolling_median(
+    df: DataFrame,
+    *,
+    partition_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+    window: int = 5,
+    out_col: str = "rolling_median",
+) -> DataFrame:
+    """Exact trailing-``window`` median of ``value_col`` per key — the
+    robust (outlier-immune) counterpart to the EWMA feature; median
+    smoothing is the standard despiker for sensor/metric streams.
+
+    The median is computed EXPLICITLY — sort the frame's values and
+    index the middle (averaging the two middles for even frames) —
+    rather than through an engine ``median``/``percentile`` aggregate,
+    so the result is defined by IEEE arithmetic alone and any engine
+    (the DuckDB oracle replays the same sorted-list indexing) matches
+    bit-exact. The frame is a bounded ROWS window (<= ``window``
+    doubles), so materializing it as an array is O(window) per row —
+    the same cost an exact windowed median needs in any engine.
+
+    One range-shuffle on ``partition_col``; no iteration, no state.
+    """
+    frame = (
+        Window.partitionBy(partition_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    vals = F.sort_array(F.collect_list(F.col(value_col)).over(frame))
+    n = F.size(vals)
+    mid_hi = F.element_at(vals, (n / 2 + 1).cast("int"))
+    odd = F.element_at(vals, ((n + 1) / 2).cast("int"))
+    even = (F.element_at(vals, (n / 2).cast("int")) + mid_hi) / F.lit(2.0)
+    return df.withColumn(
+        out_col, F.when(n % 2 == 1, odd).otherwise(even)
+    )
+
+
+def time_weighted_mean(
+    df: DataFrame,
+    *,
+    partition_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key time-weighted mean of ``value_col`` — each observation
+    weighted by how long it REMAINED the latest one (seconds until the
+    key's next event; the key's final observation carries zero holding
+    time and only contributes if it is the only one). This is the TWAP
+    aggregation feature stores use when raw event means would
+    over-weight bursts.
+
+    Exactness: holding times are integer epoch-second differences and
+    values enter as integer micros, so numerator and denominator are
+    exact BIGINTs; the returned table exposes both (the caller — and
+    the oracle — divides on whatever lattice it wants). Rows for keys
+    with a single event degenerate to weight 0 and are reported with
+    NULL mean.
+
+    One window shuffle (lead) + one groupBy on the same key — AQE
+    coalesces the second exchange since partitioning is unchanged.
+
+    Returns ``(partition_col, weighted_micros, held_seconds,
+    twap_micros)``.
+    """
+    w = Window.partitionBy(partition_col).orderBy(*order_cols)
+    # Hold time = floor of the MICROSECOND difference to the next
+    # event, not a difference of per-timestamp second truncations —
+    # the two disagree whenever events straddle a second boundary
+    # (0.9s -> 1.1s holds 0 whole seconds, not 1). The floor is
+    # integer DIV, never float division + cast (inexact doubles can
+    # round across an integer boundary).
+    us = F.unix_micros(F.col(ts_col))
+    v_micros = F.floor(F.col(value_col) * F.lit(1_000_000.0)).cast("bigint")
+    per_row = (
+        df.select(
+            F.col(partition_col),
+            v_micros.alias("__vm"),
+            F.coalesce(F.lead(us).over(w) - us, F.lit(0)).alias("__hold_us"),
+        )
+        .withColumn("__h", F.expr("__hold_us DIV 1000000"))
+        .select(
+            partition_col,
+            (F.col("__vm") * F.col("__h")).alias("__wv"),
+            F.col("__h"),
+        )
+    )
+    agg = per_row.groupBy(partition_col).agg(
+        F.sum("__wv").cast("bigint").alias("weighted_micros"),
+        F.sum("__h").cast("bigint").alias("held_seconds"),
+    )
+    # Integer division, NOT double-divide-then-cast: Spark's double->
+    # bigint cast truncates while DuckDB's rounds, so the ratio must
+    # stay on the integer lattice end-to-end (DIV here, // there).
+    twap = F.when(
+        F.col("held_seconds") > 0,
+        F.expr("weighted_micros DIV held_seconds"),
+    )
+    return agg.select(
+        partition_col, "weighted_micros", "held_seconds",
+        twap.alias("twap_micros"),
     )

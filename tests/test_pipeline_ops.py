@@ -1172,12 +1172,21 @@ class TestCacheScope:
         )
 
         spark.catalog.clearCache()
+        # Snapshot first: localCheckpoint()-ed RDDs from earlier tests
+        # (graph fixpoints) sit in getPersistentRDDs but NOT in the
+        # catalog cache, so clearCache can't drop them and GC timing
+        # decides when they vanish. The scope's contract is that it
+        # releases what IT registered — assert against the baseline,
+        # not an absolute zero.
+        before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
         with cache_scope():
             pairs = D.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
             assert pairs.count() >= 1  # action runs with caches live
-            assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0
+            during = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+            assert len(during - before) > 0
         # scope exit unpersists every frame the operator cached
-        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+        after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+        assert not (after - before), f"scope leaked RDDs: {after - before}"
 
     def test_scope_releases_on_error(self, spark, docs):
         from prioritizing_event_processing_with_apache_kafka_spark.operators.caching import (
@@ -1185,11 +1194,16 @@ class TestCacheScope:
         )
 
         spark.catalog.clearCache()
+        # Baseline snapshot for the same reason as above: lingering
+        # localCheckpoint RDDs from other tests are outside the
+        # scope's contract.
+        before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
         with pytest.raises(RuntimeError, match="boom"):
             with cache_scope():
                 D.simhash_pairs(docs).count()
                 raise RuntimeError("boom")
-        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+        after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+        assert not (after - before), f"scope leaked RDDs: {after - before}"
 
     def test_no_scope_keeps_legacy_behavior(self, spark, docs):
         spark.catalog.clearCache()

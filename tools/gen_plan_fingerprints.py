@@ -76,6 +76,18 @@ GUARDED = [
     # like label_propagation: connected_components checkpoints
     # internally, so the returned plan is mostly checkpoint scans.
     "nb_calibration",
+    # round 7, fifth batch: the constraint audit must stay ONE
+    # aggregation pass over the fact scan plus one anti-join (a second
+    # fact scan per check is exactly the regression this guard
+    # exists for); the transition matrix one window exchange + one
+    # tiny hash aggregate; rolling median one window exchange; TWAP
+    # one window exchange whose partitioning the follow-up groupBy
+    # reuses. dedup_triangle_count is excluded: it rides the persisted
+    # ngram-pairs subtree whose cached scans dominate the plan text.
+    "data_quality_audit",
+    "event_transition_matrix",
+    "rolling_value_median",
+    "user_time_weighted_value",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
