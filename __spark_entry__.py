@@ -92,6 +92,16 @@ _DRIVER_HEAD = [
     "event_transition_matrix",
     "rolling_value_median",
     "user_time_weighted_value",
+    # round-7 additions, sixth batch (zero draws, fully hash-oracled):
+    # rendezvous-hash routing, shingle-containment pairs, basket
+    # co-occurrence lift, HHI hot-key concentration, CUSUM drift
+    # alarm, and sweep-line peak open orders.
+    "route_rendezvous",
+    "doc_containment",
+    "copurchase_lift",
+    "bucket_key_concentration",
+    "bucket_cusum_alarm",
+    "priority_open_orders_peak",
     # once-drawn, last drawn r01 — the oldest hard signals in the
     # suite, all predating five rounds of engine changes. (Once-drawn
     # SELF-AUDIT queries are deliberately NOT rotated back in:

@@ -87,6 +87,11 @@ HEADLINE = [
     # round 7, fourth batch: the streaming LOCF twin (real two-batch
     # availableNow replay through the versioned state store)
     "stream_locf_fill",
+    # round 7, sixth batch: zero-shuffle rendezvous routing over the
+    # full event scan, and the basket-local co-occurrence lift (one
+    # fact shuffle + cached basket rollup)
+    "route_rendezvous",
+    "copurchase_lift",
 ]
 
 

@@ -392,6 +392,45 @@ FROM routed r JOIN cmap c USING (partition)
 """
 
 
+def q_route_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) routing distribution over the
+    canonical 12-partition topic — the stateless consistent-placement
+    alternative to the reference's range-carved layout: resizing N→N+1
+    remaps only ~1/(N+1) keys instead of nearly all of them
+    (``operators/routing.py:rendezvous_route``). The per-key argmax of
+    ``md5(key ':' partition)`` runs inside ONE projected expression
+    (``array_max`` over struct(digest, pid)) — zero shuffle, no state —
+    and only the 12-row distribution aggregates."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.routing import (
+        rendezvous_route,
+    )
+
+    events = with_routing_key(load_table(spark, sf_dir, "events"))
+    routed = rendezvous_route(
+        events, key_col="key", num_partitions=EVENTS_NUM_PARTITIONS
+    )
+    return (
+        routed.groupBy(F.col("partition").cast("bigint").alias("partition"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("record_count"))
+    )
+
+
+SQL_ROUTE_RENDEZVOUS = f"""
+WITH {_SQL_EVENTS_KEYED},
+pw AS (
+  SELECT event_id, t.p AS p,
+         md5(key || ':' || CAST(t.p AS VARCHAR)) AS w
+  FROM keyed_events CROSS JOIN range(0, {EVENTS_NUM_PARTITIONS}) t(p)
+),
+pick AS (
+  SELECT event_id, arg_max(p, w) AS partition FROM pw GROUP BY event_id
+)
+SELECT CAST(partition AS BIGINT) AS partition,
+       CAST(COUNT(*) AS BIGINT) AS record_count
+FROM pick GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # B. Relational surface (TPC-H-ish over the fixture star schema)
 # ---------------------------------------------------------------------------
@@ -2239,6 +2278,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "assignment_golden": q_assignment_golden,
     "bucket_allocation_vs_load": q_bucket_allocation_vs_load,
     "priority_drain_schedule": q_priority_drain_schedule,
+    "route_rendezvous": q_route_rendezvous,
     # relational surface
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -2304,6 +2344,7 @@ ORACLES: dict[str, str] = {
     "assignment_golden": SQL_ASSIGNMENT_GOLDEN,
     "bucket_allocation_vs_load": SQL_BUCKET_ALLOCATION_VS_LOAD,
     "priority_drain_schedule": SQL_PRIORITY_DRAIN_SCHEDULE,
+    "route_rendezvous": SQL_ROUTE_RENDEZVOUS,
     "q1_pricing_summary": SQL_Q1,
     "q3_shipping_priority": SQL_Q3,
     "q5_regional_revenue": SQL_Q5,

@@ -61,11 +61,10 @@ SELECT MIN(doc_id) AS doc_id_keep, COUNT(*) AS n_copies
 FROM documents GROUP BY text
 """
 
-# Ground-truth near-dup SQL: 4-token shingles, shared-shingle candidates,
-# exact Jaccard >= 0.5. Also serves as the oracle for the MinHash and
-# SimHash operators (their verified output equals the truth set).
-SQL_NGRAM_JACCARD = """
-WITH toks AS (
+# Shared shingling fragment: 4-token distinct shingles per document —
+# the single source for every shingle-based oracle (Jaccard ground
+# truth below, containment). Mirrors operators/dedup.py:with_shingles.
+_SQL_SHINGLE_CTES = """toks AS (
   SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -74,7 +73,13 @@ WITH toks AS (
   FROM toks
 ), ex AS (
   SELECT doc_id, unnest(shingles) AS s FROM sh
-), cand AS (
+)"""
+
+# Ground-truth near-dup SQL: 4-token shingles, shared-shingle candidates,
+# exact Jaccard >= 0.5. Also serves as the oracle for the MinHash and
+# SimHash operators (their verified output equals the truth set).
+SQL_NGRAM_JACCARD = f"""
+WITH {_SQL_SHINGLE_CTES}, cand AS (
   SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
 )
@@ -3193,6 +3198,247 @@ FROM h GROUP BY user_id
 """
 
 
+def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment pairs — the quote/excerpt
+    detector (``operators/dedup.py:ngram_containment_pairs``): a short
+    document embedded verbatim in a long one scores near 1e6 ppm here
+    while its symmetric Jaccard (dragged down by the union) can sit
+    far below the dedup threshold. Same sub-quadratic shingle-join
+    shape as the Jaccard ground truth; the score is pure BIGINT ppm
+    arithmetic, so the pair table hash-matches the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(docs, k=4, threshold_ppm=800_000)
+
+
+SQL_DOC_CONTAINMENT = f"""
+WITH {_SQL_SHINGLE_CTES},
+inter AS (
+  SELECT a.doc_id AS x, b.doc_id AS y, CAST(COUNT(*) AS BIGINT) AS inter_shingles
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.x, i.y, i.inter_shingles,
+       CAST(LEAST(len(sx.shingles), len(sy.shingles)) AS BIGINT) AS min_shingles,
+       CAST(i.inter_shingles * 1000000
+            // LEAST(len(sx.shingles), len(sy.shingles)) AS BIGINT) AS containment_ppm
+FROM inter i
+JOIN sh sx ON sx.doc_id = i.x
+JOIN sh sy ON sy.doc_id = i.y
+WHERE i.inter_shingles * 1000000
+      // LEAST(len(sx.shingles), len(sy.shingles)) >= 800000
+"""
+
+
+def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part pairs across order baskets with integer-ppm lift
+    (``operators/basket.py:cooccurrence_lift``) — the pair-counting
+    core of association-rule mining. The within-basket self-join fans
+    out by C(basket,2) with TPC-H baskets in the single digits, so the
+    shuffle stays linear in lineitem volume; supports and the basket
+    total are tiny side aggregates; lift is exact BIGINT ppm."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.basket import (
+        cooccurrence_lift,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return cooccurrence_lift(
+        li, basket_col="l_orderkey", item_col="l_partkey", min_pair_count=2
+    )
+
+
+SQL_COPURCHASE_LIFT = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), n AS (
+  SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS nb FROM items
+), sup AS (
+  SELECT i, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY 1
+), pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b, CAST(COUNT(*) AS BIGINT) AS pair_count
+  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT p.item_a, p.item_b, p.pair_count,
+       sa.c AS count_a, sb.c AS count_b,
+       CAST(p.pair_count * n.nb * 1000000 // (sa.c * sb.c) AS BIGINT) AS lift_ppm
+FROM pairs p
+JOIN sup sa ON sa.i = p.item_a
+JOIN sup sb ON sb.i = p.item_b
+CROSS JOIN n
+"""
+
+
+def q_bucket_key_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key concentration report per priority bucket — HHI plus the
+    top key's share, in exact integer ppm / parts-per-trillion
+    (``operators/skew.py:key_concentration``). This is the measurement
+    side of the skew toolkit: it tells an operator which bucket's
+    traffic is one user's firehose (route it with salting) and which
+    is genuinely diffuse, before any 100 TB job falls over."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.skew import (
+        key_concentration,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "bucket", bucket_for_event_type("event_type")
+    )
+    return key_concentration(events, "bucket", "user_id")
+
+
+SQL_BUCKET_KEY_CONCENTRATION = """
+WITH b AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'Platinum'
+              WHEN event_type = 'purchase' THEN 'Gold'
+              ELSE 'Standard' END AS bucket,
+         user_id
+  FROM events
+), pk AS (
+  SELECT bucket, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM b GROUP BY 1, 2
+), shares AS (
+  SELECT bucket, cnt,
+         CAST(cnt * 1000000 // SUM(cnt) OVER (PARTITION BY bucket) AS BIGINT) AS share_ppm
+  FROM pk
+)
+SELECT bucket,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(share_ppm) AS BIGINT) AS top_share_ppm,
+       CAST(SUM(share_ppm * share_ppm) AS BIGINT) AS hhi_pptr
+FROM shares GROUP BY bucket
+"""
+
+
+def q_bucket_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sustained-drift detector over hourly bucket volume: one-sided
+    CUSUM (``operators/timeseries.py:cusum_alarm``) with the per-bucket
+    allowance ``k = mean + max(1, mean/10)`` and decision bound
+    ``h = max(20, 2*mean)``, all on the integer lattice — the
+    complement to ``bucket_hourly_anomaly``'s point z-score (a step
+    change that never spikes is invisible to z but accumulates here).
+    The recurrence runs closed-form as two cumulative windows over ONE
+    per-bucket sort; the reference level comes from a whole-partition
+    window over the SAME per-bucket partitioning (not a second
+    aggregation of the fact table), so the whole query is one scan +
+    one hourly-rollup exchange + one window exchange."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.withColumn("bucket", bucket_for_event_type("event_type"))
+        .groupBy("bucket", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    based = hourly.withColumn(
+        "__m",
+        F.expr(
+            "sum(n_events) OVER (PARTITION BY bucket) "
+            "DIV count(1) OVER (PARTITION BY bucket)"
+        ),
+    ).select(
+        "bucket",
+        "hour",
+        "n_events",
+        F.expr("__m + greatest(1L, __m DIV 10)").cast("bigint").alias("ref_level"),
+        F.expr("greatest(20L, 2 * __m)").cast("bigint").alias("alarm_h"),
+    )
+    return TS.cusum_alarm(
+        based,
+        partition_col="bucket",
+        order_col="hour",
+        value_col="n_events",
+        reference_col="ref_level",
+        alarm_threshold_col="alarm_h",
+    ).select("bucket", "hour", "n_events", "ref_level", "cusum", "alarm")
+
+
+SQL_BUCKET_CUSUM_ALARM = """
+WITH hourly AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'Platinum'
+              WHEN event_type = 'purchase' THEN 'Gold'
+              ELSE 'Standard' END AS bucket,
+         date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT bucket, CAST(SUM(n_events) // COUNT(*) AS BIGINT) AS m
+  FROM hourly GROUP BY 1
+), base AS (
+  SELECT h.bucket, h.hour, h.n_events,
+         CAST(st.m + GREATEST(1, st.m // 10) AS BIGINT) AS ref_level,
+         CAST(GREATEST(20, 2 * st.m) AS BIGINT) AS alarm_h
+  FROM hourly h JOIN st ON st.bucket = h.bucket
+), p AS (
+  SELECT *, SUM(n_events - ref_level) OVER (
+              PARTITION BY bucket ORDER BY hour
+              ROWS UNBOUNDED PRECEDING) AS pp
+  FROM base
+), f AS (
+  SELECT *, LEAST(0, MIN(pp) OVER (
+              PARTITION BY bucket ORDER BY hour
+              ROWS UNBOUNDED PRECEDING)) AS fl
+  FROM p
+)
+SELECT bucket, hour, n_events, ref_level,
+       CAST(pp - fl AS BIGINT) AS cusum,
+       (pp - fl) > alarm_h AS alarm
+FROM f
+"""
+
+
+def q_priority_open_orders_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneously-open orders per priority class, via the
+    sweep line (``operators/rangejoin.py:interval_concurrency_peak``)
+    — the backlog-capacity question a naive overlap self-join answers
+    in O(n²). An order is open from ``o_orderdate`` until the day
+    after its last line ships (end-exclusive close). Boundaries reduce
+    per (priority, timestamp) before the prefix-sum sort; the peak and
+    its first attainment time come from one max(struct) argmax."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.rangejoin import (
+        interval_concurrency_peak,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    closes = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("__close"))
+    iv = orders.join(closes, orders.o_orderkey == closes.l_orderkey).select(
+        "o_orderpriority",
+        F.col("o_orderdate").alias("__start"),
+        (F.col("__close") + F.expr("INTERVAL 1 DAY")).alias("__end"),
+    )
+    return interval_concurrency_peak(
+        iv, group_col="o_orderpriority", start_col="__start", end_col="__end"
+    )
+
+
+SQL_PRIORITY_OPEN_ORDERS_PEAK = """
+WITH closes AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS close FROM lineitem GROUP BY 1
+), iv AS (
+  SELECT o.o_orderpriority AS pri, o.o_orderdate AS s,
+         c.close + INTERVAL 1 DAY AS e
+  FROM orders o JOIN closes c ON c.l_orderkey = o.o_orderkey
+), d AS (
+  SELECT pri, t, CAST(SUM(dd) AS BIGINT) AS delta FROM (
+    SELECT pri, s AS t, 1 AS dd FROM iv
+    UNION ALL
+    SELECT pri, e AS t, -1 AS dd FROM iv
+  ) GROUP BY 1, 2
+), r AS (
+  SELECT pri, t,
+         CAST(SUM(delta) OVER (PARTITION BY pri ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
+  FROM d
+), m AS (
+  SELECT pri, MAX(n_open) AS peak FROM r GROUP BY 1
+)
+SELECT r.pri AS o_orderpriority,
+       CAST(m.peak AS BIGINT) AS peak_open,
+       MIN(r.t) AS peak_at
+FROM r JOIN m ON m.pri = r.pri AND r.n_open = m.peak
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3272,6 +3518,12 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transition_matrix": q_event_transition_matrix,
     "rolling_value_median": q_rolling_value_median,
     "user_time_weighted_value": q_user_time_weighted_value,
+    # Appended round 7, session 4 (batch 6).
+    "doc_containment": q_doc_containment,
+    "copurchase_lift": q_copurchase_lift,
+    "bucket_key_concentration": q_bucket_key_concentration,
+    "bucket_cusum_alarm": q_bucket_cusum_alarm,
+    "priority_open_orders_peak": q_priority_open_orders_peak,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -3343,4 +3595,9 @@ PIPELINE_ORACLES: dict[str, str] = {
     "event_transition_matrix": SQL_EVENT_TRANSITION_MATRIX,
     "rolling_value_median": SQL_ROLLING_VALUE_MEDIAN,
     "user_time_weighted_value": SQL_USER_TIME_WEIGHTED_VALUE,
+    "doc_containment": SQL_DOC_CONTAINMENT,
+    "copurchase_lift": SQL_COPURCHASE_LIFT,
+    "bucket_key_concentration": SQL_BUCKET_KEY_CONCENTRATION,
+    "bucket_cusum_alarm": SQL_BUCKET_CUSUM_ALARM,
+    "priority_open_orders_peak": SQL_PRIORITY_OPEN_ORDERS_PEAK,
 }

@@ -52,6 +52,7 @@ __all__ = [
     "bloom_contamination_pairs",
     "edit_distance_pairs",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "with_minhash_signature",
     "incremental_minhash_pairs",
     "minhash_lsh_pairs",
@@ -638,6 +639,68 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("x", "y", "jaccard")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    threshold_ppm: int = 900_000,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
+    """Near-SUBSET pairs by asymmetric shingle containment — the
+    quote/excerpt detector Jaccard misses.
+
+    Symmetric Jaccard under-scores a short document embedded verbatim
+    in a long one (|A∩B| / |A∪B| is dragged down by the long side), so
+    corpus curation pipelines (Gopher/Dolma-style) additionally test
+    CONTAINMENT of the smaller shingle set: ``|A∩B| / min(|A|, |B|)``.
+    A value near 1 means one side is (almost) a subset of the other —
+    an excerpt, a boilerplate wrapper, or a page re-published with a
+    preamble.
+
+    Same sub-quadratic shape as :func:`ngram_jaccard_pairs`'s uncapped
+    path: shingle-explode + equi-join, where the per-pair match count
+    IS the intersection size (shingles are distinct per document), and
+    set sizes join in from a tiny ``(id, |shingles|)`` projection — no
+    array materialization at the join.
+
+    The score is reported as integer parts-per-million
+    (``inter * 1e6 DIV min(nx, ny)`` — pure BIGINT arithmetic), so the
+    output is hash-exact across engines.
+
+    Returns ``(x, y, inter_shingles, min_shingles, containment_ppm)``
+    with ``x < y`` and ``containment_ppm >= threshold_ppm``.
+    """
+    if shingled is None:
+        shingled = scoped_persist(with_shingles(df, text_col=text_col, k=k))
+    exploded = shingled.select(id_col, F.explode("shingles").alias("__sig"))
+    a = exploded.select(F.col(id_col).alias("x"), "__sig")
+    b = exploded.select(F.col(id_col).alias("y"), "__sig")
+    inter = (
+        a.join(b, "__sig")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter_shingles"))
+    )
+    sizes = shingled.select(F.col(id_col), F.size("shingles").alias("__n"))
+    nx = sizes.select(F.col(id_col).alias("x"), F.col("__n").alias("__nx"))
+    ny = sizes.select(F.col(id_col).alias("y"), F.col("__n").alias("__ny"))
+    return (
+        inter.join(nx, "x")
+        .join(ny, "y")
+        .withColumn(
+            "min_shingles", F.least("__nx", "__ny").cast("bigint")
+        )
+        .withColumn(
+            "containment_ppm",
+            F.expr("inter_shingles * 1000000 DIV min_shingles"),
+        )
+        .filter(F.col("containment_ppm") >= F.lit(threshold_ppm))
+        .select("x", "y", "inter_shingles", "min_shingles", "containment_ppm")
     )
 
 

@@ -26,10 +26,10 @@ intervals by length class and union the per-class bin joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bin_range_join"]
+__all__ = ["bin_range_join", "interval_concurrency_peak"]
 
 
 def bin_range_join(
@@ -60,3 +60,67 @@ def bin_range_join(
         (F.col(point_ts) >= F.col(lo)) & (F.col(point_ts) < F.col(hi))
     )
     return joined.drop("__bin")
+
+
+def interval_concurrency_peak(
+    intervals: DataFrame,
+    *,
+    group_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Peak number of simultaneously-open intervals per group, via the
+    classic sweep line — the capacity question ("how many orders were
+    open at once per priority class?") that a self-join on overlap
+    would answer in O(n²).
+
+    Each interval is open on ``[start, end)`` — it contributes +1 at
+    ``start_col`` and −1 at ``end_col`` (end-exclusive, so an interval
+    closing exactly when another opens does not overlap it; callers
+    wanting inclusive ends pass ``end + 1 unit``). Boundaries reduce
+    to one row per (group,
+    timestamp) BEFORE the ordered window, so the prefix-sum window
+    sorts #distinct-boundaries rows, not #intervals. Peak and its
+    FIRST attainment time come from one ``max(struct)`` argmax (the
+    struct orders by (concurrency, -epoch), so the max carries the
+    earliest timestamp among peak rows).
+
+    One union + one hash aggregate + one range shuffle on the group;
+    the argmax re-aggregates the (tiny) per-boundary table. Output:
+    ``(group_col, peak_open, peak_at)``.
+    """
+    opens = intervals.select(
+        F.col(group_col).alias("__g"),
+        F.col(start_col).alias("__t"),
+        F.lit(1).cast("bigint").alias("__d"),
+    )
+    closes = intervals.select(
+        F.col(group_col).alias("__g"),
+        F.col(end_col).alias("__t"),
+        F.lit(-1).cast("bigint").alias("__d"),
+    )
+    deltas = (
+        opens.unionByName(closes)
+        .groupBy("__g", "__t")
+        .agg(F.sum("__d").alias("__delta"))
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = deltas.withColumn(
+        "__open", F.sum("__delta").over(w).cast("bigint")
+    )
+    best = F.max(
+        F.struct(
+            F.col("__open").alias("o"),
+            (-F.unix_micros(F.col("__t").cast("timestamp"))).alias("neg_us"),
+        )
+    )
+    return running.groupBy("__g").agg(
+        best.getField("o").alias("peak_open"),
+        F.timestamp_micros(-best.getField("neg_us")).alias("peak_at"),
+    ).select(
+        F.col("__g").alias(group_col), "peak_open", "peak_at"
+    )

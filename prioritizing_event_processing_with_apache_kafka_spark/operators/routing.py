@@ -60,7 +60,13 @@ from prioritizing_event_processing_with_apache_kafka_spark.functions.keys import
 from prioritizing_event_processing_with_apache_kafka_spark.plans.config import BucketPriorityConfig
 from prioritizing_event_processing_with_apache_kafka_spark.plans.layout import compute_layout
 
-__all__ = ["layout_table", "route", "routed_distribution", "LAYOUT_SCHEMA"]
+__all__ = [
+    "layout_table",
+    "route",
+    "routed_distribution",
+    "rendezvous_route",
+    "LAYOUT_SCHEMA",
+]
 
 LAYOUT_SCHEMA = T.StructType(
     [
@@ -334,3 +340,50 @@ def routed_distribution(routed: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("record_count"))
         .orderBy("bucket", "partition")
     )
+
+
+def rendezvous_route(
+    df: DataFrame,
+    *,
+    key_col: str = "key",
+    num_partitions: int,
+    out_col: str = "partition",
+) -> DataFrame:
+    """Stateless rendezvous (highest-random-weight) routing: each key
+    goes to the partition whose ``md5(key ':' partition)`` digest is
+    lexicographically largest.
+
+    This is the classic alternative to the reference's range-carved
+    layout (``mode="hash"``'s ``pmod`` placement): under HRW, growing
+    the partition set from N to N+1 remaps only ~1/(N+1) of the keys
+    (only keys whose new digest wins move), where modulo placement
+    reshuffles almost everything — the property that matters when the
+    routed stream feeds per-partition state (consumer offsets, keyed
+    caches) that a resize should not invalidate wholesale.
+
+    Spark-first shape: the argmax over candidate partitions runs
+    ENTIRELY inside one projected expression — ``array_max`` over a
+    ``transform`` of the partition list building ``struct(digest,
+    pid)`` (struct ordering compares the digest first; md5 ties are
+    not a practical concern, and the pid field makes even that case
+    deterministic) — so routing is per-row compute with ZERO shuffle
+    and no per-key state, exactly what a 100 TB stateless map stage
+    needs. Cost is ``num_partitions`` digests per row; HRW is the
+    right tool at partition counts where that constant is small (for
+    hundreds of partitions, layer it on a bucket layout first).
+
+    md5 is used because every engine agrees on it byte-for-byte (the
+    oracle replays the same digests), not for cryptographic strength.
+    """
+    picked = F.array_max(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_partitions - 1)),
+            lambda p: F.struct(
+                F.md5(
+                    F.concat_ws(":", F.col(key_col).cast("string"), p.cast("string"))
+                ).alias("w"),
+                p.alias("p"),
+            ),
+        )
+    )
+    return df.withColumn(out_col, picked.getField("p"))

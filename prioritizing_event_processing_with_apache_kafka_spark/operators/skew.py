@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg", "salted_join"]
+__all__ = ["salted_agg", "salted_join", "key_concentration"]
 
 _MERGEABLE = {
     "count": (F.count, F.sum),
@@ -108,3 +108,44 @@ def salted_join(
         "__salt", F.explode(F.expr(f"sequence(0, {salt_buckets - 1})"))
     )
     return salted_left.join(replicated, [*keys, "__salt"], how).drop("__salt")
+
+
+def key_concentration(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Per-group key-concentration report: Herfindahl–Hirschman index
+    plus the single largest key's share — the MEASUREMENT side of skew
+    mitigation (``salted_agg``/``salted_join`` above are the cure; this
+    tells you which groups need it, and whether a routing config sends
+    one user's firehose into one priority bucket).
+
+    Shares are integer parts-per-million (``cnt * 1e6 DIV total``) and
+    the HHI is the sum of their squares — parts-per-trillion on a pure
+    BIGINT lattice (max 1e12 when one key owns the whole group), so the
+    report hash-matches across engines. HHI reading: 1e12 = monopoly,
+    1e12 / n = perfectly even over n keys.
+
+    Two hash aggregations — ``(group, key)`` then ``group`` — both with
+    map-side partial combine; the second input is already one row per
+    distinct key, so no hot-key reducer exists even when the underlying
+    data is maximally skewed. Output is one row per group.
+
+    Returns ``(group_col, n_rows, n_keys, top_share_ppm, hhi_pptr)``.
+    """
+    per_key = df.groupBy(group_col, key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+    shared = per_key.withColumn(
+        "__share_ppm",
+        F.expr(f"__cnt * 1000000 DIV sum(__cnt) OVER (PARTITION BY {group_col})"),
+    )
+    return shared.groupBy(group_col).agg(
+        F.sum("__cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("__share_ppm").cast("bigint").alias("top_share_ppm"),
+        F.sum(F.col("__share_ppm") * F.col("__share_ppm"))
+        .cast("bigint")
+        .alias("hhi_pptr"),
+    )

@@ -27,6 +27,7 @@ __all__ = [
     "gap_fill_interpolate",
     "rolling_median",
     "time_weighted_mean",
+    "cusum_alarm",
 ]
 
 
@@ -322,4 +323,63 @@ def time_weighted_mean(
     return agg.select(
         partition_col, "weighted_micros", "held_seconds",
         twap.alias("twap_micros"),
+    )
+
+
+def cusum_alarm(
+    df: DataFrame,
+    *,
+    partition_col: str = "bucket",
+    order_col: str = "hour",
+    value_col: str = "n_events",
+    reference_col: str = "ref_level",
+    alarm_threshold_col: str = "alarm_h",
+) -> DataFrame:
+    """One-sided (upward) CUSUM change-point statistic per key — the
+    sequential drift detector behind "this bucket's volume stepped up
+    and STAYED up", which a rolling z-score (a point-anomaly flag)
+    structurally cannot see.
+
+    The textbook recurrence ``S_t = max(0, S_{t-1} + (x_t - k))`` looks
+    iterative, but it has a closed form over prefix sums: with
+    ``P_t = Σ_{i<=t} (x_i - k)`` and ``P_0 = 0``,
+
+        ``S_t = P_t - min(0, min_{j<=t} P_j)``
+
+    (the running reset floor is the lowest prefix ever seen, clamped at
+    the empty prefix 0). Both pieces are ordinary cumulative window
+    aggregates over ONE ``partitionBy(key).orderBy(t)`` sort — a single
+    range shuffle, no iteration, no state, valid at any history length.
+
+    ``reference_col`` carries the per-row allowance ``k`` and
+    ``alarm_threshold_col`` the decision bound ``h`` (both computed by
+    the caller on the integer lattice — e.g. ``k = mean + slack`` from
+    a calibration window), so when ``x``, ``k``, ``h`` are integers the
+    whole statistic is exact BIGINT arithmetic and hash-comparable.
+
+    Adds ``cusum`` (=S_t) and ``alarm`` (S_t > h) to the input rows.
+    """
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = F.col(value_col) - F.col(reference_col)
+    prefix = F.sum(dev).over(w)
+    # min(prefix) OVER the same frame needs prefix materialized first
+    # (nested window functions are illegal), so stage it as a column.
+    staged = df.withColumn("__p", prefix.cast("bigint"))
+    w2 = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        staged.withColumn(
+            "__floor",
+            F.least(F.lit(0).cast("bigint"), F.min("__p").over(w2)),
+        )
+        .withColumn("cusum", (F.col("__p") - F.col("__floor")).cast("bigint"))
+        .withColumn("alarm", F.col("cusum") > F.col(alarm_threshold_col))
+        .drop("__p", "__floor")
     )

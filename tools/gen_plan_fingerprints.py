@@ -88,6 +88,22 @@ GUARDED = [
     "event_transition_matrix",
     "rolling_value_median",
     "user_time_weighted_value",
+    # round 7, sixth batch: rendezvous routing is a pure projection —
+    # its only exchange is the final 12-row distribution aggregate;
+    # the basket lift caches ONE basket-array rollup (a single fact
+    # scan + exchange, textually repeated under each cached reader)
+    # and generates pairs basket-locally — a pair SELF-JOIN sneaking
+    # back in is the regression; HHI two hash aggs + one window on the
+    # same key; CUSUM one hourly-rollup exchange + one window sort
+    # (reference level is a whole-partition window, NOT a second fact
+    # aggregation); the sweep line one union-agg + one window + argmax.
+    # doc_containment is excluded like dedup_triangle_count: it rides
+    # the persisted shingle subtree whose cached scans dominate.
+    "route_rendezvous",
+    "copurchase_lift",
+    "bucket_key_concentration",
+    "bucket_cusum_alarm",
+    "priority_open_orders_peak",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

@@ -77,6 +77,13 @@ PROBED = [
     # two-file staging write plus both micro-batches; per-batch work
     # is one key-window + a #keys-row state join.
     "stream_locf_fill",
+    # round-7 sixth batch: rendezvous routing is per-row projection +
+    # a 12-row agg (should be the most linear plan in the suite); HHI
+    # two hash aggs; CUSUM hourly rollup + per-bucket window (hours
+    # bounded by wall clock -> expected strongly sub-linear).
+    "route_rendezvous",
+    "bucket_key_concentration",
+    "bucket_cusum_alarm",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
@@ -96,6 +103,9 @@ DEDUP_PROBES = [
     "label_propagation",
     # round-7 third batch: pair generation + CC + one argmax join.
     "dedup_keep_canonical",
+    # round-7 sixth batch: same shingle-blocked candidate volume as
+    # the Jaccard ground truth, different verify arithmetic.
+    "doc_containment",
 ]
 
 # Bump when the replica construction changes so stale /tmp replicas
