@@ -102,6 +102,14 @@ _DRIVER_HEAD = [
     "bucket_key_concentration",
     "bucket_cusum_alarm",
     "priority_open_orders_peak",
+    # round-7 additions, seventh batch (zero draws, fully hash-oracled
+    # — the streaming twin SHARES the batch transition oracle):
+    # stateful streaming Markov counts, per-key integer OLS trend,
+    # session path census, and anti-entropy Merkle bucket digests.
+    "stream_transition_counts",
+    "user_value_trend",
+    "top_session_paths",
+    "corpus_merkle_buckets",
     # once-drawn, last drawn r01 — the oldest hard signals in the
     # suite, all predating five rounds of engine changes. (Once-drawn
     # SELF-AUDIT queries are deliberately NOT rotated back in:

@@ -92,6 +92,10 @@ HEADLINE = [
     # fact shuffle + cached basket rollup)
     "route_rendezvous",
     "copurchase_lift",
+    # round 7, seventh batch: exact integer OLS moments per user, and
+    # the md5-bound Merkle digest scan
+    "user_value_trend",
+    "corpus_merkle_buckets",
 ]
 
 

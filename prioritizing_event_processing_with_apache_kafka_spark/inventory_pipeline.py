@@ -3439,6 +3439,406 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Markov transition counts (``streaming/transitions.py``)
+    driven end to end by a REAL two-batch Structured Streaming file
+    source — the same availableNow/maxFilesPerTrigger=1 harness as
+    ``stream_locf_fill``, split at 2024-01-16. Boundary transitions
+    (a user's last pre-split event → first post-split event) are
+    recovered from the versioned per-key last-state store, so the
+    streamed counts are bit-identical to the batch
+    ``event_transition_matrix`` — whose DuckDB oracle this query
+    SHARES (the decisive evidence the stateful operator loses nothing
+    at the batch seam)."""
+    import os
+    import shutil
+    import tempfile
+
+    from prioritizing_event_processing_with_apache_kafka_spark.streaming.transitions import (
+        transition_counts_result,
+        transitions_foreach_batch,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    root = tempfile.mkdtemp(prefix="peps-transitions-stream-")
+    src_dir = os.path.join(root, "src")
+    state_path = os.path.join(root, "state")
+    out_path = os.path.join(root, "out")
+    chk = os.path.join(root, "chk")
+    os.makedirs(src_dir)
+    try:
+        cutoff = F.lit("2024-01-16").cast("timestamp")
+        batches = [
+            events.filter(F.col("ts") < cutoff),
+            events.filter(F.col("ts") >= cutoff),
+        ]
+        schema = None
+        for i, b in enumerate(batches):
+            stage = os.path.join(root, f"stage{i}")
+            b.coalesce(1).write.parquet(stage)
+            part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+            dst = os.path.join(src_dir, f"batch-{i}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 3600,) * 2)
+            schema = b.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                transitions_foreach_batch(
+                    state_path=state_path,
+                    out_path=out_path,
+                    key_col="user_id",
+                    state_col="event_type",
+                    order_cols=("ts", "event_id"),
+                )
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return transition_counts_result(spark, out_path).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS spend trend fitted exactly from four integer
+    moments (``operators/timeseries.py:grouped_ols_trend``): x = whole
+    days since the user's first event, y = integer cents; numerator,
+    denominator, and the truncated-division slope_ppm are all exact
+    BIGINTs, so an engine disagreement anywhere in the moment algebra
+    hash-fails. One window exchange + one groupBy on the same key."""
+    events = load_table(spark, sf_dir, "events")
+    return TS.grouped_ols_trend(
+        events, partition_col="user_id", ts_col="ts", value_col="value"
+    )
+
+
+SQL_USER_VALUE_TREND = """
+WITH st AS (
+  SELECT user_id,
+         CAST((epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id))
+              // 86400000000 AS BIGINT) AS x,
+         CAST(FLOOR(value * 100.0) AS BIGINT) AS y
+  FROM events
+), a AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sum_x,
+         CAST(SUM(y) AS BIGINT) AS sum_y,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM st GROUP BY 1
+)
+SELECT user_id, n, sum_x, sum_y,
+       CAST(n * sxy - sum_x * sum_y AS BIGINT) AS sxy_num,
+       CAST(n * sxx - sum_x * sum_x AS BIGINT) AS sxx_den,
+       CASE WHEN n * sxx - sum_x * sum_x > 0
+            THEN CAST((n * sxy - sum_x * sum_y) * 1000000
+                      // (n * sxx - sum_x * sum_x) AS BIGINT)
+       END AS slope_ppm
+FROM a
+"""
+
+
+def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path census (``operators/sequence.py:session_paths``):
+    30-minute-gap sessions rendered as their first five event types
+    ("view>view>click>purchase") and counted — the order-aware
+    behavioral fingerprint one step up from the memoryless transition
+    matrix. The gap flag and session id share one key exchange; paths
+    are bounded strings; the census is a tiny hash aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sequence import (
+        session_paths,
+    )
+
+    return session_paths(
+        events,
+        key_col="user_id",
+        state_col="event_type",
+        ts_col="ts",
+        order_cols=("ts", "event_id"),
+        gap_minutes=30,
+        max_len=5,
+    )
+
+
+SQL_TOP_SESSION_PATHS = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id,
+         array_to_string((list(event_type ORDER BY ts, event_id))[1:5], '>') AS path
+  FROM numbered GROUP BY 1, 2
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM per_session GROUP BY 1
+"""
+
+
+def q_corpus_merkle_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy bucket digests over the documents corpus
+    (``operators/diffing.py:merkle_bucket_checksums``) — the Merkle
+    leaf table two replicas exchange to find which key ranges need
+    re-sync, 64 rows regardless of corpus size. The checksum is a
+    commutative sum of truncated md5 digests mod 1e9+7, so it reduces
+    map-side and is engine-portable; the oracle recomputes every
+    digest in DuckDB and must land on the identical 64 integers."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.diffing import (
+        merkle_bucket_checksums,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return merkle_bucket_checksums(
+        docs,
+        key_col="doc_id",
+        content_cols=("text", "lang", "source"),
+        num_buckets=64,
+    )
+
+
+SQL_CORPUS_MERKLE_BUCKETS = """
+SELECT CAST(doc_id % 64 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(('0x' || substr(
+                md5(concat_ws('|', CAST(doc_id AS VARCHAR), text, lang, source)),
+                1, 14)) AS BIGINT) % 1000000007) % 1000000007 AS BIGINT) AS checksum
+FROM documents GROUP BY 1
+"""
+
+
+def q_lineitem_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson matrix over lineitem's four numeric measures
+    (``operators/sampling.py:pairwise_pearson``) — the one-scan
+    feature-redundancy screen. Every moment accumulates as an exact
+    DECIMAL(38,0); only the final num/sqrt(dx·dy) runs in doubles
+    (IEEE-deterministic on identical integer inputs), reported as
+    round-half-away corr_ppm, so the 6-row matrix hash-matches."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sampling import (
+        pairwise_pearson,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = {
+        "quantity": F.col("l_quantity").cast("bigint"),
+        "price_cents": F.floor(F.col("l_extendedprice") * F.lit(100.0)).cast(
+            "bigint"
+        ),
+        "discount_bps": F.floor(F.col("l_discount") * F.lit(10_000.0)).cast(
+            "bigint"
+        ),
+        "tax_bps": F.floor(F.col("l_tax") * F.lit(10_000.0)).cast("bigint"),
+    }
+    return pairwise_pearson(li, cols)
+
+
+SQL_LINEITEM_NUMERIC_CORR = """
+WITH lat AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS p,
+         CAST(FLOOR(l_discount * 10000.0) AS BIGINT) AS d,
+         CAST(FLOOR(l_tax * 10000.0) AS BIGINT) AS t
+  FROM lineitem
+), m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(q) AS HUGEINT) AS sq, CAST(SUM(CAST(q AS HUGEINT)*q) AS HUGEINT) AS qq,
+         CAST(SUM(p) AS HUGEINT) AS sp, CAST(SUM(CAST(p AS HUGEINT)*p) AS HUGEINT) AS pp,
+         CAST(SUM(d) AS HUGEINT) AS sd, CAST(SUM(CAST(d AS HUGEINT)*d) AS HUGEINT) AS dd,
+         CAST(SUM(t) AS HUGEINT) AS st, CAST(SUM(CAST(t AS HUGEINT)*t) AS HUGEINT) AS tt,
+         CAST(SUM(CAST(q AS HUGEINT)*p) AS HUGEINT) AS qp,
+         CAST(SUM(CAST(q AS HUGEINT)*d) AS HUGEINT) AS qd,
+         CAST(SUM(CAST(q AS HUGEINT)*t) AS HUGEINT) AS qt,
+         CAST(SUM(CAST(p AS HUGEINT)*d) AS HUGEINT) AS pd,
+         CAST(SUM(CAST(p AS HUGEINT)*t) AS HUGEINT) AS pt,
+         CAST(SUM(CAST(d AS HUGEINT)*t) AS HUGEINT) AS dt
+  FROM lat
+), pairs AS (
+  SELECT 'quantity' AS col_a, 'price_cents' AS col_b, n,
+         n*qp - sq*sp AS num, n*qq - sq*sq AS dx, n*pp - sp*sp AS dy FROM m
+  UNION ALL SELECT 'quantity', 'discount_bps', n, n*qd - sq*sd, n*qq - sq*sq, n*dd - sd*sd FROM m
+  UNION ALL SELECT 'quantity', 'tax_bps', n, n*qt - sq*st, n*qq - sq*sq, n*tt - st*st FROM m
+  UNION ALL SELECT 'price_cents', 'discount_bps', n, n*pd - sp*sd, n*pp - sp*sp, n*dd - sd*sd FROM m
+  UNION ALL SELECT 'price_cents', 'tax_bps', n, n*pt - sp*st, n*pp - sp*sp, n*tt - st*st FROM m
+  UNION ALL SELECT 'discount_bps', 'tax_bps', n, n*dt - sd*st, n*dd - sd*sd, n*tt - st*st FROM m
+)
+SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+       CASE WHEN dx > 0 AND dy > 0
+            THEN CAST(ROUND(CAST(num AS DOUBLE) * 1000000.0
+                            / SQRT(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))) AS BIGINT)
+       END AS corr_ppm
+FROM pairs
+"""
+
+
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credits the user's most
+    recent non-purchase event within a 7-day lookback, else 'none' —
+    the marketing-analytics primitive behind "what drives checkout".
+    Two ignore-nulls last() columns over ONE user window (both filled
+    from the same qualifying row, so they stay consistent), a
+    constant-time lookback test on the microsecond lattice, and a tiny
+    share-ppm aggregate. All integers; full hash oracle."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    np_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    touched = (
+        events.withColumn("__lt_type", F.last(non_purchase, ignorenulls=True).over(w))
+        .withColumn("__lt_ts", F.last(np_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+    )
+    within = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("__lt_ts"))
+    ) <= F.lit(7 * 86_400 * 1_000_000)
+    attributed = touched.select(
+        F.when(F.col("__lt_ts").isNotNull() & within, F.col("__lt_type"))
+        .otherwise(F.lit("none"))
+        .alias("attributed_to")
+    )
+    counts = attributed.groupBy("attributed_to").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases")
+    )
+    return counts.withColumn(
+        "share_ppm",
+        F.expr(
+            "(n_purchases * 1000000) DIV sum(n_purchases) OVER ()"
+        ).cast("bigint"),
+    )
+
+
+SQL_PURCHASE_ATTRIBUTION = """
+WITH touched AS (
+  SELECT event_type, ts,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER w AS lt_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+           OVER w AS lt_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), att AS (
+  SELECT CASE WHEN lt_ts IS NOT NULL
+                AND epoch_us(ts) - epoch_us(lt_ts) <= 7 * 86400 * 1000000
+              THEN lt_type ELSE 'none' END AS attributed_to
+  FROM touched WHERE event_type = 'purchase'
+), c AS (
+  SELECT attributed_to, CAST(COUNT(*) AS BIGINT) AS n_purchases
+  FROM att GROUP BY 1
+)
+SELECT attributed_to, n_purchases,
+       CAST((n_purchases * 1000000) // SUM(n_purchases) OVER () AS BIGINT) AS share_ppm
+FROM c
+"""
+
+
+def q_neardup_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddedness of every near-dup pair — common-neighbor counts
+    over the canonical graph (``operators/graph.py:
+    common_neighbor_counts``): pairs sharing many mutual near-dups are
+    cluster cores, zero-embedded pairs are fragile bridges a curation
+    pass should re-verify before single-survivor collapse. Same
+    wedge-join skeleton as the triangle count, grouped per edge."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.graph import (
+        common_neighbor_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, k=4, threshold=0.5)
+    return common_neighbor_counts(pairs).select(
+        F.col("x"), F.col("y"), "common_neighbors"
+    )
+
+
+SQL_NEARDUP_COMMON_NEIGHBORS = f"""
+WITH {SQL_NEARDUP_EDGE_CTES},
+wedges AS (
+  SELECT e1.a AS x, e2.a AS y, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM edges e1 JOIN edges e2 ON e1.b = e2.b AND e1.a < e2.a
+  GROUP BY 1, 2
+)
+SELECT p.x, p.y,
+       CAST(COALESCE(w.cn, 0) AS BIGINT) AS common_neighbors
+FROM pairs p LEFT JOIN wedges w ON w.x = p.x AND w.y = p.y
+"""
+
+
+def q_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority mix drift between the pre/post-1995 halves of
+    the order history — the composition-shift monitor a run ledger
+    trends next to the volume metric (a priority class silently
+    doubling its share is an upstream routing bug even when totals
+    look flat). Shares and the delta are exact integer ppm; one scan,
+    one tiny pivot aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1995-01-01").cast("timestamp")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderdate") < cutoff, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pre"),
+        F.sum(F.when(F.col("o_orderdate") >= cutoff, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_post"),
+    )
+    return per.select(
+        "o_orderpriority",
+        "n_pre",
+        "n_post",
+        F.expr("(n_pre * 1000000) DIV sum(n_pre) OVER ()")
+        .cast("bigint")
+        .alias("share_pre_ppm"),
+        F.expr("(n_post * 1000000) DIV sum(n_post) OVER ()")
+        .cast("bigint")
+        .alias("share_post_ppm"),
+    ).withColumn(
+        "delta_ppm",
+        (F.col("share_post_ppm") - F.col("share_pre_ppm")).cast("bigint"),
+    )
+
+
+SQL_PRIORITY_MIX_SHIFT = """
+WITH per AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+         CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_post
+  FROM orders GROUP BY 1
+), sh AS (
+  SELECT o_orderpriority, n_pre, n_post,
+         CAST((n_pre * 1000000) // SUM(n_pre) OVER () AS BIGINT) AS share_pre_ppm,
+         CAST((n_post * 1000000) // SUM(n_post) OVER () AS BIGINT) AS share_post_ppm
+  FROM per
+)
+SELECT o_orderpriority, n_pre, n_post, share_pre_ppm, share_post_ppm,
+       CAST(share_post_ppm - share_pre_ppm AS BIGINT) AS delta_ppm
+FROM sh
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3524,6 +3924,16 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucket_key_concentration": q_bucket_key_concentration,
     "bucket_cusum_alarm": q_bucket_cusum_alarm,
     "priority_open_orders_peak": q_priority_open_orders_peak,
+    # Appended round 7, session 4 (batch 7).
+    "stream_transition_counts": q_stream_transition_counts,
+    "user_value_trend": q_user_value_trend,
+    "top_session_paths": q_top_session_paths,
+    "corpus_merkle_buckets": q_corpus_merkle_buckets,
+    # Appended round 7, session 4 (batch 8).
+    "lineitem_numeric_corr": q_lineitem_numeric_corr,
+    "purchase_attribution": q_purchase_attribution,
+    "neardup_common_neighbors": q_neardup_common_neighbors,
+    "priority_mix_shift": q_priority_mix_shift,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -3600,4 +4010,15 @@ PIPELINE_ORACLES: dict[str, str] = {
     "bucket_key_concentration": SQL_BUCKET_KEY_CONCENTRATION,
     "bucket_cusum_alarm": SQL_BUCKET_CUSUM_ALARM,
     "priority_open_orders_peak": SQL_PRIORITY_OPEN_ORDERS_PEAK,
+    # The streaming twin SHARES the batch operator's oracle — the
+    # determinism contract (time-respecting splits) makes the streamed
+    # counts bit-identical to the batch transition matrix.
+    "stream_transition_counts": SQL_EVENT_TRANSITION_MATRIX,
+    "user_value_trend": SQL_USER_VALUE_TREND,
+    "top_session_paths": SQL_TOP_SESSION_PATHS,
+    "corpus_merkle_buckets": SQL_CORPUS_MERKLE_BUCKETS,
+    "lineitem_numeric_corr": SQL_LINEITEM_NUMERIC_CORR,
+    "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
+    "neardup_common_neighbors": SQL_NEARDUP_COMMON_NEIGHBORS,
+    "priority_mix_shift": SQL_PRIORITY_MIX_SHIFT,
 }

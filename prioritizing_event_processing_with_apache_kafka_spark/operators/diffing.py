@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["corpus_diff", "corpus_diff_summary"]
+__all__ = ["corpus_diff", "corpus_diff_summary", "merkle_bucket_checksums"]
 
 
 def corpus_diff(
@@ -70,4 +70,57 @@ def corpus_diff_summary(
         corpus_diff(old, new, key_col=key_col, content_col=content_col)
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def merkle_bucket_checksums(
+    df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    content_cols: tuple[str, ...] = ("text",),
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Key-range bucket checksums for anti-entropy comparison — the
+    Merkle-tree leaf level, as a query.
+
+    Two replicas of a 100 TB corpus (two regions, engine vs a
+    migration target) cannot diff row-by-row across the wire; the
+    standard protocol (Dynamo/Cassandra anti-entropy) exchanges a
+    BUCKET digest table first and re-syncs only buckets whose digests
+    differ. Each row digests to ``md5(key '|' content...)`` truncated
+    to 56 bits, and a bucket's checksum is the SUM of its row digests
+    modulo 1e9+7 — commutative and associative, so it reduces
+    map-side, never materializes row order, and is engine-portable
+    (``conv(hex,16,10)`` here, ``CAST('0x'||hex AS BIGINT)`` in the
+    DuckDB oracle — verified to agree byte-for-byte on md5).
+
+    A corrupted/missing/extra row flips its bucket's checksum with
+    probability 1 − 2⁻⁵⁶-ish per row (sum-mod collisions need digest
+    deltas summing to 0 mod p). Overflow envelope: the mod-p terms
+    are < 2³⁰, so int64 SUM is safe to ~8.6e9 rows per bucket — size
+    ``num_buckets`` so buckets stay under that (and under the re-sync
+    transfer unit you can afford).
+
+    One hash aggregate; output is ``num_buckets`` rows:
+    ``(bucket, n_rows, checksum)``.
+    """
+    digest = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col(key_col).cast("string"), *content_cols)),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        df.select(
+            F.pmod(F.col(key_col), F.lit(num_buckets)).cast("bigint").alias("bucket"),
+            (digest % F.lit(1_000_000_007)).alias("__d"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.sum("__d") % F.lit(1_000_000_007)).cast("bigint").alias("checksum"),
+        )
     )

@@ -42,6 +42,7 @@ __all__ = [
     "pagerank",
     "label_propagation",
     "triangle_participation",
+    "common_neighbor_counts",
 ]
 
 
@@ -339,4 +340,49 @@ def triangle_participation(pairs: DataFrame, a_col: str = "x", b_col: str = "y")
     corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("triangles")
+    )
+
+
+def common_neighbor_counts(
+    pairs: DataFrame, a_col: str = "x", b_col: str = "y"
+) -> DataFrame:
+    """Embeddedness of each edge: how many OTHER nodes are adjacent to
+    both endpoints — the classic common-neighbors link score, used on
+    a near-dup graph to rank pair confidence (a pair sharing five
+    mutual near-dups is a cluster core; a pair sharing none is a
+    fragile bridge that single-survivor collapse should treat with
+    suspicion).
+
+    Shape: symmetrize the ``a < b`` edge list, wedge-join it on the
+    shared neighbor (the same two-hash-join skeleton as
+    :func:`triangle_participation`, grouped per pair instead of per
+    corner), then LEFT-join the input pairs so zero-embedded edges
+    report 0 rather than vanishing. Wedge fan-out is bounded by the
+    max degree; everything is an equi-join on node ids.
+
+    Returns ``(a_col, b_col, common_neighbors)`` for every input pair.
+    """
+    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    w1 = sym.select(F.col("a").alias("x"), F.col("b").alias("n"))
+    w2 = sym.select(F.col("a").alias("y"), F.col("b").alias("n"))
+    wedges = (
+        w1.join(w2, "n")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cn"))
+    )
+    return (
+        e.join(
+            wedges,
+            (F.col("a") == F.col("x")) & (F.col("b") == F.col("y")),
+            "left",
+        )
+        .select(
+            F.col("a").alias(a_col),
+            F.col("b").alias(b_col),
+            F.coalesce(F.col("__cn"), F.lit(0)).cast("bigint").alias(
+                "common_neighbors"
+            ),
+        )
     )

@@ -35,6 +35,7 @@ __all__ = [
     "reservoir_hash_sample",
     "mixture_sample",
     "profile",
+    "pairwise_pearson",
 ]
 
 _M = 2_147_483_648  # 2^31
@@ -253,3 +254,71 @@ def profile(
         ),
         F.col("__rows").alias("n_rows"),
     ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+
+
+def pairwise_pearson(
+    df: DataFrame,
+    columns: dict[str, Column],
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix over integer-lattice
+    columns, in ONE aggregation pass — the feature-redundancy screen a
+    profiling step runs before training ("drop one of any pair with
+    |r| > 0.95").
+
+    ``columns`` maps output name → an integer-valued Column (the
+    caller picks the lattice — cents, ppm, raw ints). All moments for
+    every pair (n, Σx, Σxy, Σx²) fold into a single wide ``agg`` with
+    map-side combine, so the matrix costs one scan regardless of the
+    pair count; only the C(k,2)-row assembly runs post-aggregate.
+
+    Exactness discipline: moments accumulate in DECIMAL(38,0) —
+    order-independent EXACT integer sums (a double Σx² would make the
+    result depend on partition merge order; int64 would overflow at
+    ~10⁵ rows of cent-scale squares). The correlation's numerator and
+    the two variance terms are exact decimals; only the final
+    ``num / sqrt(dx·dy)`` runs in doubles (IEEE-correctly-rounded
+    sqrt/divide on identical inputs → identical in any engine), and is
+    reported as ``corr_ppm`` (round-half-away, ×1e6). Degenerate pairs
+    (a constant column ⇒ dx·dy = 0) report NULL.
+
+    Returns ``(col_a, col_b, n, corr_ppm)``, one row per unordered
+    pair in the iteration order of ``columns``.
+    """
+    names = list(columns)
+    dec = lambda c: c.cast("decimal(38,0)")
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("__n")]
+    for name in names:
+        x = columns[name]
+        aggs.append(F.sum(dec(x)).alias(f"__s_{name}"))
+        aggs.append(F.sum(dec(x) * dec(x)).alias(f"__q_{name}"))
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            aggs.append(
+                F.sum(dec(columns[a]) * dec(columns[b])).alias(f"__p_{a}_{b}")
+            )
+    wide = df.agg(*aggs)
+
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            n = F.col("__n")
+            num = n * F.col(f"__p_{a}_{b}") - F.col(f"__s_{a}") * F.col(f"__s_{b}")
+            dx = n * F.col(f"__q_{a}") - F.col(f"__s_{a}") * F.col(f"__s_{a}")
+            dy = n * F.col(f"__q_{b}") - F.col(f"__s_{b}") * F.col(f"__s_{b}")
+            corr = F.round(
+                num.cast("double")
+                * F.lit(1_000_000.0)
+                / F.sqrt(dx.cast("double") * dy.cast("double")),
+                0,
+            ).cast("bigint")
+            rows.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    n.cast("bigint").alias("n"),
+                    F.when((dx > 0) & (dy > 0), corr).alias("corr_ppm"),
+                )
+            )
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.col_a", "r.col_b", "r.n", "r.corr_ppm"
+    )

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["transition_matrix"]
+__all__ = ["transition_matrix", "session_paths"]
 
 
 def transition_matrix(
@@ -58,4 +58,67 @@ def transition_matrix(
             "(transitions * 1000000) DIV sum(transitions)"
             " OVER (PARTITION BY prev_state)"
         ).cast("bigint"),
+    )
+
+
+def session_paths(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    gap_minutes: int = 30,
+    max_len: int = 5,
+    sep: str = ">",
+) -> DataFrame:
+    """Frequent session paths: sessionize each key's stream by an
+    inactivity gap, render each session's first ``max_len`` states as
+    a delimited path string, and count sessions per path — the
+    behavioral fingerprint ("view>view>click>purchase") funnels and
+    session simulators are built from, one step up from the memoryless
+    transition matrix.
+
+    Shape: the gap flag (lag) and the session id (running sum of
+    flags) share ONE ``partitionBy(key).orderBy(order)`` exchange; the
+    per-session path is a bounded ``slice(sort_array(collect_list(
+    struct(order..., state))), 1, max_len)`` — memory per session is
+    capped by the session's row count and the output by ``max_len``
+    — and the final count is a hash aggregate over path strings whose
+    cardinality is |states|^max_len at worst, in practice tiny.
+    Truncation to ``max_len`` is explicit and deliberate: paths are a
+    reporting artifact, and an unbounded concat over a crawler session
+    with 10⁶ events would put the whole session in one string.
+
+    Returns ``(path, n_sessions)``.
+    """
+    w = Window.partitionBy(key_col).orderBy(*[F.asc(c) for c in order_cols])
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(
+        F.lag(F.col(ts_col)).over(w)
+    )
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), 1
+    ).otherwise(0)
+    session_id = F.sum(new_session).over(
+        Window.partitionBy(key_col)
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordered = F.struct(
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+        F.col(state_col).alias("__v"),
+    )
+    per_session = (
+        df.withColumn("__session", session_id)
+        .groupBy(key_col, "__session")
+        .agg(F.sort_array(F.collect_list(ordered)).alias("__steps"))
+        .select(
+            F.concat_ws(
+                sep,
+                F.expr(f"transform(slice(__steps, 1, {int(max_len)}), s -> s.__v)"),
+            ).alias("path")
+        )
+    )
+    return per_session.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
     )

@@ -28,6 +28,7 @@ __all__ = [
     "rolling_median",
     "time_weighted_mean",
     "cusum_alarm",
+    "grouped_ols_trend",
 ]
 
 
@@ -382,4 +383,74 @@ def cusum_alarm(
         .withColumn("cusum", (F.col("__p") - F.col("__floor")).cast("bigint"))
         .withColumn("alarm", F.col("cusum") > F.col(alarm_threshold_col))
         .drop("__p", "__floor")
+    )
+
+
+def grouped_ols_trend(
+    df: DataFrame,
+    *,
+    partition_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key least-squares trend of ``value_col`` over time — the
+    "is this user's spend drifting up or down" feature, fitted exactly
+    from four integer moments instead of an iterative solver.
+
+    x is whole DAYS since the key's own first event (keying x to the
+    group keeps the moments small and the arithmetic overflow-safe;
+    the slope is translation-invariant so the answer is unchanged),
+    y is integer cents. The OLS slope is the exact rational
+
+        ``(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)``
+
+    and both halves are emitted as BIGINTs, plus ``slope_ppm`` =
+    ``num * 1e6 DIV den`` (truncated integer division — Spark ``DIV``
+    and DuckDB ``//`` agree on negatives, both toward zero) so a
+    downward drift is an exact negative integer, not a float. Keys
+    with fewer than 2 distinct days have no time spread (den = 0) and
+    report NULL slope.
+
+    One window exchange on the key (the per-key epoch min) feeding a
+    groupBy on the SAME key — the moments reduce map-side. Overflow
+    envelope: |num| ≤ n²·max_day·max_cents — int64-safe past 10⁶ rows
+    × 10⁴ days × 10⁴ cents per key; beyond that, coarsen x upstream.
+
+    Returns ``(partition_col, n, sum_x, sum_y, sxy_num, sxx_den,
+    slope_ppm)``.
+    """
+    staged = df.select(
+        F.col(partition_col),
+        F.expr(
+            f"(unix_micros({ts_col}) - min(unix_micros({ts_col}))"
+            f" OVER (PARTITION BY {partition_col})) DIV {86_400 * 1_000_000}"
+        ).alias("__x"),
+        F.floor(F.col(value_col) * F.lit(100.0)).cast("bigint").alias("__y"),
+    )
+    agg = staged.groupBy(partition_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__x").cast("bigint").alias("sum_x"),
+        F.sum("__y").cast("bigint").alias("sum_y"),
+        F.sum(F.col("__x") * F.col("__y")).cast("bigint").alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("bigint").alias("__sxx"),
+    )
+    num = (F.col("n") * F.col("__sxy") - F.col("sum_x") * F.col("sum_y")).cast(
+        "bigint"
+    )
+    den = (F.col("n") * F.col("__sxx") - F.col("sum_x") * F.col("sum_x")).cast(
+        "bigint"
+    )
+    return agg.select(
+        partition_col,
+        "n",
+        "sum_x",
+        "sum_y",
+        num.alias("sxy_num"),
+        den.alias("sxx_den"),
+    ).withColumn(
+        "slope_ppm",
+        F.when(
+            F.col("sxx_den") > 0,
+            F.expr("(sxy_num * 1000000) DIV sxx_den"),
+        ).cast("bigint"),
     )

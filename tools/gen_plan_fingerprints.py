@@ -104,6 +104,16 @@ GUARDED = [
     "bucket_key_concentration",
     "bucket_cusum_alarm",
     "priority_open_orders_peak",
+    # round 7, seventh batch: the OLS trend must stay one window
+    # exchange + one same-key groupBy (a second fact scan for the
+    # per-key epoch min is the regression); the session path census
+    # one key exchange + two hash aggs; the Merkle digest ONE hash
+    # aggregate over a single scan. stream_transition_counts is
+    # excluded like stream_locf_fill: its plan is a read of the
+    # effectful store, not the streaming computation.
+    "user_value_trend",
+    "top_session_paths",
+    "corpus_merkle_buckets",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

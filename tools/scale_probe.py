@@ -84,6 +84,14 @@ PROBED = [
     "route_rendezvous",
     "bucket_key_concentration",
     "bucket_cusum_alarm",
+    # round-7 seventh batch: streaming transition counts (two staged
+    # writes + two micro-batches, like stream_locf_fill); OLS moments
+    # (window + same-key agg); session path census (one key sort +
+    # bounded-array rollup); Merkle digests (one hash agg, md5-bound).
+    "stream_transition_counts",
+    "user_value_trend",
+    "top_session_paths",
+    "corpus_merkle_buckets",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
