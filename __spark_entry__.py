@@ -110,6 +110,21 @@ _DRIVER_HEAD = [
     "user_value_trend",
     "top_session_paths",
     "corpus_merkle_buckets",
+    # round-7 additions, eighth batch (zero draws, fully hash-oracled):
+    # one-scan Pearson matrix, last-touch attribution, per-edge
+    # common-neighbor embeddedness, and the priority mix-shift drift
+    # monitor.
+    "lineitem_numeric_corr",
+    "purchase_attribution",
+    "neardup_common_neighbors",
+    "priority_mix_shift",
+    # round-7 additions, ninth batch (zero draws): prefix-filtered
+    # exact Jaccard (SHARES the ground truth's oracle — the hash
+    # equality is the recall proof), multiset token Jaccard, and the
+    # exact drain-tick percentile table.
+    "dedup_prefix_filter",
+    "dedup_multiset_jaccard",
+    "drain_tick_percentiles",
     # once-drawn, last drawn r01 — the oldest hard signals in the
     # suite, all predating five rounds of engine changes. (Once-drawn
     # SELF-AUDIT queries are deliberately NOT rotated back in:

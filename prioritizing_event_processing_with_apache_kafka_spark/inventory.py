@@ -392,6 +392,64 @@ FROM routed r JOIN cmap c USING (partition)
 """
 
 
+def q_drain_tick_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 consumption tick per priority bucket — the
+    reference pattern's value proposition as THREE numbers per bucket
+    (Platinum's tail must sit far left of Standard's). Percentiles are
+    explicit order statistics over the (bucket, tick, count) histogram
+    — ticks repeat heavily, so the cumulative window sorts distinct
+    tick VALUES, not events; the p-quantile test is pure integer
+    arithmetic (``100·cum ≥ p·n`` ⇔ ``cum ≥ ⌈p·n/100⌉``), so both
+    engines land on identical BIGINTs. At volumes where even distinct
+    ticks get large, the KLL sketch rollup (``bucket_value_kll``) is
+    the pre-built approximate path; this is the exact one."""
+    sched = q_priority_drain_schedule(spark, sf_dir)
+    hist = sched.groupBy("bucket", "drain_tick").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("drain_tick")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wb = Window.partitionBy("bucket")
+    cum = hist.select(
+        "bucket",
+        "drain_tick",
+        F.sum("__cnt").over(w).cast("bigint").alias("__cum"),
+        F.sum("__cnt").over(wb).cast("bigint").alias("__n"),
+    )
+    pick = lambda p: F.min(
+        F.when(F.col("__cum") * 100 >= F.lit(p) * F.col("__n"), F.col("drain_tick"))
+    ).cast("bigint")
+    return cum.groupBy("bucket").agg(
+        F.max("__n").cast("bigint").alias("n_events"),
+        pick(50).alias("p50_tick"),
+        pick(95).alias("p95_tick"),
+        pick(99).alias("p99_tick"),
+    )
+
+
+SQL_DRAIN_TICK_PERCENTILES = f"""
+WITH base AS ({SQL_PRIORITY_DRAIN_SCHEDULE}),
+hist AS (
+  SELECT bucket, drain_tick, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM base GROUP BY 1, 2
+), cum AS (
+  SELECT bucket, drain_tick,
+         CAST(SUM(cnt) OVER (PARTITION BY bucket ORDER BY drain_tick
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c,
+         CAST(SUM(cnt) OVER (PARTITION BY bucket) AS BIGINT) AS n
+  FROM hist
+)
+SELECT bucket, CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(MIN(CASE WHEN c * 100 >= 50 * n THEN drain_tick END) AS BIGINT) AS p50_tick,
+       CAST(MIN(CASE WHEN c * 100 >= 95 * n THEN drain_tick END) AS BIGINT) AS p95_tick,
+       CAST(MIN(CASE WHEN c * 100 >= 99 * n THEN drain_tick END) AS BIGINT) AS p99_tick
+FROM cum GROUP BY 1
+"""
+
+
 def q_route_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous (highest-random-weight) routing distribution over the
     canonical 12-partition topic — the stateless consistent-placement
@@ -2279,6 +2337,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucket_allocation_vs_load": q_bucket_allocation_vs_load,
     "priority_drain_schedule": q_priority_drain_schedule,
     "route_rendezvous": q_route_rendezvous,
+    "drain_tick_percentiles": q_drain_tick_percentiles,
     # relational surface
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -2345,6 +2404,7 @@ ORACLES: dict[str, str] = {
     "bucket_allocation_vs_load": SQL_BUCKET_ALLOCATION_VS_LOAD,
     "priority_drain_schedule": SQL_PRIORITY_DRAIN_SCHEDULE,
     "route_rendezvous": SQL_ROUTE_RENDEZVOUS,
+    "drain_tick_percentiles": SQL_DRAIN_TICK_PERCENTILES,
     "q1_pricing_summary": SQL_Q1,
     "q3_shipping_priority": SQL_Q3,
     "q5_regional_revenue": SQL_Q5,

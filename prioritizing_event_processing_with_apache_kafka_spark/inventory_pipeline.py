@@ -3695,31 +3695,23 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     recent non-purchase event within a 7-day lookback, else 'none' —
     the marketing-analytics primitive behind "what drives checkout".
     Two ignore-nulls last() columns over ONE user window (both filled
-    from the same qualifying row, so they stay consistent), a
-    constant-time lookback test on the microsecond lattice, and a tiny
-    share-ppm aggregate. All integers; full hash oracle."""
+    from the same qualifying row, so they stay consistent —
+    ``operators/sequence.py:last_touch_attribution``), a constant-time
+    lookback test on the microsecond lattice, and a tiny share-ppm
+    aggregate. All integers; full hash oracle."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sequence import (
+        last_touch_attribution,
+    )
+
     events = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    non_purchase = F.when(
-        F.col("event_type") != "purchase", F.col("event_type")
-    )
-    np_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
-    touched = (
-        events.withColumn("__lt_type", F.last(non_purchase, ignorenulls=True).over(w))
-        .withColumn("__lt_ts", F.last(np_ts, ignorenulls=True).over(w))
-        .filter(F.col("event_type") == "purchase")
-    )
-    within = (
-        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("__lt_ts"))
-    ) <= F.lit(7 * 86_400 * 1_000_000)
-    attributed = touched.select(
-        F.when(F.col("__lt_ts").isNotNull() & within, F.col("__lt_type"))
-        .otherwise(F.lit("none"))
-        .alias("attributed_to")
+    attributed = last_touch_attribution(
+        events,
+        key_col="user_id",
+        state_col="event_type",
+        ts_col="ts",
+        order_cols=("ts", "event_id"),
+        conversion="purchase",
+        lookback_days=7,
     )
     counts = attributed.groupBy("attributed_to").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_purchases")
@@ -3744,7 +3736,7 @@ WITH touched AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 ), att AS (
   SELECT CASE WHEN lt_ts IS NOT NULL
-                AND epoch_us(ts) - epoch_us(lt_ts) <= 7 * 86400 * 1000000
+                AND epoch_us(ts) - epoch_us(lt_ts) <= CAST(604800000000 AS BIGINT)
               THEN lt_type ELSE 'none' END AS attributed_to
   FROM touched WHERE event_type = 'purchase'
 ), c AS (
@@ -3789,14 +3781,15 @@ FROM pairs p LEFT JOIN wedges w ON w.x = p.x AND w.y = p.y
 
 
 def q_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-priority mix drift between the pre/post-1995 halves of
-    the order history — the composition-shift monitor a run ledger
-    trends next to the volume metric (a priority class silently
-    doubling its share is an upstream routing bug even when totals
-    look flat). Shares and the delta are exact integer ppm; one scan,
-    one tiny pivot aggregate."""
+    """Order-priority mix drift between the pre/post-1998 halves of
+    the order history (the fixture's dates span 1995-2001) — the
+    composition-shift monitor a run ledger trends next to the volume
+    metric (a priority class silently doubling its share is an
+    upstream routing bug even when totals look flat). Shares and the
+    delta are exact integer ppm; an empty period reports NULL shares
+    instead of dividing by zero; one scan, one tiny pivot aggregate."""
     orders = load_table(spark, sf_dir, "orders")
-    cutoff = F.lit("1995-01-01").cast("timestamp")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
     per = orders.groupBy("o_orderpriority").agg(
         F.sum(F.when(F.col("o_orderdate") < cutoff, 1).otherwise(0))
         .cast("bigint")
@@ -3805,16 +3798,18 @@ def q_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_post"),
     )
+    share = (
+        lambda c: F.expr(
+            f"CASE WHEN sum({c}) OVER () > 0"
+            f" THEN ({c} * 1000000) DIV sum({c}) OVER () END"
+        ).cast("bigint")
+    )
     return per.select(
         "o_orderpriority",
         "n_pre",
         "n_post",
-        F.expr("(n_pre * 1000000) DIV sum(n_pre) OVER ()")
-        .cast("bigint")
-        .alias("share_pre_ppm"),
-        F.expr("(n_post * 1000000) DIV sum(n_post) OVER ()")
-        .cast("bigint")
-        .alias("share_post_ppm"),
+        share("n_pre").alias("share_pre_ppm"),
+        share("n_post").alias("share_post_ppm"),
     ).withColumn(
         "delta_ppm",
         (F.col("share_post_ppm") - F.col("share_pre_ppm")).cast("bigint"),
@@ -3824,18 +3819,71 @@ def q_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PRIORITY_MIX_SHIFT = """
 WITH per AS (
   SELECT o_orderpriority,
-         CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
-         CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_post
+         CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+         CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_post
   FROM orders GROUP BY 1
 ), sh AS (
   SELECT o_orderpriority, n_pre, n_post,
-         CAST((n_pre * 1000000) // SUM(n_pre) OVER () AS BIGINT) AS share_pre_ppm,
-         CAST((n_post * 1000000) // SUM(n_post) OVER () AS BIGINT) AS share_post_ppm
+         CAST(CASE WHEN SUM(n_pre) OVER () > 0
+                   THEN (n_pre * 1000000) // SUM(n_pre) OVER () END AS BIGINT) AS share_pre_ppm,
+         CAST(CASE WHEN SUM(n_post) OVER () > 0
+                   THEN (n_post * 1000000) // SUM(n_post) OVER () END AS BIGINT) AS share_post_ppm
   FROM per
 )
 SELECT o_orderpriority, n_pre, n_post, share_pre_ppm, share_post_ppm,
        CAST(share_post_ppm - share_pre_ppm AS BIGINT) AS delta_ppm
 FROM sh
+"""
+
+
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (the PPJoin/AllPairs
+    candidate rule, ``operators/dedup.py:prefix_filter_jaccard_pairs``)
+    — the scale path for the ground-truth join when the shingle
+    frequency distribution has a hot tail: only each document's
+    ``|d| − ⌈t·|d|⌉ + 1`` globally-rarest shingles enter the candidate
+    join, provably without losing any pair at J ≥ t. Output is
+    bit-identical to ``dedup_ngram_jaccard``, so it SHARES that
+    query's oracle — the hash equality IS the recall proof."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.prefix_filter_jaccard_pairs(docs, k=4, threshold=0.5)
+
+
+def q_dedup_multiset_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (multiset) token Jaccard refinement over the canonical
+    candidate pairs (``operators/dedup.py:token_multiset_jaccard``):
+    Σmin/Σmax over token COUNTS, the score that separates repetition
+    structure from vocabulary overlap. Integer-ppm lattice; the
+    per-pair token join runs only on the pruned candidate set."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, k=4, threshold=0.5)
+    return D.token_multiset_jaccard(docs, pairs)
+
+
+SQL_DEDUP_MULTISET_JACCARD = f"""
+WITH pairs AS ({SQL_NGRAM_JACCARD}),
+tc AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS T FROM tc GROUP BY 1
+), sm AS (
+  SELECT p.x, p.y, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS smin
+  FROM pairs p
+  JOIN tc a ON a.doc_id = p.x
+  JOIN tc b ON b.doc_id = p.y AND b.tok = a.tok
+  GROUP BY 1, 2
+)
+SELECT p.x, p.y,
+       CAST(COALESCE(s.smin, 0) AS BIGINT) AS shared_min,
+       CAST(tx.T + ty.T - COALESCE(s.smin, 0) AS BIGINT) AS union_max,
+       CAST((COALESCE(s.smin, 0) * 1000000)
+            // (tx.T + ty.T - COALESCE(s.smin, 0)) AS BIGINT) AS wjaccard_ppm
+FROM pairs p
+LEFT JOIN sm s ON s.x = p.x AND s.y = p.y
+JOIN tot tx ON tx.doc_id = p.x
+JOIN tot ty ON ty.doc_id = p.y
 """
 
 
@@ -3934,6 +3982,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "purchase_attribution": q_purchase_attribution,
     "neardup_common_neighbors": q_neardup_common_neighbors,
     "priority_mix_shift": q_priority_mix_shift,
+    # Appended round 7, session 4 (batch 9).
+    "dedup_prefix_filter": q_dedup_prefix_filter,
+    "dedup_multiset_jaccard": q_dedup_multiset_jaccard,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -4021,4 +4072,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
     "neardup_common_neighbors": SQL_NEARDUP_COMMON_NEIGHBORS,
     "priority_mix_shift": SQL_PRIORITY_MIX_SHIFT,
+    # Prefix filtering SHARES the ground truth's oracle — output
+    # equality at the hash level IS the no-lost-recall proof.
+    "dedup_prefix_filter": SQL_NGRAM_JACCARD,
+    "dedup_multiset_jaccard": SQL_DEDUP_MULTISET_JACCARD,
 }

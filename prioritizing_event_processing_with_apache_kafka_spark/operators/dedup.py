@@ -53,6 +53,8 @@ __all__ = [
     "edit_distance_pairs",
     "ngram_jaccard_pairs",
     "ngram_containment_pairs",
+    "prefix_filter_jaccard_pairs",
+    "token_multiset_jaccard",
     "with_minhash_signature",
     "incremental_minhash_pairs",
     "minhash_lsh_pairs",
@@ -701,6 +703,161 @@ def ngram_containment_pairs(
         )
         .filter(F.col("containment_ppm") >= F.lit(threshold_ppm))
         .select("x", "y", "inter_shingles", "min_shingles", "containment_ppm")
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    threshold: float = 0.5,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING (the
+    PPJoin/AllPairs candidate rule) — same output contract as
+    :func:`ngram_jaccard_pairs`, asymptotically fewer candidates.
+
+    The share-any-shingle rule explodes on common shingles: a shingle
+    appearing in f documents contributes C(f, 2) candidate pairs, so
+    one boilerplate phrase can dominate the join. The prefix-filter
+    lemma prunes this WITHOUT losing recall: order every document's
+    shingles by a global canonical order (ascending document
+    frequency, ties by shingle — rarest first) and keep only each
+    document's first ``|d| − ⌈t·|d|⌉ + 1`` shingles as its *prefix*;
+    if ``J(a, b) ≥ t``, the two prefixes must share a shingle
+    (otherwise more than ``(1−t)·|d|`` of each side's rarest entries
+    are disjoint, capping the overlap below ``t``). Candidates are
+    pairs whose PREFIXES intersect — the hot tail of frequent shingles
+    never enters the join.
+
+    Shape: one frequency aggregate over the exploded shingles (the
+    same stream the candidate join reads), a per-document sort of a
+    bounded array (inside ``sort_array`` on (freq, shingle) structs —
+    no extra exchange), the prefix equi-join, then exact verification
+    against the FULL shingle sets. Verification reuses
+    ``array_intersect`` on the cached shingled frame, so the expensive
+    join runs only on the pruned candidate set.
+
+    Returns ``(x, y, jaccard)`` with ``x < y`` — bit-identical to the
+    ground-truth operator (and to its DuckDB oracle).
+    """
+    if shingled is None:
+        shingled = scoped_persist(with_shingles(df, text_col=text_col, k=k))
+    exploded = shingled.select(id_col, F.explode("shingles").alias("__sig"))
+    freq = exploded.groupBy("__sig").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__df")
+    )
+    # Canonical order: (document frequency, shingle) ascending. The
+    # sort happens inside a per-document ARRAY (bounded by the doc's
+    # shingle count), not as a window over the corpus.
+    ranked = (
+        exploded.join(freq, "__sig")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("__df"), F.col("__sig").alias("__s"))
+                )
+            ).alias("__ordered")
+        )
+    )
+    # prefix length = n - ceil(t*n) + 1, clamped to [1, n]
+    prefixes = ranked.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "slice(transform(__ordered, o -> o.__s), 1, "
+                f"greatest(1, size(__ordered) - cast(ceil({float(threshold)}"
+                " * size(__ordered)) as int) + 1))"
+            )
+        ).alias("__psig"),
+    )
+    a = prefixes.select(F.col(id_col).alias("x"), "__psig")
+    b = prefixes.select(F.col(id_col).alias("y"), "__psig")
+    cands = (
+        a.join(b, "__psig").filter(F.col("x") < F.col("y")).select("x", "y").distinct()
+    )
+    return _verify_jaccard(cands, shingled, id_col, threshold)
+
+
+def token_multiset_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Weighted (multiset) token Jaccard for candidate pairs:
+    ``Σ_t min(c_x(t), c_y(t)) / Σ_t max(c_x(t), c_y(t))`` over token
+    COUNTS — the refinement that separates "same vocabulary, different
+    emphasis" from true rewording. Set Jaccard calls a document and
+    its double-paste identical twins equal to any reshuffle of the
+    same words; the multiset score sees repetition structure.
+
+    Runs over an existing candidate pair list (shingle candidates, LSH
+    survivors) — never all pairs: the per-pair token join fans out by
+    document length × candidates, which is the refinement's inherent
+    cost and only paid on the pruned set.
+
+    Arithmetic: ``Σmax = T_x + T_y − Σmin`` (token totals are exact
+    integers), and the score is integer ppm — hash-exact.
+
+    Returns ``(x, y, shared_min, union_max, wjaccard_ppm)``.
+    """
+    # The pair list feeds both the shared-min join and the final
+    # assembly; persisting it keeps an expensive upstream generator
+    # (the shingle join) from running twice — the same lesson
+    # common_neighbor_counts learned at 100x.
+    pairs = scoped_persist(pairs.select("x", "y"))
+    counts = scoped_persist(
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+        )
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    totals = counts.groupBy(id_col).agg(F.sum("__c").cast("bigint").alias("__T"))
+    cx = counts.select(
+        F.col(id_col).alias("x"), "__tok", F.col("__c").alias("__cx")
+    )
+    cy = counts.select(
+        F.col(id_col).alias("y"), "__tok", F.col("__c").alias("__cy")
+    )
+    shared = (
+        pairs.select("x", "y")
+        .join(cx, "x")
+        .join(cy, ["y", "__tok"])
+        .groupBy("x", "y")
+        .agg(F.sum(F.least("__cx", "__cy")).cast("bigint").alias("shared_min"))
+    )
+    tx = totals.select(F.col(id_col).alias("x"), F.col("__T").alias("__Tx"))
+    ty = totals.select(F.col(id_col).alias("y"), F.col("__T").alias("__Ty"))
+    return (
+        pairs.select("x", "y")
+        .join(shared, ["x", "y"], "left")
+        .join(tx, "x")
+        .join(ty, "y")
+        .select(
+            "x",
+            "y",
+            F.coalesce(F.col("shared_min"), F.lit(0))
+            .cast("bigint")
+            .alias("shared_min"),
+            (
+                F.col("__Tx")
+                + F.col("__Ty")
+                - F.coalesce(F.col("shared_min"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("union_max"),
+        )
+        .withColumn(
+            "wjaccard_ppm",
+            F.expr("(shared_min * 1000000) DIV union_max").cast("bigint"),
+        )
     )
 
 

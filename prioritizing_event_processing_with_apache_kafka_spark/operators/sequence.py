@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["transition_matrix", "session_paths"]
+__all__ = ["transition_matrix", "session_paths", "last_touch_attribution"]
 
 
 def transition_matrix(
@@ -122,3 +122,50 @@ def session_paths(
     return per_session.groupBy("path").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions")
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    conversion: str = "purchase",
+    lookback_days: int = 7,
+) -> DataFrame:
+    """Last-touch attribution: each ``conversion`` event credits the
+    key's most recent NON-conversion event within ``lookback_days``,
+    else ``'none'`` — the marketing primitive behind "what drives
+    checkout".
+
+    Two ignore-nulls ``last()`` columns (touch type and touch time)
+    over ONE key window — both are filled from the same qualifying
+    row, so they cannot disagree — then a constant-time lookback test
+    on the microsecond lattice. One key exchange total; the returned
+    frame is one row per conversion event.
+
+    Returns the conversion rows with ``attributed_to`` added.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(state_col) != F.lit(conversion)
+    touch_type = F.last(F.when(is_touch, F.col(state_col)), ignorenulls=True).over(w)
+    touch_ts = F.last(F.when(is_touch, F.col(ts_col)), ignorenulls=True).over(w)
+    touched = (
+        df.withColumn("__lt_type", touch_type)
+        .withColumn("__lt_ts", touch_ts)
+        .filter(F.col(state_col) == F.lit(conversion))
+    )
+    within = (
+        F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__lt_ts"))
+    ) <= F.lit(int(lookback_days) * 86_400 * 1_000_000)
+    return touched.withColumn(
+        "attributed_to",
+        F.when(F.col("__lt_ts").isNotNull() & within, F.col("__lt_type")).otherwise(
+            F.lit("none")
+        ),
+    ).drop("__lt_type", "__lt_ts")

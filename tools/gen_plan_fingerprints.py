@@ -114,6 +114,19 @@ GUARDED = [
     "user_value_trend",
     "top_session_paths",
     "corpus_merkle_buckets",
+    # round 7, eighth batch: the Pearson matrix must stay ONE wide
+    # aggregation pass over a single scan (a per-pair scan is the
+    # regression); attribution one key window + a tiny share agg;
+    # mix-shift one scan + a 5-row window. neardup_common_neighbors
+    # is excluded (persisted shingle subtree, like the triangle count).
+    "lineitem_numeric_corr",
+    "purchase_attribution",
+    "priority_mix_shift",
+    # round 7, ninth batch: the percentile table rides the guarded
+    # drain-schedule plan and must add only histogram-sized windows
+    # (a per-EVENT window sort is the regression). The two dedup
+    # refinements are excluded (persisted shingle subtrees).
+    "drain_tick_percentiles",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

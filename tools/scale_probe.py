@@ -92,6 +92,12 @@ PROBED = [
     "user_value_trend",
     "top_session_paths",
     "corpus_merkle_buckets",
+    # round-7 eighth batch: last-touch attribution (one key window
+    # over the replicated events + tiny share agg).
+    "purchase_attribution",
+    # round-7 ninth batch: drain percentiles (the exact routing plan
+    # plus histogram windows — should track priority_drain_schedule).
+    "drain_tick_percentiles",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
@@ -114,6 +120,14 @@ DEDUP_PROBES = [
     # round-7 sixth batch: same shingle-blocked candidate volume as
     # the Jaccard ground truth, different verify arithmetic.
     "doc_containment",
+    # round-7 eighth batch: pair generation + the symmetric wedge
+    # join — the heaviest graph probe after label propagation.
+    "neardup_common_neighbors",
+    # round-7 ninth batch: the prefix-filtered join should track (or
+    # beat) the ground truth's growth — its whole reason to exist —
+    # and the multiset refinement adds a per-pair token join on top.
+    "dedup_prefix_filter",
+    "dedup_multiset_jaccard",
 ]
 
 # Bump when the replica construction changes so stale /tmp replicas
