@@ -616,10 +616,29 @@ def ngram_jaccard_pairs(
         # shingle arrays to stay exact.
         cands = _candidate_pairs(exploded, id_col, ["__sig"], max_signature_freq)
         return _verify_jaccard(cands, shingled, id_col, threshold)
-    # Uncapped path: because shingles are distinct per document, the
-    # number of equi-join matches per (x, y) pair IS |x ∩ y| — no
-    # join-back to the arrays, no array_intersect; sizes come from a
-    # tiny (id, |shingles|) projection of the cached frame.
+    # Uncapped path: the shared intersection skeleton (see
+    # _intersection_with_sizes) scores exact Jaccard directly from the
+    # equi-join match counts — no join-back to the arrays.
+    return (
+        _intersection_with_sizes(shingled, id_col)
+        .withColumn(
+            "jaccard",
+            F.col("__inter").cast("double")
+            / (F.col("__nx") + F.col("__ny") - F.col("__inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("x", "y", "jaccard")
+    )
+
+
+def _intersection_with_sizes(shingled: DataFrame, id_col: str) -> DataFrame:
+    """``(x, y, __inter, __nx, __ny)`` for every pair sharing ≥ 1
+    distinct shingle — the skeleton under both the exact-Jaccard
+    uncapped path and the containment scorer. Because shingles are
+    distinct per document, the equi-join match count per (x, y) IS
+    |x ∩ y| — no array materialization at the join; set sizes come
+    from a tiny ``(id, |shingles|)`` projection of the cached frame."""
+    exploded = shingled.select(id_col, F.explode("shingles").alias("__sig"))
     a = exploded.select(F.col(id_col).alias("x"), "__sig")
     b = exploded.select(F.col(id_col).alias("y"), "__sig")
     inter = (
@@ -631,17 +650,7 @@ def ngram_jaccard_pairs(
     sizes = shingled.select(F.col(id_col), F.size("shingles").alias("__n"))
     nx = sizes.select(F.col(id_col).alias("x"), F.col("__n").alias("__nx"))
     ny = sizes.select(F.col(id_col).alias("y"), F.col("__n").alias("__ny"))
-    return (
-        inter.join(nx, "x")
-        .join(ny, "y")
-        .withColumn(
-            "jaccard",
-            F.col("__inter").cast("double")
-            / (F.col("__nx") + F.col("__ny") - F.col("__inter")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("x", "y", "jaccard")
-    )
+    return inter.join(nx, "x").join(ny, "y")
 
 
 def ngram_containment_pairs(
@@ -679,24 +688,10 @@ def ngram_containment_pairs(
     """
     if shingled is None:
         shingled = scoped_persist(with_shingles(df, text_col=text_col, k=k))
-    exploded = shingled.select(id_col, F.explode("shingles").alias("__sig"))
-    a = exploded.select(F.col(id_col).alias("x"), "__sig")
-    b = exploded.select(F.col(id_col).alias("y"), "__sig")
-    inter = (
-        a.join(b, "__sig")
-        .filter(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("inter_shingles"))
-    )
-    sizes = shingled.select(F.col(id_col), F.size("shingles").alias("__n"))
-    nx = sizes.select(F.col(id_col).alias("x"), F.col("__n").alias("__nx"))
-    ny = sizes.select(F.col(id_col).alias("y"), F.col("__n").alias("__ny"))
     return (
-        inter.join(nx, "x")
-        .join(ny, "y")
-        .withColumn(
-            "min_shingles", F.least("__nx", "__ny").cast("bigint")
-        )
+        _intersection_with_sizes(shingled, id_col)
+        .withColumn("inter_shingles", F.col("__inter").cast("bigint"))
+        .withColumn("min_shingles", F.least("__nx", "__ny").cast("bigint"))
         .withColumn(
             "containment_ppm",
             F.expr("inter_shingles * 1000000 DIV min_shingles"),

@@ -326,7 +326,17 @@ def triangle_participation(pairs: DataFrame, a_col: str = "x", b_col: str = "y")
 
     Returns ``(node, triangles)`` for nodes in >= 1 triangle.
     """
-    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.caching import (
+        scoped_persist,
+    )
+
+    # Three references to the edge frame (both wedge sides + the
+    # closing join): persist it so an expensive upstream pair
+    # generator runs once — the same lesson common_neighbor_counts
+    # below measured at 35.8x wall on a 100x replica.
+    e = scoped_persist(
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    )
     e_bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
     e_ac = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
     tri = (

@@ -32,8 +32,9 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class Check:
     """One constraint: ``name`` labels the output row, ``observed``
-    is an aggregate Column producing a BIGINT metric, and ``passed``
-    is the predicate over that metric (applied post-aggregation)."""
+    is an aggregate Column producing a BIGINT metric, and
+    ``max_allowed`` is the inclusive bound — the audit derives
+    ``passed = observed <= max_allowed`` post-aggregation."""
 
     name: str
     observed: Column

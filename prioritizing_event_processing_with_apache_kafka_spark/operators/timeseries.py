@@ -368,17 +368,13 @@ def cusum_alarm(
     dev = F.col(value_col) - F.col(reference_col)
     prefix = F.sum(dev).over(w)
     # min(prefix) OVER the same frame needs prefix materialized first
-    # (nested window functions are illegal), so stage it as a column.
+    # (nested window functions are illegal), so stage it as a column;
+    # the running-min window is the SAME spec `w`.
     staged = df.withColumn("__p", prefix.cast("bigint"))
-    w2 = (
-        Window.partitionBy(partition_col)
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return (
         staged.withColumn(
             "__floor",
-            F.least(F.lit(0).cast("bigint"), F.min("__p").over(w2)),
+            F.least(F.lit(0).cast("bigint"), F.min("__p").over(w)),
         )
         .withColumn("cusum", (F.col("__p") - F.col("__floor")).cast("bigint"))
         .withColumn("alarm", F.col("cusum") > F.col(alarm_threshold_col))

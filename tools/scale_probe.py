@@ -128,6 +128,9 @@ DEDUP_PROBES = [
     # and the multiset refinement adds a per-pair token join on top.
     "dedup_prefix_filter",
     "dedup_multiset_jaccard",
+    # post-review: the triangle count now persists its edge frame
+    # (three references) — track it like the other wedge-join probes.
+    "dedup_triangle_count",
 ]
 
 # Bump when the replica construction changes so stale /tmp replicas
