@@ -3142,13 +3142,15 @@ def q_rolling_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ROLLING_VALUE_MEDIAN = """
 WITH fr AS (
   SELECT event_id, user_id, value,
-         list_sort(list(CAST(value AS DOUBLE)) OVER (
+         list_sort(list_filter(list(CAST(value AS DOUBLE)) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS fl
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           x -> x IS NOT NULL)) AS fl
   FROM events
 )
 SELECT event_id, user_id, value,
-       CASE WHEN len(fl) % 2 = 1 THEN fl[(len(fl) + 1) // 2]
+       CASE WHEN len(fl) = 0 THEN NULL
+            WHEN len(fl) % 2 = 1 THEN fl[(len(fl) + 1) // 2]
             ELSE (fl[len(fl) // 2] + fl[len(fl) // 2 + 1]) / 2.0
        END AS rolling_median
 FROM fr

@@ -95,11 +95,17 @@ def merkle_bucket_checksums(
     DuckDB oracle — verified to agree byte-for-byte on md5).
 
     A corrupted/missing/extra row flips its bucket's checksum with
-    probability 1 − 2⁻⁵⁶-ish per row (sum-mod collisions need digest
-    deltas summing to 0 mod p). Overflow envelope: the mod-p terms
-    are < 2³⁰, so int64 SUM is safe to ~8.6e9 rows per bucket — size
-    ``num_buckets`` so buckets stay under that (and under the re-sync
-    transfer unit you can afford).
+    probability ≈ 1 − 1/p where p = 1e9+7 (≈ 1 − 1e-9): although each
+    row digest carries 56 bits, the per-row term is reduced mod p
+    before summing, so a single-row delta escapes detection exactly
+    when it is ≡ 0 mod p — probability ≈ 1/p for a random digest, NOT
+    the 2⁻⁵⁶ the raw digest width would suggest. 1e-9 per divergent
+    bucket is ample for anti-entropy (a missed bucket is re-caught on
+    the next sweep); if a stronger bound is ever needed, sum the full
+    56-bit digests mod 2⁶³ instead. Overflow envelope: the mod-p
+    terms are < 2³⁰, so int64 SUM is safe to ~8.6e9 rows per bucket —
+    size ``num_buckets`` so buckets stay under that (and under the
+    re-sync transfer unit you can afford).
 
     One hash aggregate; output is ``num_buckets`` rows:
     ``(bucket, n_rows, checksum)``.

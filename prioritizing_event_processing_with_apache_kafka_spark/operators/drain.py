@@ -81,6 +81,7 @@ def drain_schedule(
     *,
     order_col: str = "event_id",
     pos_col: str | None = None,
+    allow_small_scale: bool = False,
 ) -> DataFrame:
     """Attach the consumption tick to every exact-routed event.
 
@@ -94,6 +95,14 @@ def drain_schedule(
     docstring). ``consumer_map`` is the ``consumer_map_table`` output;
     it is tiny (one row per topic partition) and broadcast.
 
+    The fallback path is gated: calling without ``pos_col`` raises
+    unless ``allow_small_scale=True`` is passed explicitly. The window
+    it uses is keyed on the partition id — at most #topic-partitions
+    distinct keys — so at production scale it funnels the whole frame
+    through a handful of reducers. The gate makes that a deliberate
+    opt-in (debug/small frames), never a silent default on the 100 TB
+    path.
+
     Events in unowned partitions (bucket with no consumers —
     ``BucketPriorityAssignorTest.java:294-341`` leaves them unassigned)
     fall out of the inner join: they are never consumed, so they have
@@ -102,6 +111,16 @@ def drain_schedule(
     if pos_col is not None:
         pos = F.col(pos_col)
     else:
+        if not allow_small_scale:
+            raise ValueError(
+                "drain_schedule without pos_col derives positions with a "
+                "window keyed on the partition id (<= #topic-partitions "
+                "distinct keys) — a guaranteed reducer funnel at scale. "
+                "Pass pos_col (derive it from the exact router's seq_col: "
+                "seq div bucket_size + 1, zero extra exchanges), or opt in "
+                "explicitly with allow_small_scale=True for small/debug "
+                "frames."
+            )
         pos = F.row_number().over(
             Window.partitionBy("partition").orderBy(F.asc(order_col))
         )

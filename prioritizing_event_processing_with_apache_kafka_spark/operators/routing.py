@@ -375,6 +375,10 @@ def rendezvous_route(
     md5 is used because every engine agrees on it byte-for-byte (the
     oracle replays the same digests), not for cryptographic strength.
     """
+    if num_partitions < 1:
+        raise ValueError(
+            f"rendezvous_route: num_partitions must be >= 1, got {num_partitions}"
+        )
     picked = F.array_max(
         F.transform(
             F.sequence(F.lit(0), F.lit(num_partitions - 1)),

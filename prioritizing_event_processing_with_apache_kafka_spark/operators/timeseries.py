@@ -243,6 +243,14 @@ def rolling_median(
     doubles), so materializing it as an array is O(window) per row —
     the same cost an exact windowed median needs in any engine.
 
+    NULL contract: the frame is the trailing ``window`` ROWS, but NULL
+    values inside it do NOT participate in the median — the median is
+    taken over the frame's non-null values (Spark's ``collect_list``
+    drops NULL elements; the DuckDB oracle mirrors this with an
+    explicit ``list_filter``). A frame whose values are all NULL
+    yields a NULL median. This is stated, not accidental: a despiker
+    should ignore missing samples, not let one NULL shift the index.
+
     One range-shuffle on ``partition_col``; no iteration, no state.
     """
     frame = (
@@ -250,13 +258,18 @@ def rolling_median(
         .orderBy(*order_cols)
         .rowsBetween(-(window - 1), Window.currentRow)
     )
+    # collect_list drops NULL elements by definition — that IS the
+    # documented contract (non-null values of the trailing frame).
     vals = F.sort_array(F.collect_list(F.col(value_col)).over(frame))
     n = F.size(vals)
     mid_hi = F.element_at(vals, (n / 2 + 1).cast("int"))
     odd = F.element_at(vals, ((n + 1) / 2).cast("int"))
     even = (F.element_at(vals, (n / 2).cast("int")) + mid_hi) / F.lit(2.0)
     return df.withColumn(
-        out_col, F.when(n % 2 == 1, odd).otherwise(even)
+        out_col,
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(n % 2 == 1, odd)
+        .otherwise(even),
     )
 
 

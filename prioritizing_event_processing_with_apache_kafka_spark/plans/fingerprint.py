@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["plan_exchange_counts"]
+__all__ = ["plan_exchange_counts", "streaming_core_queries"]
 
 # Substrings that identify exchange operators in the plan dump.
 # "Exchange hashpartitioning/rangepartitioning/SinglePartition" are
@@ -42,4 +42,126 @@ def plan_exchange_counts(df: DataFrame) -> dict[str, int]:
     return {
         "shuffle_exchanges": sum(plan.count(m) for m in _SHUFFLE_MARKERS),
         "broadcast_exchanges": plan.count("BroadcastExchange"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Streaming-core fingerprints.
+#
+# The streaming headline queries (stream_locf_fill, scd2_stream_history,
+# stream_sessionized_users) do their real work inside a writeStream
+# drain — the DataFrame they RETURN is just a read of the effectful
+# store, so fingerprinting it would pin a parquet scan, not the
+# per-batch computation. Each builder below constructs the SAME pure
+# per-batch plan the foreachBatch protocol executes (the refactored
+# locf_enrich/locf_next_state and scd2_merge cores — the literal
+# functions the streaming path calls), on a representative batch+state,
+# so a new exchange in the per-batch work fails the guard even though
+# the streaming run itself hides it.
+# ---------------------------------------------------------------------------
+
+
+def streaming_core_queries():
+    """dict of ``<stream query>__<core>`` → ``(spark, sf_dir) -> DataFrame``
+    builders pinning the per-batch plan shape of the streaming headline
+    queries; merged with ``queries()`` by the fingerprint harness."""
+    from pyspark.sql import functions as F
+
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.merge import (
+        scd2_merge,
+    )
+    from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import (
+        load_table,
+    )
+    from prioritizing_event_processing_with_apache_kafka_spark.streaming.locf import (
+        locf_enrich,
+        locf_next_state,
+    )
+    from prioritizing_event_processing_with_apache_kafka_spark.streaming.telemetry import (
+        user_sessions,
+    )
+
+    def _locf_batch_and_state(spark, sf_dir):
+        # Mirror q_stream_locf_fill's steady state: the second
+        # micro-batch (post-cutoff events) against the state the first
+        # batch would have committed (per-key latest observation).
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "ts", "value"
+        )
+        obs = F.when(F.col("value") >= 19, F.col("value"))
+        cutoff = F.lit("2024-01-16").cast("timestamp")
+        batch = events.filter(F.col("ts") >= cutoff)
+        prior = events.filter(F.col("ts") < cutoff)
+        state = locf_next_state(
+            prior,
+            None,
+            key_col="event_type",
+            order_cols=("ts", "event_id"),
+            obs_col=obs,
+        ).select("event_type", F.col("__locf_obs").alias("__locf_seed"))
+        return batch, state, obs
+
+    def locf_enrich_core(spark, sf_dir):
+        batch, state, obs = _locf_batch_and_state(spark, sf_dir)
+        return locf_enrich(
+            batch,
+            state,
+            key_col="event_type",
+            order_cols=("ts", "event_id"),
+            obs_col=obs,
+        )
+
+    def locf_state_core(spark, sf_dir):
+        batch, state, obs = _locf_batch_and_state(spark, sf_dir)
+        return locf_next_state(
+            batch,
+            state,
+            key_col="event_type",
+            order_cols=("ts", "event_id"),
+            obs_col=obs,
+        )
+
+    def scd2_merge_core(spark, sf_dir):
+        # Mirror q_scd2_stream_history's batch 0: seed history open
+        # since 2024-01-01, changelog = %5 keys changing segment.
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        history = cust.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.lit("2024-01-01").alias("valid_from"),
+            F.lit(None).cast("string").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        updates = cust.filter(F.col("c_custkey") % 5 == 0).select(
+            "c_custkey",
+            F.concat(F.col("c_mktsegment"), F.lit("-B1")).alias(
+                "c_mktsegment"
+            ),
+            F.lit("2024-03-01").alias("effective"),
+        )
+        return scd2_merge(
+            history,
+            updates,
+            key_cols=["c_custkey"],
+            tracked_cols=["c_mktsegment"],
+            effective_col="effective",
+            broadcast_updates=True,
+        )
+
+    def sessions_core(spark, sf_dir):
+        # The session-window aggregation user_sessions() applies to the
+        # replayed stream, on the batch events frame (identical plan
+        # shape modulo the streaming state operator).
+        events = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts"
+        )
+        return user_sessions(events, watermark=None)
+
+    return {
+        "stream_locf_fill__enrich": locf_enrich_core,
+        "stream_locf_fill__state": locf_state_core,
+        "scd2_stream_history__merge": scd2_merge_core,
+        "stream_sessionized_users__core": sessions_core,
     }

@@ -50,7 +50,89 @@ from prioritizing_event_processing_with_apache_kafka_spark.streaming.dimension i
     _VERSION_COL,
 )
 
-__all__ = ["locf_apply_batch", "locf_foreach_batch", "locf_result"]
+__all__ = [
+    "locf_apply_batch",
+    "locf_enrich",
+    "locf_foreach_batch",
+    "locf_next_state",
+    "locf_result",
+]
+
+
+def locf_enrich(
+    batch: DataFrame,
+    state: DataFrame | None,
+    *,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    obs_col: Column,
+    filled_col: str = "filled_value",
+    flag_col: str = "was_filled",
+) -> DataFrame:
+    """The pure enrichment plan of one micro-batch: ignore-nulls window
+    over ``(key, order_cols)`` seeded by a broadcast join against the
+    per-key ``state`` frame (``(key_col, __locf_seed)``; ``None`` means
+    "no observations yet"). Extracted from :func:`locf_apply_batch` so
+    the per-batch plan shape can be fingerprinted (one key exchange +
+    one broadcast — tests/plan_fingerprints.json) without driving the
+    effectful protocol."""
+    # NULL seed of the OBSERVATION's type, resolved against this batch:
+    # a hardcoded double would fork the output schema between batch 0
+    # (no state) and later batches for non-double observations.
+    obs_type = batch.select(obs_col.alias("__t")).schema[0].dataType
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    enriched = batch.withColumn(
+        "__locf_prev", F.last(obs_col, ignorenulls=True).over(w)
+    )
+    if state is not None:
+        enriched = enriched.join(F.broadcast(state), key_col, "left")
+    else:
+        enriched = enriched.withColumn(
+            "__locf_seed", F.lit(None).cast(obs_type)
+        )
+    return enriched.select(
+        *batch.columns,
+        F.coalesce(F.col("__locf_prev"), F.col("__locf_seed")).alias(
+            filled_col
+        ),
+        obs_col.isNull().alias(flag_col),
+    )
+
+
+def locf_next_state(
+    batch: DataFrame,
+    state: DataFrame | None,
+    *,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    obs_col: Column,
+) -> DataFrame:
+    """The pure state-advance plan: per key, the observation with the
+    greatest order — a lexicographic ``max(struct(order..., obs))`` is
+    deterministic when ``(key, order_cols)`` is unique, and map-side
+    combinable. Old state loses to any newer batch observation for the
+    key (anti-join carry-over)."""
+    ordered_obs = F.struct(
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+        obs_col.alias("__v"),
+    )
+    batch_state = (
+        batch.filter(obs_col.isNotNull())
+        .groupBy(key_col)
+        .agg(F.max(ordered_obs).alias("__s"))
+        .select(key_col, F.col("__s.__v").alias("__locf_obs"))
+    )
+    if state is not None:
+        carried = state.select(
+            key_col, F.col("__locf_seed").alias("__locf_obs")
+        ).join(batch_state.select(key_col), key_col, "left_anti")
+        batch_state = batch_state.unionByName(carried)
+    return batch_state
 
 
 def locf_apply_batch(
@@ -92,53 +174,19 @@ def locf_apply_batch(
         # storage; a vanished store degrades to "no observations yet"
         # rather than failing, exactly like losing a checkpoint dir.
         state = None
-    # NULL seed of the OBSERVATION's type, resolved against this batch:
-    # a hardcoded double would fork the output schema between batch 0
-    # (no state) and later batches for non-double observations.
-    obs_type = batch.select(obs_col.alias("__t")).schema[0].dataType
-
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy(*[F.asc(c) for c in order_cols])
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    enriched = batch.withColumn(
-        "__locf_prev", F.last(obs_col, ignorenulls=True).over(w)
-    )
-    if state is not None:
-        enriched = enriched.join(F.broadcast(state), key_col, "left")
-    else:
-        enriched = enriched.withColumn(
-            "__locf_seed", F.lit(None).cast(obs_type)
-        )
-    out = enriched.select(
-        *batch.columns,
-        F.coalesce(F.col("__locf_prev"), F.col("__locf_seed")).alias(
-            filled_col
-        ),
-        obs_col.isNull().alias(flag_col),
+    out = locf_enrich(
+        batch,
+        state,
+        key_col=key_col,
+        order_cols=order_cols,
+        obs_col=obs_col,
+        filled_col=filled_col,
+        flag_col=flag_col,
     )
     _write_version(out, out_path, target)
-
-    # Advance state: per key, the observation with the greatest order —
-    # a lexicographic max(struct(order..., obs)) is deterministic when
-    # (key, order_cols) is unique, and map-side combinable.
-    ordered_obs = F.struct(
-        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
-        obs_col.alias("__v"),
+    batch_state = locf_next_state(
+        batch, state, key_col=key_col, order_cols=order_cols, obs_col=obs_col
     )
-    batch_state = (
-        batch.filter(obs_col.isNotNull())
-        .groupBy(key_col)
-        .agg(F.max(ordered_obs).alias("__s"))
-        .select(key_col, F.col("__s.__v").alias("__locf_obs"))
-    )
-    if state is not None:
-        # old state loses to any newer batch observation for the key
-        carried = state.select(
-            key_col, F.col("__locf_seed").alias("__locf_obs")
-        ).join(batch_state.select(key_col), key_col, "left_anti")
-        batch_state = batch_state.unionByName(carried)
     _write_version(batch_state, state_path, target)
     return target
 

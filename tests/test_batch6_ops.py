@@ -13,6 +13,8 @@ from __future__ import annotations
 import datetime as dt
 import hashlib
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from prioritizing_event_processing_with_apache_kafka_spark.operators.basket import (
@@ -78,6 +80,12 @@ class TestRendezvousRoute:
         assert all(after[k] == 8 for k in moved)
         # and the move rate is in the ~1/9 ballpark, not ~everything
         assert len(moved) < len(keys) / 3
+
+    def test_invalid_num_partitions_raises(self, spark):
+        df = spark.createDataFrame([("k",)], "key string")
+        for bad in (0, -3):
+            with pytest.raises(ValueError, match="num_partitions"):
+                rendezvous_route(df, num_partitions=bad)
 
 
 class TestKeyConcentration:

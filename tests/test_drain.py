@@ -4,6 +4,8 @@ poll-model semantics on hand-computable inputs)."""
 
 from __future__ import annotations
 
+import pytest
+
 from prioritizing_event_processing_with_apache_kafka_spark.inventory import (
     DRAIN_FLEET,
     EVENTS_CONFIG,
@@ -69,7 +71,7 @@ class TestDrainSchedule:
         )
         out = {
             r.event_id: r.drain_tick
-            for r in drain_schedule(routed, cmap).collect()
+            for r in drain_schedule(routed, cmap, allow_small_scale=True).collect()
         }
         assert out == {10: 1, 20: 2, 11: 3, 21: 4}
 
@@ -85,7 +87,7 @@ class TestDrainSchedule:
             {"fast": [("t", 0)], "slow": [("t", 1), ("t", 2)]},
             topic="t",
         )
-        sched = drain_schedule(routed, cmap).collect()
+        sched = drain_schedule(routed, cmap, allow_small_scale=True).collect()
         last = {}
         for r in sched:
             last[r.bucket] = max(last.get(r.bucket, 0), r.drain_tick)
@@ -94,7 +96,7 @@ class TestDrainSchedule:
     def test_unowned_partition_events_have_no_tick(self, spark):
         routed = self._routed(spark, [(1, "B", 0), (2, "B", 7)])
         cmap = consumer_map_table(spark, {"c0": [("t", 0)]}, topic="t")
-        out = drain_schedule(routed, cmap).collect()
+        out = drain_schedule(routed, cmap, allow_small_scale=True).collect()
         assert [(r.event_id, r.drain_tick) for r in out] == [(1, 1)]
 
     def test_pos_col_path_matches_window_path(self, spark):
@@ -117,16 +119,27 @@ class TestDrainSchedule:
         via_window = {
             r.event_id: r.drain_tick
             for r in drain_schedule(
-                routed.drop("pos"), cmap, order_col="event_id"
+                routed.drop("pos"),
+                cmap,
+                order_col="event_id",
+                allow_small_scale=True,
             ).collect()
         }
         assert via_pos == via_window
+
+    def test_fallback_window_requires_opt_in(self, spark):
+        # The no-pos_col path windows on <= #partitions keys — a
+        # reducer funnel at scale — so it must be an explicit opt-in.
+        routed = self._routed(spark, [(1, "B", 0)])
+        cmap = consumer_map_table(spark, {"c0": [("t", 0)]}, topic="t")
+        with pytest.raises(ValueError, match="allow_small_scale"):
+            drain_schedule(routed, cmap)
 
     def test_order_col_not_arrival_order(self, spark):
         routed = self._routed(spark, [(5, "B", 0), (3, "B", 0)])
         cmap = consumer_map_table(spark, {"c0": [("t", 0)]}, topic="t")
         out = {
             r.event_id: r.drain_tick
-            for r in drain_schedule(routed, cmap).collect()
+            for r in drain_schedule(routed, cmap, allow_small_scale=True).collect()
         }
         assert out == {3: 1, 5: 2}

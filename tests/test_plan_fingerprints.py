@@ -18,6 +18,7 @@ import pytest
 
 from prioritizing_event_processing_with_apache_kafka_spark.plans.fingerprint import (
     plan_exchange_counts,
+    streaming_core_queries,
 )
 
 FINGERPRINTS = json.load(
@@ -29,7 +30,12 @@ FINGERPRINTS = json.load(
 def queries():
     import __spark_entry__ as entrymod
 
-    return entrymod.queries()
+    merged = dict(entrymod.queries())
+    # __core entries pin the per-batch plan of the streaming headline
+    # queries (their queries() callable returns a store READ, which is
+    # fingerprinted separately under the plain name).
+    merged.update(streaming_core_queries())
+    return merged
 
 
 @pytest.mark.parametrize("name", sorted(FINGERPRINTS))

@@ -65,7 +65,7 @@ def test_property_drain_tick_matches_poll_loop(spark):
         cmap = consumer_map_table(spark, plan, topic="t")
         got = {
             r.event_id: (r.consumer, r.drain_tick)
-            for r in drain_schedule(routed, cmap).collect()
+            for r in drain_schedule(routed, cmap, allow_small_scale=True).collect()
         }
         # simulate: each consumer polls its owned partitions (id asc)
         # cyclically, one tick per poll, idle polls preserved

@@ -298,6 +298,25 @@ class TestRollingMedian:
 
         run()
 
+    def test_null_contract(self, spark):
+        # NULLs inside the trailing frame do not participate in the
+        # median (collect_list drops them); an all-NULL frame yields a
+        # NULL median. The DuckDB oracle mirrors via list_filter.
+        vals = [5.0, None, 1.0, None, None]
+        rows = [(i, _ts(i), 1, "a", v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, value double",
+        )
+        got = [
+            r.rolling_median
+            for r in rolling_median(df, window=2)
+            .orderBy("event_id")
+            .collect()
+        ]
+        # frames (window=2): [5], [5,N], [N,1], [1,N], [N,N]
+        assert got == [5.0, 5.0, 1.0, 1.0, None]
+
 
 class TestTimeWeightedMean:
     def test_hand_computed(self, spark):

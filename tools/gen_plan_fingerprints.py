@@ -127,7 +127,45 @@ GUARDED = [
     # (a per-EVENT window sort is the regression). The two dedup
     # refinements are excluded (persisted shingle subtrees).
     "drain_tick_percentiles",
+    # round 8: close the bench-coverage gap (VERDICT r7 item 2) — every
+    # remaining batch headline query gets a pinned exchange count.
+    # route_distribution is the 12-row routed-partition census (rides
+    # the exact router's range exchange + one tiny agg); the TPC-H q7/
+    # q10 pair pins the broadcast-vs-shuffle join split; the sketch
+    # rollups (HLL/KLL) must stay ONE hash aggregate each; the dedup
+    # family rides persisted signature subtrees whose cached-scan text
+    # is deterministic under the fixed session config; the incremental
+    # pair pins the probe-plan shape (sign + band-join + semi-join
+    # fetch — a history re-scan sneaking in is the regression).
+    "route_distribution",
+    "user_event_gaps",
+    "events_json_extract",
+    "q7_nation_volume",
+    "q10_returned_revenue",
+    "dedup_minhash_oph",
+    "embedding_label_centroids",
+    "error_purchase_interval",
+    "dedup_edit_distance",
+    "span_dedup",
+    "text_repetition",
+    "dedup_incremental",
+    "dedup_incremental_steady",
+    "user_value_ewma",
+    "bucket_hourly_anomaly",
+    "stream_sessionized_users",
+    "bucket_user_reach_hll",
+    "bucket_value_kll",
+    "scd2_stream_history",
+    "stream_locf_fill",
 ]
+
+# The streaming headline queries above are fingerprinted twice: the
+# entry under their own name pins the RESULT-read plan their queries()
+# callable returns (runs the actual streaming drain at sf0.001), and
+# the __core entries pin the pure per-batch transformation the
+# foreachBatch protocol executes (plans/fingerprint.py:
+# streaming_core_queries) — the part a result-read fingerprint cannot
+# see.
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 OUT = os.path.join(REPO, "tests", "plan_fingerprints.json")
@@ -155,9 +193,14 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
 
-    queries = entrymod.queries()
+    from prioritizing_event_processing_with_apache_kafka_spark.plans.fingerprint import (
+        streaming_core_queries,
+    )
+
+    queries = dict(entrymod.queries())
+    queries.update(streaming_core_queries())
     fingerprints: dict[str, dict[str, int]] = {}
-    for name in GUARDED:
+    for name in GUARDED + sorted(streaming_core_queries()):
         fingerprints[name] = plan_exchange_counts(queries[name](spark, SF_DIR))
         print(f"{name:28s} {fingerprints[name]}")
     with open(OUT, "w") as fh:
