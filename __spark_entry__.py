@@ -48,133 +48,71 @@ _DRIVER_HEAD = [
     "starved_discard_audit",
     "assignment_golden",
     "bucket_allocation_vs_load",
-    # round-7 priority: the two round-6 hash-reds, fixed this round
-    # (oracle SUMs cast to BIGINT — DuckDB's HUGEINT promotion was the
-    # whole divergence); immediate re-draw confirms.
-    "q12_priority_by_lateness",
-    "events_tier_at_time",
-    # round-7 additions (zero draws, fully hash-oracled): distributed
-    # naive-Bayes train+apply on the integer-micros lattice, and the
-    # near-dup-aware leakage-safe split (components -> group-key coin).
-    "nb_lang_classifier",
-    "leakage_safe_split",
-    # new round-7 queries (zero draws): machine-audited gates for the
-    # pruned k-means assignment path and the simhash probabilistic
-    # recall band (driver records rows-only — the audits are enforced
-    # by tools/check_oracle.py SELF_AUDITS).
-    "kmeans_pruned_agreement",
-    "simhash_recall_audit",
-    # round-7 addition: distributed PCA/whitening gate (same
-    # machine-audited treatment — one draw on declaration).
-    "embedding_pca_audit",
-    # round-7 additions, second batch (zero draws, fully hash-oracled):
-    # prioritized-consumption drain schedule (route -> assign -> tick),
-    # dense hourly resample with linear interpolation, and two-round
-    # majority-vote label propagation over the near-dup graph.
-    "priority_drain_schedule",
-    "ts_gap_fill",
-    "label_propagation",
-    # round-7 additions, third batch (zero draws, fully hash-oracled):
-    # canonical-survivor selection per near-dup cluster, and the NB
-    # score-bucket reliability table (threshold picking).
-    "dedup_keep_canonical",
-    "nb_calibration",
-    # round-7 addition, fourth batch (zero draws): streaming LOCF fill
-    # — a genuine two-batch stateful replay whose result is
-    # bit-identical to the batch LOCF window, so it is hash-oracled.
-    "stream_locf_fill",
-    # round-7 additions, fifth batch (zero draws, fully hash-oracled):
-    # Deequ-style constraint audit, triangle participation over the
-    # near-dup graph, Markov transition matrix, exact rolling median,
-    # and integer-lattice time-weighted value (TWAP).
-    "data_quality_audit",
-    "dedup_triangle_count",
-    "event_transition_matrix",
-    "rolling_value_median",
-    "user_time_weighted_value",
-    # round-7 additions, sixth batch (zero draws, fully hash-oracled):
-    # rendezvous-hash routing, shingle-containment pairs, basket
-    # co-occurrence lift, HHI hot-key concentration, CUSUM drift
-    # alarm, and sweep-line peak open orders.
+    # round-8 additions (zero draws): histogram-lattice exact
+    # percentile_disc/cont (hash-oracled), the exact<->KLL percentile
+    # bridge (machine-audited rank envelope), and the unhinted
+    # layout-join broadcast canary (hash-oracled).
+    "bucket_percentile_exact",
+    "bucket_percentile_bridge",
+    "layout_autobroadcast_canary",
+    # --- round-8 rotation (VERDICT r7 item 6: driver-draw freshness).
+    # The round-7 zero-draw batches all got their confirmation draw in
+    # CORRECTNESS_r07; this round fronts (a) the STALEST hash-oracled
+    # queries — last drawn r01/r03, predating five rounds of engine
+    # work — then (b) the r04 once-drawn singletons, then (c) the
+    # round-7 batch-5-9 queries with exactly one draw, then (d) the
+    # oldest r04 bulk. Once-drawn SELF-AUDIT queries are deliberately
+    # NOT rotated in: their driver draw is always rows-only, so a
+    # re-draw spends a hard-signal slot on a query the driver cannot
+    # hash-check.
+    # (a) last drawn r01
+    "multimodal_features",
+    "text_quality",
+    "text_token_stats",
+    # (a) last drawn r03
+    "discard_audit_except",
+    "key_parse_variants",
+    "priority_grouping_sets",
+    "bucket_value_percentiles",
+    "salted_type_counts",
+    "bucket_pivot",
+    "q2_min_cost_supplier",
+    # (b) once-drawn, last drawn r04
+    "bucket_metric_unpivot",
+    "events_variant_extract",
+    "stream_dedup_keys",
+    "stream_sessionized_users",
+    # (c) round-7 batch-5-9, exactly one draw each (r07)
     "route_rendezvous",
     "doc_containment",
     "copurchase_lift",
     "bucket_key_concentration",
     "bucket_cusum_alarm",
     "priority_open_orders_peak",
-    # round-7 additions, seventh batch (zero draws, fully hash-oracled
-    # — the streaming twin SHARES the batch transition oracle):
-    # stateful streaming Markov counts, per-key integer OLS trend,
-    # session path census, and anti-entropy Merkle bucket digests.
     "stream_transition_counts",
     "user_value_trend",
     "top_session_paths",
     "corpus_merkle_buckets",
-    # round-7 additions, eighth batch (zero draws, fully hash-oracled):
-    # one-scan Pearson matrix, last-touch attribution, per-edge
-    # common-neighbor embeddedness, and the priority mix-shift drift
-    # monitor.
     "lineitem_numeric_corr",
     "purchase_attribution",
     "neardup_common_neighbors",
     "priority_mix_shift",
-    # round-7 additions, ninth batch (zero draws): prefix-filtered
-    # exact Jaccard (SHARES the ground truth's oracle — the hash
-    # equality is the recall proof), multiset token Jaccard, and the
-    # exact drain-tick percentile table.
     "dedup_prefix_filter",
     "dedup_multiset_jaccard",
     "drain_tick_percentiles",
-    # once-drawn, last drawn r01 — the oldest hard signals in the
-    # suite, all predating five rounds of engine changes. (Once-drawn
-    # SELF-AUDIT queries are deliberately NOT rotated back in:
-    # their driver draw is always rows-only, so a re-draw spends a
-    # hard-signal slot on a query the driver cannot hash-check.)
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "embedding_neardup",
-    "embedding_topk",
-    "lang_id_eval",
-    "multimodal_features",
-    "text_quality",
-    "text_token_stats",
-    # once-drawn, last drawn r04
-    "bucket_metric_unpivot",
-    "events_variant_extract",
-    "stream_dedup_keys",
-    "stream_sessionized_users",
-    # once-drawn, last drawn r05
-    "bucket_hourly_anomaly",
-    "dataset_split",
-    "doc_packing",
-    "embedding_ann_int8",
-    "mixture_sample",
-    "multimodal_frame_sample",
-    "multimodal_image_decode",
-    "multimodal_image_resize",
-    "multimodal_resize",
-    "q13_order_count_distribution",
-    "q21_waiting_suppliers",
-    "q4_order_priority",
-    "q9_profit_by_nation_year",
-    "reservoir_sample",
-    "salted_segment_revenue",
-    "source_dup_profile",
-    "stratified_sample",
-    "table_profile",
-    "user_value_ewma",
-    # twice-drawn with the OLDEST last draw (r03)
-    "bucket_pivot",
-    "q2_min_cost_supplier",
-    # twice-drawn confirmation draws: lm_doc_score (round-7 work
-    # target), embedding_kmeans (argmin replan landed r06 — one more
-    # post-replan draw), dedup_minhash_oph (JIT-sensitive plan).
-    "lm_doc_score",
-    "embedding_kmeans",
-    "dedup_minhash_oph",
+    # (d) oldest r04 bulk — fills the ~50-draw window
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q14_promo_share",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "top_events_per_user",
+    "bucket_rollup",
+    "user_event_gaps",
+    "events_json_extract",
+    "sessionized_events",
 ]
 
 

@@ -308,6 +308,50 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_layout_autobroadcast_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-threshold canary on the layout join (VERDICT r7 item
+    7): the SAME capacity-vs-demand rollup as
+    ``bucket_allocation_vs_load``, but the layout join is deliberately
+    UNHINTED — Catalyst's size estimation alone must choose the
+    broadcast. The production router pins its layout join with an
+    explicit ``broadcast()`` (``operators/routing.py:route``), so conf
+    drift there is impossible; this twin is the early-warning for the
+    estimation path every OTHER small-dimension join in the engine
+    relies on. Its plan fingerprint pins ``broadcast_exchanges`` — if
+    a conf change (``spark.sql.autoBroadcastJoinThreshold=-1``), a
+    layout-builder change that destroys stats, or an AQE demotion ever
+    flips this join to a shuffle, the fingerprint guard fails before
+    any 100 TB run pays for it. ``tests/test_skew_and_bucketing.py``
+    additionally proves the demotion mechanism: under threshold=-1 the
+    unhinted twin degrades to a shuffle join while the hinted
+    production path keeps broadcasting. Hash-oracled (same result as
+    the hinted rollup, modulo the extra n_per_alloc_pct column)."""
+    layout = layout_table(spark, EVENTS_CONFIG, EVENTS_NUM_PARTITIONS)
+    routed = _events_tagged(spark, sf_dir)
+    per_bucket = routed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_records")
+    )
+    return per_bucket.join(layout, "bucket").select(  # NO broadcast() hint
+        "bucket",
+        "allocation",
+        "bucket_size",
+        "n_records",
+        F.expr("(n_records * 100) DIV allocation")
+        .cast("bigint")
+        .alias("n_per_alloc_pct"),
+    )
+
+
+SQL_LAYOUT_AUTOBROADCAST_CANARY = f"""
+{_SQL_ROUTED}
+SELECT bucket, l.allocation, l.bucket_size,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST((COUNT(*) * 100) // l.allocation AS BIGINT) AS n_per_alloc_pct
+FROM routed JOIN layout l USING (bucket)
+GROUP BY 1, 2, 3
+"""
+
+
 # The canonical drain fleet: 3 Platinum / 2 Gold / 1 Standard consumers
 # — the "more consumers on higher-priority buckets" deployment the
 # reference's README prescribes (README.md:11,17).
@@ -2235,6 +2279,79 @@ FROM routed GROUP BY 1
 """
 
 
+def q_bucket_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentile_disc + percentile_cont of event value per
+    bucket, computed from the (bucket, value) HISTOGRAM on an integer
+    lattice (``operators/sketches.py:exact_group_percentiles``) — the
+    scale path for exact order statistics: the engine ``percentile``
+    aggregate buffers every row of a group (a fact-table sort at
+    100 TB), where the histogram collapses at the mappers and
+    everything after the first aggregate is sized by DISTINCT values.
+    Only the final ``lo + (hi-lo)*frac/100`` interpolation touches
+    doubles — the identical expression the oracle replays, so the
+    result is hash-exact."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sketches import (
+        exact_group_percentiles,
+    )
+
+    routed = _events_tagged(spark, sf_dir)
+    return exact_group_percentiles(
+        routed, group_col="bucket", value_col="value"
+    )
+
+
+SQL_BUCKET_PERCENTILE_EXACT = f"""
+{_SQL_ROUTED},
+hist AS (
+  SELECT bucket, value AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM routed WHERE value IS NOT NULL GROUP BY 1, 2
+), cm AS (
+  SELECT bucket, v, c,
+         SUM(c) OVER (PARTITION BY bucket ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY bucket) AS n
+  FROM hist
+)
+SELECT bucket, CAST(MAX(n) AS BIGINT) AS n_values,
+       MIN(CASE WHEN cum*100 >= n*50 THEN v END) AS disc_p50,
+       MIN(CASE WHEN cum >= ((n-1)*50 - ((n-1)*50)%100)/100 + 1 THEN v END)
+         + (COALESCE(MIN(CASE WHEN cum >= ((n-1)*50 - ((n-1)*50)%100)/100 + 2 THEN v END), MIN(CASE WHEN cum >= ((n-1)*50 - ((n-1)*50)%100)/100 + 1 THEN v END)) - MIN(CASE WHEN cum >= ((n-1)*50 - ((n-1)*50)%100)/100 + 1 THEN v END))
+           * CAST(MAX(((n-1)*50)%100) AS DOUBLE) / 100.0 AS cont_p50,
+       MIN(CASE WHEN cum*100 >= n*90 THEN v END) AS disc_p90,
+       MIN(CASE WHEN cum >= ((n-1)*90 - ((n-1)*90)%100)/100 + 1 THEN v END)
+         + (COALESCE(MIN(CASE WHEN cum >= ((n-1)*90 - ((n-1)*90)%100)/100 + 2 THEN v END), MIN(CASE WHEN cum >= ((n-1)*90 - ((n-1)*90)%100)/100 + 1 THEN v END)) - MIN(CASE WHEN cum >= ((n-1)*90 - ((n-1)*90)%100)/100 + 1 THEN v END))
+           * CAST(MAX(((n-1)*90)%100) AS DOUBLE) / 100.0 AS cont_p90,
+       MIN(CASE WHEN cum*100 >= n*99 THEN v END) AS disc_p99,
+       MIN(CASE WHEN cum >= ((n-1)*99 - ((n-1)*99)%100)/100 + 1 THEN v END)
+         + (COALESCE(MIN(CASE WHEN cum >= ((n-1)*99 - ((n-1)*99)%100)/100 + 2 THEN v END), MIN(CASE WHEN cum >= ((n-1)*99 - ((n-1)*99)%100)/100 + 1 THEN v END)) - MIN(CASE WHEN cum >= ((n-1)*99 - ((n-1)*99)%100)/100 + 1 THEN v END))
+           * CAST(MAX(((n-1)*99)%100) AS DOUBLE) / 100.0 AS cont_p99
+FROM cm GROUP BY bucket
+"""
+
+
+def q_bucket_percentile_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact↔sketch percentile BRIDGE
+    (``operators/sketches.py:percentile_bridge``): per bucket, the
+    histogram-lattice exact disc/cont percentiles NEXT TO the
+    merged-KLL estimates, with each estimate's normalized rank error
+    measured against the same histogram in the same plan. Rank error
+    is what KLL guarantees (~1.65% at k=200); the local gate enforces
+    max rank_err <= 0.05 (3x the guarantee) — a scale-invariant audit
+    where a value-space oracle would be unbounded on the tail.
+    Approximate by design -> rows-only for the driver; the audit is
+    enforced by tools/check_oracle.py SELF_AUDITS."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sketches import (
+        percentile_bridge,
+    )
+
+    tagged = _events_tagged(spark, sf_dir).withColumn(
+        "hour", F.date_trunc("hour", "ts")
+    )
+    return percentile_bridge(
+        tagged, group_col="bucket", cell_col="hour", value_col="value"
+    ).orderBy("bucket")
+
+
 def q_bucket_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: event types as rows, buckets as columns (the dashboard
     crosstab). The explicit pivot value list keeps the plan a single
@@ -2335,6 +2452,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "starved_discard_audit": q_starved_discard_audit,
     "assignment_golden": q_assignment_golden,
     "bucket_allocation_vs_load": q_bucket_allocation_vs_load,
+    "layout_autobroadcast_canary": q_layout_autobroadcast_canary,
     "priority_drain_schedule": q_priority_drain_schedule,
     "route_rendezvous": q_route_rendezvous,
     "drain_tick_percentiles": q_drain_tick_percentiles,
@@ -2389,6 +2507,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "key_parse_variants": q_key_parse_variants,
     "priority_grouping_sets": q_priority_grouping_sets,
     "bucket_value_percentiles": q_bucket_value_percentiles,
+    "bucket_percentile_exact": q_bucket_percentile_exact,
+    "bucket_percentile_bridge": q_bucket_percentile_bridge,
     "bucket_pivot": q_bucket_pivot,
     "salted_type_counts": q_salted_type_counts,
     "heavy_hitter_users": q_heavy_hitter_users,
@@ -2402,6 +2522,7 @@ ORACLES: dict[str, str] = {
     "starved_discard_audit": SQL_STARVED_DISCARD_AUDIT,
     "assignment_golden": SQL_ASSIGNMENT_GOLDEN,
     "bucket_allocation_vs_load": SQL_BUCKET_ALLOCATION_VS_LOAD,
+    "layout_autobroadcast_canary": SQL_LAYOUT_AUTOBROADCAST_CANARY,
     "priority_drain_schedule": SQL_PRIORITY_DRAIN_SCHEDULE,
     "route_rendezvous": SQL_ROUTE_RENDEZVOUS,
     "drain_tick_percentiles": SQL_DRAIN_TICK_PERCENTILES,
@@ -2451,6 +2572,7 @@ ORACLES: dict[str, str] = {
     "key_parse_variants": SQL_KEY_PARSE_VARIANTS,
     "priority_grouping_sets": SQL_PRIORITY_GROUPING_SETS,
     "bucket_value_percentiles": SQL_BUCKET_VALUE_PERCENTILES,
+    "bucket_percentile_exact": SQL_BUCKET_PERCENTILE_EXACT,
     "bucket_pivot": SQL_BUCKET_PIVOT,
     "salted_type_counts": SQL_SALTED_TYPE_COUNTS,
     "heavy_hitter_users": SQL_HEAVY_HITTER_USERS,

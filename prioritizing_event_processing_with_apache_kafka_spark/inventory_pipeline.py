@@ -3863,10 +3863,22 @@ def q_dedup_multiset_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_MULTISET_JACCARD = f"""
-WITH pairs AS ({SQL_NGRAM_JACCARD}),
-tc AS (
+WITH pairs AS MATERIALIZED ({SQL_NGRAM_JACCARD}),
+pd AS MATERIALIZED (
+  SELECT DISTINCT doc_id FROM (
+    SELECT x AS doc_id FROM pairs UNION ALL SELECT y AS doc_id FROM pairs
+  )
+),
+tc AS MATERIALIZED (
+  -- candidate-scoped: only documents that appear in a candidate pair
+  -- get their token multiset expanded. The final result only ever
+  -- reads tc rows for pair members, so this is a pure pruning (same
+  -- answer) that keeps the token join bounded by the PAIR count, not
+  -- the corpus size — at a 10x replica the unscoped expansion spilled
+  -- DuckDB's temp disk while changing nothing about the output.
   SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS tok
+    FROM documents d JOIN pd USING (doc_id)
   ) GROUP BY 1, 2
 ), tot AS (
   SELECT doc_id, CAST(SUM(c) AS BIGINT) AS T FROM tc GROUP BY 1

@@ -24,9 +24,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "exact_group_percentiles",
     "hll_distinct_rollup",
-    "theta_set_overlap",
     "kll_value_quantiles",
+    "percentile_bridge",
+    "theta_set_overlap",
 ]
 
 
@@ -243,3 +245,168 @@ def kll_value_quantiles(
         )
     )
     return est_df.join(audit, group_col)
+
+
+def exact_group_percentiles(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """EXACT ``percentile_disc`` and ``percentile_cont`` per group from
+    a value HISTOGRAM — the scale path for exact order statistics.
+
+    The engine ``percentile()`` aggregate buffers every value of a
+    group; at 100 TB that is a full sort of the fact table. This
+    operator instead aggregates to the (group, value) histogram first —
+    sized by DISTINCT values, not rows — then reads both order
+    statistics off the cumulative counts on an integer lattice:
+
+    - ``disc_pXX``: the smallest value whose cumulative count satisfies
+      ``100·cum >= p·n`` (SQL ``percentile_disc``: first value with
+      CDF >= p/100) — a pure integer comparison, engine-portable.
+    - ``cont_pXX``: linear interpolation at position ``(n−1)·p/100``;
+      the two bracketing ranks ``lo+1``/``lo+2`` come from integer
+      division ``(n−1)·p DIV 100``, and only the final interpolation
+      ``lo_val + (hi_val−lo_val)·frac/100`` touches doubles — the same
+      single expression the DuckDB oracle replays, so results
+      hash-match bit-exactly (SQL ``percentile_cont``).
+
+    Two shuffles, both histogram-sized: the (group, value) hash
+    aggregate (map-side combinable — the row count collapses at the
+    mappers) and the per-group cumulative window. Nothing downstream
+    of the first aggregate ever scales with the fact-table row count.
+    """
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(group_col)
+    cum = hist.withColumn("__cum", F.sum("__c").over(wcum)).withColumn(
+        "__n", F.sum("__c").over(wall)
+    )
+    v = F.col(value_col)
+    n = F.col("__n")
+    aggs = [F.max("__n").cast("bigint").alias("n_values")]
+    for p in percentiles:
+        lo = ((n - 1) * p) - (((n - 1) * p) % 100)  # 100*floor((n-1)p/100)
+        lo_rank = lo / 100 + 1
+        frac = ((n - 1) * p) % 100
+        aggs.append(
+            F.min(F.when(F.col("__cum") * 100 >= n * p, v)).alias(
+                f"disc_p{p}"
+            )
+        )
+        lo_val = F.min(F.when(F.col("__cum") >= lo_rank, v))
+        hi_val = F.min(F.when(F.col("__cum") >= lo_rank + 1, v))
+        frac_c = F.max(frac)  # per-group constant
+        aggs.append(
+            (
+                lo_val
+                + (F.coalesce(hi_val, lo_val) - lo_val)
+                * frac_c.cast("double")
+                / F.lit(100.0)
+            ).alias(f"cont_p{p}")
+        )
+    return cum.groupBy(group_col).agg(*aggs)
+
+
+def percentile_bridge(
+    df: DataFrame,
+    *,
+    group_col: str,
+    cell_col: str,
+    value_col: str,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+    k: int = 200,
+) -> DataFrame:
+    """The exact↔sketch percentile BRIDGE: per group, the histogram-
+    lattice exact ``disc``/``cont`` percentiles next to the merged-KLL
+    estimates, with the normalized RANK error of each estimate —
+    ``|rank(est)/n − p/100|`` — measured in the same plan against the
+    same histogram.
+
+    Rank error is the quantity KLL actually guarantees (~1.65% at
+    k=200, any merge pattern); value-space error is unbounded on heavy
+    tails by design. Every row is therefore self-auditing: the local
+    correctness gate bounds ``max_rank_err`` (3× the guarantee, the
+    same envelope as ``kll_value_quantiles``), which holds at ANY
+    scale factor — the bridge's audit is scale-invariant where a
+    value-space oracle would not be.
+    """
+    from pyspark.sql import Window
+
+    exact = exact_group_percentiles(
+        df, group_col=group_col, value_col=value_col, percentiles=percentiles
+    )
+    kll = kll_value_quantiles(
+        df,
+        value_col=value_col,
+        group_col=group_col,
+        cell_col=cell_col,
+        quantiles=tuple(p / 100 for p in percentiles),
+        k=k,
+    ).select(
+        group_col, *[f"est_p{p}" for p in percentiles]
+    )
+    # rank(est) per group from the same histogram the exact pass built:
+    # cum at the greatest value <= est, over n. Both frames keyed by
+    # group and tiny (one row per group), so the joins broadcast.
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("__cum", F.sum("__c").over(wcum))
+    joined = cum.join(F.broadcast(kll), group_col)
+    rank_aggs = [F.sum("__c").cast("bigint").alias("__n")]
+    for p in percentiles:
+        rank_aggs.append(
+            F.max(
+                F.when(
+                    F.col(value_col) <= F.col(f"est_p{p}"), F.col("__cum")
+                )
+            ).alias(f"__rank_p{p}")
+        )
+        rank_aggs.append(F.max(f"est_p{p}").alias(f"est_p{p}"))
+    ranks = joined.groupBy(group_col).agg(*rank_aggs)
+    err_cols = []
+    for p in percentiles:
+        err_cols.append(
+            F.round(
+                F.abs(
+                    F.coalesce(F.col(f"__rank_p{p}"), F.lit(0)).cast("double")
+                    / F.col("__n")
+                    - F.lit(p / 100.0)
+                ),
+                6,
+            ).alias(f"rank_err_p{p}")
+        )
+    bridge = exact.join(
+        F.broadcast(
+            ranks.select(
+                group_col,
+                *[f"est_p{p}" for p in percentiles],
+                *err_cols,
+            )
+        ),
+        group_col,
+    )
+    ordered = [group_col, "n_values"]
+    for p in percentiles:
+        ordered += [f"disc_p{p}", f"cont_p{p}", f"est_p{p}", f"rank_err_p{p}"]
+    return bridge.select(*ordered)

@@ -34,6 +34,7 @@ __all__ = [
     "kafka_sink_frame",
     "write_routed_stream",
     "read_bucket_stream",
+    "read_bucket_files",
     "use_scheduler_pool",
 ]
 
@@ -103,3 +104,45 @@ def use_scheduler_pool(spark: SparkSession, spec: BucketReaderSpec) -> None:
     fair-scheduler pool — call right before ``.start()`` (see
     ``read_bucket_stream`` note on why the two steps are separate)."""
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", spec.scheduler_pool)
+
+
+def read_bucket_files(
+    spark: SparkSession,
+    spec: BucketReaderSpec,
+    config: BucketPriorityConfig,
+    *,
+    topic_path: str,
+    schema: str | None = None,
+    streaming: bool = False,
+) -> DataFrame:
+    """File-backed twin of :func:`read_bucket_stream`: a topic staged as
+    hive-partitioned parquet (``partition=N/...`` directories, one per
+    Kafka partition) is read through the SAME ``assign`` contract the
+    Kafka reader ships to a broker.
+
+    The partition list is parsed back OUT of ``spec.assign_json`` — the
+    literal option string ``kafka_reader_options`` would send — and
+    applied as a filter on the ``partition`` column. Because that
+    column is the dataset's hive-partition key, Catalyst turns the
+    filter into PARTITION PRUNING: non-assigned partitions' files never
+    enter the scan (the plan's ``PartitionFilters`` carries the in-list
+    and the executed FileSourceScan's ``numPartitions`` metric counts
+    only assigned directories — ``tests/test_streaming.py`` asserts
+    both; note ``df.inputFiles()`` is NOT the proof, it lists the
+    relation's full file index before pruning). This is exactly what
+    ``assign`` does on a broker: a bucket's query never opens other
+    buckets' partitions (``BucketPriorityAssignor.java:92-149`` gives
+    each consumer only its bucket's partitions; here the pruning
+    happens at plan time instead of subscription time).
+    """
+    import json as _json
+
+    assign = _json.loads(spec.assign_json(config.topic))
+    partitions = assign[config.topic]
+    if streaming:
+        if schema is None:
+            raise ValueError("streaming file source requires an explicit schema")
+        df = spark.readStream.schema(schema).parquet(topic_path)
+    else:
+        df = spark.read.parquet(topic_path)
+    return df.filter(F.col("partition").isin(partitions))

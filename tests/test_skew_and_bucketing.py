@@ -357,3 +357,91 @@ class TestSaltedJoin:
         # embedded-JSON props strings (XML-escaped on the way through)
         assert back.exceptAll(events).count() == 0
         assert events.exceptAll(back).count() == 0
+
+
+class TestBroadcastDemotion:
+    """VERDICT r7 item 7: pin the broadcast-threshold behavior of the
+    layout join. The canary query's fingerprint pins the healthy plan;
+    this test proves BOTH directions of the mechanism itself."""
+
+    def test_unhinted_demotes_hinted_survives_threshold_off(self, spark, sf_dir):
+        import __spark_entry__ as entrymod
+
+        from prioritizing_event_processing_with_apache_kafka_spark.inventory import (
+            EVENTS_CONFIG,
+            EVENTS_NUM_PARTITIONS,
+            q_layout_autobroadcast_canary,
+        )
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.routing import (
+            route,
+        )
+        from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import (
+            load_table,
+        )
+
+        def join_kinds(df, final=False):
+            # The canary join's build side is an AGGREGATE — statically
+            # size-unknown, so the broadcast decision is AQE's runtime
+            # call. final=True executes and reads the re-optimized plan.
+            if final:
+                df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            if final:
+                assert "isFinalPlan=true" in plan
+                # AdaptiveSparkPlan.toString prints the final AND the
+                # initial plan; count only the final section
+                plan = plan.split("== Initial Plan ==")[0]
+            # the canary pipeline CONTAINS the production router's
+            # hinted broadcast (inside _events_tagged), so count joins
+            # rather than testing membership
+            return (
+                plan.count("BroadcastHashJoin"),
+                plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin"),
+            )
+
+        events = load_table(spark, sf_dir, "events").withColumn(
+            "key",
+            F.concat_ws(
+                "-",
+                F.element_at(
+                    F.array(F.lit("Platinum"), F.lit("Gold"), F.lit("Standard")),
+                    (F.col("event_id") % 3 + 1).cast("int"),
+                ),
+                F.col("event_id").cast("string"),
+            ),
+        )
+
+        # healthy session: AQE promotes the unhinted canary join to a
+        # broadcast at runtime once the agg side's true size is known
+        bc, sh = join_kinds(
+            q_layout_autobroadcast_canary(spark, sf_dir), final=True
+        )
+        assert bc == 2 and sh == 0, (
+            "canary's final AQE plan should broadcast BOTH layout joins "
+            f"(hinted inner + unhinted canary), got bc={bc} sh={sh}"
+        )
+
+        threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            # demotion: without the hint, the SAME join degrades to a
+            # shuffle join under conf drift...
+            bc, sh = join_kinds(
+                q_layout_autobroadcast_canary(spark, sf_dir), final=True
+            )
+            assert bc == 1 and sh == 1, (
+                "at threshold=-1 the unhinted canary join must demote to "
+                "a shuffle join while the hinted inner one stays, got "
+                f"bc={bc} sh={sh}"
+            )
+            # ...while the production router's explicit broadcast()
+            # hint is immune — the fact side never shuffles for routing
+            routed = route(
+                events, EVENTS_CONFIG, EVENTS_NUM_PARTITIONS, mode="hash"
+            )
+            bc, sh = join_kinds(routed)
+            assert bc >= 1 and sh == 0, (
+                f"hinted layout join must survive threshold=-1, got bc={bc} sh={sh}"
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)

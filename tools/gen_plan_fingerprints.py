@@ -157,6 +157,16 @@ GUARDED = [
     "bucket_value_kll",
     "scd2_stream_history",
     "stream_locf_fill",
+    # round 8: the histogram-lattice exact percentiles must stay two
+    # histogram-sized exchanges (hash agg + per-group window) — an
+    # engine `percentile` buffering raw rows would show as a changed
+    # shape; the bridge adds only the KLL rollup + broadcast-size rank
+    # joins; the canary pins the UNHINTED layout join's planned shape
+    # (its broadcast conversion is AQE's runtime call, asserted by
+    # tests/test_skew_and_bucketing.py::TestBroadcastDemotion).
+    "bucket_percentile_exact",
+    "bucket_percentile_bridge",
+    "layout_autobroadcast_canary",
 ]
 
 # The streaming headline queries above are fingerprinted twice: the

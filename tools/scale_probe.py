@@ -98,6 +98,14 @@ PROBED = [
     # round-7 ninth batch: drain percentiles (the exact routing plan
     # plus histogram windows — should track priority_drain_schedule).
     "drain_tick_percentiles",
+    # round 8: the histogram-lattice exact percentiles (hash agg +
+    # histogram window — downstream of the first aggregate nothing
+    # scales with rows, so expected strongly sub-linear), the KLL
+    # bridge (adds the sketch rollup + broadcast rank joins), and the
+    # unhinted-layout-join canary (one fact agg + AQE broadcast).
+    "bucket_percentile_exact",
+    "bucket_percentile_bridge",
+    "layout_autobroadcast_canary",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
