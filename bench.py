@@ -96,6 +96,17 @@ HEADLINE = [
     # the md5-bound Merkle digest scan
     "user_value_trend",
     "corpus_merkle_buckets",
+    # round 8: percentile bridge family (histogram-lattice exact order
+    # stats + the KLL bridge) and the unhinted-layout-join broadcast
+    # canary. multimodal_jpeg_roundtrip is deliberately NOT a bench
+    # headline: ~16 s at sf0.1 of which >99% is the pure-Python
+    # entropy coder — it would measure the codec, not an engine plan.
+    # Its performance evidence is the 100x scale probe
+    # (docs/artifacts/scale_probe_r08_jpeg.json) and its correctness
+    # the per-round driver draw + SELF_AUDITS envelope.
+    "bucket_percentile_exact",
+    "bucket_percentile_bridge",
+    "layout_autobroadcast_canary",
 ]
 
 

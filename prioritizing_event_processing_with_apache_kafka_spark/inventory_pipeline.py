@@ -825,6 +825,20 @@ WHERE g.i * 64 < strlen(text)
 """
 
 
+def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG encode→decode round trip per document
+    (``operators/jpeg.py`` via ``multimodal.py:jpeg_roundtrip_metrics``)
+    — closes the round-7 codec seam. JPEG is lossy BY DESIGN, so no
+    exact-sum oracle is possible; instead every row self-audits:
+    dimensions exact, re-decode bit-identical, and the error envelope
+    bounded (max_abs_err <= 64, fixture-calibrated: the synth ramp's
+    255→0 wrap edge measures 48 worst-case at quality 90, median 2).
+    Enforced by tools/check_oracle.py SELF_AUDITS; rows-only for the
+    driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.jpeg_roundtrip_metrics(docs, quality=90)
+
+
 def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end over a MIXED-format fixture:
     deterministic PNG (doc_id % 3 == 0 — the compressed path, stdlib
@@ -3935,6 +3949,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_jpeg_roundtrip": q_multimodal_jpeg_roundtrip,
     "dedup_components": q_dedup_components,
     "stratified_sample": q_stratified_sample,
     "mixture_sample": q_mixture_sample,

@@ -1,0 +1,299 @@
+"""Baseline JPEG codec tests (``operators/jpeg.py``).
+
+JPEG is lossy by design, so "correct" is defined as: container
+structure a baseline decoder accepts, deterministic encode/decode,
+dimension-exact round trips with a quality-dependent error envelope,
+an independently-computed IDCT agreeing with the vectorized one, and
+honest seams (unsupported variants raise ``NotImplementedError``,
+corrupt payloads raise ``ValueError``).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from prioritizing_event_processing_with_apache_kafka_spark.operators.jpeg import (
+    _C,
+    _ZZ,
+    _BitWriter,
+    _blocks,
+    _build_huffman,
+    _canonical_codes,
+    _magnitude,
+    _scaled_quant,
+    _QUANT_LUMA,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _smooth(h: int, w: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            xx * 255 // max(w - 1, 1),
+            yy * 255 // max(h - 1, 1),
+            (xx + yy) * 127 // max(h + w - 2, 1),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("h,w", [(8, 8), (5, 4), (16, 24), (33, 17), (1, 1), (3, 11)])
+    def test_smooth_images_bounded_error(self, h, w):
+        img = _smooth(h, w)
+        for q, bound in ((75, 20), (90, 12), (95, 8)):
+            payload = encode_jpeg(img, quality=q)
+            out = decode_jpeg(payload)
+            assert out.shape == img.shape
+            assert out.dtype == np.uint8
+            err = np.abs(out.astype(int) - img.astype(int)).max()
+            assert err <= bound, (h, w, q, err)
+
+    def test_quality_monotonicity_on_error(self):
+        img = _smooth(24, 32)
+        errs = []
+        for q in (50, 75, 90, 99):
+            out = decode_jpeg(encode_jpeg(img, quality=q))
+            errs.append(np.abs(out.astype(int) - img.astype(int)).mean())
+        assert errs == sorted(errs, reverse=True) or errs[-1] <= errs[0]
+
+    def test_deterministic(self):
+        img = _smooth(13, 21)
+        p1, p2 = encode_jpeg(img), encode_jpeg(img)
+        assert p1 == p2
+        assert np.array_equal(decode_jpeg(p1), decode_jpeg(p1))
+
+    def test_random_images_survive(self):
+        # noise is JPEG's worst case — no tight bound, but the pipeline
+        # contract (dims, dtype, determinism) must hold on ANY input
+        rng = np.random.default_rng(42)
+        for _ in range(5):
+            h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            out = decode_jpeg(encode_jpeg(img, quality=90))
+            assert out.shape == img.shape
+            # even for noise, quantization error is bounded well below
+            # full-scale: the reconstruction is lossy, not garbage
+            assert np.abs(out.astype(int) - img.astype(int)).max() < 128
+
+    def test_solid_color_nearly_exact(self):
+        for col in ((0, 0, 0), (255, 255, 255), (200, 30, 90)):
+            img = np.tile(np.array(col, dtype=np.uint8), (10, 12, 1))
+            out = decode_jpeg(encode_jpeg(img, quality=90))
+            # a constant block is pure DC — error only from color-space
+            # rounding, never more than a couple of codes
+            assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+class TestIdctIndependence:
+    def test_einsum_idct_matches_naive_reference(self):
+        # decode-side IDCT is einsum against _C; re-derive one block
+        # with the textbook quadruple loop (T.81 A.3.3) and compare
+        rng = np.random.default_rng(3)
+        coef = rng.integers(-200, 200, (8, 8)).astype(np.float64)
+        fast = np.einsum("ji,jk,kl->il", _C, coef, _C)
+        slow = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                acc = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = np.sqrt(0.125) if u == 0 else 0.5
+                        cv = np.sqrt(0.125) if v == 0 else 0.5
+                        acc += (
+                            cu * cv * coef[u, v]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+                slow[x, y] = acc
+        assert np.allclose(fast, slow, atol=1e-9)
+
+
+class TestContainerAndSeams:
+    def test_marker_structure(self):
+        payload = encode_jpeg(_smooth(9, 9))
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+        # walk the segments: APP0, 2x DQT, SOF0, 4x DHT, SOS must appear
+        seen = []
+        pos = 2
+        while pos + 4 <= len(payload):
+            marker = struct.unpack_from(">H", payload, pos)[0]
+            seen.append(marker)
+            if marker == 0xFFDA:
+                break
+            (length,) = struct.unpack_from(">H", payload, pos + 2)
+            pos += 2 + length
+        assert seen[0] == 0xFFE0
+        assert seen.count(0xFFDB) == 2
+        assert seen.count(0xFFC0) == 1
+        assert seen.count(0xFFC4) == 4
+        assert seen[-1] == 0xFFDA
+
+    def test_not_a_jpeg_raises(self):
+        with pytest.raises(ValueError, match="SOI"):
+            decode_jpeg(b"nope")
+
+    def test_truncated_scan_raises(self):
+        payload = encode_jpeg(_smooth(16, 16))
+        with pytest.raises(ValueError):
+            decode_jpeg(payload[: len(payload) // 2])
+
+    def test_progressive_marker_raises_not_implemented(self):
+        payload = bytearray(encode_jpeg(_smooth(8, 8)))
+        idx = bytes(payload).find(b"\xff\xc0")
+        payload[idx + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+        with pytest.raises(NotImplementedError, match="non-baseline"):
+            decode_jpeg(bytes(payload))
+
+    def test_subsampling_raises_not_implemented(self):
+        payload = bytearray(encode_jpeg(_smooth(8, 8)))
+        idx = bytes(payload).find(b"\xff\xc0")
+        # SOF0 body: len(2) prec(1) h(2) w(2) nc(1) then comp triples;
+        # first component's sampling byte is at idx+2+2+1+2+2+1+1
+        payload[idx + 11] = 0x22  # claim 2x2 sampling for Y
+        with pytest.raises(NotImplementedError, match="sampling"):
+            decode_jpeg(bytes(payload))
+
+    def test_restart_interval_raises_not_implemented(self):
+        payload = bytearray(encode_jpeg(_smooth(8, 8)))
+        idx = bytes(payload).find(b"\xff\xda")
+        dri = b"\xff\xdd\x00\x04\x00\x08"
+        patched = bytes(payload[:idx]) + dri + bytes(payload[idx:])
+        with pytest.raises(NotImplementedError, match="restart"):
+            decode_jpeg(patched)
+
+    def test_quality_bounds_validated(self):
+        img = _smooth(8, 8)
+        for bad in (0, 101, -5):
+            with pytest.raises(ValueError, match="quality"):
+                encode_jpeg(img, quality=bad)
+        with pytest.raises(ValueError, match="uint8"):
+            encode_jpeg(np.zeros((4, 4, 3), dtype=np.int32))
+
+    def test_grayscale_single_component_decodes(self):
+        # hand-build a 1-component baseline file from the module's own
+        # primitives: proves the decoder handles the grayscale branch,
+        # not just the encoder's 3-component output
+        plane = _smooth(10, 14)[..., 0]
+        q = _scaled_quant(_QUANT_LUMA, 90)
+        blocks, h8, w8 = _blocks(plane)
+        coefs = np.einsum("ij,njk,lk->nil", _C, blocks - 128.0, _C)
+        quant = np.round(coefs / q).astype(np.int64).reshape(-1, 64)[:, _ZZ]
+
+        dc_freq = np.zeros(256, dtype=np.int64)
+        ac_freq = np.zeros(256, dtype=np.int64)
+        blocks_syms = []
+        prev = 0
+        for zz in quant:
+            t, bits_v = _magnitude(int(zz[0]) - prev)
+            prev = int(zz[0])
+            dc_freq[t] += 1
+            syms = [("dc", t, bits_v)]
+            run = 0
+            nz = np.nonzero(zz[1:])[0]
+            last = int(nz[-1]) + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    ac_freq[0xF0] += 1
+                    syms.append(("ac", 0xF0, 0, 0))
+                    run -= 16
+                t, bits_v = _magnitude(v)
+                sym = (run << 4) | t
+                ac_freq[sym] += 1
+                syms.append(("ac", sym, t, bits_v))
+                run = 0
+            if last < 63:
+                ac_freq[0x00] += 1
+                syms.append(("ac", 0x00, 0, 0))
+            blocks_syms.append(syms)
+
+        dc_tab = _build_huffman(dc_freq)
+        ac_tab = _build_huffman(ac_freq)
+        dc_codes = _canonical_codes(*dc_tab)
+        ac_codes = _canonical_codes(*ac_tab)
+        bw = _BitWriter()
+        for syms in blocks_syms:
+            for sym in syms:
+                if sym[0] == "dc":
+                    _, t, bits_v = sym
+                    code, ln = dc_codes[t]
+                    bw.write(code, ln)
+                    if t:
+                        bw.write(bits_v, t)
+                else:
+                    _, sv, t, bits_v = sym
+                    code, ln = ac_codes[sv]
+                    bw.write(code, ln)
+                    if t:
+                        bw.write(bits_v, t)
+        scan = bw.flush()
+
+        def seg(marker, payload_):
+            return struct.pack(">HH", marker, len(payload_) + 2) + payload_
+
+        out = bytearray(b"\xff\xd8")
+        out += seg(0xFFDB, bytes([0]) + bytes(int(x) for x in q.reshape(-1)[_ZZ]))
+        out += seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, plane.shape[0], plane.shape[1], 1)
+            + bytes([1, 0x11, 0]),
+        )
+        out += seg(0xFFC4, bytes([0x00]) + bytes(dc_tab[0]) + bytes(dc_tab[1]))
+        out += seg(0xFFC4, bytes([0x10]) + bytes(ac_tab[0]) + bytes(ac_tab[1]))
+        out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        out += scan + b"\xff\xd9"
+
+        rgb = decode_jpeg(bytes(out))
+        assert rgb.shape == (10, 14, 3)
+        # grayscale: all three channels equal, near the Y plane
+        assert np.array_equal(rgb[..., 0], rgb[..., 1])
+        assert np.array_equal(rgb[..., 0], rgb[..., 2])
+        assert np.abs(rgb[..., 0].astype(int) - plane.astype(int)).max() <= 12
+
+
+class TestHuffmanConstruction:
+    def test_canonical_codes_prefix_free_and_bounded(self):
+        rng = np.random.default_rng(11)
+        for _ in range(5):
+            freq = np.zeros(256, dtype=np.int64)
+            active = rng.choice(256, size=int(rng.integers(2, 80)), replace=False)
+            freq[active] = rng.integers(1, 10_000, size=len(active))
+            bits, vals = _build_huffman(freq)
+            assert sum(bits) == len(vals) == len(active)
+            codes = _canonical_codes(bits, vals)
+            assert set(codes) == set(int(a) for a in active)
+            # prefix-free: no code is a prefix of another
+            as_strings = [
+                format(c, f"0{ln}b") for c, ln in codes.values()
+            ]
+            assert len(set(as_strings)) == len(as_strings)
+            for i, a in enumerate(as_strings):
+                for j, b in enumerate(as_strings):
+                    if i != j:
+                        assert not b.startswith(a)
+            # JPEG constraints: max 16 bits, all-ones code unused
+            for c, ln in codes.values():
+                assert 1 <= ln <= 16
+                # the dummy-symbol construction reserves all-ones
+                assert c != (1 << ln) - 1
+
+
+class TestDispatchIntegration:
+    def test_decode_image_routes_jpeg(self):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.multimodal import (
+            decode_image,
+        )
+
+        img = _smooth(7, 9)
+        out = decode_image(encode_jpeg(img, quality=95))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 8

@@ -248,8 +248,20 @@ class TestImageCodecs:
         assert np.array_equal(M.decode_image(M.encode_ppm(arr)), arr)
         assert np.array_equal(M.decode_image(M.encode_bmp(arr)), arr)
         assert np.array_equal(M.decode_image(M.encode_png(arr)), arr)
-        with pytest.raises(NotImplementedError):  # JPEG → honest seam
+        # JPEG now decodes for real (operators/jpeg.py) — lossy, so
+        # dims-exact + bounded error rather than array equality
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.jpeg import (
+            encode_jpeg,
+        )
+
+        out = M.decode_image(encode_jpeg(arr, quality=95))
+        assert out.shape == arr.shape
+        # a malformed JPEG-magic payload is a corrupt file, not a seam
+        with pytest.raises(ValueError):
             M.decode_image(b"\xff\xd8\xff\xe0....")
+        # audio/video remain the honest NotImplementedError seam
+        with pytest.raises(NotImplementedError):
+            M.decode_image(b"RIFF....WAVE")
 
     def test_png_round_trip(self):
         import numpy as np

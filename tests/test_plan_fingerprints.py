@@ -80,5 +80,6 @@ def test_fingerprints_cover_zero_shuffle_pipelines(queries):
         "doc_fingerprint",
         "multimodal_image_decode",
         "multimodal_image_resize",
+        "multimodal_jpeg_roundtrip",
     ):
         assert FINGERPRINTS[name]["shuffle_exchanges"] == 0

@@ -365,6 +365,14 @@ SELF_AUDITS = {
         + _audit_abs_max("max_offdiag_corr", 0.02)(pdf)
         + _audit_min("evr_margin", -1e-6)(pdf)
     ),
+    # Baseline JPEG round trip: lossy by the format's design, so the
+    # contract is dims exact + deterministic re-decode + a bounded
+    # error envelope (synth worst case measured 48 at q90; bound 64).
+    "multimodal_jpeg_roundtrip": lambda pdf: (
+        _audit_min("dims_match", 1)(pdf)
+        + _audit_min("redecode_match", 1)(pdf)
+        + _audit_abs_max("max_abs_err", 64)(pdf)
+    ),
     # SimHash's probabilistic (7,16] hamming band, priced as a bound:
     # recall vs the in-plan exact Jaccard truth >= 0.99 (fixtures
     # measure 1.0; the 10x replica 0.9953), and zero extra pairs

@@ -167,6 +167,9 @@ GUARDED = [
     "bucket_percentile_exact",
     "bucket_percentile_bridge",
     "layout_autobroadcast_canary",
+    # round 8: the JPEG round trip must stay a map-only pipeline
+    # (0 shuffles) like the other multimodal codecs.
+    "multimodal_jpeg_roundtrip",
 ]
 
 # The streaming headline queries above are fingerprinted twice: the

@@ -106,6 +106,10 @@ PROBED = [
     "bucket_percentile_exact",
     "bucket_percentile_bridge",
     "layout_autobroadcast_canary",
+    # round 8: JPEG encode+decode per replicated document — pure
+    # map-side Arrow batches, expected to track the replica linearly
+    # (it is real per-item compute, not an aggregation).
+    "multimodal_jpeg_roundtrip",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
