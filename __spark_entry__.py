@@ -56,6 +56,9 @@ _DRIVER_HEAD = [
     "bucket_percentile_bridge",
     "layout_autobroadcast_canary",
     "multimodal_jpeg_roundtrip",
+    "bucket_value_mad",
+    "layout_rebalance_impact",
+    "neardup_bfs_hops",
     # --- round-8 rotation (VERDICT r7 item 6: driver-draw freshness).
     # The round-7 zero-draw batches all got their confirmation draw in
     # CORRECTNESS_r07; this round fronts (a) the STALEST hash-oracled

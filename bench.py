@@ -107,6 +107,11 @@ HEADLINE = [
     "bucket_percentile_exact",
     "bucket_percentile_bridge",
     "layout_autobroadcast_canary",
+    # round 8, second batch: robust stats on the histogram lattice and
+    # the rebalance migration-cost rollup (exact routing + two
+    # broadcast layout joins).
+    "bucket_value_mad",
+    "layout_rebalance_impact",
 ]
 
 

@@ -352,6 +352,162 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_bucket_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median absolute deviation + robust outlier census per
+    bucket (``operators/sketches.py:exact_group_mad``) — the robust
+    dispersion companion to ``bucket_percentile_exact``, on the same
+    histogram lattice: both medians are integer-rule order statistics
+    off cumulative counts, deviations are single IEEE subtractions,
+    and the |x−median| > 3·MAD outlier count is taken from the
+    deviation HISTOGRAM's weights. Hash-oracled bit-exact; nothing
+    after the first aggregate scales with rows."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sketches import (
+        exact_group_mad,
+    )
+
+    routed = _events_tagged(spark, sf_dir)
+    return exact_group_mad(routed, group_col="bucket", value_col="value")
+
+
+SQL_BUCKET_VALUE_MAD = f"""
+{_SQL_ROUTED},
+hist AS (
+  SELECT bucket, value AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM routed WHERE value IS NOT NULL GROUP BY 1, 2
+), cm AS (
+  SELECT bucket, v, c,
+         SUM(c) OVER (PARTITION BY bucket ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY bucket) AS n
+  FROM hist
+), med AS (
+  SELECT bucket, CAST(MAX(n) AS BIGINT) AS n_values,
+         MIN(CASE WHEN cum * 100 >= n * 50 THEN v END) AS med
+  FROM cm GROUP BY 1
+), dh AS (
+  SELECT h.bucket, m.n_values, m.med, ABS(h.v - m.med) AS dev,
+         CAST(SUM(h.c) AS BIGINT) AS c
+  FROM hist h JOIN med m USING (bucket) GROUP BY 1, 2, 3, 4
+), dc AS (
+  SELECT bucket, dev, c,
+         SUM(c) OVER (PARTITION BY bucket ORDER BY dev
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY bucket) AS n
+  FROM dh
+), madt AS (
+  SELECT bucket, MIN(CASE WHEN cum * 100 >= n * 50 THEN dev END) AS mad
+  FROM dc GROUP BY 1
+)
+SELECT d.bucket, d.n_values, d.med AS median, m.mad,
+       CAST(COALESCE(SUM(CASE WHEN d.dev > 3.0 * m.mad THEN d.c END), 0)
+            AS BIGINT) AS n_outliers,
+       CAST((COALESCE(SUM(CASE WHEN d.dev > 3.0 * m.mad THEN d.c END), 0)
+             * 1000000) // d.n_values AS BIGINT) AS outlier_ppm
+FROM dh d JOIN madt m USING (bucket)
+GROUP BY 1, 2, 3, 4
+"""
+
+
+# The rebalance target: Gold grows 30% -> 40% at Platinum's expense.
+# Layout (float32 Math.round + contiguous carve-up, same kernel):
+# Platinum 0-4 (5), Gold 5-9 (5), Standard 10-11 (2) — pinned by
+# tests/test_batch6_ops.py::TestLayoutRebalance against compute_layout
+# so the oracle constants below cannot drift from the kernel.
+REBALANCED_CONFIG = BucketPriorityConfig(
+    topic="events",
+    buckets=["Platinum", "Gold", "Standard"],
+    allocation=["40%", "40%", "20%"],
+)
+
+_SQL_LAYOUT_12_REBALANCED = """
+  layout2 AS (
+    SELECT * FROM (VALUES
+      ('Platinum', 40, 0, 5),
+      ('Gold',     40, 5, 5),
+      ('Standard', 20, 10, 2)
+    ) AS t(bucket, allocation2, partition_lo2, bucket_size2)
+  )
+"""
+
+
+def q_layout_rebalance_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migration cost of an allocation change — the operational question
+    behind P8 (layout invalidation, ``BucketPriorityPartitioner.java``
+    rebuilding its map on cluster change): if Gold's allocation grows
+    30% → 40%, how many already-routed records sit in a partition the
+    NEW layout would not choose? Every record's old and new partition
+    come from the same exact bucket sequence (``seq``), so the answer
+    is pure arithmetic on the routing plan: partition_old = lo +
+    seq % size vs partition_new = lo2 + seq % size2 — two broadcast
+    layout joins over one exact-routing pass, zero extra shuffles.
+    Per bucket: record count, records whose partition changes, the
+    ppm share, and both partition counts."""
+    events = with_routing_key(load_table(spark, sf_dir, "events"))
+    routed = route(
+        events,
+        EVENTS_CONFIG,
+        EVENTS_NUM_PARTITIONS,
+        order_col="event_id",
+        mode="exact",
+        seq_col="__seq",
+    )
+    new_layout = layout_table(
+        spark, REBALANCED_CONFIG, EVENTS_NUM_PARTITIONS
+    ).select(
+        "bucket",
+        F.col("partition_lo").alias("__lo2"),
+        F.col("bucket_size").alias("__size2"),
+    )
+    old_sizes = layout_table(
+        spark, EVENTS_CONFIG, EVENTS_NUM_PARTITIONS
+    ).select("bucket", F.col("bucket_size").alias("__size1"))
+    moved = (
+        routed.join(F.broadcast(new_layout), "bucket")
+        .join(F.broadcast(old_sizes), "bucket")
+        .withColumn(
+            "__p_new",
+            (F.col("__lo2") + F.expr("__seq % __size2")).cast("int"),
+        )
+    )
+    return moved.groupBy("bucket").agg(
+        F.max("__size1").cast("int").alias("partitions_before"),
+        F.max("__size2").cast("int").alias("partitions_after"),
+        F.count(F.lit(1)).cast("bigint").alias("n_records"),
+        F.sum(
+            F.when(F.col("partition") != F.col("__p_new"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_moved"),
+    ).withColumn(
+        "moved_ppm", F.expr("(n_moved * 1000000) DIV n_records").cast("bigint")
+    )
+
+
+SQL_LAYOUT_REBALANCE_IMPACT = f"""
+{_SQL_ROUTED},
+{_SQL_LAYOUT_12_REBALANCED},
+both_layouts AS (
+  SELECT r.bucket, r.partition,
+         l1.bucket_size AS size1,
+         CAST(l2.partition_lo2
+              + (ROW_NUMBER() OVER (PARTITION BY r.bucket ORDER BY r.event_id) - 1)
+                % l2.bucket_size2 AS INTEGER) AS p_new,
+         l2.bucket_size2 AS size2
+  FROM routed r
+  JOIN layout l1 USING (bucket)
+  JOIN layout2 l2 USING (bucket)
+)
+SELECT bucket,
+       CAST(MAX(size1) AS INTEGER) AS partitions_before,
+       CAST(MAX(size2) AS INTEGER) AS partitions_after,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(SUM(CASE WHEN partition <> p_new THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+       CAST((SUM(CASE WHEN partition <> p_new THEN 1 ELSE 0 END) * 1000000)
+            // COUNT(*) AS BIGINT) AS moved_ppm
+FROM both_layouts GROUP BY 1
+"""
+
+
 # The canonical drain fleet: 3 Platinum / 2 Gold / 1 Standard consumers
 # — the "more consumers on higher-priority buckets" deployment the
 # reference's README prescribes (README.md:11,17).
@@ -2453,6 +2609,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "assignment_golden": q_assignment_golden,
     "bucket_allocation_vs_load": q_bucket_allocation_vs_load,
     "layout_autobroadcast_canary": q_layout_autobroadcast_canary,
+    "bucket_value_mad": q_bucket_value_mad,
+    "layout_rebalance_impact": q_layout_rebalance_impact,
     "priority_drain_schedule": q_priority_drain_schedule,
     "route_rendezvous": q_route_rendezvous,
     "drain_tick_percentiles": q_drain_tick_percentiles,
@@ -2523,6 +2681,8 @@ ORACLES: dict[str, str] = {
     "assignment_golden": SQL_ASSIGNMENT_GOLDEN,
     "bucket_allocation_vs_load": SQL_BUCKET_ALLOCATION_VS_LOAD,
     "layout_autobroadcast_canary": SQL_LAYOUT_AUTOBROADCAST_CANARY,
+    "bucket_value_mad": SQL_BUCKET_VALUE_MAD,
+    "layout_rebalance_impact": SQL_LAYOUT_REBALANCE_IMPACT,
     "priority_drain_schedule": SQL_PRIORITY_DRAIN_SCHEDULE,
     "route_rendezvous": SQL_ROUTE_RENDEZVOUS,
     "drain_tick_percentiles": SQL_DRAIN_TICK_PERCENTILES,

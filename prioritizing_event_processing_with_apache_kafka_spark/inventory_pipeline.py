@@ -138,6 +138,44 @@ def _doc_components(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_neardup_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blast radius over the near-dup graph: minimum hop distance from
+    the seed set (``doc_id % 29 == 0`` — the "known bad" quarantine
+    list) to every document within 4 hops of it, over the canonical
+    exact-Jaccard edge list (``operators/graph.py:bfs_hops`` — bounded
+    BFS as frontier⋈edges hash joins, each round shuffling only the
+    frontier). The DuckDB oracle replays it with a bounded recursive
+    CTE, so an iterative distributed traversal is hash-proved equal to
+    the declarative fixpoint — the same discipline as
+    ``dedup_components``."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.graph import (
+        bfs_hops,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, k=4, threshold=0.5)
+    seeds = docs.filter(F.col("doc_id") % 29 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    return bfs_hops(pairs, seeds, max_hops=4).select(
+        F.col("node").alias("doc_id"), F.col("hop").cast("int").alias("hop")
+    )
+
+
+SQL_NEARDUP_BFS_HOPS = f"""
+WITH RECURSIVE {SQL_NEARDUP_EDGE_CTES},
+bfs AS (
+  SELECT doc_id AS node, 0 AS hop FROM documents WHERE doc_id % 29 = 0
+  UNION
+  SELECT e.b AS node, bfs.hop + 1 AS hop
+  FROM bfs JOIN edges e ON e.a = bfs.node
+  WHERE bfs.hop < 4
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(hop) AS INTEGER) AS hop
+FROM bfs GROUP BY 1
+"""
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     return D.ngram_jaccard_pairs(docs, k=4, threshold=0.5)
@@ -3951,6 +3989,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_jpeg_roundtrip": q_multimodal_jpeg_roundtrip,
     "dedup_components": q_dedup_components,
+    "neardup_bfs_hops": q_neardup_bfs_hops,
     "stratified_sample": q_stratified_sample,
     "mixture_sample": q_mixture_sample,
     "dedup_edit_distance": q_dedup_edit_distance,
@@ -4038,6 +4077,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     "dedup_components": SQL_DEDUP_COMPONENTS,
+    "neardup_bfs_hops": SQL_NEARDUP_BFS_HOPS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "dedup_edit_distance": SQL_DEDUP_EDIT_DISTANCE,

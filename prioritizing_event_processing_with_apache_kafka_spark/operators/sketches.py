@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "exact_group_mad",
     "exact_group_percentiles",
     "hll_distinct_rollup",
     "kll_value_quantiles",
@@ -410,3 +411,114 @@ def percentile_bridge(
     for p in percentiles:
         ordered += [f"disc_p{p}", f"cont_p{p}", f"est_p{p}", f"rank_err_p{p}"]
     return bridge.select(*ordered)
+
+
+def exact_group_mad(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    outlier_k: int = 3,
+) -> DataFrame:
+    """EXACT median absolute deviation per group, plus the robust
+    outlier census — the same histogram-lattice discipline as
+    :func:`exact_group_percentiles`, applied twice.
+
+    MAD = median(|x − median(x)|) is the robust dispersion statistic
+    (50% breakdown point, vs 0% for stddev): one planted outlier moves
+    a stddev threshold, it cannot move MAD. Both medians here are
+    ``percentile_disc`` order statistics read off cumulative histogram
+    counts with the pure-integer rule ``100·cum >= 50·n``, and the
+    deviation values are single IEEE subtractions — every step is
+    bit-reproducible in any engine, so the query carrying this is
+    hash-oracled.
+
+    ``n_outliers`` counts values with ``|x − median| > outlier_k ·
+    MAD`` — counted from the deviation HISTOGRAM (weights, not rows),
+    so the whole operator is: two histogram-sized hash aggregates, two
+    histogram-sized windows, two broadcast-size joins. Nothing after
+    the first aggregate scales with the fact-table row count.
+
+    Returns ``(group_col, n_values, median, mad, n_outliers,
+    outlier_ppm)``.
+    """
+    from pyspark.sql import Window
+
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.caching import (
+        scoped_persist,
+    )
+
+    v = F.col(value_col)
+
+    def _disc_median(hist: DataFrame, col: str) -> DataFrame:
+        wcum = (
+            Window.partitionBy(group_col)
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wall = Window.partitionBy(group_col)
+        cum = hist.withColumn("__cum", F.sum("__c").over(wcum)).withColumn(
+            "__n", F.sum("__c").over(wall)
+        )
+        return cum.groupBy(group_col).agg(
+            F.max("__n").cast("bigint").alias("__n_values"),
+            F.min(
+                F.when(F.col("__cum") * 100 >= F.col("__n") * 50, F.col(col))
+            ).alias("__med"),
+        )
+
+    hist = (
+        df.filter(v.isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    # both histograms are read twice (median pass + downstream join);
+    # scoped_persist keeps the lambda-free but shuffle-fed subtrees
+    # from recomputing, and releases them at cache_scope exit
+    hist = scoped_persist(hist)
+    med = _disc_median(hist, value_col).select(
+        group_col,
+        F.col("__n_values").alias("n_values"),
+        F.col("__med").alias("median"),
+    )
+    dev_hist = (
+        hist.join(F.broadcast(med), group_col)
+        .select(
+            group_col,
+            "n_values",
+            "median",
+            F.abs(v - F.col("median")).alias("__dev"),
+            "__c",
+        )
+        .groupBy(group_col, "n_values", "median", "__dev")
+        .agg(F.sum("__c").cast("bigint").alias("__c"))
+    )
+    dev_hist = scoped_persist(dev_hist)
+    mad = _disc_median(
+        dev_hist.select(group_col, F.col("__dev").alias("dev"), "__c"), "dev"
+    ).select(group_col, F.col("__med").alias("mad"))
+    out = (
+        dev_hist.join(F.broadcast(mad), group_col)
+        .groupBy(group_col, "n_values", "median", "mad")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__dev") > F.lit(float(outlier_k)) * F.col("mad"),
+                        F.col("__c"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .withColumn(
+            "outlier_ppm",
+            F.expr("(n_outliers * 1000000) DIV n_values").cast("bigint"),
+        )
+        .select(
+            group_col, "n_values", "median", "mad", "n_outliers", "outlier_ppm"
+        )
+    )
+    return out

@@ -170,6 +170,14 @@ GUARDED = [
     # round 8: the JPEG round trip must stay a map-only pipeline
     # (0 shuffles) like the other multimodal codecs.
     "multimodal_jpeg_roundtrip",
+    # round 8 second batch: MAD must stay two histogram aggregates +
+    # two histogram windows + broadcast joins (a raw-row sort is the
+    # regression); the rebalance impact rides the exact routing plan
+    # plus TWO broadcast layout joins and one per-bucket aggregate.
+    # neardup_bfs_hops is excluded like dedup_triangle_count (persisted
+    # shingle subtree + per-round localCheckpoints dominate the text).
+    "bucket_value_mad",
+    "layout_rebalance_impact",
 ]
 
 # The streaming headline queries above are fingerprinted twice: the

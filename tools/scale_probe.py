@@ -110,6 +110,11 @@ PROBED = [
     # map-side Arrow batches, expected to track the replica linearly
     # (it is real per-item compute, not an aggregation).
     "multimodal_jpeg_roundtrip",
+    # round 8 second batch: MAD (histogram-sized after the first agg —
+    # expected strongly sub-linear) and the rebalance impact (tracks
+    # route_events_exact + broadcast joins).
+    "bucket_value_mad",
+    "layout_rebalance_impact",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
@@ -143,6 +148,10 @@ DEDUP_PROBES = [
     # post-review: the triangle count now persists its edge frame
     # (three references) — track it like the other wedge-join probes.
     "dedup_triangle_count",
+    # round 8: bounded BFS over the same candidate edge set — each
+    # round shuffles only the frontier; expected to track the pair
+    # generator's growth.
+    "neardup_bfs_hops",
 ]
 
 # Bump when the replica construction changes so stale /tmp replicas
