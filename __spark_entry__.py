@@ -59,6 +59,13 @@ _DRIVER_HEAD = [
     "bucket_value_mad",
     "layout_rebalance_impact",
     "neardup_bfs_hops",
+    # round-8 third batch (zero draws): packing, weighted sampling,
+    # vocabulary drift, k-anonymity, M4 downsampling — all hash-oracled.
+    "corpus_pack_stats",
+    "documents_weighted_sample",
+    "source_vocab_drift",
+    "events_k_anonymity",
+    "events_m4_downsample",
     # --- round-8 rotation (VERDICT r7 item 6: driver-draw freshness).
     # The round-7 zero-draw batches all got their confirmation draw in
     # CORRECTNESS_r07; this round fronts (a) the STALEST hash-oracled

@@ -112,6 +112,15 @@ HEADLINE = [
     # broadcast layout joins).
     "bucket_value_mad",
     "layout_rebalance_impact",
+    # round 8, third batch: the training-platform planning ops —
+    # concat-then-chunk packing (prefix sums), weighted ES sampling
+    # (threshold plan), vocabulary drift, k-anonymity census, and M4
+    # downsampling (one partial-agg exchange).
+    "corpus_pack_stats",
+    "documents_weighted_sample",
+    "source_vocab_drift",
+    "events_k_anonymity",
+    "events_m4_downsample",
 ]
 
 

@@ -3957,6 +3957,227 @@ JOIN tot ty ON ty.doc_id = p.y
 # Registry
 # ---------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# Round-8 third batch: corpus packing, weighted sampling, vocabulary drift,
+# k-anonymity, M4 downsampling — five operator families a production
+# training-data platform runs that the suite did not yet cover.
+
+
+def q_corpus_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk shard planning (``operators/packing.py``):
+    per hash-shard, how many seq_len=512 training sequences the corpus
+    yields, how many documents straddle a sequence boundary, tail
+    padding waste, and fill ratio — all prefix-sum integer arithmetic
+    on whitespace token counts, hash-oracled bit-exact."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.packing import (
+        pack_stats,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return pack_stats(docs, n_shards=8, seq_len=512)
+
+
+SQL_CORPUS_PACK_STATS = """
+WITH d AS (
+  SELECT CAST(doc_id % 8 AS INTEGER) AS shard, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+  FROM documents
+), spans AS (
+  SELECT shard, tok,
+         SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+  FROM d
+), agg AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tok) AS BIGINT) AS total_tokens,
+         CAST(COALESCE(SUM(CASE WHEN tok > 0
+                                 AND (e - tok) // 512 < (e - 1) // 512
+                                THEN 1 END), 0) AS BIGINT) AS boundary_docs
+  FROM spans GROUP BY 1
+)
+SELECT shard, n_docs, total_tokens,
+       CAST((total_tokens + 511) // 512 AS BIGINT) AS n_sequences,
+       boundary_docs,
+       CAST((512 - total_tokens % 512) % 512 AS BIGINT) AS tail_waste,
+       CAST(CASE WHEN total_tokens > 0 THEN
+              total_tokens * 1000000 // (((total_tokens + 511) // 512) * 512)
+            END AS BIGINT) AS fill_ppm
+FROM agg
+"""
+
+
+def q_documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus sampling: 20 documents per language,
+    selection probability rising with ``n_chars`` — the integer-lattice
+    Efraimidis–Spirakis variant (``sampling.py:weighted_hash_sample``,
+    score = hash_u31(doc_id) DIV weight, n smallest win). The engine
+    runs the scalable threshold plan (weight-sum aggregate → broadcast
+    threshold → rank the ~16n survivors); the oracle replays the naive
+    full window — hash equality proves the threshold plan selects the
+    exact same rows."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return weighted_hash_sample(
+        docs, key="doc_id", weight_col="n_chars", strata_col="lang", n=20
+    ).select("lang", "doc_id", "source", "n_chars")
+
+
+def _sql_documents_weighted_sample() -> str:
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sampling import (
+        hash_u31_sql,
+    )
+
+    u = hash_u31_sql("doc_id")
+    return f"""
+WITH scored AS (
+  SELECT lang, doc_id, source, n_chars,
+         {u} // GREATEST(CAST(1 AS BIGINT), CAST(n_chars AS BIGINT)) AS s
+  FROM documents
+), ranked AS (
+  SELECT lang, doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY s, doc_id) AS rn
+  FROM scored
+)
+SELECT lang, doc_id, source, n_chars FROM ranked WHERE rn <= 20
+"""
+
+
+SQL_DOCUMENTS_WEIGHTED_SAMPLE = _sql_documents_weighted_sample()
+
+
+def q_source_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Early-vs-late top-20 vocabulary overlap per source
+    (``text.py:vocab_drift``) — the drift monitor for a continuously
+    ingested corpus; top-k sets meet in a membership-flag aggregate,
+    never a self-join. Hash-oracled."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return TX.vocab_drift(docs, top_k=20)
+
+
+SQL_SOURCE_VOCAB_DRIFT = """
+WITH bounds AS (
+  SELECT source, (MIN(doc_id) + MAX(doc_id)) // 2 AS mid
+  FROM documents GROUP BY 1
+), halves AS (
+  SELECT source, half, term FROM (
+    SELECT d.source,
+           CASE WHEN d.doc_id <= b.mid THEN 'early' ELSE 'late' END AS half,
+           lower(unnest(string_split(d.text, ' '))) AS term
+    FROM documents d JOIN bounds b USING (source)
+  ) WHERE term <> ''
+), counts AS (
+  SELECT source, half, term, COUNT(*) AS cnt FROM halves GROUP BY 1, 2, 3
+), tops AS (
+  SELECT source, half, term,
+         ROW_NUMBER() OVER (PARTITION BY source, half
+                            ORDER BY cnt DESC, term) AS rn
+  FROM counts
+), flags AS (
+  SELECT source, term,
+         MAX(CASE WHEN half = 'early' THEN 1 ELSE 0 END) AS e,
+         MAX(CASE WHEN half = 'late' THEN 1 ELSE 0 END) AS l
+  FROM tops WHERE rn <= 20 GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(e) AS BIGINT) AS n_early,
+       CAST(SUM(l) AS BIGINT) AS n_late,
+       CAST(SUM(e * l) AS BIGINT) AS overlap,
+       CAST(SUM(e * l) * 1000000 // (SUM(e) + SUM(l) - SUM(e * l))
+            AS BIGINT) AS jaccard_ppm
+FROM flags GROUP BY 1
+"""
+
+
+def q_events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity census (``quality.py:k_anonymity_audit``, k=5) over
+    the quasi-identifier set (event_type, FLOOR(value), HOUR(ts)) —
+    the re-identification audit before events leave a trust boundary.
+    Two hash aggregates; one summary row; hash-oracled."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.quality import (
+        k_anonymity_audit,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    qi = events.select(
+        "event_type",
+        F.floor("value").cast("long").alias("value_band"),
+        F.hour("ts").alias("hour_of_day"),
+    )
+    return k_anonymity_audit(
+        qi, qi_cols=["event_type", "value_band", "hour_of_day"], k=5
+    )
+
+
+SQL_EVENTS_K_ANONYMITY = """
+WITH classes AS (
+  SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS vb,
+         EXTRACT(hour FROM ts) AS hh,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(n) AS BIGINT) AS min_class_size,
+       CAST(MAX(n) AS BIGINT) AS max_class_size,
+       CAST(COALESCE(SUM(CASE WHEN n < 5 THEN 1 END), 0) AS BIGINT)
+         AS classes_at_risk,
+       CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0) AS BIGINT)
+         AS rows_at_risk,
+       CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0) * 1000000 // SUM(n)
+            AS BIGINT) AS at_risk_ppm
+FROM classes
+"""
+
+
+def q_events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization downsampling (``timeseries.py:m4_downsample``,
+    Jugel et al. VLDB'14): per (event_type, hour bin) the four anchor
+    points a pixel-exact line chart needs — first/last/min/max with
+    struct-min/max deterministic tie-breaks. One partial-agg exchange;
+    hash-oracled bit-exact."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.timeseries import (
+        m4_downsample,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return m4_downsample(
+        events,
+        series_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        bin_minutes=60,
+    )
+
+
+SQL_EVENTS_M4_DOWNSAMPLE = """
+WITH pts AS (
+  SELECT event_type,
+         make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+           AS bin_start,
+         ts, value AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), w AS (
+  SELECT *, MIN(v) OVER g AS mn, MAX(v) OVER g AS mx,
+         MIN(ts) OVER g AS mnts, MAX(ts) OVER g AS mxts
+  FROM pts WINDOW g AS (PARTITION BY event_type, bin_start)
+)
+SELECT event_type, bin_start,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(mnts) AS first_ts,
+       MIN(CASE WHEN ts = mnts THEN v END) AS first_value,
+       MAX(mxts) AS last_ts,
+       MAX(CASE WHEN ts = mxts THEN v END) AS last_value,
+       MIN(mn) AS min_value,
+       MIN(CASE WHEN v = mn THEN ts END) AS min_ts,
+       MAX(mx) AS max_value,
+       MAX(CASE WHEN v = mx THEN ts END) AS max_ts
+FROM w GROUP BY 1, 2
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3990,6 +4211,11 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_jpeg_roundtrip": q_multimodal_jpeg_roundtrip,
     "dedup_components": q_dedup_components,
     "neardup_bfs_hops": q_neardup_bfs_hops,
+    "corpus_pack_stats": q_corpus_pack_stats,
+    "documents_weighted_sample": q_documents_weighted_sample,
+    "source_vocab_drift": q_source_vocab_drift,
+    "events_k_anonymity": q_events_k_anonymity,
+    "events_m4_downsample": q_events_m4_downsample,
     "stratified_sample": q_stratified_sample,
     "mixture_sample": q_mixture_sample,
     "dedup_edit_distance": q_dedup_edit_distance,
@@ -4078,6 +4304,11 @@ PIPELINE_ORACLES: dict[str, str] = {
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "neardup_bfs_hops": SQL_NEARDUP_BFS_HOPS,
+    "corpus_pack_stats": SQL_CORPUS_PACK_STATS,
+    "documents_weighted_sample": SQL_DOCUMENTS_WEIGHTED_SAMPLE,
+    "source_vocab_drift": SQL_SOURCE_VOCAB_DRIFT,
+    "events_k_anonymity": SQL_EVENTS_K_ANONYMITY,
+    "events_m4_downsample": SQL_EVENTS_M4_DOWNSAMPLE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "dedup_edit_distance": SQL_DEDUP_EDIT_DISTANCE,

@@ -34,7 +34,7 @@ from prioritizing_event_processing_with_apache_kafka_spark.operators.caching imp
     scoped_persist,
 )
 
-__all__ = ["squared_distance", "kmeans_assignments"]
+__all__ = ["squared_distance", "kmeans_assignments", "label_centroid_audit"]
 
 
 def squared_distance(a: str | Column, b: str | Column) -> Column:
@@ -331,3 +331,78 @@ def kmeans_assignments(
         centroids = scoped_persist(_update(assigned, vector_col=vector_col))
         assigned = assign_fn(vecs, centroids)
     return assigned.select(id_col, "cluster", "d2")
+
+
+def label_centroid_audit(
+    vecs: DataFrame,
+    *,
+    vector_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    ratio_threshold_ppm: int = 2_000_000,
+) -> DataFrame:
+    """Label-conditioned outlier screen over an embedding corpus: flag
+    every vector whose squared distance to ITS OWN label's centroid
+    exceeds ``ratio_threshold_ppm`` (ppm) times the label's mean
+    squared distance — the standard mislabeled-example / contamination
+    sweep run before embeddings are trusted for curriculum or dedup
+    decisions (a vector 2× as far from its class center as the class
+    average is a labeling-review candidate).
+
+    Plan (NO windows, nothing label-funnel-shaped):
+
+    1. per-label centroid — the k-means ``_update`` component-mean
+       aggregate keyed by label (posexplode → (label, pos) avg rounded
+       to 6, re-assembled), map-side combined, output k·d rows;
+    2. broadcast the k centroids back onto one corpus scan; each row
+       computes its ``d2`` (sequential-fold double, round 6 — the
+       module's reproducibility contract) and projects it to the
+       integer lattice ``d2_micros = ⌊d2·10⁶ + 0.5⌋`` (d2 is already
+       6-decimal-quantized, so the projection is exact);
+    3. per-label mean via one more map-combined aggregate
+       (``Σ d2_micros DIV n``), broadcast again, and the final scan
+       emits only rows with ``ratio_ppm >= ratio_threshold_ppm``.
+
+    Every exchange is either label-count-sized or a broadcast; the two
+    corpus scans stream map-side. Returns flagged rows only:
+    ``(label_col, id_col, d2_micros, mean_d2_micros, ratio_ppm)``
+    where ``ratio_ppm = d2_micros·10⁶ DIV mean_d2_micros``.
+    """
+    if ratio_threshold_ppm < 0:
+        raise ValueError(
+            f"ratio_threshold_ppm must be >= 0, got {ratio_threshold_ppm}"
+        )
+    comps = (
+        vecs.select(label_col, F.posexplode(vector_col).alias("pos", "v"))
+        .groupBy(label_col, "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+    )
+    cents = comps.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("__cvec")
+    )
+    d2 = F.round(squared_distance(vector_col, "__cvec"), 6)
+    scored = vecs.join(F.broadcast(cents), label_col).select(
+        label_col,
+        id_col,
+        F.floor(d2 * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("d2_micros"),
+    )
+    means = scored.groupBy(label_col).agg(
+        F.expr("sum(d2_micros) DIV count(1)")
+        .cast("bigint")
+        .alias("mean_d2_micros")
+    )
+    return (
+        scored.join(F.broadcast(means), label_col)
+        .withColumn(
+            "ratio_ppm",
+            F.when(
+                F.col("mean_d2_micros") > 0,
+                F.expr("d2_micros * 1000000 DIV mean_d2_micros"),
+            ).cast("bigint"),
+        )
+        .filter(F.col("ratio_ppm") >= F.lit(int(ratio_threshold_ppm)))
+    )

@@ -105,3 +105,186 @@ def constraint_audit(
             )
         )
     return out
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    *,
+    qi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity census over a quasi-identifier column set — the
+    data-governance audit run before a dataset (or its aggregates)
+    leaves a trust boundary: a row is re-identifiable when its
+    equivalence class (rows sharing ALL quasi-identifier values) has
+    fewer than ``k`` members.
+
+    Two hash aggregates, nothing else: ``GROUP BY qi_cols`` to class
+    sizes (map-side combined — the only row-count-scaled exchange),
+    then a global fold of the class-size table to one verdict row::
+
+        n_rows           bigint  rows scanned
+        n_classes        bigint  distinct quasi-identifier combinations
+        min_class_size   bigint  smallest equivalence class
+        max_class_size   bigint  largest equivalence class
+        classes_at_risk  bigint  classes with size < k
+        rows_at_risk     bigint  rows in those classes
+        at_risk_ppm      bigint  rows_at_risk·10⁶ DIV n_rows
+
+    NULL is a quasi-identifier value like any other (both engines
+    group NULLs together, so the census is engine-exact). The global
+    fold is one row via partial aggregation — no funnel: the wide
+    shuffle is the class-size aggregate, whose key count is the
+    anonymity structure itself.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    classes = df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("__cls_n")
+    )
+    risky = F.col("__cls_n") < F.lit(int(k))
+    return (
+        classes.agg(
+            F.sum("__cls_n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.min("__cls_n").cast("bigint").alias("min_class_size"),
+            F.max("__cls_n").cast("bigint").alias("max_class_size"),
+            F.coalesce(F.sum(F.when(risky, 1)), F.lit(0))
+            .cast("bigint")
+            .alias("classes_at_risk"),
+            F.coalesce(F.sum(F.when(risky, F.col("__cls_n"))), F.lit(0))
+            .cast("bigint")
+            .alias("rows_at_risk"),
+        )
+        .withColumn(
+            "at_risk_ppm",
+            F.expr("rows_at_risk * 1000000 DIV n_rows").cast("bigint"),
+        )
+    )
+
+
+# Benford expected first-digit shares, parts-per-million: round(log10(1+1/d)·10⁶).
+# Fixed public constants (Benford 1938), identical literals in the oracle.
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_audit(df: DataFrame, *, value_col: str) -> DataFrame:
+    """First-significant-digit census against Benford's law — the
+    classic fraud/synthetic-data screen for magnitude-spanning
+    positive amounts (a fabricated or truncated feed shows up as a
+    first-digit histogram far from ``log10(1 + 1/d)``).
+
+    Rows with ``value >= 1`` participate (sub-unit and non-positive
+    values have no stable first digit on the integer path and are
+    excluded by contract on both engines). The digit is extracted
+    engine-exactly — ``substring(cast(cast(floor(value) as bigint) as
+    string), 1, 1)`` — no float log10 anywhere. One hash aggregate to
+    the 9-row digit table (map-side combined; the ONLY row-scaled
+    exchange), then a 9-row window derives shares.
+
+    Returns one row per observed digit: ``(digit, n, obs_ppm,
+    benford_ppm, dev_ppm)`` where ``obs_ppm = n·10⁶ DIV total`` and
+    ``dev_ppm = |obs_ppm − benford_ppm|``.
+    """
+    from pyspark.sql import Window
+
+    digit = F.substring(
+        F.floor(F.col(value_col)).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.filter(F.col(value_col) >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    exp_ppm = F.element_at(
+        F.array(*[F.lit(BENFORD_PPM[d]) for d in range(1, 10)]),
+        F.col("digit"),
+    ).cast("bigint")
+    return (
+        counts.withColumn("__total", total)
+        .withColumn("obs_ppm", F.expr("n * 1000000 DIV __total").cast("bigint"))
+        .withColumn("benford_ppm", exp_ppm)
+        .withColumn(
+            "dev_ppm", F.abs(F.col("obs_ppm") - F.col("benford_ppm")).cast("bigint")
+        )
+        .select("digit", "n", "obs_ppm", "benford_ppm", "dev_ppm")
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    lo_p: int = 1,
+    hi_p: int = 99,
+) -> DataFrame:
+    """Per-group winsorization report: clip values to the group's exact
+    ``percentile_disc`` fences and compare the raw vs winsorized mean —
+    the robust-preprocessing step (and its audit) a feature pipeline
+    runs before statistics that outliers would dominate.
+
+    The fences come from :func:`..sketches.exact_group_percentiles` —
+    the histogram-lattice exact order statistics whose shuffles are
+    sized by DISTINCT values, not rows — broadcast back onto the fact
+    scan (the fence table is one row per group). Means are reported on
+    the integer-micros lattice (``Σ⌊x·10⁶⌋ DIV n``), so the whole
+    report is engine-hashable; the fences themselves are actual data
+    values (``percentile_disc`` semantics), echoed as micros too.
+
+    Returns one row per group::
+
+        n                bigint  rows with non-NULL value
+        lo_cut_micros    bigint  the p{lo_p} fence
+        hi_cut_micros    bigint  the p{hi_p} fence
+        n_clipped_low    bigint  values below the low fence
+        n_clipped_high   bigint  values above the high fence
+        mean_micros      bigint  raw mean
+        wins_mean_micros bigint  mean after clipping
+    """
+    if not (0 <= lo_p < hi_p <= 100):
+        raise ValueError(f"need 0 <= lo_p < hi_p <= 100, got {lo_p}, {hi_p}")
+    from .sketches import exact_group_percentiles
+
+    fences = exact_group_percentiles(
+        df, group_col=group_col, value_col=value_col, percentiles=(lo_p, hi_p)
+    ).select(
+        group_col,
+        F.floor(F.col(f"disc_p{lo_p}") * 1_000_000.0)
+        .cast("bigint")
+        .alias("__lo"),
+        F.floor(F.col(f"disc_p{hi_p}") * 1_000_000.0)
+        .cast("bigint")
+        .alias("__hi"),
+    )
+    vm = F.floor(F.col(value_col) * 1_000_000.0).cast("bigint")
+    clipped = F.least(F.greatest(vm, F.col("__lo")), F.col("__hi"))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("__vm", vm)
+        .join(F.broadcast(fences), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("__lo").cast("bigint").alias("lo_cut_micros"),
+            F.min("__hi").cast("bigint").alias("hi_cut_micros"),
+            F.coalesce(F.sum(F.when(F.col("__vm") < F.col("__lo"), 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.coalesce(F.sum(F.when(F.col("__vm") > F.col("__hi"), 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+            F.expr("sum(__vm) DIV count(1)").cast("bigint").alias("mean_micros"),
+            F.sum(clipped).alias("__wsum"),
+        )
+        .withColumn(
+            "wins_mean_micros", F.expr("__wsum DIV n").cast("bigint")
+        )
+        .drop("__wsum")
+    )

@@ -30,9 +30,11 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "hash_coin",
+    "hash_u31",
     "hash_sample",
     "stratified_hash_sample",
     "reservoir_hash_sample",
+    "weighted_hash_sample",
     "mixture_sample",
     "profile",
     "pairwise_pearson",
@@ -58,8 +60,11 @@ def _salt_mix(salt: int) -> int:
     return (int(salt) * _KNUTH) % _M
 
 
-def hash_coin(key: str | Column, *, salt: int = 0) -> Column:
-    """Deterministic uniform [0, 1) double from an integer key column.
+def hash_u31(key: str | Column, *, salt: int = 0) -> Column:
+    """Deterministic uniform integer in [0, 2³¹) from an integer key
+    column — the pre-division state of :func:`hash_coin`, exposed for
+    operators that need an INTEGER lattice (cross-engine bit-exact
+    with no float in sight, e.g. :func:`weighted_hash_sample`).
 
     The key is first reduced with ``pmod`` (a plain ``%`` keeps the
     dividend's sign, so negative keys would yield negative coins that
@@ -73,7 +78,23 @@ def hash_coin(key: str | Column, *, salt: int = 0) -> Column:
         x = x.bitwiseXOR(F.lit(_salt_mix(salt)))
     x = (x * F.lit(_A) + F.lit(_C)) % F.lit(_M)
     x = (x * F.lit(_A) + F.lit(_C)) % F.lit(_M)
-    return x.cast("double") / F.lit(float(_M))
+    return x
+
+
+def hash_u31_sql(key_expr: str, *, salt: int = 0) -> str:
+    """The DuckDB/ANSI replay of :func:`hash_u31` (same bits)."""
+    x = f"(((CAST({key_expr} AS BIGINT) % {_M}) + {_M}) % {_M})"
+    if salt:
+        x = f"xor({x}, {_salt_mix(salt)})"
+    x = f"(({x} * {_A} + {_C}) % {_M})"
+    x = f"(({x} * {_A} + {_C}) % {_M})"
+    return x
+
+
+def hash_coin(key: str | Column, *, salt: int = 0) -> Column:
+    """Deterministic uniform [0, 1) double from an integer key column
+    (:func:`hash_u31` divided by 2³¹ — see there for the mixing)."""
+    return hash_u31(key, salt=salt).cast("double") / F.lit(float(_M))
 
 
 def hash_coin_sql(key_expr: str, *, salt: int = 0) -> str:
@@ -164,6 +185,73 @@ def reservoir_hash_sample(
         survivors.withColumn("__rs_rank", rank)
         .filter(F.col("__rs_rank") <= n)
         .drop("__rs_coin", "__rs_t", "__rs_rank")
+    )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    *,
+    key: str,
+    weight_col: str,
+    strata_col: str,
+    n: int,
+    salt: int = 0,
+    oversample: float = 16.0,
+) -> DataFrame:
+    """``n`` rows per stratum sampled WITHOUT replacement with
+    probability increasing in ``weight_col`` — the integer-lattice
+    analog of Efraimidis–Spirakis A-ES weighted reservoir sampling,
+    deterministic and engine-replayable.
+
+    A-ES ranks rows by ``u^(1/w)`` (u uniform); floats there are not
+    bit-reproducible across engines, so this discretizes: each row
+    scores ``hash_u31(key) DIV w`` (``w = max(1, weight)``, pure
+    BIGINT arithmetic) and the n SMALLEST scores per stratum win.
+    ``P(score ≤ t) = min(1, (t+1)·w/2³¹)`` — selection probability
+    rises with weight exactly as A-ES intends, and the winner set is a
+    pure function of the keys: same rows on any engine, partitioning,
+    or run. Ties break on ``(score, key)``.
+
+    Scale shape mirrors :func:`reservoir_hash_sample`: a per-stratum
+    WEIGHT-SUM aggregate (map-side combined) derives the score
+    threshold ``t* = ceil(oversample·n·2³¹ / ΣW)`` whose expected
+    survivor count is ``oversample·n`` (rows with ``(t*+1)·w ≥ 2³¹``
+    survive with probability 1, which only helps); the fact scan keeps
+    only survivors (broadcast-joined threshold, no fact shuffle), and
+    the exact ``row_number`` rank runs on that small set. The result
+    equals the true n-smallest-scores sample unless the stratum's n-th
+    order statistic exceeds t* — a Chernoff tail below 1e-40 at the
+    default ``oversample=16``.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = F.greatest(F.lit(1).cast("long"), F.col(weight_col).cast("long"))
+    score = F.floor(hash_u31(key, salt=salt).cast("double") / w).cast("long")
+    wsums = df.groupBy(strata_col).agg(
+        F.sum(w).cast("long").alias("__ws_sum")
+    )
+    thresh = F.ceil(
+        F.lit(float(oversample) * n * _M) / F.col("__ws_sum").cast("double")
+    ).cast("long")
+    survivors = (
+        df.withColumn("__ws_score", score)
+        .join(
+            F.broadcast(wsums.select(strata_col, thresh.alias("__ws_t"))),
+            strata_col,
+        )
+        .filter(F.col("__ws_score") <= F.col("__ws_t"))
+    )
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.partitionBy(strata_col).orderBy(
+            F.col("__ws_score").asc(), F.col(key).asc()
+        )
+    )
+    return (
+        survivors.withColumn("__ws_rank", rank)
+        .filter(F.col("__ws_rank") <= n)
+        .drop("__ws_score", "__ws_t", "__ws_rank")
     )
 
 

@@ -43,6 +43,7 @@ __all__ = [
     "redact_pii",
     "PII_PATTERNS",
     "bpe_pair_counts",
+    "vocab_drift",
 ]
 
 # Tiny deterministic stopword list (intersects the fixture vocabulary).
@@ -420,5 +421,86 @@ def corpus_bigram_stats(
                 ).cast("double")
                 / F.count(F.lit(1)).cast("double")
             ).alias("rare_bigram_ratio"),
+        )
+    )
+
+
+def vocab_drift(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Per-source vocabulary drift between the EARLY and LATE halves of
+    a corpus — the monitoring query a continuously-ingested training
+    corpus runs to catch a source changing under the pipeline (new
+    crawl template, language shift, spam infiltration): compare each
+    half's top-``top_k`` term set and report the overlap.
+
+    Halves split at the per-source midpoint ``(min_id + max_id) DIV 2``
+    (deterministic; corpus ids are ingestion-ordered, so the halves
+    are 'then' vs 'now'). Terms are lowercased whitespace tokens
+    (repo convention); each half's top-k ranks by
+    ``(count DESC, term ASC)`` — fully deterministic. The top-k sets
+    meet in a single term-level aggregate (membership flags summed),
+    NOT a self-join, so the plan is: explode → two hash aggregates →
+    one window over (source, half) groups → two tiny folds.
+
+    Returns per source: ``n_early``/``n_late`` (actual top-set sizes,
+    < top_k only for tiny vocabularies), ``overlap``, and
+    ``jaccard_ppm = overlap·10⁶ DIV (n_early + n_late − overlap)``.
+    Low Jaccard = the source drifted. At 100 TB everything after the
+    term-count aggregate is vocabulary-sized.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    from pyspark.sql import Window
+
+    bounds = docs.groupBy(source_col).agg(
+        F.expr(f"(min({id_col}) + max({id_col})) DIV 2").alias("__mid")
+    )
+    halves = (
+        docs.join(F.broadcast(bounds), source_col)
+        .withColumn(
+            "__half",
+            F.when(F.col(id_col) <= F.col("__mid"), F.lit("early")).otherwise(
+                F.lit("late")
+            ),
+        )
+        .select(
+            source_col,
+            "__half",
+            F.explode(F.split(F.col(text_col), " ")).alias("__t"),
+        )
+        .withColumn("__term", F.lower(F.col("__t")))
+        .filter(F.col("__term") != "")
+    )
+    counts = halves.groupBy(source_col, "__half", "__term").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(source_col, "__half").orderBy(
+            F.col("__cnt").desc(), F.col("__term").asc()
+        )
+    )
+    tops = counts.withColumn("__rn", rank).filter(F.col("__rn") <= top_k)
+    flags = tops.groupBy(source_col, "__term").agg(
+        F.max(F.when(F.col("__half") == "early", 1).otherwise(0)).alias("__e"),
+        F.max(F.when(F.col("__half") == "late", 1).otherwise(0)).alias("__l"),
+    )
+    return (
+        flags.groupBy(source_col)
+        .agg(
+            F.sum("__e").cast("bigint").alias("n_early"),
+            F.sum("__l").cast("bigint").alias("n_late"),
+            F.sum(F.col("__e") * F.col("__l")).cast("bigint").alias("overlap"),
+        )
+        .withColumn(
+            "jaccard_ppm",
+            F.expr(
+                "overlap * 1000000 DIV (n_early + n_late - overlap)"
+            ).cast("bigint"),
         )
     )

@@ -29,6 +29,8 @@ __all__ = [
     "time_weighted_mean",
     "cusum_alarm",
     "grouped_ols_trend",
+    "m4_downsample",
+    "binned_acf",
 ]
 
 
@@ -462,4 +464,151 @@ def grouped_ols_trend(
             F.col("sxx_den") > 0,
             F.expr("(sxy_num * 1000000) DIV sxx_den"),
         ).cast("bigint"),
+    )
+
+
+def m4_downsample(
+    df: DataFrame,
+    *,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    bin_minutes: int = 60,
+) -> DataFrame:
+    """M4 visualization downsampling (Jugel et al., VLDB 2014): per
+    (series, time bin) keep the four value-defining anchor points —
+    first, last, min, max — which is exactly the set a line-chart
+    renderer needs for a pixel-error-free drawing of the full series.
+
+    One ``groupBy`` aggregate with map-side partial combine — the
+    canonical scale shape: a 100 TB series collapses to
+    ``n_series × n_bins`` rows in a single exchange. Anchor points are
+    selected with min/max over ``struct`` columns so every tie is
+    broken deterministically (first/last: by ts then value — equal
+    timestamps resolve to the smaller/larger value; min/max: by value
+    then ts — the earliest row attaining the min, the latest attaining
+    the max), making the output a pure function of the data and
+    hash-oracle-able in any engine.
+
+    NULL values are excluded from the frame (the NULL contract is
+    explicit — both the operator and its oracle filter them, so the
+    bin statistics describe observed points only). Bins are labeled by
+    their start on the integer-micros lattice.
+
+    Returns ``(series_col, bin_start, n_rows, first_ts, first_value,
+    last_ts, last_value, min_value, min_ts, max_value, max_ts)``.
+    """
+    if bin_minutes < 1:
+        raise ValueError(f"bin_minutes must be >= 1, got {bin_minutes}")
+    bin_us = int(bin_minutes) * 60_000_000
+    ts = F.col(ts_col)
+    v = F.col(value_col)
+    pts = df.filter(v.isNotNull() & ts.isNotNull()).select(
+        F.col(series_col),
+        F.timestamp_micros(
+            F.expr(f"unix_micros({ts_col}) DIV {bin_us} * {bin_us}")
+        ).alias("bin_start"),
+        ts.alias("__ts"),
+        v.alias("__v"),
+    )
+    by_ts = F.struct(F.col("__ts"), F.col("__v"))
+    by_v = F.struct(F.col("__v"), F.col("__ts"))
+    return pts.groupBy(series_col, "bin_start").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min(by_ts).getField("__ts").alias("first_ts"),
+        F.min(by_ts).getField("__v").alias("first_value"),
+        F.max(by_ts).getField("__ts").alias("last_ts"),
+        F.max(by_ts).getField("__v").alias("last_value"),
+        F.min(by_v).getField("__v").alias("min_value"),
+        F.min(by_v).getField("__ts").alias("min_ts"),
+        F.max(by_v).getField("__v").alias("max_value"),
+        F.max(by_v).getField("__ts").alias("max_ts"),
+    )
+
+
+def binned_acf(
+    df: DataFrame,
+    *,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    bin_minutes: int = 60,
+    lags: tuple[int, ...] = (1, 2, 3, 24),
+) -> DataFrame:
+    """Sample autocorrelation of each series at the given lags, computed
+    over the time-binned mean signal — the seasonality/persistence
+    detector a metrics platform runs to decide forecast models and
+    alert baselines (lag-24 on hourly bins = daily seasonality).
+
+    Two-stage plan with the M4 shape: the ONLY row-count-scaled
+    exchange is the (series, bin) hash aggregate (map-side combined)
+    producing each bin's integer-micros mean ``v = Σ⌊value·10⁶⌋ DIV n``
+    — everything after is bin-count-sized (bounded by the time horizon,
+    not the data volume). Per series the bins form an ordered signal;
+    the standard sample ACF at lag k is read off exactly:
+
+        acf_k = Σᵢ (vᵢ − μ)(vᵢ₋ₖ − μ) / Σᵢ (vᵢ − μ)²
+
+    with μ = S/n the true mean. Multiplying through by n² clears the
+    rational: each term becomes ``(n·vᵢ − S)·(n·vᵢ₋ₖ − S)`` — exact
+    integer arithmetic carried in ``decimal(38,0)`` (Spark) / HUGEINT
+    (the oracle), immune to float summation order. The result is
+    reported as ``acf{k}_ppm = num·10⁶ DIV den`` (both engines truncate
+    integer division toward zero, verified), in [−10⁶, 10⁶].
+
+    Missing bins are NOT gap-filled: the signal is the sequence of
+    OBSERVED bins in time order (documented contract; compose with
+    ``gap_fill_interpolate`` upstream when calendar spacing matters).
+    Series with zero variance (den = 0) report NULL acf.
+
+    Returns one row per series: ``(series_col, n_bins, plus one
+    acf{k}_ppm column per lag)``.
+    """
+    if bin_minutes < 1:
+        raise ValueError(f"bin_minutes must be >= 1, got {bin_minutes}")
+    if not lags or any(k < 1 for k in lags):
+        raise ValueError(f"lags must be positive, got {lags!r}")
+    bin_us = int(bin_minutes) * 60_000_000
+    bins = (
+        df.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(series_col),
+            F.expr(f"unix_micros({ts_col}) DIV {bin_us}").alias("__bin"),
+        )
+        .agg(
+            F.expr(
+                f"sum(floor({value_col} * 1000000.0)) DIV count(1)"
+            ).alias("__v")
+        )
+    )
+    ws = Window.partitionBy(series_col)
+    wo = Window.partitionBy(series_col).orderBy("__bin")
+    dec = "decimal(38,0)"
+    staged = (
+        bins.withColumn("__n", F.count(F.lit(1)).over(ws))
+        .withColumn("__s", F.sum("__v").over(ws))
+        .withColumn(
+            "__c",
+            (F.col("__n") * F.col("__v") - F.col("__s")).cast(dec),
+        )
+    )
+    for k in lags:
+        staged = staged.withColumn(f"__lag{k}", F.lag("__c", k).over(wo))
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__den"),
+    ]
+    for k in lags:
+        aggs.append(F.sum(F.col("__c") * F.col(f"__lag{k}")).alias(f"__num{k}"))
+    out = staged.groupBy(series_col).agg(*aggs)
+    for k in lags:
+        out = out.withColumn(
+            f"acf{k}_ppm",
+            F.when(
+                F.col("__den") > 0,
+                F.expr(f"CAST((__num{k} * 1000000) DIV __den AS BIGINT)"),
+            ).cast("bigint"),
+        )
+    return out.select(
+        series_col, "n_bins", *[f"acf{k}_ppm" for k in lags]
     )

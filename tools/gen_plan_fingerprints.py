@@ -178,6 +178,18 @@ GUARDED = [
     # shingle subtree + per-round localCheckpoints dominate the text).
     "bucket_value_mad",
     "layout_rebalance_impact",
+    # round 8 third batch: packing must stay ONE shard-key exchange
+    # (window + agg reuse the same partitioning); the weighted sample
+    # must keep the threshold shape (weight-sum agg + broadcast join +
+    # survivor window — a full-stratum window funnel is the
+    # regression); k-anonymity is two hash aggregates; M4 is ONE
+    # partial-agg exchange; vocab drift is explode-agg + vocab-sized
+    # window/aggregates.
+    "corpus_pack_stats",
+    "documents_weighted_sample",
+    "source_vocab_drift",
+    "events_k_anonymity",
+    "events_m4_downsample",
 ]
 
 # The streaming headline queries above are fingerprinted twice: the

@@ -115,6 +115,16 @@ PROBED = [
     # route_events_exact + broadcast joins).
     "bucket_value_mad",
     "layout_rebalance_impact",
+    # round 8 third batch: packing (prefix sums, window-bound),
+    # weighted sampling (threshold plan — survivor set is O(n) however
+    # big the stratum), vocab drift (vocab-sized after the term agg),
+    # k-anonymity (class-table-sized after the first agg), M4 (one
+    # partial-agg exchange — expected the flattest of the batch).
+    "corpus_pack_stats",
+    "documents_weighted_sample",
+    "source_vocab_drift",
+    "events_k_anonymity",
+    "events_m4_downsample",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
