@@ -66,6 +66,12 @@ _DRIVER_HEAD = [
     "source_vocab_drift",
     "events_k_anonymity",
     "events_m4_downsample",
+    # round-8 fourth batch (zero draws): autocorrelation, Benford,
+    # winsorization, embedding outliers — all hash-oracled.
+    "events_hourly_acf",
+    "lineitem_benford",
+    "orders_winsorized",
+    "embedding_outlier_audit",
     # --- round-8 rotation (VERDICT r7 item 6: driver-draw freshness).
     # The round-7 zero-draw batches all got their confirmation draw in
     # CORRECTNESS_r07; this round fronts (a) the STALEST hash-oracled

@@ -121,6 +121,15 @@ HEADLINE = [
     "source_vocab_drift",
     "events_k_anonymity",
     "events_m4_downsample",
+    # round 8, fourth batch: exact binned autocorrelation (decimal
+    # lattice over bin-sized data), Benford first-digit census (one
+    # 9-row aggregate), winsorization (histogram-lattice fences +
+    # broadcast), embedding label-outlier screen (broadcast centroids,
+    # no windows).
+    "events_hourly_acf",
+    "lineitem_benford",
+    "orders_winsorized",
+    "embedding_outlier_audit",
 ]
 
 

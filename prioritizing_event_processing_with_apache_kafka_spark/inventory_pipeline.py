@@ -4178,6 +4178,201 @@ FROM w GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Round-8 fourth batch: autocorrelation, Benford screening, winsorization,
+# embedding outlier audit.
+
+
+def q_events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of each event_type's hourly-mean signal
+    at lags 1/2/3/24 (``timeseries.py:binned_acf``) — the seasonality
+    detector behind forecast-model and alert-baseline choices. The only
+    row-scaled exchange is the hourly-bin aggregate; the ACF arithmetic
+    is exact (decimal(38,0) ↔ HUGEINT) on bin-count-sized data.
+    Hash-oracled."""
+    events = load_table(spark, sf_dir, "events")
+    return TS.binned_acf(
+        events,
+        series_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        bin_minutes=60,
+        lags=(1, 2, 3, 24),
+    )
+
+
+_SQL_ACF_C = "CAST(n AS HUGEINT) * v - s"
+SQL_EVENTS_HOURLY_ACF = f"""
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS bin,
+         CAST(FLOOR(value * 1000000.0) AS BIGINT) AS vm
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), bins AS (
+  SELECT event_type, bin, SUM(vm) // COUNT(*) AS v
+  FROM pts GROUP BY 1, 2
+), st AS (
+  SELECT event_type, bin, v,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(v) OVER (PARTITION BY event_type) AS s
+  FROM bins
+), c AS (
+  SELECT event_type, {_SQL_ACF_C} AS c,
+         LAG({_SQL_ACF_C}, 1) OVER o AS l1,
+         LAG({_SQL_ACF_C}, 2) OVER o AS l2,
+         LAG({_SQL_ACF_C}, 3) OVER o AS l3,
+         LAG({_SQL_ACF_C}, 24) OVER o AS l24
+  FROM st WINDOW o AS (PARTITION BY event_type ORDER BY bin)
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(CASE WHEN SUM(c*c) > 0 THEN (SUM(c*l1) * 1000000) // SUM(c*c) END
+            AS BIGINT) AS acf1_ppm,
+       CAST(CASE WHEN SUM(c*c) > 0 THEN (SUM(c*l2) * 1000000) // SUM(c*c) END
+            AS BIGINT) AS acf2_ppm,
+       CAST(CASE WHEN SUM(c*c) > 0 THEN (SUM(c*l3) * 1000000) // SUM(c*c) END
+            AS BIGINT) AS acf3_ppm,
+       CAST(CASE WHEN SUM(c*c) > 0 THEN (SUM(c*l24) * 1000000) // SUM(c*c) END
+            AS BIGINT) AS acf24_ppm
+FROM c GROUP BY 1
+"""
+
+
+def q_lineitem_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit census of l_extendedprice
+    (``quality.py:benford_audit``) — the fraud/synthetic-feed screen.
+    Digit extracted via integer-string substring (no float log10);
+    one map-combined aggregate to the 9-row digit table. Hash-oracled."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.quality import (
+        benford_audit,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return benford_audit(li, value_col="l_extendedprice")
+
+
+SQL_LINEITEM_BENFORD = """
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INTEGER) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem WHERE l_extendedprice >= 1 GROUP BY 1
+)
+SELECT digit, n,
+       CAST(n * 1000000 // SUM(n) OVER () AS BIGINT) AS obs_ppm,
+       CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                       WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                       WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                       WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                       ELSE 45757 END AS BIGINT) AS benford_ppm,
+       CAST(ABS(CAST(n * 1000000 // SUM(n) OVER () AS BIGINT)
+                - CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                             WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                             WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                             WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                             ELSE 45757 END) AS BIGINT) AS dev_ppm
+FROM counts
+"""
+
+
+def q_orders_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority winsorization report on o_totalprice
+    (``quality.py:winsorized_stats``): exact percentile_disc p1/p99
+    fences from the histogram lattice, broadcast back onto the fact
+    scan, clipped means on integer micros. Hash-oracled (the oracle
+    replays the same histogram-CDF fence definition)."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.quality import (
+        winsorized_stats,
+    )
+
+    od = load_table(spark, sf_dir, "orders")
+    return winsorized_stats(
+        od, group_col="o_orderpriority", value_col="o_totalprice"
+    )
+
+
+SQL_ORDERS_WINSORIZED = """
+WITH hist AS (
+  SELECT o_orderpriority AS g, o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+), cm AS (
+  SELECT g, v, c,
+         SUM(c) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY g) AS n
+  FROM hist
+), fences AS (
+  SELECT g,
+         CAST(FLOOR(MIN(CASE WHEN cum*100 >= n*1 THEN v END) * 1000000.0)
+              AS BIGINT) AS lo,
+         CAST(FLOOR(MIN(CASE WHEN cum*100 >= n*99 THEN v END) * 1000000.0)
+              AS BIGINT) AS hi
+  FROM cm GROUP BY g
+), fact AS (
+  SELECT o.o_orderpriority, f.lo, f.hi,
+         CAST(FLOOR(o.o_totalprice * 1000000.0) AS BIGINT) AS vm
+  FROM orders o JOIN fences f ON f.g = o.o_orderpriority
+  WHERE o.o_totalprice IS NOT NULL
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(lo) AS BIGINT) AS lo_cut_micros,
+       CAST(MIN(hi) AS BIGINT) AS hi_cut_micros,
+       CAST(COALESCE(SUM(CASE WHEN vm < lo THEN 1 END), 0) AS BIGINT)
+         AS n_clipped_low,
+       CAST(COALESCE(SUM(CASE WHEN vm > hi THEN 1 END), 0) AS BIGINT)
+         AS n_clipped_high,
+       CAST(SUM(vm) // COUNT(*) AS BIGINT) AS mean_micros,
+       CAST(SUM(LEAST(GREATEST(vm, lo), hi)) // COUNT(*) AS BIGINT)
+         AS wins_mean_micros
+FROM fact GROUP BY 1
+"""
+
+
+def q_embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-conditioned embedding outlier screen
+    (``clustering.py:label_centroid_audit``): vectors whose squared
+    distance to their own label centroid exceeds 1.05x the label mean
+    — the mislabeled-example sweep. Centroids and means broadcast;
+    no windows. Hash-oracled (component-mean centroids rounded to 6
+    decimals, d2 on the micros lattice)."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.clustering import (
+        label_centroid_audit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroid_audit(emb, ratio_threshold_ppm=1_050_000)
+
+
+_SQL_OUT_D2 = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, len({a})), "
+    "i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+SQL_EMBEDDING_OUTLIER_AUDIT = f"""
+WITH cents AS (
+  SELECT label, list(c ORDER BY pos) AS cvec FROM (
+    SELECT label, g.i - 1 AS pos, ROUND(AVG(embedding[g.i]::DOUBLE), 6) AS c
+    FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
+    WHERE g.i <= len(embedding)
+    GROUP BY 1, 2
+  ) GROUP BY label
+), scored AS (
+  SELECT e.label, e.vec_id,
+         CAST(FLOOR(ROUND({_SQL_OUT_D2.format(a='e.embedding', b='c.cvec')}, 6)
+                    * 1000000.0 + 0.5) AS BIGINT) AS d2_micros
+  FROM embeddings e JOIN cents c USING (label)
+), means AS (
+  SELECT label, CAST(SUM(d2_micros) // COUNT(*) AS BIGINT) AS mean_d2_micros
+  FROM scored GROUP BY 1
+)
+SELECT s.label, s.vec_id, s.d2_micros, m.mean_d2_micros,
+       CAST(CASE WHEN m.mean_d2_micros > 0
+                 THEN s.d2_micros * 1000000 // m.mean_d2_micros END
+            AS BIGINT) AS ratio_ppm
+FROM scored s JOIN means m USING (label)
+WHERE s.d2_micros * 1000000 // m.mean_d2_micros >= 1050000
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -4216,6 +4411,10 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_vocab_drift": q_source_vocab_drift,
     "events_k_anonymity": q_events_k_anonymity,
     "events_m4_downsample": q_events_m4_downsample,
+    "events_hourly_acf": q_events_hourly_acf,
+    "lineitem_benford": q_lineitem_benford,
+    "orders_winsorized": q_orders_winsorized,
+    "embedding_outlier_audit": q_embedding_outlier_audit,
     "stratified_sample": q_stratified_sample,
     "mixture_sample": q_mixture_sample,
     "dedup_edit_distance": q_dedup_edit_distance,
@@ -4309,6 +4508,10 @@ PIPELINE_ORACLES: dict[str, str] = {
     "source_vocab_drift": SQL_SOURCE_VOCAB_DRIFT,
     "events_k_anonymity": SQL_EVENTS_K_ANONYMITY,
     "events_m4_downsample": SQL_EVENTS_M4_DOWNSAMPLE,
+    "events_hourly_acf": SQL_EVENTS_HOURLY_ACF,
+    "lineitem_benford": SQL_LINEITEM_BENFORD,
+    "orders_winsorized": SQL_ORDERS_WINSORIZED,
+    "embedding_outlier_audit": SQL_EMBEDDING_OUTLIER_AUDIT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "dedup_edit_distance": SQL_DEDUP_EDIT_DISTANCE,

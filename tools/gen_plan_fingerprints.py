@@ -190,6 +190,16 @@ GUARDED = [
     "source_vocab_drift",
     "events_k_anonymity",
     "events_m4_downsample",
+    # round 8 fourth batch: ACF must stay bin-agg + one series window
+    # (the bin aggregate is the only row-scaled exchange); Benford is
+    # one hash aggregate + a 9-row window; winsorize is the histogram
+    # fence subtree + ONE broadcast onto the fact scan (a sort-merge
+    # join here is the regression); the outlier audit is two
+    # aggregates + two broadcasts, zero windows.
+    "events_hourly_acf",
+    "lineitem_benford",
+    "orders_winsorized",
+    "embedding_outlier_audit",
 ]
 
 # The streaming headline queries above are fingerprinted twice: the

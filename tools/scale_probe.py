@@ -125,6 +125,14 @@ PROBED = [
     "source_vocab_drift",
     "events_k_anonymity",
     "events_m4_downsample",
+    # round 8 fourth batch: ACF (bin-agg collapses rows; ACF math is
+    # bin-count-sized), Benford (9-row output, one exchange),
+    # winsorize (histogram-sized fences; fact side never shuffles),
+    # outlier audit (label-sized aggregates + broadcasts).
+    "events_hourly_acf",
+    "lineitem_benford",
+    "orders_winsorized",
+    "embedding_outlier_audit",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
