@@ -72,6 +72,12 @@ _DRIVER_HEAD = [
     "lineitem_benford",
     "orders_winsorized",
     "embedding_outlier_audit",
+    # round-8 fifth batch (zero draws): k-core nucleus, source overlap
+    # census, decile drift, erasure cascade — all hash-oracled.
+    "neardup_kcore",
+    "source_overlap",
+    "events_decile_drift",
+    "erasure_cascade",
     # --- round-8 rotation (VERDICT r7 item 6: driver-draw freshness).
     # The round-7 zero-draw batches all got their confirmation draw in
     # CORRECTNESS_r07; this round fronts (a) the STALEST hash-oracled

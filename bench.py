@@ -130,6 +130,14 @@ HEADLINE = [
     "lineitem_benford",
     "orders_winsorized",
     "embedding_outlier_audit",
+    # round 8, fifth batch: iterative k-core peel (semi-joins sized by
+    # the shrinking subgraph), source provenance census over the pair
+    # list, PSI-style decile drift (histogram fences + broadcast),
+    # GDPR erasure cascade (semi-join chain).
+    "neardup_kcore",
+    "source_overlap",
+    "events_decile_drift",
+    "erasure_cascade",
 ]
 
 

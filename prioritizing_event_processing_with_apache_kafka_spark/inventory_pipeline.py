@@ -4373,6 +4373,226 @@ WHERE s.d2_micros * 1000000 // m.mean_d2_micros >= 1050000
 """
 
 
+# --------------------------------------------------------------------------
+# Round-8 fifth batch: k-core nucleus, source provenance census, decile
+# drift, erasure cascade.
+
+
+def q_neardup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the canonical near-dup graph
+    (``operators/graph.py:kcore``): the template-farm nucleus — nodes
+    keeping >= 2 in-set neighbors after iterative peeling. Every peel
+    round is a semi-join + aggregate sized by the shrinking subgraph.
+    The DuckDB oracle unrolls four peel rounds; valid while the fixture
+    converges within that depth (measured: 1 round at sf0.01 and
+    sf0.1; the engine raises ConvergenceError past 20 rounds, so a
+    deeper fixture fails loud on both sides)."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.graph import (
+        kcore,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, k=4, threshold=0.5)
+    return kcore(pairs, k=2).select(
+        F.col("node").alias("doc_id"), "core_degree"
+    )
+
+
+SQL_NEARDUP_KCORE = f"""
+WITH {SQL_NEARDUP_EDGE_CTES},
+a0 AS (SELECT DISTINCT a AS node FROM edges),
+a1 AS (
+  SELECT e.a AS node, COUNT(*) AS d FROM edges e
+  JOIN a0 x ON x.node = e.a JOIN a0 y ON y.node = e.b
+  GROUP BY 1 HAVING COUNT(*) >= 2
+),
+a2 AS (
+  SELECT e.a AS node, COUNT(*) AS d FROM edges e
+  JOIN a1 x ON x.node = e.a JOIN a1 y ON y.node = e.b
+  GROUP BY 1 HAVING COUNT(*) >= 2
+),
+a3 AS (
+  SELECT e.a AS node, COUNT(*) AS d FROM edges e
+  JOIN a2 x ON x.node = e.a JOIN a2 y ON y.node = e.b
+  GROUP BY 1 HAVING COUNT(*) >= 2
+),
+a4 AS (
+  SELECT e.a AS node, COUNT(*) AS d FROM edges e
+  JOIN a3 x ON x.node = e.a JOIN a3 y ON y.node = e.b
+  GROUP BY 1 HAVING COUNT(*) >= 2
+)
+SELECT node AS doc_id, CAST(d AS BIGINT) AS core_degree FROM a4
+"""
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication census
+    (``dedup.py:source_overlap_matrix``) over the canonical exact-
+    Jaccard pair list: per unordered source pair, how many near-dup
+    pairs span it and their mean Jaccard (ppm) — the feed-level
+    down-weighting signal. Hash-oracled."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, k=4, threshold=0.5)
+    return D.source_overlap_matrix(pairs, docs)
+
+
+SQL_SOURCE_OVERLAP = f"""
+WITH pairs AS (
+  {SQL_NGRAM_JACCARD}
+), tagged AS (
+  SELECT LEAST(dx.source, dy.source) AS source_a,
+         GREATEST(dx.source, dy.source) AS source_b,
+         CAST(FLOOR(p.jaccard * 1000000.0) AS BIGINT) AS jppm
+  FROM pairs p
+  JOIN documents dx ON dx.doc_id = p.x
+  JOIN documents dy ON dy.doc_id = p.y
+)
+SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(jppm) // COUNT(*) AS BIGINT) AS mean_jaccard_ppm
+FROM tagged GROUP BY 1, 2
+"""
+
+
+def q_events_decile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Early-vs-late value-distribution drift per event_type
+    (``quality.py:decile_drift``): bin by the early half's exact decile
+    fences (histogram lattice), compare ppm shares across halves —
+    PSI-style monitoring, integer-exact. Hash-oracled."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.quality import (
+        decile_drift,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return decile_drift(
+        events, group_col="event_type", ts_col="ts", value_col="value"
+    )
+
+
+SQL_EVENTS_DECILE_DRIFT = """
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) AS us, value AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), mids AS (
+  SELECT event_type, (MIN(us) + MAX(us)) // 2 AS mid FROM pts GROUP BY 1
+), halved AS (
+  SELECT p.event_type, p.v,
+         CASE WHEN p.us <= m.mid THEN 'early' ELSE 'late' END AS half
+  FROM pts p JOIN mids m USING (event_type)
+), hist AS (
+  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM halved WHERE half = 'early' GROUP BY 1, 2
+), cm AS (
+  SELECT event_type, v, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM hist
+), fences AS (
+  SELECT event_type, [
+    MIN(CASE WHEN cum*100 >= n*10 THEN v END),
+    MIN(CASE WHEN cum*100 >= n*20 THEN v END),
+    MIN(CASE WHEN cum*100 >= n*30 THEN v END),
+    MIN(CASE WHEN cum*100 >= n*40 THEN v END),
+    MIN(CASE WHEN cum*100 >= n*50 THEN v END),
+    MIN(CASE WHEN cum*100 >= n*60 THEN v END),
+    MIN(CASE WHEN cum*100 >= n*70 THEN v END),
+    MIN(CASE WHEN cum*100 >= n*80 THEN v END),
+    MIN(CASE WHEN cum*100 >= n*90 THEN v END)
+  ] AS f FROM cm GROUP BY 1
+), binned AS (
+  SELECT h.event_type, h.half,
+         len(list_filter(fe.f, x -> h.v >= x)) AS bin
+  FROM halved h JOIN fences fe USING (event_type)
+), counts AS (
+  SELECT event_type, bin,
+         CAST(COALESCE(SUM(CASE WHEN half = 'early' THEN 1 END), 0) AS BIGINT)
+           AS early_n,
+         CAST(COALESCE(SUM(CASE WHEN half = 'late' THEN 1 END), 0) AS BIGINT)
+           AS late_n
+  FROM binned GROUP BY 1, 2
+)
+SELECT event_type, CAST(bin AS INTEGER) AS bin, early_n, late_n,
+       CAST(early_n * 1000000 // SUM(early_n) OVER w AS BIGINT) AS early_ppm,
+       CAST(late_n * 1000000 // SUM(late_n) OVER w AS BIGINT) AS late_ppm,
+       CAST(late_n * 1000000 // SUM(late_n) OVER w
+            - early_n * 1000000 // SUM(early_n) OVER w AS BIGINT) AS gap_ppm
+FROM counts WINDOW w AS (PARTITION BY event_type)
+"""
+
+
+def q_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style erasure cascade audit: for the deletion cohort
+    (customers with ``c_custkey % 97 == 0``), how many rows each table
+    must erase, and what share of the table that is — customer rows,
+    their orders, and those orders' lineitems, the referential closure
+    a right-to-be-forgotten job walks. Cohort keys broadcast down the
+    chain (at 100 TB the orders→lineitem hop becomes a key shuffle —
+    AQE's call); each count is one semi-join + fold. Hash-oracled."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cohort = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    cohort_orders = orders.join(
+        F.broadcast(cohort),
+        orders["o_custkey"] == cohort["c_custkey"],
+        "left_semi",
+    )
+    cohort_li = li.join(
+        F.broadcast(cohort_orders.select("o_orderkey")),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    )
+
+    def tally(name: str, hit: DataFrame, total: DataFrame) -> DataFrame:
+        h = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_erase"))
+        t = total.agg(F.count(F.lit(1)).cast("bigint").alias("__n_total"))
+        return (
+            h.crossJoin(t)  # 1x1
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_erase",
+                F.col("__n_total").alias("n_total"),
+                F.expr("n_erase * 1000000 DIV __n_total")
+                .cast("bigint")
+                .alias("share_ppm"),
+            )
+        )
+
+    return (
+        tally("customer", cohort, cust)
+        .unionByName(tally("orders", cohort_orders, orders))
+        .unionByName(tally("lineitem", cohort_li, li))
+    )
+
+
+SQL_ERASURE_CASCADE = """
+WITH cohort AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+), co AS (
+  SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM cohort)
+), cl AS (
+  SELECT 1 FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM co)
+)
+SELECT 'customer' AS table_name,
+       CAST((SELECT COUNT(*) FROM cohort) AS BIGINT) AS n_erase,
+       CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_total,
+       CAST((SELECT COUNT(*) FROM cohort) * 1000000
+            // (SELECT COUNT(*) FROM customer) AS BIGINT) AS share_ppm
+UNION ALL
+SELECT 'orders',
+       CAST((SELECT COUNT(*) FROM co) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM co) * 1000000
+            // (SELECT COUNT(*) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'lineitem',
+       CAST((SELECT COUNT(*) FROM cl) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM cl) * 1000000
+            // (SELECT COUNT(*) FROM lineitem) AS BIGINT)
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -4415,6 +4635,10 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_benford": q_lineitem_benford,
     "orders_winsorized": q_orders_winsorized,
     "embedding_outlier_audit": q_embedding_outlier_audit,
+    "neardup_kcore": q_neardup_kcore,
+    "source_overlap": q_source_overlap,
+    "events_decile_drift": q_events_decile_drift,
+    "erasure_cascade": q_erasure_cascade,
     "stratified_sample": q_stratified_sample,
     "mixture_sample": q_mixture_sample,
     "dedup_edit_distance": q_dedup_edit_distance,
@@ -4512,6 +4736,10 @@ PIPELINE_ORACLES: dict[str, str] = {
     "lineitem_benford": SQL_LINEITEM_BENFORD,
     "orders_winsorized": SQL_ORDERS_WINSORIZED,
     "embedding_outlier_audit": SQL_EMBEDDING_OUTLIER_AUDIT,
+    "neardup_kcore": SQL_NEARDUP_KCORE,
+    "source_overlap": SQL_SOURCE_OVERLAP,
+    "events_decile_drift": SQL_EVENTS_DECILE_DRIFT,
+    "erasure_cascade": SQL_ERASURE_CASCADE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "dedup_edit_distance": SQL_DEDUP_EDIT_DISTANCE,

@@ -52,6 +52,7 @@ __all__ = [
     "bloom_contamination_pairs",
     "edit_distance_pairs",
     "ngram_jaccard_pairs",
+    "source_overlap_matrix",
     "ngram_containment_pairs",
     "prefix_filter_jaccard_pairs",
     "token_multiset_jaccard",
@@ -1270,3 +1271,58 @@ def simhash_pairs(
     # with_shingles) — verify from the cached frame instead of
     # re-tokenizing the corpus.
     return _verify_jaccard(hamming_ok, sh, id_col, jaccard_threshold)
+
+
+def source_overlap_matrix(
+    pairs: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    x_col: str = "x",
+    y_col: str = "y",
+    jaccard_col: str = "jaccard",
+) -> DataFrame:
+    """Provenance census over a near-dup pair list: which SOURCES
+    duplicate each other, and how strongly — the mirror-site /
+    content-farm / license-laundering detector a corpus curator reads
+    before deciding per-source keep rates (row-level dedup answers
+    "which doc"; this answers "which feed should be down-weighted or
+    dropped wholesale").
+
+    Pure composition over an existing pair list (any generator with an
+    x/y/jaccard shape — the exact ground truth, MinHash, prefix filter):
+    two joins onto the (id → source) projection — broadcast-eligible
+    because the pair list is candidate-sized, never corpus-sized — then
+    one aggregate on the UNORDERED source pair (least/greatest, so
+    A↔B and B↔A fold together; self-pairs report a source's internal
+    duplication). Jaccard enters pre-floored to ppm (each pair's value
+    is the same IEEE double in both engines), so the mean is exact
+    integer arithmetic.
+
+    Returns ``(source_a, source_b, n_pairs, mean_jaccard_ppm)`` with
+    ``source_a <= source_b``.
+    """
+    sx = docs.select(
+        F.col(id_col).alias(x_col), F.col(source_col).alias("__sx")
+    )
+    sy = docs.select(
+        F.col(id_col).alias(y_col), F.col(source_col).alias("__sy")
+    )
+    tagged = (
+        pairs.join(sx, x_col)
+        .join(sy, y_col)
+        .select(
+            F.least("__sx", "__sy").alias("source_a"),
+            F.greatest("__sx", "__sy").alias("source_b"),
+            F.floor(F.col(jaccard_col) * F.lit(1_000_000.0))
+            .cast("bigint")
+            .alias("__jppm"),
+        )
+    )
+    return tagged.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("sum(__jppm) DIV count(1)")
+        .cast("bigint")
+        .alias("mean_jaccard_ppm"),
+    )

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "ConvergenceError",
     "bfs_hops",
+    "kcore",
     "connected_components",
     "pagerank",
     "label_propagation",
@@ -474,3 +475,81 @@ def bfs_hops(
     finally:
         sym.unpersist()
     return visited
+
+
+def kcore(
+    edges: DataFrame,
+    *,
+    src: str = "x",
+    dst: str = "y",
+    k: int = 2,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """The k-core of the undirected graph: the maximal node set in
+    which every member keeps at least ``k`` neighbors INSIDE the set —
+    the standard "dense nucleus" extractor (over the near-dup graph it
+    isolates template farms / mirror rings that pairwise counts and
+    connected components both blur).
+
+    Classic peeling, Spark-shaped: each round semi-joins the edge list
+    to the surviving node set (both endpoints), recounts degrees with
+    one map-combined aggregate, and drops nodes under ``k`` — every
+    step a hash join or aggregate sized by the SURVIVING subgraph,
+    which only shrinks. The round count is bounded by the peel depth
+    (how many times removal cascades), not the node count; each round
+    sits behind a ``localCheckpoint`` so lineage stays flat, and the
+    driver sees one convergence scalar per round (the module's
+    :func:`connected_components` discipline). The fixpoint is unique
+    (k-core is order-independent), so the result is deterministic and
+    the carrying query is hash-oracled against an unrolled peel in
+    DuckDB (valid while the fixture converges within the unrolled
+    depth — the oracle's documented envelope, same pattern as the
+    k-means oracle's n ≤ 40 000 note).
+
+    Raises :class:`ConvergenceError` past ``max_rounds`` (returning a
+    half-peeled set would silently overstate the core).
+
+    Returns ``(node, core_degree)`` — members with their in-core
+    degree (≥ k by construction).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    # Materialize the (possibly expensive) upstream pair generator ONCE
+    # before symmetrizing: a bare union of edges + swapped edges would
+    # execute the generator subtree twice inside the first checkpoint
+    # (measured 2x wall on the 100x replica, where the near-dup
+    # generator dominates).
+    base = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint()
+    sym = (
+        base.unionByName(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )
+    alive = deg.filter(F.col("core_degree") >= k).localCheckpoint()
+    live_edges = sym
+    for _ in range(max_rounds):
+        live_edges = (
+            live_edges.join(
+                alive.select(F.col("node").alias("a")), "a", "left_semi"
+            )
+            .join(alive.select(F.col("node").alias("b")), "b", "left_semi")
+            .localCheckpoint()
+        )
+        deg = live_edges.groupBy(F.col("a").alias("node")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("core_degree")
+        )
+        nxt = deg.filter(F.col("core_degree") >= k).localCheckpoint()
+        dropped = alive.count() - nxt.count()
+        alive = nxt
+        if dropped == 0:
+            return alive
+    raise ConvergenceError(
+        f"k-core peel did not converge within {max_rounds} rounds"
+    )

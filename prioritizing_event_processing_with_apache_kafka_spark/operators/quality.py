@@ -288,3 +288,102 @@ def winsorized_stats(
         )
         .drop("__wsum")
     )
+
+
+def decile_drift(
+    df: DataFrame,
+    *,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Early-vs-late value-distribution drift per group, PSI-style but
+    integer-exact: bin the value column by the EARLY half's exact
+    decile fences and compare each bin's share across halves — the
+    monitoring query that catches a metric's distribution moving under
+    a model (new client version, sensor recalibration, fraud wave)
+    even when its mean holds still.
+
+    Halves split at the per-group time midpoint ``(min+max) DIV 2`` on
+    the micros lattice (deterministic). Fences are the early half's
+    exact ``percentile_disc`` p10..p90 — the histogram-lattice path
+    (:func:`..sketches.exact_group_percentiles`), so the fence subtree
+    is sized by distinct values. Fences come back as one ORDERED
+    9-element array per group, broadcast onto a second scan; each row's
+    bin is ``Σ 1[v ≥ fence]`` (0..9) via a higher-order fold — no
+    windows, no per-row joins. One (group, half, bin) aggregate and a
+    group-sized share window later, each row reports both halves'
+    parts-per-million share and the signed gap.
+
+    Returns ``(group_col, bin, early_n, late_n, early_ppm, late_ppm,
+    gap_ppm)`` with ``gap_ppm = late_ppm − early_ppm``; Σ|gap| per
+    group is the drift score (the oracle replays every step, so the
+    whole report is hash-exact).
+    """
+    from .sketches import exact_group_percentiles
+
+    pts = df.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+    mids = pts.groupBy(group_col).agg(
+        F.expr(
+            f"(min(unix_micros({ts_col})) + max(unix_micros({ts_col}))) DIV 2"
+        ).alias("__mid")
+    )
+    halved = pts.join(F.broadcast(mids), group_col).withColumn(
+        "__half",
+        F.when(
+            F.expr(f"unix_micros({ts_col})") <= F.col("__mid"), F.lit("early")
+        ).otherwise(F.lit("late")),
+    )
+    early = halved.filter(F.col("__half") == "early")
+    fences = exact_group_percentiles(
+        early,
+        group_col=group_col,
+        value_col=value_col,
+        percentiles=(10, 20, 30, 40, 50, 60, 70, 80, 90),
+    ).select(
+        group_col,
+        F.array(*[F.col(f"disc_p{p}") for p in range(10, 100, 10)]).alias(
+            "__fences"
+        ),
+    )
+    binned = halved.join(F.broadcast(fences), group_col).withColumn(
+        "__bin",
+        F.aggregate(
+            "__fences",
+            F.lit(0),
+            lambda acc, f: acc
+            + F.when(F.col(value_col) >= f, F.lit(1)).otherwise(F.lit(0)),
+        ),
+    )
+    counts = binned.groupBy(group_col, "__bin").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__half") == "early", 1)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("early_n"),
+        F.coalesce(
+            F.sum(F.when(F.col("__half") == "late", 1)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("late_n"),
+    )
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy(group_col)
+    return (
+        counts.withColumn("__te", F.sum("early_n").over(wg))
+        .withColumn("__tl", F.sum("late_n").over(wg))
+        .select(
+            group_col,
+            F.col("__bin").cast("int").alias("bin"),
+            "early_n",
+            "late_n",
+            F.expr("early_n * 1000000 DIV __te").cast("bigint").alias("early_ppm"),
+            F.expr("late_n * 1000000 DIV __tl").cast("bigint").alias("late_ppm"),
+            F.expr(
+                "late_n * 1000000 DIV __tl - early_n * 1000000 DIV __te"
+            )
+            .cast("bigint")
+            .alias("gap_ppm"),
+        )
+    )

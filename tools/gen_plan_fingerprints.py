@@ -200,6 +200,16 @@ GUARDED = [
     "lineitem_benford",
     "orders_winsorized",
     "embedding_outlier_audit",
+    # round 8 fifth batch. k-core is data-dependently iterative
+    # (localCheckpoint rounds truncate the visible plan), so it is NOT
+    # pinned — its scale guard is the probe + convergence exception.
+    # source_overlap must keep the pair list broadcast-joined to the
+    # doc projection; decile drift is the fence subtree + TWO
+    # broadcasts onto the fact scan (fences, mids) + one group window;
+    # erasure is three semi-join/fold pairs with broadcast cohorts.
+    "source_overlap",
+    "events_decile_drift",
+    "erasure_cascade",
 ]
 
 # The streaming headline queries above are fingerprinted twice: the

@@ -133,6 +133,14 @@ PROBED = [
     "lineitem_benford",
     "orders_winsorized",
     "embedding_outlier_audit",
+    # round 8 fifth batch: k-core (peel rounds sized by the surviving
+    # subgraph — tracks the pair generator), source overlap (pair-list
+    # sized after the generator), decile drift (histogram + broadcast;
+    # fact side never shuffles), erasure cascade (semi-join chain).
+    "neardup_kcore",
+    "source_overlap",
+    "events_decile_drift",
+    "erasure_cascade",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
