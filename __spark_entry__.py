@@ -78,6 +78,11 @@ _DRIVER_HEAD = [
     "source_overlap",
     "events_decile_drift",
     "erasure_cascade",
+    # round-8 sixth batch (zero draws): sliding distinct exact + HLL
+    # twin (the HLL one is the machine-audited half), A/B readout.
+    "rolling_active_users",
+    "rolling_active_users_hll",
+    "events_ab_test",
     # --- round-8 rotation (VERDICT r7 item 6: driver-draw freshness).
     # The round-7 zero-draw batches all got their confirmation draw in
     # CORRECTNESS_r07; this round fronts (a) the STALEST hash-oracled

@@ -138,6 +138,12 @@ HEADLINE = [
     "source_overlap",
     "events_decile_drift",
     "erasure_cascade",
+    # round 8, sixth batch: exact sliding distinct (presence
+    # expansion), its HLL-union twin (the mergeable-sketch scale
+    # path), two-proportion A/B verdict.
+    "rolling_active_users",
+    "rolling_active_users_hll",
+    "events_ab_test",
 ]
 
 

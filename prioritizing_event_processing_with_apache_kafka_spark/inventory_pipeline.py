@@ -4593,6 +4593,135 @@ SELECT 'lineitem',
 """
 
 
+# --------------------------------------------------------------------------
+# Round-8 sixth batch: sliding-window distinct (exact + HLL twin), A/B test
+# readout.
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-24h hourly active users
+    (``timeseries.py:sliding_distinct_counts``): presence-expansion —
+    distinct (user, hour) collapse, bounded 24x fan-out, dedup, count.
+    Everything after the presence aggregate is (keys x bins x 24)-
+    sized, never event-sized. Hash-oracled."""
+    events = load_table(spark, sf_dir, "events")
+    return TS.sliding_distinct_counts(
+        events, key_col="user_id", ts_col="ts", bin_minutes=60, window_bins=24
+    )
+
+
+SQL_ROLLING_ACTIVE_USERS = """
+WITH p AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS bin
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), mx AS (
+  SELECT MAX(bin) AS m FROM p
+), e AS (
+  SELECT DISTINCT user_id, bin + g.i AS win
+  FROM p CROSS JOIN generate_series(0, 23) AS g(i)
+  WHERE bin + g.i <= (SELECT m FROM mx)
+)
+SELECT make_timestamp(win * 3600000000) AS window_end,
+       CAST(COUNT(*) AS BIGINT) AS active_keys
+FROM e GROUP BY 1
+"""
+
+
+def q_rolling_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL twin (``sketches.py:hll_sliding_distinct``): one
+    mergeable sketch per hour, each window unions its 24 bin sketches
+    — O(bins) sketch rows instead of the exact twin's key-expansion;
+    the 100 TB configuration. Joined 1:1 to the exact twin in the same
+    plan; approximate by design -> rows-only for the driver, with the
+    SELF_AUDITS bound on rel_error_pct (lgk=12 -> ~1.6% std err;
+    bound 6%, the approx_distinct_users envelope)."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sketches import (
+        hll_sliding_distinct,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    est = hll_sliding_distinct(
+        events, key_col="user_id", ts_col="ts", bin_minutes=60, window_bins=24
+    )
+    exact = TS.sliding_distinct_counts(
+        events, key_col="user_id", ts_col="ts", bin_minutes=60, window_bins=24
+    )
+    return (
+        est.join(exact, "window_end")
+        .select(
+            "window_end",
+            "est_keys",
+            "active_keys",
+            F.round(
+                F.abs(
+                    F.col("est_keys").cast("double")
+                    / F.col("active_keys").cast("double")
+                    - 1.0
+                )
+                * 100.0,
+                4,
+            ).alias("rel_error_pct"),
+        )
+    )
+
+
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (``quality.py:two_proportion_audit``):
+    arm = the deterministic assignment hash ``props.k % 2``, success =
+    purchase events. Integer counts end-to-end; the pooled two-
+    proportion z is the single textbook double expression both engines
+    evaluate (round 6). Hash-oracled."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.quality import (
+        two_proportion_audit,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    armed = events.select(
+        F.pmod(F.get_json_object("props", "$.k").cast("long"), F.lit(2))
+        .cast("int")
+        .alias("arm"),
+        (F.col("event_type") == "purchase").alias("converted"),
+    ).filter(F.col("arm").isNotNull())
+    return two_proportion_audit(armed, arm_col="arm", success_col="converted")
+
+
+SQL_EVENTS_AB_TEST = """
+WITH armed AS (
+  SELECT CAST(((CAST(json_extract_string(props, '$.k') AS BIGINT) % 2) + 2) % 2
+              AS INTEGER) AS arm,
+         event_type = 'purchase' AS converted
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+), arms AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(CASE WHEN converted THEN 1 END), 0) AS BIGINT) AS c
+  FROM armed GROUP BY 1
+), f AS (
+  SELECT MIN(arm) AS arm_a, MAX(arm) AS arm_b,
+         MIN_BY(n, arm) AS n_a, MAX_BY(n, arm) AS n_b,
+         MIN_BY(c, arm) AS conv_a, MAX_BY(c, arm) AS conv_b,
+         COUNT(*) AS k
+  FROM arms
+)
+SELECT CASE WHEN k = 2 THEN arm_a END AS arm_a,
+       CASE WHEN k = 2 THEN arm_b END AS arm_b,
+       n_a, n_b, conv_a, conv_b,
+       CAST(conv_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+       CAST(conv_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+       CASE WHEN k = 2 THEN ROUND(
+         (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+         / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 / n_a + 1.0 / n_b)), 6) END AS z_score,
+       CASE WHEN k = 2 THEN ABS(ROUND(
+         (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+         / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 / n_a + 1.0 / n_b)), 6)) >= 1.959964 END AS significant
+FROM f
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -4639,6 +4768,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap": q_source_overlap,
     "events_decile_drift": q_events_decile_drift,
     "erasure_cascade": q_erasure_cascade,
+    "rolling_active_users": q_rolling_active_users,
+    "rolling_active_users_hll": q_rolling_active_users_hll,
+    "events_ab_test": q_events_ab_test,
     "stratified_sample": q_stratified_sample,
     "mixture_sample": q_mixture_sample,
     "dedup_edit_distance": q_dedup_edit_distance,
@@ -4740,6 +4872,11 @@ PIPELINE_ORACLES: dict[str, str] = {
     "source_overlap": SQL_SOURCE_OVERLAP,
     "events_decile_drift": SQL_EVENTS_DECILE_DRIFT,
     "erasure_cascade": SQL_ERASURE_CASCADE,
+    "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
+    # rolling_active_users_hll: approximate by design — rows-only for
+    # the driver; SELF_AUDITS bounds rel_error_pct vs the exact twin
+    # computed in the same plan.
+    "events_ab_test": SQL_EVENTS_AB_TEST,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "dedup_edit_distance": SQL_DEDUP_EDIT_DISTANCE,

@@ -387,3 +387,65 @@ def decile_drift(
             .alias("gap_ppm"),
         )
     )
+
+
+def two_proportion_audit(
+    df: DataFrame,
+    *,
+    arm_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Two-proportion z-test between exactly two experiment arms — the
+    A/B-test readout (is arm B's conversion rate a real lift or
+    noise?). ``success_col`` is a boolean column; the input must carry
+    exactly TWO distinct arm values (raises post-aggregation
+    otherwise via the NULL-armed output contract below).
+
+    One map-combined aggregate to the 2-row arm table, folded to a
+    single verdict row (arms ordered by label so the sign of the lift
+    is deterministic). Counts stay integers end-to-end; the pooled
+    z-statistic is the textbook expression evaluated ONCE over those
+    integers —
+
+        z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b))
+
+    — the identical IEEE double expression the oracle replays (round
+    6), so the verdict is hash-comparable. Rates are also reported as
+    exact ppm integers.
+
+    Returns one row: ``(arm_a, arm_b, n_a, n_b, conv_a, conv_b,
+    rate_a_ppm, rate_b_ppm, z_score, significant)`` with
+    ``significant = |z| ≥ 1.959964`` (two-sided 5%).
+    """
+    arms = df.groupBy(F.col(arm_col).alias("__arm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.coalesce(F.sum(F.when(F.col(success_col), 1)), F.lit(0))
+        .cast("bigint")
+        .alias("__c"),
+    )
+    row = F.struct(F.col("__arm"), F.col("__n"), F.col("__c"))
+    folded = arms.agg(
+        F.min(row).alias("__a"),
+        F.max(row).alias("__b"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    z = F.expr(
+        "(CAST(__a.__c AS DOUBLE) / __a.__n - CAST(__b.__c AS DOUBLE) / __b.__n)"
+        " / sqrt((CAST(__a.__c + __b.__c AS DOUBLE) / (__a.__n + __b.__n))"
+        " * (1.0D - CAST(__a.__c + __b.__c AS DOUBLE) / (__a.__n + __b.__n))"
+        " * (1.0D / __a.__n + 1.0D / __b.__n))"
+    )
+    return folded.select(
+        F.when(F.col("__k") == 2, F.col("__a.__arm")).alias("arm_a"),
+        F.when(F.col("__k") == 2, F.col("__b.__arm")).alias("arm_b"),
+        F.col("__a.__n").alias("n_a"),
+        F.col("__b.__n").alias("n_b"),
+        F.col("__a.__c").alias("conv_a"),
+        F.col("__b.__c").alias("conv_b"),
+        F.expr("__a.__c * 1000000 DIV __a.__n").cast("bigint").alias("rate_a_ppm"),
+        F.expr("__b.__c * 1000000 DIV __b.__n").cast("bigint").alias("rate_b_ppm"),
+        F.when(F.col("__k") == 2, F.round(z, 6)).alias("z_score"),
+        F.when(F.col("__k") == 2, F.abs(F.round(z, 6)) >= 1.959964).alias(
+            "significant"
+        ),
+    )

@@ -27,6 +27,7 @@ __all__ = [
     "exact_group_mad",
     "exact_group_percentiles",
     "hll_distinct_rollup",
+    "hll_sliding_distinct",
     "kll_value_quantiles",
     "percentile_bridge",
     "theta_set_overlap",
@@ -522,3 +523,60 @@ def exact_group_mad(
         )
     )
     return out
+
+
+def hll_sliding_distinct(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    bin_minutes: int = 60,
+    window_bins: int = 24,
+    lgk: int = 12,
+) -> DataFrame:
+    """HLL twin of ``timeseries.py:sliding_distinct_counts`` — the
+    100 TB configuration of "distinct keys per sliding window": ONE
+    HLL sketch per time bin (the only fact-scaled aggregate, mergeable
+    map-side), then each window UNIONS its ``window_bins`` bin
+    sketches — the mergeability that makes sliding distinct O(bins)
+    sketch rows instead of the exact twin's (key × bin × W) expansion.
+    The shuffle after the bin aggregate carries ``bins × W`` sketches
+    of ~2^lgk bytes, independent of key cardinality.
+
+    Same window labeling/support contract as the exact twin, so the
+    two frames join 1:1 on ``window_end``; the carrying query is
+    machine-audited against the exact twin (relative error within the
+    HLL envelope for 2^lgk buckets) rather than hash-oracled —
+    approximate by design.
+
+    Returns ``(window_end timestamp, est_keys bigint)``.
+    """
+    if bin_minutes < 1:
+        raise ValueError(f"bin_minutes must be >= 1, got {bin_minutes}")
+    if window_bins < 1:
+        raise ValueError(f"window_bins must be >= 1, got {window_bins}")
+    bin_us = int(bin_minutes) * 60_000_000
+    per_bin = (
+        df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(F.expr(f"unix_micros({ts_col}) DIV {bin_us}").alias("__bin"))
+        .agg(F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("__sk"))
+    )
+    bounds = per_bin.agg(F.max("__bin").alias("__mx"))
+    fanned = per_bin.select(
+        "__sk",
+        F.explode(
+            F.sequence(F.col("__bin"), F.col("__bin") + F.lit(window_bins - 1))
+        ).alias("__win"),
+    ).join(F.broadcast(bounds), F.col("__win") <= F.col("__mx"))
+    return (
+        fanned.groupBy("__win")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("__sk")))
+            .cast("bigint")
+            .alias("est_keys")
+        )
+        .select(
+            F.timestamp_micros(F.expr(f"__win * {bin_us}")).alias("window_end"),
+            "est_keys",
+        )
+    )

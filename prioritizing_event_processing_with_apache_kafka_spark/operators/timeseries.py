@@ -31,6 +31,7 @@ __all__ = [
     "grouped_ols_trend",
     "m4_downsample",
     "binned_acf",
+    "sliding_distinct_counts",
 ]
 
 
@@ -611,4 +612,115 @@ def binned_acf(
         )
     return out.select(
         series_col, "n_bins", *[f"acf{k}_ppm" for k in lags]
+    )
+
+
+def sliding_distinct_counts(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    bin_minutes: int = 60,
+    window_bins: int = 24,
+) -> DataFrame:
+    """EXACT distinct keys per sliding window ("active users in the
+    trailing 24 h, hourly") — the op naive plans get catastrophically
+    wrong at scale: a distinct-count window aggregate buffers every
+    key per frame, re-scanning per window is W scans, and even the
+    textbook presence fan-out multiplies the shuffle by W (measured
+    6x wall at 100x before this design).
+
+    This is the interval-delta (sweep-line) formulation, O(presence)
+    with NO W-factor anywhere:
+
+    1. collapse the fact table to the DISTINCT (key, bin) presence
+       table — the only row-scaled exchange, map-side combinable;
+    2. per key, each presence covers the window interval
+       ``[bin, bin+W−1]``; consecutive presences closer than W overlap,
+       so a per-key ordered window merges them into disjoint covered
+       intervals (gap-flag cumulative — one key-partitioned window over
+       presence-sized data);
+    3. each merged interval emits two delta rows (``start:+1``,
+       ``end+1:−1``); one bin-sized aggregate nets them, and a single
+       cumulative sum over the bin spine (bounded by the time horizon,
+       not data volume) reads off every window's exact count.
+
+    The DuckDB oracle deliberately replays the NAIVE fan-out spec
+    (presence × W, dedup, count) — hash equality proves the sweep-line
+    plan computes exactly the textbook definition.
+
+    Windows are labeled by their END bin start (micros lattice) and
+    reported only inside observed support (``window_end ≤ max bin``,
+    count > 0); a window's frame is bins ``[end−W+1, end]``.
+
+    Returns ``(window_end timestamp, active_keys bigint)`` — the exact
+    ground truth its HLL twin (``sketches.py:hll_sliding_distinct``)
+    is audited against.
+    """
+    if bin_minutes < 1:
+        raise ValueError(f"bin_minutes must be >= 1, got {bin_minutes}")
+    if window_bins < 1:
+        raise ValueError(f"window_bins must be >= 1, got {window_bins}")
+    bin_us = int(bin_minutes) * 60_000_000
+    W = int(window_bins)
+    presence = (
+        df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col).alias("__k"),
+            F.expr(f"unix_micros({ts_col}) DIV {bin_us}").alias("__bin"),
+        )
+        .distinct()
+    )
+    wk = Window.partitionBy("__k").orderBy("__bin")
+    grouped = presence.withColumn(
+        "__new",
+        F.when(
+            F.col("__bin") - F.lag("__bin").over(wk) >= W, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn("__grp", F.sum("__new").over(wk))
+    intervals = grouped.groupBy("__k", "__grp").agg(
+        F.min("__bin").alias("__s"),
+        (F.max("__bin") + F.lit(W - 1)).alias("__e"),
+    )
+    bounds = presence.agg(
+        F.min("__bin").alias("__mn"), F.max("__bin").alias("__mx")
+    )
+    deltas = (
+        intervals.join(F.broadcast(bounds))
+        .select(
+            F.col("__s").alias("__win"),
+            F.lit(1).alias("__d"),
+            "__mx",
+        )
+        .unionByName(
+            intervals.join(F.broadcast(bounds)).select(
+                (F.least(F.col("__e"), F.col("__mx")) + 1).alias("__win"),
+                F.lit(-1).alias("__d"),
+                "__mx",
+            )
+        )
+        .filter(F.col("__win") <= F.col("__mx"))
+        .groupBy("__win")
+        .agg(F.sum("__d").cast("bigint").alias("__net"))
+    )
+    # Cumulative sum over the bin spine: bounded by the horizon (a year
+    # of hourly bins is 8 760 rows), so the single-partition window is
+    # a deliberate, sized choice — not a data-scaled funnel.
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("__mn"), F.col("__mx"))).alias("__win")
+    )
+    wcum = Window.orderBy("__win").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(deltas, "__win", "left")
+        .withColumn(
+            "active_keys",
+            F.sum(F.coalesce(F.col("__net"), F.lit(0))).over(wcum),
+        )
+        .filter(F.col("active_keys") > 0)
+        .select(
+            F.timestamp_micros(F.expr(f"__win * {bin_us}")).alias(
+                "window_end"
+            ),
+            F.col("active_keys").cast("bigint").alias("active_keys"),
+        )
     )

@@ -313,6 +313,9 @@ def _audit_est_exact_pairs(pairs: list[tuple[str, str]], bound_pct: float):
 
 SELF_AUDITS = {
     "approx_distinct_users": _audit_abs_max("rel_error_pct", 6.0),
+    # HLL sliding-window twin: est vs the exact presence-expansion twin
+    # joined in the same plan; lgk=12 -> ~1.6% std err, bound 6%.
+    "rolling_active_users_hll": _audit_abs_max("rel_error_pct", 6.0),
     "approx_value_percentiles": _audit_abs_max("max_rel_error_pct", 5.0),
     "bucket_user_reach_hll": _audit_abs_max("rel_error_pct", 3.0),
     "user_overlap_theta": _audit_est_exact_pairs(

@@ -210,6 +210,14 @@ GUARDED = [
     "source_overlap",
     "events_decile_drift",
     "erasure_cascade",
+    # round 8 sixth batch: the exact sliding distinct must keep the
+    # presence-collapse-then-expand shape (a distinct-count WINDOW
+    # aggregate is the regression); the HLL twin is two aggregates
+    # (bin sketches, window unions) + the exact twin's subtree for the
+    # in-plan audit; the A/B readout is two aggregates to one row.
+    "rolling_active_users",
+    "rolling_active_users_hll",
+    "events_ab_test",
 ]
 
 # The streaming headline queries above are fingerprinted twice: the

@@ -141,6 +141,13 @@ PROBED = [
     "source_overlap",
     "events_decile_drift",
     "erasure_cascade",
+    # round 8 sixth batch: exact sliding distinct (post-presence state
+    # is keys x bins x W), HLL twin (post-bin state is bins x W
+    # sketches — expected flatter than the exact twin), A/B readout
+    # (2-row aggregate).
+    "rolling_active_users",
+    "rolling_active_users_hll",
+    "events_ab_test",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
