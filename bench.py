@@ -144,6 +144,9 @@ HEADLINE = [
     "rolling_active_users",
     "rolling_active_users_hll",
     "events_ab_test",
+    # round 8, seventh batch: real RIFF/WAVE PCM decode + integer
+    # signal features in Arrow-batched mapInPandas.
+    "multimodal_audio_decode",
 ]
 
 

@@ -4722,6 +4722,49 @@ FROM f
 """
 
 
+# --------------------------------------------------------------------------
+# Round-8 seventh batch: real audio decode (closing the WAV half of the
+# codec seam, as round 8 closed JPEG).
+
+
+def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: deterministic 16-bit mono PCM WAV
+    payloads synthesized per document (full RIFF container), decoded
+    back by the pure-numpy chunk-walking parser in
+    ``operators/multimodal.py:decode_wav`` and reduced to container
+    metadata + integer signal features (sum/max amplitude, zero
+    crossings) inside Arrow-batched ``mapInPandas``. The sample
+    lattice is a pure function of doc_id (s[i] = (doc_id·31 + i·17)
+    mod 2¹⁶ − 2¹⁵), so the DuckDB oracle recomputes every feature
+    arithmetically — a header-offset bug, endianness flip, or padding
+    mistake in the decoder breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.decode_audio_features(M.synth_audio_blobs(docs))
+
+
+SQL_MULTIMODAL_AUDIO_DECODE = """
+WITH d AS (
+  SELECT doc_id, 64 + doc_id % 65 AS n FROM documents
+), s AS (
+  SELECT d.doc_id, d.n, g.i,
+         ((d.doc_id * 31 + g.i * 17) % 65536) - 32768 AS v
+  FROM d CROSS JOIN generate_series(0, 127) AS g(i)
+  WHERE g.i < d.n
+)
+SELECT doc_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(16 AS INTEGER) AS bits_per_sample,
+       CAST(MAX(n) AS INTEGER) AS n_samples,
+       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+       CAST(MAX(ABS(v)) AS BIGINT) AS max_abs,
+       CAST(SUM(CASE WHEN i > 0 AND
+                     (((doc_id * 31 + (i - 1) * 17) % 65536) - 32768) * v < 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM s GROUP BY doc_id
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -4768,6 +4811,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap": q_source_overlap,
     "events_decile_drift": q_events_decile_drift,
     "erasure_cascade": q_erasure_cascade,
+    "multimodal_audio_decode": q_multimodal_audio_decode,
     "rolling_active_users": q_rolling_active_users,
     "rolling_active_users_hll": q_rolling_active_users_hll,
     "events_ab_test": q_events_ab_test,
@@ -4872,6 +4916,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "source_overlap": SQL_SOURCE_OVERLAP,
     "events_decile_drift": SQL_EVENTS_DECILE_DRIFT,
     "erasure_cascade": SQL_ERASURE_CASCADE,
+    "multimodal_audio_decode": SQL_MULTIMODAL_AUDIO_DECODE,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
     # rolling_active_users_hll: approximate by design — rows-only for
     # the driver; SELF_AUDITS bounds rel_error_pct vs the exact twin

@@ -49,6 +49,11 @@ __all__ = [
     "resize_payloads",
     "sample_frames",
     "synth_image_blobs",
+    "encode_wav",
+    "decode_wav",
+    "synth_audio_blobs",
+    "decode_audio_features",
+    "AUDIO_FEATURE_SCHEMA",
     "FEATURE_SCHEMA",
     "IMAGE_FEATURE_SCHEMA",
     "RESIZE_SCHEMA",
@@ -740,3 +745,146 @@ def decode_image_features(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio: REAL RIFF/WAVE PCM codec (pure struct + numpy — no codec libs).
+# Closes the audio half of the decode seam the same way the image codecs
+# did: uncompressed PCM is fully specified by the RIFF container, so a
+# byte-exact encoder/decoder pair is stdlib-expressible. Compressed audio
+# (MP3/AAC/Opus) stays behind decode_stub's honest NotImplementedError.
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_channels", T.IntegerType(), False),
+        T.StructField("bits_per_sample", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("sum_abs", T.LongType(), False),
+        T.StructField("max_abs", T.LongType(), False),
+        T.StructField("zero_crossings", T.LongType(), False),
+    ]
+)
+
+
+def encode_wav(samples: np.ndarray, *, sample_rate: int = 8000) -> bytes:
+    """Encode a mono int16 sample vector as a canonical RIFF/WAVE file
+    (PCM format 1, 16-bit little-endian)."""
+    if samples.dtype != np.int16:
+        raise ValueError(f"int16 samples required, got {samples.dtype}")
+    data = samples.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a RIFF/WAVE payload to ``(sample_rate, int16 samples)``.
+
+    A REAL chunk-walking parser, not a fixed-offset slice: RIFF files
+    may carry LIST/fact/cue chunks (with odd-length padding) before
+    ``data``, and a decoder that assumes byte 44 silently misreads
+    them. PCM (format 1) 16-bit mono only — anything else raises
+    (compressed formats via ``NotImplementedError``: that's the
+    documented codec seam; structural corruption via ``ValueError``).
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt_fields = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError(f"fmt chunk too short: {clen}")
+            fmt_fields = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt_fields is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt_fields
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"compressed WAVE format {audio_format} not implemented "
+            "(PCM only — the documented codec seam)"
+        )
+    if bits != 16 or n_channels != 1:
+        raise NotImplementedError(
+            f"only 16-bit mono PCM implemented, got {bits}-bit "
+            f"x{n_channels}"
+        )
+    return sample_rate, np.frombuffer(data, dtype="<i2")
+
+
+def _synth_samples(doc_id: int) -> np.ndarray:
+    """Deterministic int16 sample vector for ``doc_id`` — a full-range
+    integer lattice walk, so every decoded feature is SQL-recomputable:
+    ``s[i] = ((doc_id*31 + i*17) % 65536) − 32768``."""
+    n = 64 + doc_id % 65
+    i = np.arange(n, dtype=np.int64)
+    return ((doc_id * 31 + i * 17) % 65536 - 32768).astype(np.int16)
+
+
+def synth_audio_blobs(documents: DataFrame) -> DataFrame:
+    """One deterministic mono PCM WAV payload per document row
+    (Arrow-batched ``mapInPandas`` — generation is partition-parallel
+    like real ingest)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                ids.append(doc_id)
+                payloads.append(encode_wav(_synth_samples(int(doc_id))))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "format": ["audio/wav"] * len(ids),
+                    "payload": payloads,
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        batches,
+        schema="doc_id long, format string, payload binary",
+    )
+
+
+def decode_audio_features(blobs: DataFrame) -> DataFrame:
+    """REAL WAV decode + integer signal features per payload, inside
+    Arrow-batched ``mapInPandas``: container metadata (rate, channels,
+    bit depth), ``sum_abs``/``max_abs`` amplitude stats and the
+    zero-crossing count (signal(i−1)·signal(i) < 0) — all pure integer
+    arithmetic, so the carrying query is hash-oracled against a DuckDB
+    replay of the synth lattice."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in AUDIO_FEATURE_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, s = decode_wav(bytes(payload))
+                s64 = s.astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(1)
+                out["bits_per_sample"].append(16)
+                out["n_samples"].append(len(s64))
+                out["sum_abs"].append(int(np.abs(s64).sum()))
+                out["max_abs"].append(int(np.abs(s64).max()))
+                out["zero_crossings"].append(
+                    int((s64[:-1] * s64[1:] < 0).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)

@@ -138,3 +138,93 @@ class TestTwoProportionAudit:
             self._armed(spark, rows), arm_col="arm", success_col="converted"
         ).first()
         assert r["arm_a"] is None and r["z_score"] is None
+
+
+class TestWavCodec:
+    """Round-trip + contract tests for the RIFF/WAVE PCM codec (the
+    audio half of the multimodal seam, closed in round 8)."""
+
+    def _samples(self, n=50, seed=3):
+        import numpy as np
+
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.multimodal import (
+            _synth_samples,
+        )
+
+        return _synth_samples(seed)[:n]
+
+    def test_roundtrip(self):
+        import numpy as np
+
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+
+        s = self._samples()
+        rate, out = decode_wav(encode_wav(s, sample_rate=16000))
+        assert rate == 16000
+        assert np.array_equal(s, out)
+
+    def test_chunk_walking_skips_list_chunk(self):
+        # A LIST chunk (odd length -> padded) between fmt and data must
+        # be walked over, not misread as sample data.
+        import numpy as np
+
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+
+        s = self._samples()
+        raw = encode_wav(s)
+        fmt_end = 12 + 8 + 16
+        lst = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+        patched = raw[:fmt_end] + lst + raw[fmt_end:]
+        patched = (
+            b"RIFF" + (len(patched) - 8).to_bytes(4, "little") + patched[8:]
+        )
+        rate, out = decode_wav(patched)
+        assert np.array_equal(s, out)
+
+    def test_compressed_format_is_the_documented_seam(self):
+        import struct
+
+        import pytest as _pytest
+
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+
+        raw = bytearray(encode_wav(self._samples()))
+        # flip audio_format (offset: RIFF(12) + 'fmt '+len(8) = 20)
+        struct.pack_into("<H", raw, 20, 85)  # MP3
+        with _pytest.raises(NotImplementedError, match="PCM only"):
+            decode_wav(bytes(raw))
+
+    def test_corrupt_payload_raises_value_error(self):
+        import pytest as _pytest
+
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.multimodal import (
+            decode_wav,
+        )
+
+        with _pytest.raises(ValueError):
+            decode_wav(b"not a wave file at all....")
+
+    def test_features_hand_case(self, spark):
+        # doc_id 0: s[i] = (17*i) % 65536 - 32768 for i in 0..63 — all
+        # negative (17*63 = 1071 < 32768), so zero crossings = 0 and
+        # sum_abs = sum(32768 - 17*i).
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.multimodal import (
+            decode_audio_features,
+            synth_audio_blobs,
+        )
+
+        docs = spark.createDataFrame([(0,)], "doc_id long")
+        r = decode_audio_features(synth_audio_blobs(docs)).first()
+        assert r["n_samples"] == 64
+        assert r["sum_abs"] == sum(32768 - 17 * i for i in range(64))
+        assert r["max_abs"] == 32768
+        assert r["zero_crossings"] == 0

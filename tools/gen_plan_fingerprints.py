@@ -218,6 +218,9 @@ GUARDED = [
     "rolling_active_users",
     "rolling_active_users_hll",
     "events_ab_test",
+    # round 8 seventh batch: synth + decode are two chained
+    # mapInPandas stages over one scan — zero exchanges is the pin.
+    "multimodal_audio_decode",
 ]
 
 # The streaming headline queries above are fingerprinted twice: the

@@ -148,6 +148,9 @@ PROBED = [
     "rolling_active_users",
     "rolling_active_users_hll",
     "events_ab_test",
+    # round 8 seventh batch: WAV decode — pure map-side Arrow stages,
+    # expected ~linear in docs with no shuffle at all.
+    "multimodal_audio_decode",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
