@@ -86,6 +86,7 @@ _DRIVER_HEAD = [
     # round-8 seventh batch (zero draws): real WAV decode closing the
     # audio half of the codec seam — hash-oracled.
     "multimodal_audio_decode",
+    "multimodal_video_decode",
     # --- round-8 rotation (VERDICT r7 item 6: driver-draw freshness).
     # The round-7 zero-draw batches all got their confirmation draw in
     # CORRECTNESS_r07; this round fronts (a) the STALEST hash-oracled

@@ -147,6 +147,7 @@ HEADLINE = [
     # round 8, seventh batch: real RIFF/WAVE PCM decode + integer
     # signal features in Arrow-batched mapInPandas.
     "multimodal_audio_decode",
+    "multimodal_video_decode",
 ]
 
 

@@ -4765,6 +4765,54 @@ FROM s GROUP BY doc_id
 """
 
 
+def q_multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end: deterministic uncompressed-DIB
+    AVI payloads per document (full RIFF container — hdrl/strl stream
+    headers + movi frame chunks), decoded by the list-walking parser
+    in ``operators/multimodal.py:decode_avi`` and reduced to container
+    dims, exact per-channel sums across all frames, and the total
+    absolute frame-to-frame delta (the motion statistic) — all inside
+    Arrow-batched ``mapInPandas``. Frames follow the image lattice
+    with a per-frame phase shift (r = (doc_id + 7f + i) mod 256,
+    g = 255−r, b = (doc_id+f) mod 256), so the DuckDB oracle
+    recomputes every feature arithmetically. The MJPG variant of the
+    same container decodes through the baseline JPEG codec
+    (round-trip-tested with its error envelope in unit tests)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.decode_video_features(M.synth_video_blobs(docs))
+
+
+SQL_MULTIMODAL_VIDEO_DECODE = """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+         2 + doc_id % 3 AS nf
+  FROM documents
+), px AS (
+  SELECT d.doc_id, d.w, d.h, d.nf, f.f, g.i,
+         (d.doc_id + 7 * f.f + g.i) % 256 AS r,
+         (d.doc_id + f.f) % 256 AS b,
+         CASE WHEN f.f > 0 THEN
+           ABS((d.doc_id + 7 * f.f + g.i) % 256
+               - (d.doc_id + 7 * (f.f - 1) + g.i) % 256) END AS dr,
+         CASE WHEN f.f > 0 THEN
+           ABS((d.doc_id + f.f) % 256 - (d.doc_id + f.f - 1) % 256) END AS db
+  FROM d
+  CROSS JOIN generate_series(0, 3) AS f(f)
+  CROSS JOIN generate_series(0, 47) AS g(i)
+  WHERE f.f < d.nf AND g.i < d.w * d.h
+)
+SELECT doc_id,
+       CAST(MAX(w) AS INTEGER) AS width,
+       CAST(MAX(h) AS INTEGER) AS height,
+       CAST(MAX(nf) AS INTEGER) AS n_frames,
+       CAST(SUM(r) AS BIGINT) AS r_sum,
+       CAST(SUM(255 - r) AS BIGINT) AS g_sum,
+       CAST(SUM(b) AS BIGINT) AS b_sum,
+       CAST(COALESCE(SUM(2 * dr + db), 0) AS BIGINT) AS frame_delta_abs
+FROM px GROUP BY doc_id
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -4812,6 +4860,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_decile_drift": q_events_decile_drift,
     "erasure_cascade": q_erasure_cascade,
     "multimodal_audio_decode": q_multimodal_audio_decode,
+    "multimodal_video_decode": q_multimodal_video_decode,
     "rolling_active_users": q_rolling_active_users,
     "rolling_active_users_hll": q_rolling_active_users_hll,
     "events_ab_test": q_events_ab_test,
@@ -4917,6 +4966,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "events_decile_drift": SQL_EVENTS_DECILE_DRIFT,
     "erasure_cascade": SQL_ERASURE_CASCADE,
     "multimodal_audio_decode": SQL_MULTIMODAL_AUDIO_DECODE,
+    "multimodal_video_decode": SQL_MULTIMODAL_VIDEO_DECODE,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
     # rolling_active_users_hll: approximate by design — rows-only for
     # the driver; SELF_AUDITS bounds rel_error_pct vs the exact twin

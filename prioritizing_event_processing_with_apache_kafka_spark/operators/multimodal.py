@@ -13,10 +13,15 @@ scanline filters unfiltered in numpy), and baseline sequential JPEG
 optimized Huffman tables; round-trips are LOSSY by the format's
 design, so its query self-audits an error envelope instead of exact
 channel sums) — each round-trip-tested against the matching encoder.
-Audio/video still route through ``decode_stub``'s explicit
-``NotImplementedError`` seam: the container ships no codec libraries,
-and a half-real ffmpeg would be worse than an honest boundary.
-``extract_features``
+Audio and video containers are ALSO real as of round 8: RIFF/WAVE
+16-bit mono PCM (``encode_wav``/``decode_wav``, chunk-walking parser)
+and RIFF/AVI with uncompressed-DIB or MJPG frames
+(``encode_avi``/``decode_avi`` — MJPG decodes through the baseline
+JPEG codec). What stays behind an honest ``NotImplementedError`` is
+exactly the entropy-coded codec families a container can't specify
+away (MP3/AAC/Opus audio, inter-frame video codecs): the container
+ships no codec libraries, and a half-real ffmpeg would be worse than
+an honest boundary. ``extract_features``
 additionally computes a byte-level feature set for ANY payload, so the
 Spark-side plumbing — binary schema, Arrow batch shapes,
 partition-parallel UDF execution, metadata passthrough — is exercised
@@ -54,6 +59,11 @@ __all__ = [
     "synth_audio_blobs",
     "decode_audio_features",
     "AUDIO_FEATURE_SCHEMA",
+    "encode_avi",
+    "decode_avi",
+    "synth_video_blobs",
+    "decode_video_features",
+    "VIDEO_FEATURE_SCHEMA",
     "FEATURE_SCHEMA",
     "IMAGE_FEATURE_SCHEMA",
     "RESIZE_SCHEMA",
@@ -888,3 +898,234 @@ def decode_audio_features(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return blobs.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: REAL RIFF/AVI container codec. Uncompressed DIB ('00db') frames
+# are fully specified (the BMP raster layout inside an AVI stream), so
+# the whole path — container walk, stream headers, per-frame raster — is
+# byte-exact and hash-oracle-able. MJPEG ('00dc') frames decode through
+# operators/jpeg.py's baseline decoder (same container, lossy payload —
+# round-trip-tested with the JPEG error envelope rather than oracled).
+# Any other compression stays behind an honest NotImplementedError.
+
+VIDEO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("r_sum", T.LongType(), False),
+        T.StructField("g_sum", T.LongType(), False),
+        T.StructField("b_sum", T.LongType(), False),
+        T.StructField("frame_delta_abs", T.LongType(), False),
+    ]
+)
+
+
+def _dib_raster(arr: np.ndarray) -> bytes:
+    """The BMP-style raster for one frame: bottom-up rows, BGR order,
+    rows padded to 4-byte multiples (what an AVI '00db' chunk holds)."""
+    h, w, _ = arr.shape
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    bgr = np.ascontiguousarray(arr[::-1, :, ::-1], dtype=np.uint8)
+    if pad == 0:
+        return bgr.tobytes()
+    rows = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+    rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+    return rows.tobytes()
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return b"LIST" + struct.pack("<I", 4 + len(body)) + list_type + body
+
+
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    out = cid + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        out += b"\x00"  # RIFF word alignment
+    return out
+
+
+def encode_avi(
+    frames: list[np.ndarray], *, fps: int = 10, codec: str = "DIB"
+) -> bytes:
+    """Encode (H, W, 3) uint8 RGB frames as a canonical RIFF/AVI file.
+
+    ``codec='DIB'`` writes uncompressed bottom-up BGR rasters ('00db'
+    chunks — byte-exact); ``codec='MJPG'`` writes one baseline JPEG per
+    frame ('00dc' chunks, via ``operators/jpeg.py``)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w, _ = frames[0].shape
+    if any(f.shape != (h, w, 3) for f in frames):
+        raise ValueError("all frames must share one (H, W, 3) shape")
+    if codec == "DIB":
+        payloads = [_dib_raster(f) for f in frames]
+        cid, handler, compression = b"00db", b"DIB ", 0
+    elif codec == "MJPG":
+        from .jpeg import encode_jpeg
+
+        payloads = [encode_jpeg(f) for f in frames]
+        cid, handler, compression = b"00dc", b"MJPG", 0x47504A4D  # 'MJPG'
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIhhhh",
+        b"vids", handler, 0, 0, 0, 0, 1, fps, 0, len(frames),
+        max(len(p) for p in payloads), 0, 0, 0, int(w), int(h),
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression,
+        len(payloads[0]), 2835, 2835, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(cid, p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _walk_riff(payload: bytes, pos: int, end: int):
+    """Yield (chunk_id, list_type_or_None, body_start, body_len)."""
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid in (b"LIST", b"RIFF"):
+            yield cid, payload[pos + 8 : pos + 12], pos + 12, clen - 4
+        else:
+            yield cid, None, pos + 8, clen
+        pos += 8 + clen + (clen & 1)
+
+
+def decode_avi(payload: bytes) -> list[np.ndarray]:
+    """Decode a RIFF/AVI payload to its frames as (H, W, 3) uint8 RGB
+    arrays — a REAL list-walking parser: the stream format comes from
+    'strf' inside LIST hdrl/strl, the frames from '00db'/'00dc' chunks
+    inside LIST movi (word-aligned, in any surrounding chunk order).
+    Uncompressed 24-bit DIB and MJPG are implemented; any other
+    compression raises the documented NotImplementedError seam."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    strf = None
+    frame_chunks: list[tuple[bytes, bytes]] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal strf
+        for cid, ltype, bstart, blen in _walk_riff(payload, pos, end):
+            if cid in (b"LIST", b"RIFF"):
+                walk(bstart, bstart + blen)
+            elif cid == b"strf" and strf is None:
+                strf = payload[bstart : bstart + blen]
+            elif cid[2:] in (b"db", b"dc"):
+                frame_chunks.append((cid, payload[bstart : bstart + blen]))
+
+    walk(12, len(payload))
+    if strf is None:
+        raise ValueError("missing strf stream format")
+    if not frame_chunks:
+        raise ValueError("no frame chunks in movi")
+    _, w, h_signed, _, bpp, compression = struct.unpack_from("<IiiHHI", strf, 0)
+    h = abs(h_signed)
+    frames = []
+    for cid, body in frame_chunks:
+        if cid[2:] == b"dc":
+            from .jpeg import decode_jpeg
+
+            frames.append(decode_jpeg(body))
+            continue
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError(
+                f"only 24-bit uncompressed DIB / MJPG frames implemented "
+                f"(got bpp={bpp}, compression={compression:#x})"
+            )
+        row_bytes = w * 3
+        stride = row_bytes + (4 - row_bytes % 4) % 4
+        if len(body) < stride * h:
+            raise ValueError("frame raster truncated")
+        rows = np.frombuffer(body[: stride * h], dtype=np.uint8).reshape(
+            h, stride
+        )[:, :row_bytes]
+        bgr = rows.reshape(h, w, 3)
+        if h_signed > 0:
+            bgr = bgr[::-1]
+        frames.append(bgr[:, :, ::-1].copy())
+    return frames
+
+
+def _synth_frames(doc_id: int) -> list[np.ndarray]:
+    """Deterministic frame stack for ``doc_id``: the image lattice with
+    a per-frame phase shift of 7 — every channel sum and the
+    frame-to-frame delta are SQL-recomputable."""
+    w = 4 + doc_id % 5
+    h = 3 + doc_id % 4
+    n_frames = 2 + doc_id % 3
+    i = np.arange(w * h, dtype=np.int64)
+    out = []
+    for f in range(n_frames):
+        r = ((doc_id + 7 * f + i) % 256).astype(np.uint8)
+        g = (255 - r.astype(np.int64)).astype(np.uint8)
+        b = np.full(w * h, (doc_id + f) % 256, dtype=np.uint8)
+        out.append(np.stack([r, g, b], axis=1).reshape(h, w, 3))
+    return out
+
+
+def synth_video_blobs(documents: DataFrame) -> DataFrame:
+    """One deterministic uncompressed-DIB AVI payload per document row
+    (Arrow-batched ``mapInPandas``)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                ids.append(doc_id)
+                payloads.append(encode_avi(_synth_frames(int(doc_id))))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "format": ["video/avi"] * len(ids),
+                    "payload": payloads,
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        batches,
+        schema="doc_id long, format string, payload binary",
+    )
+
+
+def decode_video_features(blobs: DataFrame) -> DataFrame:
+    """REAL AVI decode + integer video features per payload: container
+    dims/frame count, exact per-channel pixel sums across ALL frames,
+    and the total absolute frame-to-frame delta (the motion statistic a
+    frame-sampling curriculum keys on) — all integers, hash-oracled."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in VIDEO_FEATURE_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = decode_avi(bytes(payload))
+                stack = np.stack(frames).astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["height"].append(stack.shape[1])
+                out["width"].append(stack.shape[2])
+                out["n_frames"].append(stack.shape[0])
+                out["r_sum"].append(int(stack[:, :, :, 0].sum()))
+                out["g_sum"].append(int(stack[:, :, :, 1].sum()))
+                out["b_sum"].append(int(stack[:, :, :, 2].sum()))
+                out["frame_delta_abs"].append(
+                    int(np.abs(np.diff(stack, axis=0)).sum())
+                    if stack.shape[0] > 1
+                    else 0
+                )
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(batches, schema=VIDEO_FEATURE_SCHEMA)

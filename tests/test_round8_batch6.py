@@ -228,3 +228,97 @@ class TestWavCodec:
         assert r["sum_abs"] == sum(32768 - 17 * i for i in range(64))
         assert r["max_abs"] == 32768
         assert r["zero_crossings"] == 0
+
+
+class TestAviCodec:
+    """Round-trip + contract tests for the RIFF/AVI video codec (the
+    video half of the multimodal seam, closed in round 8)."""
+
+    def _frames(self, doc_id=5):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.multimodal import (
+            _synth_frames,
+        )
+
+        return _synth_frames(doc_id)
+
+    def test_dib_roundtrip_exact(self):
+        import numpy as np
+
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.multimodal import (
+            decode_avi,
+            encode_avi,
+        )
+
+        fr = self._frames()
+        out = decode_avi(encode_avi(fr))
+        assert len(out) == len(fr)
+        assert all(np.array_equal(a, b) for a, b in zip(fr, out))
+
+    def test_mjpg_roundtrip_within_jpeg_envelope(self):
+        # Same container, lossy payload: frames decode through the
+        # baseline JPEG codec; mean abs error bounded like
+        # multimodal_jpeg_roundtrip's envelope.
+        import numpy as np
+
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.multimodal import (
+            decode_avi,
+            encode_avi,
+        )
+
+        fr = self._frames()
+        out = decode_avi(encode_avi(fr, codec="MJPG"))
+        assert len(out) == len(fr)
+        for a, b in zip(fr, out):
+            assert float(np.abs(a.astype(int) - b.astype(int)).mean()) < 12.0
+
+    def test_padded_rows_and_odd_chunks_walk(self):
+        # width 5 -> 15-byte rows padded to 16: the raster stride path;
+        # 3x3 -> 9-byte rows padded to 12.
+        import numpy as np
+
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.multimodal import (
+            decode_avi,
+            encode_avi,
+        )
+
+        fr = [np.arange(45, dtype=np.uint8).reshape(3, 5, 3)]
+        out = decode_avi(encode_avi(fr))
+        assert np.array_equal(fr[0], out[0])
+
+    def test_unknown_compression_is_the_seam(self):
+        import struct
+
+        import pytest as _pytest
+
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.multimodal import (
+            decode_avi,
+            encode_avi,
+        )
+
+        raw = bytearray(encode_avi(self._frames()))
+        i = raw.find(b"strf")
+        # biCompression is at strf body offset 16; body starts i+8
+        struct.pack_into("<I", raw, i + 8 + 16, 0x30355856)  # 'XVID'-ish
+        # also flip bpp to make it non-24 so the DIB branch rejects
+        with _pytest.raises(NotImplementedError, match="DIB / MJPG"):
+            decode_avi(bytes(raw))
+
+    def test_corrupt_container_raises_value_error(self):
+        import pytest as _pytest
+
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.multimodal import (
+            decode_avi,
+        )
+
+        with _pytest.raises(ValueError):
+            decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+
+    def test_validation(self):
+        import pytest as _pytest
+
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.multimodal import (
+            encode_avi,
+        )
+
+        with _pytest.raises(ValueError, match="at least one frame"):
+            encode_avi([])

@@ -221,6 +221,7 @@ GUARDED = [
     # round 8 seventh batch: synth + decode are two chained
     # mapInPandas stages over one scan — zero exchanges is the pin.
     "multimodal_audio_decode",
+    "multimodal_video_decode",
 ]
 
 # The streaming headline queries above are fingerprinted twice: the

@@ -151,6 +151,7 @@ PROBED = [
     # round 8 seventh batch: WAV decode — pure map-side Arrow stages,
     # expected ~linear in docs with no shuffle at all.
     "multimodal_audio_decode",
+    "multimodal_video_decode",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
