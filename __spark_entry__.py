@@ -87,6 +87,11 @@ _DRIVER_HEAD = [
     # audio half of the codec seam — hash-oracled.
     "multimodal_audio_decode",
     "multimodal_video_decode",
+    # round-8 eighth batch (zero draws): RFM census, dedup-aware corpus
+    # sizing, supplier ship-SLA watch — all hash-oracled.
+    "customer_rfm",
+    "effective_corpus_size",
+    "supplier_ship_sla",
     # --- round-8 rotation (VERDICT r7 item 6: driver-draw freshness).
     # The round-7 zero-draw batches all got their confirmation draw in
     # CORRECTNESS_r07; this round fronts (a) the STALEST hash-oracled

@@ -148,6 +148,11 @@ HEADLINE = [
     # signal features in Arrow-batched mapInPandas.
     "multimodal_audio_decode",
     "multimodal_video_decode",
+    # round 8, eighth batch: RFM quintile census (histogram fences),
+    # dedup-aware corpus sizing (rides the closure), ship-SLA watch.
+    "customer_rfm",
+    "effective_corpus_size",
+    "supplier_ship_sla",
 ]
 
 

@@ -4813,6 +4813,288 @@ FROM px GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Round-8 eighth batch: RFM segmentation, dedup-aware corpus size, supplier
+# ship-SLA watch.
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) customer segmentation — the
+    classic martech census, integer-exact: per customer the days since
+    last order (vs the corpus max date), order count, and lifetime
+    cents; each metric scored 1-5 by its EXACT global quintile fences
+    (the histogram-lattice disc percentiles — fences sized by distinct
+    values), recency reversed (fresher = higher). Output is the
+    segment census: one row per (r, f, m) score cell with customer
+    count and total monetary. Everything after the per-customer
+    aggregate is quintile arithmetic on broadcast fences; the census
+    aggregate is at most 125 rows. Hash-oracled."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.max(F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"))
+        .cast("bigint")
+        .alias("__last_day"),
+        F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    gmax = per_cust.agg(F.max("__last_day").alias("__gmax"))
+    rfm = per_cust.join(F.broadcast(gmax)).select(
+        "o_custkey",
+        (F.col("__gmax") - F.col("__last_day")).cast("bigint").alias(
+            "recency_days"
+        ),
+        "frequency",
+        "monetary_cents",
+    )
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sketches import (
+        exact_group_percentiles,
+    )
+
+    # One customer-sized frame feeds the score branch AND three fence
+    # histograms — persist it so the orders aggregate runs once, not 4x
+    # (the repo's reused-input-frame rule).
+    scored = scoped_persist(rfm.withColumn("__one", F.lit(1)))
+    fences = {}
+    for metric in ("recency_days", "frequency", "monetary_cents"):
+        f = exact_group_percentiles(
+            scored,
+            group_col="__one",
+            value_col=metric,
+            percentiles=(20, 40, 60, 80),
+        ).select(
+            F.lit(1).alias("__one"),
+            F.array(
+                *[F.col(f"disc_p{p}") for p in (20, 40, 60, 80)]
+            ).alias(f"__f_{metric}"),
+        )
+        fences[metric] = f
+    j = scored
+    for metric, f in fences.items():
+        j = j.join(F.broadcast(f), "__one")
+    rank = lambda m: F.aggregate(  # noqa: E731
+        f"__f_{m}",
+        F.lit(1),
+        lambda acc, b: acc
+        + F.when(F.col(m) >= b, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        j.select(
+            (F.lit(6) - rank("recency_days")).cast("int").alias("r_score"),
+            rank("frequency").cast("int").alias("f_score"),
+            rank("monetary_cents").cast("int").alias("m_score"),
+            "monetary_cents",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("monetary_cents").cast("bigint").alias("total_monetary_cents"),
+        )
+    )
+
+
+_SQL_RFM_FENCE = """
+  SELECT [
+    MIN(CASE WHEN cum*100 >= n*20 THEN v END),
+    MIN(CASE WHEN cum*100 >= n*40 THEN v END),
+    MIN(CASE WHEN cum*100 >= n*60 THEN v END),
+    MIN(CASE WHEN cum*100 >= n*80 THEN v END)
+  ] FROM (
+    SELECT v, SUM(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(c) OVER () AS n
+    FROM (SELECT {metric} AS v, CAST(COUNT(*) AS BIGINT) AS c
+          FROM rfm GROUP BY 1)
+  )
+"""
+
+SQL_CUSTOMER_RFM = f"""
+WITH per AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         MAX(epoch_us(o_orderdate) // 86400000000) AS last_day,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY 1
+), rfm AS (
+  SELECT o_custkey,
+         CAST((SELECT MAX(last_day) FROM per) - last_day AS BIGINT)
+           AS recency_days,
+         frequency, monetary_cents
+  FROM per
+), scored AS (
+  SELECT monetary_cents,
+         6 - (1 + len(list_filter(({_SQL_RFM_FENCE.format(metric='recency_days')}),
+                                  x -> recency_days >= x))) AS r_score,
+         1 + len(list_filter(({_SQL_RFM_FENCE.format(metric='frequency')}),
+                             x -> frequency >= x)) AS f_score,
+         1 + len(list_filter(({_SQL_RFM_FENCE.format(metric='monetary_cents')}),
+                             x -> monetary_cents >= x)) AS m_score
+  FROM rfm
+)
+SELECT CAST(r_score AS INTEGER) AS r_score,
+       CAST(f_score AS INTEGER) AS f_score,
+       CAST(m_score AS INTEGER) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(monetary_cents) AS BIGINT) AS total_monetary_cents
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+def q_effective_corpus_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware corpus sizing — the number a pretraining-data plan
+    actually budgets on: raw token count, the CANONICAL count (tokens
+    surviving near-dup collapse: per cluster, the kept copy's tokens;
+    singletons keep their own), and the uniform-reweighting count
+    (Σ cluster_tokens DIV cluster_size — the effective mass when every
+    near-dup cluster is down-weighted to one copy's worth). Reuses the
+    canonical exact-Jaccard closure; one join + one fold past it.
+    Hash-oracled via the shared recursive-CTE closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("__tok"),
+    )
+    comp = _doc_components(docs)
+    clustered = toks.join(comp, "doc_id", "left").withColumn(
+        "__comp", F.coalesce(F.col("component"), F.col("doc_id"))
+    )
+    per_cluster = clustered.groupBy("__comp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__sz"),
+        F.sum("__tok").cast("bigint").alias("__ct"),
+        F.max("__tok").cast("bigint").alias("__keep"),
+    )
+    return per_cluster.agg(
+        F.sum("__sz").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("__ct").cast("bigint").alias("raw_tokens"),
+        F.sum("__keep").cast("bigint").alias("canonical_tokens"),
+        F.sum(F.expr("__ct DIV __sz")).cast("bigint").alias("reweighted_tokens"),
+    )
+
+
+SQL_EFFECTIVE_CORPUS_SIZE = f"""
+WITH RECURSIVE {SQL_NEARDUP_COMPONENT_CTES},
+toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+  FROM documents
+), clustered AS (
+  SELECT t.doc_id, t.tok, COALESCE(c.component, t.doc_id) AS comp
+  FROM toks t LEFT JOIN comp c ON c.doc_id = t.doc_id
+), per_cluster AS (
+  SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz,
+         CAST(SUM(tok) AS BIGINT) AS ct,
+         CAST(MAX(tok) AS BIGINT) AS keep
+  FROM clustered GROUP BY 1
+)
+SELECT CAST(SUM(sz) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(ct) AS BIGINT) AS raw_tokens,
+       CAST(SUM(keep) AS BIGINT) AS canonical_tokens,
+       CAST(SUM(ct // sz) AS BIGINT) AS reweighted_tokens
+FROM per_cluster
+"""
+
+
+def q_supplier_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier order-to-ship SLA watch: per supplier, shipment count,
+    mean and EXACT p95 lag days (histogram-lattice disc percentile —
+    fences sized by distinct lag values per supplier), the share of
+    shipments beyond 90 days (ppm), and a flag vs the corpus-wide late
+    share. The fact scan pays one supplier-keyed aggregate; the
+    percentile pass runs on the (supplier, lag) histogram. Hash-
+    oracled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lag = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              li["l_orderkey"] == F.col("o_orderkey"))
+        .select(
+            "l_suppkey",
+            F.expr(
+                "CAST((unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+                " - unix_micros(CAST(o_orderdate AS TIMESTAMP)))"
+                " DIV 86400000000 AS BIGINT)"
+            ).alias("lag_days"),
+        )
+    )
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sketches import (
+        exact_group_percentiles,
+    )
+
+    base = lag.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shipments"),
+        F.expr("sum(lag_days) DIV count(1)").cast("bigint").alias(
+            "mean_lag_days"
+        ),
+        F.coalesce(F.sum(F.when(F.col("lag_days") > 90, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("__late"),
+    )
+    p95 = exact_group_percentiles(
+        lag, group_col="l_suppkey", value_col="lag_days", percentiles=(95,)
+    ).select("l_suppkey", F.col("disc_p95").cast("bigint").alias("p95_lag_days"))
+    glob = base.agg(
+        F.expr("sum(__late) * 1000000 DIV sum(n_shipments)").alias("__gppm")
+    )
+    return (
+        base.join(p95, "l_suppkey")
+        .join(F.broadcast(glob))
+        .select(
+            "l_suppkey",
+            "n_shipments",
+            "mean_lag_days",
+            "p95_lag_days",
+            F.expr("__late * 1000000 DIV n_shipments")
+            .cast("bigint")
+            .alias("late_ppm"),
+            (
+                F.expr("__late * 1000000 DIV n_shipments")
+                > F.col("__gppm")
+            ).alias("worse_than_fleet"),
+        )
+    )
+
+
+SQL_SUPPLIER_SHIP_SLA = """
+WITH lag AS (
+  SELECT l.l_suppkey,
+         (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000
+           AS lag_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), base AS (
+  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_shipments,
+         CAST(SUM(lag_days) // COUNT(*) AS BIGINT) AS mean_lag_days,
+         CAST(COALESCE(SUM(CASE WHEN lag_days > 90 THEN 1 END), 0) AS BIGINT)
+           AS late
+  FROM lag GROUP BY 1
+), hist AS (
+  SELECT l_suppkey, lag_days AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lag GROUP BY 1, 2
+), cm AS (
+  SELECT l_suppkey, v, c,
+         SUM(c) OVER (PARTITION BY l_suppkey ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY l_suppkey) AS n
+  FROM hist
+), p95 AS (
+  SELECT l_suppkey,
+         CAST(MIN(CASE WHEN cum*100 >= n*95 THEN v END) AS BIGINT)
+           AS p95_lag_days
+  FROM cm GROUP BY 1
+), fleet AS (
+  SELECT SUM(late) * 1000000 // SUM(n_shipments) AS gppm FROM base
+)
+SELECT b.l_suppkey, b.n_shipments, b.mean_lag_days, p.p95_lag_days,
+       CAST(b.late * 1000000 // b.n_shipments AS BIGINT) AS late_ppm,
+       b.late * 1000000 // b.n_shipments > (SELECT gppm FROM fleet)
+         AS worse_than_fleet
+FROM base b JOIN p95 p USING (l_suppkey)
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -4861,6 +5143,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "erasure_cascade": q_erasure_cascade,
     "multimodal_audio_decode": q_multimodal_audio_decode,
     "multimodal_video_decode": q_multimodal_video_decode,
+    "customer_rfm": q_customer_rfm,
+    "effective_corpus_size": q_effective_corpus_size,
+    "supplier_ship_sla": q_supplier_ship_sla,
     "rolling_active_users": q_rolling_active_users,
     "rolling_active_users_hll": q_rolling_active_users_hll,
     "events_ab_test": q_events_ab_test,
@@ -4967,6 +5252,9 @@ PIPELINE_ORACLES: dict[str, str] = {
     "erasure_cascade": SQL_ERASURE_CASCADE,
     "multimodal_audio_decode": SQL_MULTIMODAL_AUDIO_DECODE,
     "multimodal_video_decode": SQL_MULTIMODAL_VIDEO_DECODE,
+    "customer_rfm": SQL_CUSTOMER_RFM,
+    "effective_corpus_size": SQL_EFFECTIVE_CORPUS_SIZE,
+    "supplier_ship_sla": SQL_SUPPLIER_SHIP_SLA,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
     # rolling_active_users_hll: approximate by design — rows-only for
     # the driver; SELF_AUDITS bounds rel_error_pct vs the exact twin

@@ -222,6 +222,13 @@ GUARDED = [
     # mapInPandas stages over one scan — zero exchanges is the pin.
     "multimodal_audio_decode",
     "multimodal_video_decode",
+    # round 8 eighth batch: RFM must stay per-customer agg + histogram
+    # fences + broadcasts (a global sort is the regression); the SLA
+    # watch one fact join + supplier-keyed agg + histogram subtree.
+    # effective_corpus_size is excluded (rides the checkpointed CC
+    # closure, like dedup_keep_canonical).
+    "customer_rfm",
+    "supplier_ship_sla",
 ]
 
 # The streaming headline queries above are fingerprinted twice: the

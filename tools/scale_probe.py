@@ -152,6 +152,12 @@ PROBED = [
     # expected ~linear in docs with no shuffle at all.
     "multimodal_audio_decode",
     "multimodal_video_decode",
+    # round 8 eighth batch: RFM (post-agg state customer-sized, fences
+    # distinct-value-sized), corpus sizing (tracks the CC closure),
+    # SLA watch (supplier-sized after the lag join).
+    "customer_rfm",
+    "effective_corpus_size",
+    "supplier_ship_sla",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
