@@ -92,6 +92,11 @@ _DRIVER_HEAD = [
     "customer_rfm",
     "effective_corpus_size",
     "supplier_ship_sla",
+    # round-8 ninth batch (zero draws): conformance censuses — FD
+    # audit, char-class profile, status reconciliation — hash-oracled.
+    "source_lang_fd",
+    "lang_charclass_profile",
+    "order_status_reconciliation",
     # --- round-8 rotation (VERDICT r7 item 6: driver-draw freshness).
     # The round-7 zero-draw batches all got their confirmation draw in
     # CORRECTNESS_r07; this round fronts (a) the STALEST hash-oracled

@@ -153,6 +153,10 @@ HEADLINE = [
     "customer_rfm",
     "effective_corpus_size",
     "supplier_ship_sla",
+    # round 8, ninth batch: conformance censuses (one aggregate each).
+    "source_lang_fd",
+    "lang_charclass_profile",
+    "order_status_reconciliation",
 ]
 
 

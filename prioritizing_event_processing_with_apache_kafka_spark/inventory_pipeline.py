@@ -5095,6 +5095,196 @@ FROM base b JOIN p95 p USING (l_suppkey)
 """
 
 
+# --------------------------------------------------------------------------
+# Round-8 ninth batch: conformance censuses (functional dependency, char
+# classes, cross-table status reconciliation).
+
+
+def q_source_lang_fd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency conformance census for ``source → lang``
+    — the profiling question "does each feed speak one language?"
+    asked the scalable way: one (source, lang) aggregate (map-side
+    combined, the only row-scaled exchange), then per source the
+    distinct-lang count, the majority language (max-by on a struct,
+    ties to the lexicographically first), its share in ppm, and the
+    violation count (docs outside the majority). A source with
+    n_langs > 1 breaks the FD; the census quantifies by how much.
+    Hash-oracled."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    # majority = min_by over (-count, lang): max count, count ties to
+    # the lexicographically FIRST lang — identical ordering on both
+    # engines with no string-negation tricks.
+    return (
+        pairs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+            F.sum("__n").cast("bigint").alias("n_docs"),
+            F.min_by(
+                F.col("lang"),
+                F.struct((-F.col("__n")).alias("a"), F.col("lang").alias("b")),
+            ).alias("majority_lang"),
+            F.max("__n").cast("bigint").alias("__mx"),
+        )
+        .select(
+            "source",
+            "n_langs",
+            "n_docs",
+            "majority_lang",
+            F.expr("__mx * 1000000 DIV n_docs").cast("bigint").alias(
+                "majority_ppm"
+            ),
+            (F.col("n_docs") - F.col("__mx")).cast("bigint").alias(
+                "violations"
+            ),
+        )
+    )
+
+
+SQL_SOURCE_LANG_FD = """
+WITH pairs AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n DESC, lang) AS rn
+  FROM documents GROUP BY 1, 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_langs,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       MAX(CASE WHEN rn = 1 THEN lang END) AS majority_lang,
+       CAST(MAX(n) * 1000000 // SUM(n) AS BIGINT) AS majority_ppm,
+       CAST(SUM(n) - MAX(n) AS BIGINT) AS violations
+FROM pairs GROUP BY 1
+"""
+
+
+def q_lang_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-class profile: letters / digits / spaces
+    / other, in exact ppm of total characters — the encoding-anomaly
+    and script-mix screen (a lang whose 'other' share jumps has a
+    mojibake or injection problem). One pass: per-doc class counts via
+    ``regexp_count`` equivalents (length arithmetic — no UDF), folded
+    in a single lang-keyed aggregate. Hash-oracled."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    total = F.length(t)
+    letters = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+    digits = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    spaces = F.length(F.regexp_replace(t, "[^ ]", ""))
+    per = docs.select(
+        "lang",
+        total.cast("long").alias("__t"),
+        letters.cast("long").alias("__l"),
+        digits.cast("long").alias("__d"),
+        spaces.cast("long").alias("__s"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__t").cast("bigint").alias("n_chars"),
+            F.sum("__l").alias("__sl"),
+            F.sum("__d").alias("__sd"),
+            F.sum("__s").alias("__ss"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_chars",
+            F.expr("__sl * 1000000 DIV n_chars").cast("bigint").alias(
+                "letter_ppm"
+            ),
+            F.expr("__sd * 1000000 DIV n_chars").cast("bigint").alias(
+                "digit_ppm"
+            ),
+            F.expr("__ss * 1000000 DIV n_chars").cast("bigint").alias(
+                "space_ppm"
+            ),
+            F.expr(
+                "(n_chars - __sl - __sd - __ss) * 1000000 DIV n_chars"
+            )
+            .cast("bigint")
+            .alias("other_ppm"),
+        )
+    )
+
+
+SQL_LANG_CHARCLASS_PROFILE = """
+WITH per AS (
+  SELECT lang, CAST(length(text) AS BIGINT) AS t,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS l,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS d,
+         CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS s
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t) AS BIGINT) AS n_chars,
+       CAST(SUM(l) * 1000000 // SUM(t) AS BIGINT) AS letter_ppm,
+       CAST(SUM(d) * 1000000 // SUM(t) AS BIGINT) AS digit_ppm,
+       CAST(SUM(s) * 1000000 // SUM(t) AS BIGINT) AS space_ppm,
+       CAST((SUM(t) - SUM(l) - SUM(d) - SUM(s)) * 1000000 // SUM(t) AS BIGINT)
+         AS other_ppm
+FROM per GROUP BY 1
+"""
+
+
+def q_order_status_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table state reconciliation: per order, the status DERIVED
+    from its lineitems (all linestatus 'F' → 'F', none → 'O', mixed →
+    'P'; no lineitems → '-') against the DECLARED o_orderstatus, as a
+    (declared, derived) census with match counts — the referential
+    state-machine audit a warehouse runs after every load. One
+    lineitem aggregate keyed by order (map-side combined), one
+    broadcast-eligible join back to orders, one tiny census aggregate.
+    Hash-oracled."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    derived = li.groupBy("l_orderkey").agg(
+        F.coalesce(F.sum(F.when(F.col("l_linestatus") == "F", 1)), F.lit(0)).alias(
+            "__nf"
+        ),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    joined = orders.join(
+        derived, orders["o_orderkey"] == derived["l_orderkey"], "left"
+    ).select(
+        F.col("o_orderstatus").alias("declared"),
+        F.when(F.col("__n").isNull(), F.lit("-"))
+        .when(F.col("__nf") == F.col("__n"), F.lit("F"))
+        .when(F.col("__nf") == 0, F.lit("O"))
+        .otherwise(F.lit("P"))
+        .alias("derived"),
+    )
+    return (
+        joined.groupBy("declared", "derived")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .withColumn("consistent", F.col("declared") == F.col("derived"))
+    )
+
+
+SQL_ORDER_STATUS_RECONCILIATION = """
+WITH derived AS (
+  SELECT l_orderkey,
+         CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN 1 END), 0)
+              AS BIGINT) AS nf,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+), joined AS (
+  SELECT o.o_orderstatus AS declared,
+         CASE WHEN d.n IS NULL THEN '-'
+              WHEN d.nf = d.n THEN 'F'
+              WHEN d.nf = 0 THEN 'O'
+              ELSE 'P' END AS derived
+  FROM orders o LEFT JOIN derived d ON d.l_orderkey = o.o_orderkey
+)
+SELECT declared, derived, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       declared = derived AS consistent
+FROM joined GROUP BY 1, 2
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -5146,6 +5336,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_rfm": q_customer_rfm,
     "effective_corpus_size": q_effective_corpus_size,
     "supplier_ship_sla": q_supplier_ship_sla,
+    "source_lang_fd": q_source_lang_fd,
+    "lang_charclass_profile": q_lang_charclass_profile,
+    "order_status_reconciliation": q_order_status_reconciliation,
     "rolling_active_users": q_rolling_active_users,
     "rolling_active_users_hll": q_rolling_active_users_hll,
     "events_ab_test": q_events_ab_test,
@@ -5255,6 +5448,9 @@ PIPELINE_ORACLES: dict[str, str] = {
     "customer_rfm": SQL_CUSTOMER_RFM,
     "effective_corpus_size": SQL_EFFECTIVE_CORPUS_SIZE,
     "supplier_ship_sla": SQL_SUPPLIER_SHIP_SLA,
+    "source_lang_fd": SQL_SOURCE_LANG_FD,
+    "lang_charclass_profile": SQL_LANG_CHARCLASS_PROFILE,
+    "order_status_reconciliation": SQL_ORDER_STATUS_RECONCILIATION,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
     # rolling_active_users_hll: approximate by design — rows-only for
     # the driver; SELF_AUDITS bounds rel_error_pct vs the exact twin

@@ -229,6 +229,12 @@ GUARDED = [
     # closure, like dedup_keep_canonical).
     "customer_rfm",
     "supplier_ship_sla",
+    # round 8 ninth batch: each is one-or-two map-combined aggregates
+    # (+ a tiny window / broadcast-eligible join) — a fact re-scan or
+    # window-over-corpus sneaking in is the regression.
+    "source_lang_fd",
+    "lang_charclass_profile",
+    "order_status_reconciliation",
 ]
 
 # The streaming headline queries above are fingerprinted twice: the

@@ -158,6 +158,11 @@ PROBED = [
     "customer_rfm",
     "effective_corpus_size",
     "supplier_ship_sla",
+    # round 8 ninth batch: conformance censuses — post-agg state is
+    # (source x lang) / lang / status-pair sized.
+    "source_lang_fd",
+    "lang_charclass_profile",
+    "order_status_reconciliation",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
