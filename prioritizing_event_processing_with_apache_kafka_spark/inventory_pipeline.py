@@ -5170,9 +5170,14 @@ def q_lang_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     total = F.length(t)
-    letters = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
-    digits = F.length(F.regexp_replace(t, "[^0-9]", ""))
-    spaces = F.length(F.regexp_replace(t, "[^ ]", ""))
+    # translate() (per-char table lookup) instead of regexp_replace:
+    # identical semantics on both engines, ~an order of magnitude
+    # cheaper on a full-text scan (this op necessarily reads every
+    # character — the constant factor IS the scale story).
+    letters_alpha = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    letters = total - F.length(F.translate(t, letters_alpha, ""))
+    digits = total - F.length(F.translate(t, "0123456789", ""))
+    spaces = total - F.length(F.translate(t, " ", ""))
     per = docs.select(
         "lang",
         total.cast("long").alias("__t"),
@@ -5214,9 +5219,13 @@ def q_lang_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_LANG_CHARCLASS_PROFILE = """
 WITH per AS (
   SELECT lang, CAST(length(text) AS BIGINT) AS t,
-         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS l,
-         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS d,
-         CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS s
+         CAST(length(text) - length(translate(text,
+           'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ', ''))
+           AS BIGINT) AS l,
+         CAST(length(text) - length(translate(text, '0123456789', ''))
+           AS BIGINT) AS d,
+         CAST(length(text) - length(translate(text, ' ', ''))
+           AS BIGINT) AS s
   FROM documents
 )
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
