@@ -97,6 +97,11 @@ _DRIVER_HEAD = [
     "source_lang_fd",
     "lang_charclass_profile",
     "order_status_reconciliation",
+    # round-8 tenth batch (zero draws): forecast backtest, churn
+    # census, quantile-normalization audit — hash-oracled.
+    "events_seasonal_backtest",
+    "user_churn_census",
+    "embedding_quantile_norm",
     # --- round-8 rotation (VERDICT r7 item 6: driver-draw freshness).
     # The round-7 zero-draw batches all got their confirmation draw in
     # CORRECTNESS_r07; this round fronts (a) the STALEST hash-oracled

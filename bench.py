@@ -157,6 +157,11 @@ HEADLINE = [
     "source_lang_fd",
     "lang_charclass_profile",
     "order_status_reconciliation",
+    # round 8, tenth batch: seasonal-naive backtest (bin agg + lag),
+    # churn census (two aggregates), quantile-norm audit (histogram).
+    "events_seasonal_backtest",
+    "user_churn_census",
+    "embedding_quantile_norm",
 ]
 
 

@@ -5294,6 +5294,216 @@ FROM joined GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Round-8 tenth batch: forecast backtest, churn census, embedding quantile
+# normalization audit.
+
+
+def q_events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every real
+    forecasting system must beat, evaluated the warehouse way: predict
+    each hour's mean value with the SAME HOUR YESTERDAY (lag 24 on the
+    hourly-bin table) and report per event_type the error profile over
+    all scored hours: n scored, MAE and bias on the integer-micros
+    lattice, and MAPE in ppm (each term ``|err|·10⁶ DIV |actual|``,
+    zero-actual hours excluded from MAPE by contract). The only
+    row-scaled exchange is the hourly-bin aggregate; the lag/score
+    pass is bin-count-sized. Hash-oracled."""
+    events = load_table(spark, sf_dir, "events")
+    bins = (
+        events.filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) DIV 3600000000").alias("__bin"),
+        )
+        .agg(
+            F.expr("sum(floor(value * 1000000.0)) DIV count(1)").alias("__v")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("__bin")
+    scored = (
+        bins.withColumn("__pred", F.lag("__v", 24).over(w))
+        .withColumn("__gap", F.col("__bin") - F.lag("__bin", 24).over(w))
+        # the prediction is only valid when the lag-24 ROW is exactly 24
+        # bins back (sparse hours would otherwise misalign the season)
+        .filter(F.col("__pred").isNotNull() & (F.col("__gap") == 24))
+        .withColumn("__err", F.col("__v") - F.col("__pred"))
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.expr("sum(abs(__err)) DIV count(1)").cast("bigint").alias(
+            "mae_micros"
+        ),
+        F.expr("sum(__err) DIV count(1)").cast("bigint").alias("bias_micros"),
+        F.expr(
+            "sum(CASE WHEN __v != 0 THEN abs(__err) * 1000000 DIV abs(__v) END)"
+            " DIV sum(CASE WHEN __v != 0 THEN 1 END)"
+        )
+        .cast("bigint")
+        .alias("mape_ppm"),
+    )
+
+
+SQL_EVENTS_SEASONAL_BACKTEST = """
+WITH bins AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS bin,
+         SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) // COUNT(*) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, v,
+         LAG(v, 24) OVER w AS pred,
+         bin - LAG(bin, 24) OVER w AS gap
+  FROM bins WINDOW w AS (PARTITION BY event_type ORDER BY bin)
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(SUM(ABS(v - pred)) // COUNT(*) AS BIGINT) AS mae_micros,
+       CAST(SUM(v - pred) // COUNT(*) AS BIGINT) AS bias_micros,
+       CAST(SUM(CASE WHEN v != 0
+                THEN ABS(v - pred) * 1000000 // ABS(v) END)
+            // SUM(CASE WHEN v != 0 THEN 1 END) AS BIGINT) AS mape_ppm
+FROM scored WHERE pred IS NOT NULL AND gap = 24
+GROUP BY 1
+"""
+
+
+def q_user_churn_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn/retention census: split each user's activity at the corpus
+    time midpoint and count, per event_type a user EVER emitted, how
+    many of its users were retained (active both halves), churned
+    (early only), or acquired (late only) — plus churn ppm among the
+    early base. Two map-combined aggregates past one scan; the census
+    is event-type-sized. Hash-oracled."""
+    events = load_table(spark, sf_dir, "events")
+    pts = events.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    mid = pts.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) DIV 2").alias(
+            "__mid"
+        )
+    )
+    flags = (
+        pts.join(F.broadcast(mid))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.max(
+                F.when(F.expr("unix_micros(ts)") <= F.col("__mid"), 1).otherwise(0)
+            ).alias("__e"),
+            F.max(
+                F.when(F.expr("unix_micros(ts)") > F.col("__mid"), 1).otherwise(0)
+            ).alias("__l"),
+        )
+    )
+    return (
+        flags.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(F.expr("__e * __l")).cast("bigint").alias("retained"),
+            F.sum(F.expr("__e * (1 - __l)")).cast("bigint").alias("churned"),
+            F.sum(F.expr("(1 - __e) * __l")).cast("bigint").alias("acquired"),
+        )
+        .withColumn(
+            "churn_ppm",
+            F.expr(
+                "CASE WHEN retained + churned > 0 THEN"
+                " churned * 1000000 DIV (retained + churned) END"
+            ).cast("bigint"),
+        )
+    )
+
+
+SQL_USER_CHURN_CENSUS = """
+WITH pts AS (
+  SELECT event_type, user_id, epoch_us(ts) AS us
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), mid AS (
+  SELECT (MIN(us) + MAX(us)) // 2 AS m FROM pts
+), flags AS (
+  SELECT event_type, user_id,
+         MAX(CASE WHEN us <= (SELECT m FROM mid) THEN 1 ELSE 0 END) AS e,
+         MAX(CASE WHEN us > (SELECT m FROM mid) THEN 1 ELSE 0 END) AS l
+  FROM pts GROUP BY 1, 2
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(e * l) AS BIGINT) AS retained,
+       CAST(SUM(e * (1 - l)) AS BIGINT) AS churned,
+       CAST(SUM((1 - e) * l) AS BIGINT) AS acquired,
+       CAST(CASE WHEN SUM(e) > 0 THEN
+              SUM(e * (1 - l)) * 1000000 // SUM(e) END AS BIGINT) AS churn_ppm
+FROM flags GROUP BY 1
+"""
+
+
+def q_embedding_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension quantile (rank) normalization audit — the feature
+    preprocessing that forces every embedding dimension onto the same
+    uniform scale: each value maps to ``rank·10⁶ DIV n`` (average rank
+    for ties, i.e. the mid-CDF), and the audit reports per dimension
+    the distinct-value count plus the min/max/mean of the normalized
+    column in ppm. A uniformizing transform has mean ≈ 500 000 by
+    construction — a dimension whose normalized mean drifts has heavy
+    ties (collapsed resolution). One posexplode pass into a
+    (dim, value) histogram — everything after is histogram-sized.
+    Hash-oracled."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        F.posexplode("embedding").alias("dim", "__v")
+    ).select("dim", F.col("__v").cast("double").alias("__v"))
+    hist = vals.groupBy("dim", "__v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    w = (
+        Window.partitionBy("dim")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wd = Window.partitionBy("dim")
+    cdf = (
+        hist.withColumn("__cum", F.sum("__c").over(w))
+        .withColumn("__n", F.sum("__c").over(wd))
+        # mid-CDF rank ppm x2 to stay integral: (2*cum - c) / (2n)
+        .withColumn(
+            "__norm_ppm",
+            F.expr("(2 * __cum - __c) * 1000000 DIV (2 * __n)"),
+        )
+    )
+    return cdf.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("__n").cast("bigint").alias("n_values"),
+        F.min("__norm_ppm").cast("bigint").alias("min_norm_ppm"),
+        F.max("__norm_ppm").cast("bigint").alias("max_norm_ppm"),
+        F.expr("sum(__norm_ppm * __c) DIV max(__n)")
+        .cast("bigint")
+        .alias("mean_norm_ppm"),
+    )
+
+
+SQL_EMBEDDING_QUANTILE_NORM = """
+WITH vals AS (
+  SELECT g.i - 1 AS dim, embedding[g.i]::DOUBLE AS v
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
+  WHERE g.i <= len(embedding)
+), hist AS (
+  SELECT dim, v, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY 1, 2
+), cdf AS (
+  SELECT dim, c,
+         SUM(c) OVER (PARTITION BY dim ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY dim) AS n
+  FROM hist
+), normed AS (
+  SELECT dim, c, n, (2 * cum - c) * 1000000 // (2 * n) AS norm_ppm
+  FROM cdf
+)
+SELECT CAST(dim AS INTEGER) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MAX(n) AS BIGINT) AS n_values,
+       CAST(MIN(norm_ppm) AS BIGINT) AS min_norm_ppm,
+       CAST(MAX(norm_ppm) AS BIGINT) AS max_norm_ppm,
+       CAST(SUM(norm_ppm * c) // MAX(n) AS BIGINT) AS mean_norm_ppm
+FROM normed GROUP BY 1
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -5348,6 +5558,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_lang_fd": q_source_lang_fd,
     "lang_charclass_profile": q_lang_charclass_profile,
     "order_status_reconciliation": q_order_status_reconciliation,
+    "events_seasonal_backtest": q_events_seasonal_backtest,
+    "user_churn_census": q_user_churn_census,
+    "embedding_quantile_norm": q_embedding_quantile_norm,
     "rolling_active_users": q_rolling_active_users,
     "rolling_active_users_hll": q_rolling_active_users_hll,
     "events_ab_test": q_events_ab_test,
@@ -5460,6 +5673,9 @@ PIPELINE_ORACLES: dict[str, str] = {
     "source_lang_fd": SQL_SOURCE_LANG_FD,
     "lang_charclass_profile": SQL_LANG_CHARCLASS_PROFILE,
     "order_status_reconciliation": SQL_ORDER_STATUS_RECONCILIATION,
+    "events_seasonal_backtest": SQL_EVENTS_SEASONAL_BACKTEST,
+    "user_churn_census": SQL_USER_CHURN_CENSUS,
+    "embedding_quantile_norm": SQL_EMBEDDING_QUANTILE_NORM,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
     # rolling_active_users_hll: approximate by design — rows-only for
     # the driver; SELF_AUDITS bounds rel_error_pct vs the exact twin

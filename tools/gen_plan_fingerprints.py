@@ -235,6 +235,13 @@ GUARDED = [
     "source_lang_fd",
     "lang_charclass_profile",
     "order_status_reconciliation",
+    # round 8 tenth batch: backtest = bin agg (the only row-scaled
+    # exchange) + bin-sized lag window; churn = two map-combined
+    # aggregates + broadcast midpoint; quantile-norm = posexplode into
+    # a (dim, value) histogram + histogram-sized windows.
+    "events_seasonal_backtest",
+    "user_churn_census",
+    "embedding_quantile_norm",
 ]
 
 # The streaming headline queries above are fingerprinted twice: the

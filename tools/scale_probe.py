@@ -163,6 +163,11 @@ PROBED = [
     "source_lang_fd",
     "lang_charclass_profile",
     "order_status_reconciliation",
+    # round 8 tenth batch: backtest/churn/quantile-norm — post-agg
+    # state is bin-, (type,user)- and (dim,value)-histogram-sized.
+    "events_seasonal_backtest",
+    "user_churn_census",
+    "embedding_quantile_norm",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
