@@ -102,6 +102,11 @@ _DRIVER_HEAD = [
     "events_seasonal_backtest",
     "user_churn_census",
     "embedding_quantile_norm",
+    # round-8 eleventh batch (zero draws): ABC census, join-skew
+    # diagnosis, duplicate-payment screen — hash-oracled.
+    "part_abc_analysis",
+    "join_skew_diagnosis",
+    "orders_dup_screen",
     # --- round-8 rotation (VERDICT r7 item 6: driver-draw freshness).
     # The round-7 zero-draw batches all got their confirmation draw in
     # CORRECTNESS_r07; this round fronts (a) the STALEST hash-oracled

@@ -162,6 +162,11 @@ HEADLINE = [
     "events_seasonal_backtest",
     "user_churn_census",
     "embedding_quantile_norm",
+    # round 8, eleventh batch: Pareto/ABC census, pre-join skew
+    # diagnosis (per-key counts, no join executed), dup-payment screen.
+    "part_abc_analysis",
+    "join_skew_diagnosis",
+    "orders_dup_screen",
 ]
 
 

@@ -37,6 +37,9 @@ from prioritizing_event_processing_with_apache_kafka_spark.operators import text
 from prioritizing_event_processing_with_apache_kafka_spark.operators import (
     timeseries as TS,
 )
+from prioritizing_event_processing_with_apache_kafka_spark.operators import (
+    sampling as _SK,
+)
 from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import (
     bucket_for_event_type,
     load_table,
@@ -5504,6 +5507,209 @@ FROM normed GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Round-8 eleventh batch: ABC/Pareto census, join-skew diagnosis, duplicate
+# payment screen.
+
+
+def q_part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by revenue
+    (cents lattice), classified A while the RUNNING share is below 80%
+    of total, B below 95%, C otherwise — ties broken by part key so
+    the classification is a pure function of the data. Reported as the
+    class census (n_parts, revenue, share ppm per class). The fact
+    scan collapses at the part aggregate (map-combined — the only
+    row-scaled exchange); the running-share window runs over the part
+    table ordered by revenue. Hash-oracled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(floor(l_extendedprice * (1.0D - l_discount) * 100)"
+                " AS BIGINT)"
+            )
+        ).alias("__rev")
+    )
+    w = Window.orderBy(F.col("__rev").desc(), F.col("l_partkey").asc())
+    wall = Window.partitionBy()
+    classed = (
+        rev.withColumn("__cum", F.sum("__rev").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+        .withColumn("__tot", F.sum("__rev").over(wall))
+        .withColumn(
+            "abc_class",
+            F.when(F.expr("__cum * 100 <= __tot * 80"), F.lit("A"))
+            .when(F.expr("__cum * 100 <= __tot * 95"), F.lit("B"))
+            .otherwise(F.lit("C")),
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("__rev").cast("bigint").alias("revenue_cents"),
+            F.expr("sum(__rev) * 1000000 DIV max(__tot)")
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+    )
+
+
+SQL_PART_ABC_ANALYSIS = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS r
+  FROM lineitem GROUP BY 1
+), classed AS (
+  SELECT r,
+         SUM(r) OVER (ORDER BY r DESC, l_partkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(r) OVER () AS tot
+  FROM rev
+)
+SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+            WHEN cum * 100 <= tot * 95 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(r) AS BIGINT) AS revenue_cents,
+       CAST(SUM(r) * 1000000 // MAX(tot) AS BIGINT) AS share_ppm
+FROM classed GROUP BY 1
+"""
+
+
+def q_join_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnosis for orders ⋈ lineitem on the order key —
+    the "why is my join slow" report, computed WITHOUT running the
+    join: both sides collapse to per-key counts (map-combined), meet
+    in a full-outer key merge, and fold into 32 hash-bucket rows
+    carrying each bucket's row counts, exact JOIN OUTPUT size
+    (Σ left·right — what the shuffle reducer for that bucket would
+    materialize), the bucket's heaviest key and its share of the
+    bucket's output. A bucket whose `est_pairs` dwarfs the rest is the
+    straggler; `top_key_ppm` says whether salting (one hot key) or
+    repartitioning (many) is the cure. Hash-oracled."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lcnt = orders.groupBy(F.col("o_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__l")
+    )
+    rcnt = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__r")
+    )
+    per_key = (
+        lcnt.join(rcnt, "key", "full_outer")
+        .select(
+            "key",
+            F.coalesce("__l", F.lit(0)).alias("__l"),
+            F.coalesce("__r", F.lit(0)).alias("__r"),
+        )
+        .withColumn("__pairs", F.expr("__l * __r"))
+        # engine-replayable LCG mix (sampling.hash_u31) as the
+        # deterministic stand-in for the shuffle partitioner's hash
+        .withColumn("__bucket", (_SK.hash_u31("key") % 32).cast("int"))
+    )
+    return (
+        per_key.groupBy("__bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("__l").cast("bigint").alias("left_rows"),
+            F.sum("__r").cast("bigint").alias("right_rows"),
+            F.sum("__pairs").cast("bigint").alias("est_pairs"),
+            F.max("__pairs").cast("bigint").alias("max_key_pairs"),
+        )
+        .select(
+            F.col("__bucket").alias("bucket"),
+            "n_keys",
+            "left_rows",
+            "right_rows",
+            "est_pairs",
+            F.expr(
+                "CASE WHEN est_pairs > 0 THEN"
+                " max_key_pairs * 1000000 DIV est_pairs END"
+            )
+            .cast("bigint")
+            .alias("top_key_ppm"),
+        )
+    )
+
+
+SQL_JOIN_SKEW_DIAGNOSIS = """
+WITH l AS (
+  SELECT o_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS ln
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS rn
+  FROM lineitem GROUP BY 1
+), per_key AS (
+  SELECT COALESCE(l.key, r.key) AS key,
+         COALESCE(ln, 0) AS ln, COALESCE(rn, 0) AS rn,
+         COALESCE(ln, 0) * COALESCE(rn, 0) AS pairs
+  FROM l FULL OUTER JOIN r ON l.key = r.key
+)
+SELECT CAST((((((((CAST(key AS BIGINT) % 2147483648) + 2147483648) % 2147483648) * 1103515245 + 12345) % 2147483648) * 1103515245 + 12345) % 2147483648) % 32 AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(ln) AS BIGINT) AS left_rows,
+       CAST(SUM(rn) AS BIGINT) AS right_rows,
+       CAST(SUM(pairs) AS BIGINT) AS est_pairs,
+       CAST(CASE WHEN SUM(pairs) > 0 THEN
+              MAX(pairs) * 1000000 // SUM(pairs) END AS BIGINT)
+         AS top_key_ppm
+FROM per_key GROUP BY 1
+"""
+
+
+def q_orders_dup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen: orders sharing the exact
+    (customer, amount-cents, order date) triple — the classic
+    double-billing / replayed-ingest detector. One map-combined
+    aggregate to triple groups, one tiny fold to the verdict row:
+    duplicate groups, excess orders (rows beyond the first of each
+    group), the largest clone group, and the excess amount at risk.
+    Hash-oracled."""
+    orders = load_table(spark, sf_dir, "orders")
+    groups = orders.groupBy(
+        "o_custkey",
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("__cents"),
+        "o_orderdate",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    dup = F.col("__n") > 1
+    return groups.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.coalesce(F.sum(F.when(dup, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("dup_groups"),
+        F.coalesce(F.sum(F.when(dup, F.col("__n") - 1)), F.lit(0))
+        .cast("bigint")
+        .alias("excess_orders"),
+        F.max("__n").cast("bigint").alias("max_clone_group"),
+        F.coalesce(
+            F.sum(F.when(dup, (F.col("__n") - 1) * F.col("__cents"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("excess_cents"),
+    )
+
+
+SQL_ORDERS_DUP_SCREEN = """
+WITH groups AS (
+  SELECT o_custkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderdate, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2, 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COALESCE(SUM(CASE WHEN n > 1 THEN 1 END), 0) AS BIGINT)
+         AS dup_groups,
+       CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n - 1 END), 0) AS BIGINT)
+         AS excess_orders,
+       CAST(MAX(n) AS BIGINT) AS max_clone_group,
+       CAST(COALESCE(SUM(CASE WHEN n > 1 THEN (n - 1) * cents END), 0)
+            AS BIGINT) AS excess_cents
+FROM groups
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -5561,6 +5767,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_seasonal_backtest": q_events_seasonal_backtest,
     "user_churn_census": q_user_churn_census,
     "embedding_quantile_norm": q_embedding_quantile_norm,
+    "part_abc_analysis": q_part_abc_analysis,
+    "join_skew_diagnosis": q_join_skew_diagnosis,
+    "orders_dup_screen": q_orders_dup_screen,
     "rolling_active_users": q_rolling_active_users,
     "rolling_active_users_hll": q_rolling_active_users_hll,
     "events_ab_test": q_events_ab_test,
@@ -5676,6 +5885,9 @@ PIPELINE_ORACLES: dict[str, str] = {
     "events_seasonal_backtest": SQL_EVENTS_SEASONAL_BACKTEST,
     "user_churn_census": SQL_USER_CHURN_CENSUS,
     "embedding_quantile_norm": SQL_EMBEDDING_QUANTILE_NORM,
+    "part_abc_analysis": SQL_PART_ABC_ANALYSIS,
+    "join_skew_diagnosis": SQL_JOIN_SKEW_DIAGNOSIS,
+    "orders_dup_screen": SQL_ORDERS_DUP_SCREEN,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
     # rolling_active_users_hll: approximate by design — rows-only for
     # the driver; SELF_AUDITS bounds rel_error_pct vs the exact twin

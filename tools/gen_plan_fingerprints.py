@@ -242,6 +242,13 @@ GUARDED = [
     "events_seasonal_backtest",
     "user_churn_census",
     "embedding_quantile_norm",
+    # round 8 eleventh batch: ABC = part agg + part-sized running
+    # window; skew diagnosis = two per-key aggs + full-outer key merge
+    # + 32-row fold (EXECUTING the diagnosed join is the regression);
+    # dup screen = one triple agg + verdict fold.
+    "part_abc_analysis",
+    "join_skew_diagnosis",
+    "orders_dup_screen",
 ]
 
 # The streaming headline queries above are fingerprinted twice: the

@@ -168,6 +168,11 @@ PROBED = [
     "events_seasonal_backtest",
     "user_churn_census",
     "embedding_quantile_norm",
+    # round 8 eleventh batch: part-sized / key-sized / triple-sized
+    # post-agg state respectively.
+    "part_abc_analysis",
+    "join_skew_diagnosis",
+    "orders_dup_screen",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
