@@ -107,6 +107,11 @@ _DRIVER_HEAD = [
     "part_abc_analysis",
     "join_skew_diagnosis",
     "orders_dup_screen",
+    # round-8 twelfth batch (zero draws): Wilson intervals, calendar
+    # matrix, revenue Gini — hash-oracled.
+    "conversion_wilson_ci",
+    "events_dow_hour_matrix",
+    "customer_revenue_gini",
     # --- round-8 rotation (VERDICT r7 item 6: driver-draw freshness).
     # The round-7 zero-draw batches all got their confirmation draw in
     # CORRECTNESS_r07; this round fronts (a) the STALEST hash-oracled

@@ -167,6 +167,10 @@ HEADLINE = [
     "part_abc_analysis",
     "join_skew_diagnosis",
     "orders_dup_screen",
+    # round 8, twelfth batch: Wilson CIs, dow x hour matrix, Gini.
+    "conversion_wilson_ci",
+    "events_dow_hour_matrix",
+    "customer_revenue_gini",
 ]
 
 

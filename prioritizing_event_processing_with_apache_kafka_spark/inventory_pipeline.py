@@ -5710,6 +5710,175 @@ FROM groups
 """
 
 
+# --------------------------------------------------------------------------
+# Round-8 twelfth batch: Wilson intervals, calendar seasonality matrix,
+# revenue Gini.
+
+
+def q_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user-cohort conversion rate with the Wilson 95% score
+    interval — the small-sample-honest bound a dashboard should show
+    instead of the naive rate ± nothing (cohort = user_id % 10, the
+    deterministic assignment decile; conversion = purchase events).
+    Counts stay integers through one map-combined aggregate; the
+    Wilson bounds are the textbook expression evaluated once over
+    those integers (z = 1.959964) — the identical IEEE double both
+    engines compute, rounded to 6, so the verdict is hash-exact.
+
+    Returns per cohort: ``(cohort, n, conversions, rate_ppm,
+    wilson_lo, wilson_hi)``."""
+    events = load_table(spark, sf_dir, "events")
+    armed = events.filter(F.col("user_id").isNotNull()).select(
+        F.pmod(F.col("user_id"), F.lit(10)).cast("int").alias("cohort"),
+        (F.col("event_type") == "purchase").alias("__c"),
+    )
+    base = armed.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum(F.when(F.col("__c"), 1)), F.lit(0))
+        .cast("bigint")
+        .alias("conversions"),
+    )
+    z2 = "3.8414188712"  # 1.959964^2, fixed literal on both engines
+    center = f"(CAST(conversions AS DOUBLE) + {z2} / 2.0D) / (n + {z2})"
+    half = (
+        f"1.959964D * sqrt(CAST(conversions AS DOUBLE) * (n - conversions)"
+        f" / n + {z2} / 4.0D) / (n + {z2})"
+    )
+    return base.select(
+        "cohort",
+        "n",
+        "conversions",
+        F.expr("conversions * 1000000 DIV n").cast("bigint").alias("rate_ppm"),
+        F.expr(f"round({center} - {half}, 6)").alias("wilson_lo"),
+        F.expr(f"round({center} + {half}, 6)").alias("wilson_hi"),
+    )
+
+
+SQL_CONVERSION_WILSON_CI = """
+WITH base AS (
+  SELECT CAST(((user_id % 10) + 10) % 10 AS INTEGER) AS cohort,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+              AS BIGINT) AS conversions
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+)
+SELECT cohort, n, conversions,
+       CAST(conversions * 1000000 // n AS BIGINT) AS rate_ppm,
+       ROUND((CAST(conversions AS DOUBLE) + 3.8414188712 / 2.0)
+               / (n + 3.8414188712)
+             - 1.959964 * sqrt(CAST(conversions AS DOUBLE) * (n - conversions)
+                               / n + 3.8414188712 / 4.0)
+               / (n + 3.8414188712), 6) AS wilson_lo,
+       ROUND((CAST(conversions AS DOUBLE) + 3.8414188712 / 2.0)
+               / (n + 3.8414188712)
+             + 1.959964 * sqrt(CAST(conversions AS DOUBLE) * (n - conversions)
+                               / n + 3.8414188712 / 4.0)
+               / (n + 3.8414188712), 6) AS wilson_hi
+FROM base
+"""
+
+
+def q_events_dow_hour_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar seasonality matrix: (day-of-week, hour-of-day) event
+    volume and mean value micros — the heat map behind alert-baseline
+    and staffing decisions. One map-combined aggregate to at most 168
+    cells, each carrying volume, mean value, and its share of the
+    week in ppm (a tiny window over the cell table). Hash-oracled
+    (dow convention pinned: 1 = Sunday on both engines)."""
+    events = load_table(spark, sf_dir, "events")
+    pts = events.filter(F.col("ts").isNotNull())
+    cells = pts.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr(
+            "sum(CASE WHEN value IS NOT NULL THEN floor(value * 1000000.0) END)"
+            " DIV count(CASE WHEN value IS NOT NULL THEN 1 END)"
+        )
+        .cast("bigint")
+        .alias("mean_value_micros"),
+    )
+    wall = Window.partitionBy()
+    return cells.withColumn(
+        "__tot", F.sum("n_events").over(wall)
+    ).select(
+        "dow",
+        "hour",
+        "n_events",
+        "mean_value_micros",
+        F.expr("n_events * 1000000 DIV __tot").cast("bigint").alias(
+            "share_ppm"
+        ),
+    )
+
+
+SQL_EVENTS_DOW_HOUR_MATRIX = """
+WITH cells AS (
+  SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+         CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN value IS NOT NULL
+                       THEN CAST(FLOOR(value * 1000000.0) AS BIGINT) END)
+              // COUNT(CASE WHEN value IS NOT NULL THEN 1 END) AS BIGINT)
+           AS mean_value_micros
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+)
+SELECT dow, hour, n_events, mean_value_micros,
+       CAST(n_events * 1000000 // SUM(n_events) OVER () AS BIGINT)
+         AS share_ppm
+FROM cells
+"""
+
+
+def q_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-inequality Gini over customers — the classic
+    concentration scalar next to HHI (`bucket_key_concentration`) and
+    the ABC census: with per-customer revenue x₍ᵢ₎ sorted ascending,
+
+        G = (2·Σ i·x₍ᵢ₎) / (n·Σx) − (n+1)/n
+
+    reported in exact ppm by clearing denominators: ``gini_ppm =
+    (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) · 10⁶ DIV (n·Σx)`` — pure BIGINT on the
+    cents lattice (rank ties broken by customer key, a pure function
+    of the data). The fact scan collapses at the customer aggregate;
+    the rank window runs over the customer table. One verdict row.
+    Hash-oracled."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).alias("__x")
+    )
+    w = Window.orderBy(F.col("__x").asc(), F.col("o_custkey").asc())
+    ranked = per.withColumn("__i", F.row_number().over(w))
+    # decimal(38,0) end-to-end: the cleared numerator x 10^6 tops
+    # 5e19 at sf0.01 already — past int64; DuckDB's SUM is HUGEINT.
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("__x").cast("bigint").alias("revenue_cents"),
+        F.expr(
+            "CAST((2 * sum(CAST(__i AS DECIMAL(38,0)) * __x)"
+            " - (count(1) + 1) * sum(CAST(__x AS DECIMAL(38,0)))) * 1000000"
+            " DIV (count(1) * sum(CAST(__x AS DECIMAL(38,0)))) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+SQL_CUSTOMER_REVENUE_GINI = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i FROM per
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(x) AS BIGINT) AS revenue_cents,
+       CAST((2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)) * 1000000
+            // (COUNT(*) * SUM(x)) AS BIGINT) AS gini_ppm
+FROM ranked
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -5770,6 +5939,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_abc_analysis": q_part_abc_analysis,
     "join_skew_diagnosis": q_join_skew_diagnosis,
     "orders_dup_screen": q_orders_dup_screen,
+    "conversion_wilson_ci": q_conversion_wilson_ci,
+    "events_dow_hour_matrix": q_events_dow_hour_matrix,
+    "customer_revenue_gini": q_customer_revenue_gini,
     "rolling_active_users": q_rolling_active_users,
     "rolling_active_users_hll": q_rolling_active_users_hll,
     "events_ab_test": q_events_ab_test,
@@ -5888,6 +6060,9 @@ PIPELINE_ORACLES: dict[str, str] = {
     "part_abc_analysis": SQL_PART_ABC_ANALYSIS,
     "join_skew_diagnosis": SQL_JOIN_SKEW_DIAGNOSIS,
     "orders_dup_screen": SQL_ORDERS_DUP_SCREEN,
+    "conversion_wilson_ci": SQL_CONVERSION_WILSON_CI,
+    "events_dow_hour_matrix": SQL_EVENTS_DOW_HOUR_MATRIX,
+    "customer_revenue_gini": SQL_CUSTOMER_REVENUE_GINI,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
     # rolling_active_users_hll: approximate by design — rows-only for
     # the driver; SELF_AUDITS bounds rel_error_pct vs the exact twin

@@ -249,6 +249,11 @@ GUARDED = [
     "part_abc_analysis",
     "join_skew_diagnosis",
     "orders_dup_screen",
+    # round 8 twelfth batch: one map-combined aggregate each (+ a
+    # 168-cell window / customer-sized rank window).
+    "conversion_wilson_ci",
+    "events_dow_hour_matrix",
+    "customer_revenue_gini",
 ]
 
 # The streaming headline queries above are fingerprinted twice: the

@@ -173,6 +173,10 @@ PROBED = [
     "part_abc_analysis",
     "join_skew_diagnosis",
     "orders_dup_screen",
+    # round 8 twelfth batch: cohort- / cell- / customer-sized post-agg.
+    "conversion_wilson_ci",
+    "events_dow_hour_matrix",
+    "customer_revenue_gini",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
