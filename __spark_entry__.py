@@ -112,6 +112,11 @@ _DRIVER_HEAD = [
     "conversion_wilson_ci",
     "events_dow_hour_matrix",
     "customer_revenue_gini",
+    # round-8 thirteenth batch (zero draws): trade matrix, peak
+    # census, decayed engagement — hash-oracled.
+    "nation_trade_matrix",
+    "events_peak_census",
+    "user_decayed_value",
     # --- round-8 rotation (VERDICT r7 item 6: driver-draw freshness).
     # The round-7 zero-draw batches all got their confirmation draw in
     # CORRECTNESS_r07; this round fronts (a) the STALEST hash-oracled

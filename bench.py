@@ -171,6 +171,11 @@ HEADLINE = [
     "conversion_wilson_ci",
     "events_dow_hour_matrix",
     "customer_revenue_gini",
+    # round 8, thirteenth batch: snowflake trade matrix (broadcast
+    # dims end-to-end), peak census (bin windows), integer-decay LTV.
+    "nation_trade_matrix",
+    "events_peak_census",
+    "user_decayed_value",
 ]
 
 

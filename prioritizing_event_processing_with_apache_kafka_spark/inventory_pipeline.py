@@ -5879,6 +5879,226 @@ FROM ranked
 """
 
 
+# --------------------------------------------------------------------------
+# Round-8 thirteenth batch: trade matrix, peak census, decayed engagement.
+
+
+def q_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full nation-pair trade matrix — TPC-H Q7 generalized from two
+    hard-coded nations to the complete (supplier nation, customer
+    nation) census: revenue cents and lineitem count per ordered pair.
+    The join pipeline is the snowflake shape Catalyst should broadcast
+    end-to-end (nation/customer/supplier dims onto the lineitem⋈orders
+    fact join); the census aggregate is at most nations² rows.
+    Hash-oracled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    supp_n = supp.join(
+        F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"]
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_n = cust.join(
+        F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    fact = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == supp_n["s_suppkey"])
+        .join(F.broadcast(cust_n), F.col("o_custkey") == cust_n["c_custkey"])
+    )
+    return fact.groupBy("supp_nation", "cust_nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        F.sum(
+            F.expr(
+                "CAST(floor(l_extendedprice * (1.0D - l_discount) * 100)"
+                " AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
+
+
+SQL_NATION_TRADE_MATRIX = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q_events_peak_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak census over each series' hourly-bin mean signal: bins that
+    are STRICT local maxima (higher than both observed neighbors) and
+    at least 25% above the series' integer mean — the alert-worthy
+    spike counter. The bin aggregate is the only row-scaled exchange;
+    the neighbor windows run over bin-count-sized data. Returns per
+    series: bins, peaks, peak share ppm, and the tallest peak's value
+    and bin (value ties to the later bin on both engines).
+    Hash-oracled."""
+    events = load_table(spark, sf_dir, "events")
+    bins = (
+        events.filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) DIV 3600000000").alias("__bin"),
+        )
+        .agg(F.expr("sum(floor(value * 1000000.0)) DIV count(1)").alias("__v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("__bin")
+    flagged = (
+        bins.withColumn("__prev", F.lag("__v").over(w))
+        .withColumn("__next", F.lead("__v").over(w))
+        .withColumn(
+            "__mean",
+            F.expr(
+                "sum(__v) OVER (PARTITION BY event_type)"
+                " DIV count(1) OVER (PARTITION BY event_type)"
+            ),
+        )
+        .withColumn(
+            "__peak",
+            (
+                F.col("__prev").isNotNull()
+                & F.col("__next").isNotNull()
+                & (F.col("__v") > F.col("__prev"))
+                & (F.col("__v") > F.col("__next"))
+                & F.expr("__v * 4 > __mean * 5")
+            ).cast("int"),
+        )
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("__peak").cast("bigint").alias("n_peaks"),
+        F.expr("sum(__peak) * 1000000 DIV count(1)")
+        .cast("bigint")
+        .alias("peak_ppm"),
+        F.max(F.when(F.col("__peak") == 1, F.col("__v")))
+        .cast("bigint")
+        .alias("max_peak_micros"),
+        F.max(
+            F.when(
+                F.col("__peak") == 1,
+                F.struct(F.col("__v").alias("v"), F.col("__bin").alias("b")),
+            )
+        )["b"]
+        .cast("bigint")
+        .alias("max_peak_bin"),
+    )
+
+
+SQL_EVENTS_PEAK_CENSUS = """
+WITH bins AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS bin,
+         SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) // COUNT(*) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
+), flagged AS (
+  SELECT event_type, bin, v,
+         CASE WHEN LAG(v) OVER o IS NOT NULL AND LEAD(v) OVER o IS NOT NULL
+                   AND v > LAG(v) OVER o AND v > LEAD(v) OVER o
+                   AND v * 4 > (SUM(v) OVER p // COUNT(*) OVER p) * 5
+              THEN 1 ELSE 0 END AS peak
+  FROM bins
+  WINDOW o AS (PARTITION BY event_type ORDER BY bin),
+         p AS (PARTITION BY event_type)
+), best AS (
+  SELECT event_type, v, bin,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY v DESC, bin DESC) AS rn
+  FROM flagged WHERE peak = 1
+)
+SELECT f.event_type, CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(f.peak) AS BIGINT) AS n_peaks,
+       CAST(SUM(f.peak) * 1000000 // COUNT(*) AS BIGINT) AS peak_ppm,
+       CAST(MAX(CASE WHEN f.peak = 1 THEN f.v END) AS BIGINT)
+         AS max_peak_micros,
+       CAST(MAX(b.bin) AS BIGINT) AS max_peak_bin
+FROM flagged f
+LEFT JOIN best b ON b.event_type = f.event_type AND b.rn = 1
+GROUP BY 1
+"""
+
+
+def q_user_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed engagement score, integer-exact: each event
+    contributes ``value_micros DIV 2^k`` with ``k = age_days DIV 30``
+    (age measured back from the corpus max timestamp) — halving every
+    30 days via exact powers of two (representable exactly as doubles
+    through 2⁶²), so the score is engine-exact with no float decay
+    anywhere. Reported per user-decile cohort: events, raw and decayed
+    micros, retention ppm. One fact aggregate after a broadcast max-ts
+    join. Hash-oracled."""
+    events = load_table(spark, sf_dir, "events")
+    pts = events.filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    mx = pts.agg(F.expr("max(unix_micros(ts))").alias("__mx"))
+    staged = pts.join(F.broadcast(mx)).select(
+        F.pmod(F.col("user_id"), F.lit(10)).cast("int").alias("cohort"),
+        F.expr("CAST(floor(value * 1000000.0) AS BIGINT)").alias("__vm"),
+        F.expr(
+            "CAST((__mx - unix_micros(ts)) DIV 86400000000 DIV 30 AS INT)"
+        ).alias("__k"),
+    )
+    return (
+        staged.withColumn(
+            "__dv", F.expr("__vm DIV CAST(pow(2, LEAST(__k, 62)) AS BIGINT)")
+        )
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("__vm").cast("bigint").alias("raw_micros"),
+            F.sum("__dv").cast("bigint").alias("decayed_micros"),
+        )
+        .withColumn(
+            "retention_ppm",
+            # decimal(38,0): decayed x 10^6 passes int64 at ~10^7 events
+            # (the Gini lesson — ratios on big sums go through decimal)
+            F.expr(
+                "CASE WHEN raw_micros != 0 THEN"
+                " CAST(decayed_micros AS DECIMAL(38,0)) * 1000000"
+                " DIV raw_micros END"
+            ).cast("bigint"),
+        )
+    )
+
+
+SQL_USER_DECAYED_VALUE = """
+WITH mx AS (
+  SELECT MAX(epoch_us(ts)) AS m FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+), staged AS (
+  SELECT CAST(((user_id % 10) + 10) % 10 AS INTEGER) AS cohort,
+         CAST(FLOOR(value * 1000000.0) AS BIGINT) AS vm,
+         CAST(((SELECT m FROM mx) - epoch_us(ts)) // 86400000000 // 30
+              AS INTEGER) AS k
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+)
+SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(vm) AS BIGINT) AS raw_micros,
+       CAST(SUM(vm // CAST(POW(2, LEAST(k, 62)) AS BIGINT)) AS BIGINT)
+         AS decayed_micros,
+       CAST(CASE WHEN SUM(vm) != 0 THEN
+              SUM(vm // CAST(POW(2, LEAST(k, 62)) AS BIGINT)) * 1000000
+              // SUM(vm) END AS BIGINT) AS retention_ppm
+FROM staged GROUP BY 1
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -5942,6 +6162,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conversion_wilson_ci": q_conversion_wilson_ci,
     "events_dow_hour_matrix": q_events_dow_hour_matrix,
     "customer_revenue_gini": q_customer_revenue_gini,
+    "nation_trade_matrix": q_nation_trade_matrix,
+    "events_peak_census": q_events_peak_census,
+    "user_decayed_value": q_user_decayed_value,
     "rolling_active_users": q_rolling_active_users,
     "rolling_active_users_hll": q_rolling_active_users_hll,
     "events_ab_test": q_events_ab_test,
@@ -6063,6 +6286,9 @@ PIPELINE_ORACLES: dict[str, str] = {
     "conversion_wilson_ci": SQL_CONVERSION_WILSON_CI,
     "events_dow_hour_matrix": SQL_EVENTS_DOW_HOUR_MATRIX,
     "customer_revenue_gini": SQL_CUSTOMER_REVENUE_GINI,
+    "nation_trade_matrix": SQL_NATION_TRADE_MATRIX,
+    "events_peak_census": SQL_EVENTS_PEAK_CENSUS,
+    "user_decayed_value": SQL_USER_DECAYED_VALUE,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
     # rolling_active_users_hll: approximate by design — rows-only for
     # the driver; SELF_AUDITS bounds rel_error_pct vs the exact twin

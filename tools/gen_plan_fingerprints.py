@@ -254,6 +254,13 @@ GUARDED = [
     "conversion_wilson_ci",
     "events_dow_hour_matrix",
     "customer_revenue_gini",
+    # round 8 thirteenth batch: trade matrix must keep ALL THREE dim
+    # joins broadcast (one fact shuffle for lineitem x orders); peak
+    # census = bin agg + bin-sized windows; decayed LTV = one fact
+    # aggregate + broadcast max-ts.
+    "nation_trade_matrix",
+    "events_peak_census",
+    "user_decayed_value",
 ]
 
 # The streaming headline queries above are fingerprinted twice: the

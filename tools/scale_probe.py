@@ -177,6 +177,10 @@ PROBED = [
     "conversion_wilson_ci",
     "events_dow_hour_matrix",
     "customer_revenue_gini",
+    # round 8 thirteenth batch: nations^2 / bin / cohort sized post-agg.
+    "nation_trade_matrix",
+    "events_peak_census",
+    "user_decayed_value",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
