@@ -275,6 +275,13 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 90) -> bytes:
         coefs = np.einsum("ij,njk,lk->nil", _C, blocks - 128.0, _C)
         q = qluma if ci == 0 else qchroma
         quant = np.round(coefs / q).astype(np.int64)
+        # Baseline JPEG caps AC size categories at 10 (|v| <= 1023);
+        # with near-unity quantizers a max-contrast block can quantize
+        # to +/-1024 (category 11), which standard decoders reject.
+        # Clamp during quantization so every emitted symbol is in-spec
+        # (DC diffs then stay within category 11 automatically: the
+        # level-shifted DC range is [-1024, 1016] before this clip).
+        quant = np.clip(quant, -1023, 1023)
         comp_coefs.append(quant.reshape(-1, 64)[:, _ZZ])
 
     # symbol statistics (DC/AC × luma/chroma)
@@ -440,12 +447,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame = None
     scan_comps = None
     data_start = None
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
+        # 0xFF fill bytes are legal padding between segments (T.81
+        # B.1.1.2): skip to the final 0xFF that precedes the marker code.
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = struct.unpack_from(">H", payload, pos)[0]
         if marker == 0xFFD9:
             break
+        if marker == 0xFF01 or 0xFFD0 <= marker <= 0xFFD7:
+            # TEM / standalone RSTn carry no length field.
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment header")
         (length,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + length]
         if marker == 0xFFDB:

@@ -1038,6 +1038,16 @@ def decode_avi(payload: bytes) -> list[np.ndarray]:
     frames = []
     for cid, body in frame_chunks:
         if cid[2:] == b"dc":
+            # Dispatch on the strf compression fourCC, not blind faith:
+            # a '00dc' chunk is "compressed frame", and only MJPG
+            # ('MJPG' little-endian = 0x47504A4D) is implemented here —
+            # any other codec is the documented NotImplementedError
+            # seam, not a confusing decode_jpeg ValueError.
+            if compression != 0x47504A4D:
+                raise NotImplementedError(
+                    f"compressed AVI stream fourCC {compression:#010x} "
+                    "not implemented (only MJPG)"
+                )
             from .jpeg import decode_jpeg
 
             frames.append(decode_jpeg(body))
