@@ -48,90 +48,19 @@ _DRIVER_HEAD = [
     "starved_discard_audit",
     "assignment_golden",
     "bucket_allocation_vs_load",
-    # round-8 additions (zero draws): histogram-lattice exact
-    # percentile_disc/cont (hash-oracled), the exact<->KLL percentile
-    # bridge (machine-audited rank envelope), and the unhinted
-    # layout-join broadcast canary (hash-oracled).
-    "bucket_percentile_exact",
-    "bucket_percentile_bridge",
-    "layout_autobroadcast_canary",
-    "multimodal_jpeg_roundtrip",
-    "bucket_value_mad",
-    "layout_rebalance_impact",
-    "neardup_bfs_hops",
-    # round-8 third batch (zero draws): packing, weighted sampling,
-    # vocabulary drift, k-anonymity, M4 downsampling — all hash-oracled.
-    "corpus_pack_stats",
-    "documents_weighted_sample",
-    "source_vocab_drift",
-    "events_k_anonymity",
-    "events_m4_downsample",
-    # round-8 fourth batch (zero draws): autocorrelation, Benford,
-    # winsorization, embedding outliers — all hash-oracled.
-    "events_hourly_acf",
-    "lineitem_benford",
-    "orders_winsorized",
-    "embedding_outlier_audit",
-    # round-8 fifth batch (zero draws): k-core nucleus, source overlap
-    # census, decile drift, erasure cascade — all hash-oracled.
-    "neardup_kcore",
-    "source_overlap",
-    "events_decile_drift",
-    "erasure_cascade",
-    # round-8 sixth batch (zero draws): sliding distinct exact + HLL
-    # twin (the HLL one is the machine-audited half), A/B readout.
-    "rolling_active_users",
-    "rolling_active_users_hll",
-    "events_ab_test",
-    # round-8 seventh batch (zero draws): real WAV decode closing the
-    # audio half of the codec seam — hash-oracled.
-    "multimodal_audio_decode",
-    "multimodal_video_decode",
-    # round-8 eighth batch (zero draws): RFM census, dedup-aware corpus
-    # sizing, supplier ship-SLA watch — all hash-oracled.
-    "customer_rfm",
-    "effective_corpus_size",
-    "supplier_ship_sla",
-    # round-8 ninth batch (zero draws): conformance censuses — FD
-    # audit, char-class profile, status reconciliation — hash-oracled.
-    "source_lang_fd",
-    "lang_charclass_profile",
-    "order_status_reconciliation",
-    # round-8 tenth batch (zero draws): forecast backtest, churn
-    # census, quantile-normalization audit — hash-oracled.
-    "events_seasonal_backtest",
-    "user_churn_census",
-    "embedding_quantile_norm",
-    # round-8 eleventh batch (zero draws): ABC census, join-skew
-    # diagnosis, duplicate-payment screen — hash-oracled.
-    "part_abc_analysis",
-    "join_skew_diagnosis",
-    "orders_dup_screen",
-    # round-8 twelfth batch (zero draws): Wilson intervals, calendar
-    # matrix, revenue Gini — hash-oracled.
-    "conversion_wilson_ci",
-    "events_dow_hour_matrix",
-    "customer_revenue_gini",
-    # round-8 thirteenth batch (zero draws): trade matrix, peak
-    # census, decayed engagement — hash-oracled.
-    "nation_trade_matrix",
-    "events_peak_census",
-    "user_decayed_value",
-    # --- round-8 rotation (VERDICT r7 item 6: driver-draw freshness).
-    # The round-7 zero-draw batches all got their confirmation draw in
-    # CORRECTNESS_r07; this round fronts (a) the STALEST hash-oracled
-    # queries — last drawn r01/r03, predating five rounds of engine
-    # work — then (b) the r04 once-drawn singletons, then (c) the
-    # round-7 batch-5-9 queries with exactly one draw, then (d) the
-    # oldest r04 bulk. Once-drawn SELF-AUDIT queries are deliberately
-    # NOT rotated in: their driver draw is always rows-only, so a
-    # re-draw spends a hard-signal slot on a query the driver cannot
-    # hash-check.
-    # (a) last drawn r01
+    # --- round-9 rotation (VERDICT r8 "what's wrong" #1: the r8
+    # ordering put 43 zero-draw queries AHEAD of the stale list, so
+    # the ~50-entry draw window never reached it and the stalest
+    # queries went an 8th round without a hard-signal draw). Fixed
+    # structurally: the STALE list now comes BEFORE the new-query
+    # slots — ≥12 stale slots are guaranteed inside the window, and
+    # new queries are capped at the tail of the window (excess new
+    # queries wait a round; stale ones must not wait another five).
+    # (a) last drawn r01 — seven rounds of engine churn ago
     "multimodal_features",
     "text_quality",
     "text_token_stats",
-    # (a) last drawn r03
+    # (b) last drawn r03
     "discard_audit_except",
     "key_parse_variants",
     "priority_grouping_sets",
@@ -139,12 +68,32 @@ _DRIVER_HEAD = [
     "salted_type_counts",
     "bucket_pivot",
     "q2_min_cost_supplier",
-    # (b) once-drawn, last drawn r04
+    # (c) last drawn r04
     "bucket_metric_unpivot",
     "events_variant_extract",
     "stream_dedup_keys",
     "stream_sessionized_users",
-    # (c) round-7 batch-5-9, exactly one draw each (r07)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    # (d) re-planned this round: the Gini/ABC censuses moved off the
+    # unpartitioned global window onto the distributed ordered scan —
+    # their hash must be re-confirmed by an independent draw.
+    "customer_revenue_gini",
+    "part_abc_analysis",
+    # (e) round-9 new queries (zero draws) — appended here as they
+    # land, CAP ~20 so (a)-(d) always stay inside the draw window.
+    # (f) overflow: more stale r04 bulk + the once-drawn r07 batches —
+    # drawn as window room permits this round, fronted next round.
+    "q14_promo_share",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "top_events_per_user",
+    "bucket_rollup",
+    "user_event_gaps",
+    "events_json_extract",
+    "sessionized_events",
     "route_rendezvous",
     "doc_containment",
     "copurchase_lift",
@@ -162,19 +111,6 @@ _DRIVER_HEAD = [
     "dedup_prefix_filter",
     "dedup_multiset_jaccard",
     "drain_tick_percentiles",
-    # (d) oldest r04 bulk — fills the ~50-draw window
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
-    "q6_forecast_revenue",
-    "q14_promo_share",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "top_events_per_user",
-    "bucket_rollup",
-    "user_event_gaps",
-    "events_json_extract",
-    "sessionized_events",
 ]
 
 

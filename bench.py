@@ -326,8 +326,32 @@ def main() -> int:
         # The sidecar is auxiliary — an unwritable path must never cost
         # the headline line (the exact failure mode this split fixes).
         print(f"spread sidecar not written: {exc}", file=sys.stderr)
-    # FINAL line of stdout, compact separators — nothing may print after.
+    # The driver records only a bounded TAIL of stdout (~1.9 KB) and
+    # parses the last line. At ~90 headline queries the full per-query
+    # map outgrew that window in round 8, cutting the headline total
+    # off the FRONT of the single line (BENCH_r08 parsed: null). Split:
+    # the complete map goes out first (informational line + committed
+    # per round via the solo-bench artifact), and the FINAL line is a
+    # budget-capped JSON that always fits the tail window — headline
+    # total guaranteed parseable, per-query detail for the slowest
+    # queries (the ones worth comparing round-over-round), the rest
+    # counted in queries_elided.
     print(json.dumps(result, separators=(",", ":")))
+    budget = 1200
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    kept: dict[str, float] = {}
+    for name, sec in slowest:
+        trial = dict(result)
+        trial["queries"] = {**kept, name: sec}
+        trial["queries_elided"] = len(timings) - len(trial["queries"])
+        if len(json.dumps(trial, separators=(",", ":"))) > budget:
+            break
+        kept[name] = sec
+    final = dict(result)
+    final["queries"] = kept
+    final["queries_elided"] = len(timings) - len(kept)
+    # FINAL line of stdout — nothing may print after.
+    print(json.dumps(final, separators=(",", ":")))
     return 0
 
 

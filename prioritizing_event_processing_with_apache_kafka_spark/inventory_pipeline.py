@@ -40,6 +40,9 @@ from prioritizing_event_processing_with_apache_kafka_spark.operators import (
 from prioritizing_event_processing_with_apache_kafka_spark.operators import (
     sampling as _SK,
 )
+from prioritizing_event_processing_with_apache_kafka_spark.operators.ordered import (
+    global_ordered_scan,
+)
 from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import (
     bucket_for_event_type,
     load_table,
@@ -5518,9 +5521,13 @@ def q_part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     of total, B below 95%, C otherwise — ties broken by part key so
     the classification is a pure function of the data. Reported as the
     class census (n_parts, revenue, share ppm per class). The fact
-    scan collapses at the part aggregate (map-combined — the only
-    row-scaled exchange); the running-share window runs over the part
-    table ordered by revenue. Hash-oracled."""
+    scan collapses at the part aggregate (map-combined); the running
+    share comes from :func:`operators.ordered.global_ordered_scan` —
+    the part table is CARDINALITY-SCALED (grows with the corpus), so
+    the rank must be the two-pass range-partitioned cumulative sum,
+    never an unpartitioned window funneling every part through one
+    task. Running/total revenue ride the decimal(38,0) lattice (int64
+    × 100 overflows at ~10⁸ parts). Hash-oracled."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(
@@ -5530,26 +5537,26 @@ def q_part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("__rev")
     )
-    w = Window.orderBy(F.col("__rev").desc(), F.col("l_partkey").asc())
-    wall = Window.partitionBy()
-    classed = (
-        rev.withColumn("__cum", F.sum("__rev").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ))
-        .withColumn("__tot", F.sum("__rev").over(wall))
-        .withColumn(
-            "abc_class",
-            F.when(F.expr("__cum * 100 <= __tot * 80"), F.lit("A"))
-            .when(F.expr("__cum * 100 <= __tot * 95"), F.lit("B"))
-            .otherwise(F.lit("C")),
-        )
+    classed = global_ordered_scan(
+        rev,
+        [F.col("__rev").desc(), F.col("l_partkey").asc()],
+        "__rev",
+        cum_col="__cum",
+        total_col="__tot",
+    ).withColumn(
+        "abc_class",
+        F.when(F.expr("__cum * 100 <= __tot * 80"), F.lit("A"))
+        .when(F.expr("__cum * 100 <= __tot * 95"), F.lit("B"))
+        .otherwise(F.lit("C")),
     )
     return (
         classed.groupBy("abc_class")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_parts"),
             F.sum("__rev").cast("bigint").alias("revenue_cents"),
-            F.expr("sum(__rev) * 1000000 DIV max(__tot)")
+            F.expr(
+                "CAST(sum(__rev) AS DECIMAL(38,0)) * 1000000 DIV max(__tot)"
+            )
             .cast("bigint")
             .alias("share_ppm"),
         )
@@ -5842,14 +5849,21 @@ def q_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) · 10⁶ DIV (n·Σx)`` — pure BIGINT on the
     cents lattice (rank ties broken by customer key, a pure function
     of the data). The fact scan collapses at the customer aggregate;
-    the rank window runs over the customer table. One verdict row.
+    the customer table is CARDINALITY-SCALED, so the global rank comes
+    from :func:`operators.ordered.global_ordered_scan`'s two-pass
+    range-partitioned zip-with-index — never an unpartitioned window
+    funneling every customer through one task's sort. One verdict row.
     Hash-oracled."""
     orders = load_table(spark, sf_dir, "orders")
     per = orders.groupBy("o_custkey").agg(
         F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).alias("__x")
     )
-    w = Window.orderBy(F.col("__x").asc(), F.col("o_custkey").asc())
-    ranked = per.withColumn("__i", F.row_number().over(w))
+    ranked = global_ordered_scan(
+        per,
+        [F.col("__x").asc(), F.col("o_custkey").asc()],
+        "__x",
+        rank_col="__i",
+    ).drop("__gos_cum", "__gos_tot")
     # decimal(38,0) end-to-end: the cleared numerator x 10^6 tops
     # 5e19 at sf0.01 already — past int64; DuckDB's SUM is HUGEINT.
     return ranked.agg(

@@ -242,15 +242,22 @@ GUARDED = [
     "events_seasonal_backtest",
     "user_churn_census",
     "embedding_quantile_norm",
-    # round 8 eleventh batch: ABC = part agg + part-sized running
-    # window; skew diagnosis = two per-key aggs + full-outer key merge
+    # round 8 eleventh batch (ABC re-planned round 9): ABC = part agg
+    # + the distributed global-ordered-scan (ONE range exchange + one
+    # pid-partitioned window + tiny broadcast offsets — an
+    # unpartitioned Window.orderBy funneling the part table through a
+    # single task is the regression this pin exists for; the only
+    # SinglePartition exchanges are partial->final scalar aggregates);
+    # skew diagnosis = two per-key aggs + full-outer key merge
     # + 32-row fold (EXECUTING the diagnosed join is the regression);
     # dup screen = one triple agg + verdict fold.
     "part_abc_analysis",
     "join_skew_diagnosis",
     "orders_dup_screen",
     # round 8 twelfth batch: one map-combined aggregate each (+ a
-    # 168-cell window / customer-sized rank window).
+    # 168-cell window). Gini re-planned round 9: the global rank now
+    # comes from the distributed ordered scan (range exchange +
+    # pid-partitioned window), like ABC above.
     "conversion_wilson_ci",
     "events_dow_hour_matrix",
     "customer_revenue_gini",
@@ -261,6 +268,16 @@ GUARDED = [
     "nation_trade_matrix",
     "events_peak_census",
     "user_decayed_value",
+    # round 9: the last two bench headliners without pins (VERDICT r8
+    # item 5). Both ride a checkpointed CC closure, so the visible
+    # plan is the POST-closure shape — checkpoint scans + the final
+    # join/aggregate stages. That is still a real guard: a fact
+    # re-scan, a new window funnel, or a broadcast->shuffle flip in
+    # the post-closure stages changes the counts. (The closures'
+    # per-round work is separately guarded by the 100x probes and the
+    # convergence exceptions in operators/graph.py.)
+    "effective_corpus_size",
+    "neardup_kcore",
 ]
 
 # The streaming headline queries above are fingerprinted twice: the

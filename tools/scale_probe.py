@@ -220,30 +220,93 @@ DEDUP_PROBES = [
     "neardup_bfs_hops",
 ]
 
+# Queries whose window/rank input is KEY-scaled (one row per
+# customer/part/order triple): the decorrelated events/documents
+# replica cannot grow their post-aggregate state (copies collapse at
+# the key aggregate), so a probe over it is provably blind to a
+# single-reducer funnel there (VERDICT r8 "what's wrong" #2). The
+# --grow-tpch mode replicates orders+lineitem with REMAPPED keys
+# (o_custkey / l_partkey / o_orderkey shifted per copy) so the
+# per-key aggregate — the input to the global ordered scan — really
+# is N× larger.
+GROW_PROBED = [
+    "part_abc_analysis",       # global ordered scan over N× parts
+    "customer_revenue_gini",   # global ordered scan over N× customers
+    "customer_rfm",            # per-customer frame + histogram fences
+    "join_skew_diagnosis",     # per-key counts on both join sides
+    "orders_dup_screen",       # triple aggregate over N× orders
+]
+
 # Bump when the replica construction changes so stale /tmp replicas
 # from earlier revisions are not reused.
 _REPLICA_VERSION = "v2-decorrelated-text"
 
 TABLES = ("events", "documents", "embeddings")
+GROW_TABLES = ("orders", "lineitem")
 # Tables the probed queries need but that aren't replicated (TPC-H
 # dims etc.) are symlink-copied as-is.
 PASSTHROUGH = (
     "region nation customer supplier part orders lineitem".split()
 )
+GROW_PASSTHROUGH = (
+    "region nation customer supplier part events documents embeddings".split()
+)
 
 
-def replica_dir(sf_dir: str, copies: int) -> str:
+def replica_dir(sf_dir: str, copies: int, *, grow: bool = False) -> str:
     # Tag every replicated source table's identity, not just events:
     # regenerated documents/embeddings fixtures must invalidate too.
     parts = []
-    for t in TABLES:
+    for t in GROW_TABLES if grow else TABLES:
         src = f"{sf_dir.rstrip('/')}/{t}.parquet"
         stat = os.stat(src)
         parts.append(f"{src}:{stat.st_mtime_ns}:{stat.st_size}")
+    version = _REPLICA_VERSION + ("-grow-tpch" if grow else "")
     tag = hashlib.md5(
-        (":".join(parts) + f":{copies}:{_REPLICA_VERSION}").encode()
+        (":".join(parts) + f":{copies}:{version}").encode()
     ).hexdigest()[:12]
-    return os.path.join("/tmp", f"peps-scale-{copies}x-{tag}")
+    prefix = "peps-grow" if grow else "peps-scale"
+    return os.path.join("/tmp", f"{prefix}-{copies}x-{tag}")
+
+
+def build_grow_replica(spark, sf_dir: str, out_dir: str, copies: int) -> None:
+    """N× orders+lineitem with per-copy key remapping: every copy gets
+    a DISJOINT customer/part/order key space, so per-key aggregates
+    (the input to global ranks) grow by N — the honest growth model
+    for "N× more customers", where the decorrelated-copy replica
+    (same keys, collapsing at the aggregate) provably cannot see a
+    rank funnel."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    orders = spark.read.parquet(f"{sf_dir.rstrip('/')}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
+    # ONE span per logical key domain — o_orderkey and l_orderkey must
+    # shift identically or per-copy joins break (orders holds the
+    # superset of order keys).
+    span_order = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    span_cust = orders.agg(F.max("o_custkey")).first()[0] + 1
+    span_part = li.agg(F.max("l_partkey")).first()[0] + 1
+    spine = spark.range(copies).withColumnRenamed("id", "__copy")
+    shifts = {
+        "orders": {"o_orderkey": span_order, "o_custkey": span_cust},
+        "lineitem": {"l_orderkey": span_order, "l_partkey": span_part},
+    }
+    out_parts = max(8, min(256, copies * 4))
+    for name, df in (("orders", orders), ("lineitem", li)):
+        big = df.crossJoin(F.broadcast(spine))
+        for col, span in shifts[name].items():
+            big = big.withColumn(
+                col, F.col(col) + F.col("__copy") * F.lit(span)
+            )
+        big.drop("__copy").repartition(out_parts).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{name}.parquet")
+    for t in GROW_PASSTHROUGH:
+        src = f"{sf_dir.rstrip('/')}/{t}.parquet"
+        dst = f"{out_dir}/{t}.parquet"
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(src, dst)
 
 
 def build_replica(spark, sf_dir: str, out_dir: str, copies: int) -> None:
@@ -309,13 +372,16 @@ def main() -> int:
     skip_dedup = "--no-dedup" in argv
     if skip_dedup:
         argv.remove("--no-dedup")
+    grow = "--grow-tpch" in argv
+    if grow:
+        argv.remove("--grow-tpch")
     only = None
     if "--only" in argv:
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
         del argv[i : i + 2]
         # Fail fast on typos BEFORE the multi-minute replica build.
-        unknown = sorted(only - set(PROBED) - set(DEDUP_PROBES))
+        unknown = sorted(only - set(PROBED) - set(DEDUP_PROBES) - set(GROW_PROBED))
         if unknown:
             print(
                 f"--only names not in PROBED/DEDUP_PROBES: {unknown}",
@@ -358,13 +424,17 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    big_dir = replica_dir(sf_dir, copies)
+    big_dir = replica_dir(sf_dir, copies, grow=grow)
     # _SUCCESS of the LAST-written table marks a complete build; a
     # bare directory left by an interrupted build must not be reused.
-    done_marker = os.path.join(big_dir, TABLES[-1] + ".parquet", "_SUCCESS")
+    last_table = (GROW_TABLES if grow else TABLES)[-1]
+    done_marker = os.path.join(big_dir, last_table + ".parquet", "_SUCCESS")
     if not os.path.exists(done_marker):
         t0 = time.time()
-        build_replica(spark, sf_dir, big_dir, copies)
+        if grow:
+            build_grow_replica(spark, sf_dir, big_dir, copies)
+        else:
+            build_replica(spark, sf_dir, big_dir, copies)
         print(f"built {copies}x replica at {big_dir} in {time.time()-t0:.1f}s")
 
     import __spark_entry__ as entrymod
@@ -394,9 +464,12 @@ def main() -> int:
         return best
 
     results = {}
-    probe_list = [(n, False) for n in PROBED]
-    if not skip_dedup:
-        probe_list += [(n, True) for n in DEDUP_PROBES]
+    if grow:
+        probe_list = [(n, False) for n in GROW_PROBED]
+    else:
+        probe_list = [(n, False) for n in PROBED]
+        if not skip_dedup:
+            probe_list += [(n, True) for n in DEDUP_PROBES]
     if only is not None:
         excluded = sorted(only - {n for n, _d in probe_list})
         if excluded:  # valid names filtered out by --no-dedup
@@ -426,6 +499,8 @@ def main() -> int:
         )
 
     out = {"copies": copies, "base_sf_dir": sf_dir, "queries": results}
+    if grow:
+        out["mode"] = "grow-tpch"  # cardinality-growing key remap
     if json_out:
         with open(json_out, "w") as fh:
             json.dump(out, fh, indent=1)
