@@ -84,6 +84,10 @@ _DRIVER_HEAD = [
     "part_abc_analysis",
     # (e) round-9 new queries (zero draws) — appended here as they
     # land, CAP ~20 so (a)-(d) always stay inside the draw window.
+    "multimodal_mjpg_roundtrip",
+    "user_value_pareto",
+    "customer_lorenz_deciles",
+    "orders_pit_fx_enrich",
     # (f) overflow: more stale r04 bulk + the once-drawn r07 batches —
     # drawn as window room permits this round, fronted next round.
     "q14_promo_share",

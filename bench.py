@@ -176,6 +176,14 @@ HEADLINE = [
     "nation_trade_matrix",
     "events_peak_census",
     "user_decayed_value",
+    # round 9, first batch: Pareto coverage + Lorenz deciles (both on
+    # the distributed global ordered scan), PIT FX enrichment
+    # (broadcast effective-dated range join), MJPG-in-AVI round trip
+    # (map-only codec pipeline).
+    "user_value_pareto",
+    "customer_lorenz_deciles",
+    "orders_pit_fx_enrich",
+    "multimodal_mjpg_roundtrip",
 ]
 
 

@@ -883,6 +883,21 @@ def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.jpeg_roundtrip_metrics(docs, quality=90)
 
 
+def q_multimodal_mjpg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPG-in-AVI end-to-end (VERDICT r8 item 9): each document's
+    deterministic frame stack encoded as an AVI whose '00dc' chunks are
+    baseline JPEGs, decoded back through the RIFF walker +
+    ``operators/jpeg.py``, reduced to per-doc round-trip metrics
+    (``multimodal.py:mjpg_roundtrip_metrics``). Lossy by the codec's
+    design, so the contract mirrors ``multimodal_jpeg_roundtrip``:
+    container dims + frame count exact, re-decode bit-identical,
+    error envelope bounded (fixture-calibrated worst case 48 over
+    2,000 docs, mean 1.1; bound 64). Enforced by tools/check_oracle.py
+    SELF_AUDITS; rows-only for the driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.mjpg_roundtrip_metrics(docs)
+
+
 def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end over a MIXED-format fixture:
     deterministic PNG (doc_id % 3 == 0 — the compressed path, stdlib
@@ -6113,6 +6128,275 @@ FROM staged GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Round-9 first batch: Pareto coverage, Lorenz deciles, point-in-time
+# FX enrichment — the first two are further consumers of the
+# distributed global ordered scan (operators/ordered.py), the third is
+# the second as-of family member (effective-dated dimension join).
+
+
+def q_user_value_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto coverage census: for each coverage threshold (50/90/99%
+    of total event value), the MINIMAL number of top users whose
+    combined value reaches it, the value they cover, and its exact
+    share — the "how concentrated is engagement" verdict next to the
+    Gini scalar. A user is in the minimal prefix iff the running total
+    EXCLUDING them is still below the threshold. The user table is
+    cardinality-scaled, so the descending rank/running sum comes from
+    the distributed ordered scan — never an unpartitioned window.
+    Exact micros lattice end-to-end; ties broken by user id.
+    Hash-oracled."""
+    events = load_table(spark, sf_dir, "events")
+    per = (
+        events.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("CAST(floor(value * 1000000.0) AS BIGINT)")),
+                F.lit(0),
+            ).alias("__x")
+        )
+    )
+    scanned = global_ordered_scan(
+        per,
+        [F.col("__x").desc(), F.col("user_id").asc()],
+        "__x",
+        cum_col="__cum",
+        total_col="__tot",
+    )
+    th = F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias(
+        "threshold_pct"
+    )
+    staged = scanned.select(
+        "__x", "__cum", "__tot", th
+    ).withColumn(
+        "__in_prefix",
+        F.expr("(__cum - __x) * 100 < __tot * threshold_pct"),
+    )
+    return (
+        staged.groupBy("threshold_pct")
+        .agg(
+            F.sum(F.expr("CASE WHEN __in_prefix THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_users"),
+            F.expr("CAST(max(CASE WHEN __in_prefix THEN __cum END) AS BIGINT)")
+            .alias("covered_value_micros"),
+            F.expr(
+                "CAST(max(CASE WHEN __in_prefix THEN __cum END) * 1000000"
+                " DIV max(__tot) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .select("threshold_pct", "n_users", "covered_value_micros", "share_ppm")
+    )
+
+
+SQL_USER_VALUE_PARETO = """
+WITH per AS (
+  SELECT user_id,
+         COALESCE(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)), 0) AS x
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+), ranked AS (
+  SELECT x,
+         SUM(x) OVER (ORDER BY x DESC, user_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(x) OVER () AS tot
+  FROM per
+), staged AS (
+  SELECT t.threshold_pct, x, cum, tot,
+         (cum - x) * 100 < tot * t.threshold_pct AS in_prefix
+  FROM ranked CROSS JOIN (SELECT UNNEST([50, 90, 99]) AS threshold_pct) t
+)
+SELECT CAST(threshold_pct AS INTEGER) AS threshold_pct,
+       CAST(SUM(CASE WHEN in_prefix THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
+       CAST(MAX(CASE WHEN in_prefix THEN cum END) AS BIGINT)
+         AS covered_value_micros,
+       CAST(MAX(CASE WHEN in_prefix THEN cum END) * 1000000 // MAX(tot)
+            AS BIGINT) AS share_ppm
+FROM staged GROUP BY 1
+"""
+
+
+def q_customer_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve deciles over customer revenue: customers ranked
+    ASCENDING by revenue (cents lattice, ties by key), split into ten
+    equal-count rank deciles ``(rank-1)*10 DIV n``, each reporting its
+    customer count, revenue, and the CUMULATIVE revenue share through
+    it — the curve whose area the Gini scalar summarizes (a uniform
+    corpus walks the diagonal; fixture bottom deciles carry far less).
+    The rank and running sum come from the distributed ordered scan;
+    everything after it is decile-sized. Hash-oracled."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).alias("__x")
+    )
+    scanned = global_ordered_scan(
+        per,
+        [F.col("__x").asc(), F.col("o_custkey").asc()],
+        "__x",
+        rank_col="__i",
+        cum_col="__cum",
+        total_col="__tot",
+        count_col="__n",
+    )
+    return (
+        scanned.withColumn(
+            "decile", F.expr("CAST((__i - 1) * 10 DIV __n AS INTEGER)")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("__x").cast("bigint").alias("revenue_cents"),
+            F.expr(
+                "CAST(max(__cum) * 1000000 DIV max(__tot) AS BIGINT)"
+            ).alias("cum_share_ppm"),
+        )
+    )
+
+
+SQL_CUSTOMER_LORENZ_DECILES = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT x, o_custkey,
+         ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i,
+         SUM(x) OVER (ORDER BY x, o_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(x) OVER () AS tot,
+         COUNT(*) OVER () AS n
+  FROM per
+)
+SELECT CAST((i - 1) * 10 // n AS INTEGER) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(x) AS BIGINT) AS revenue_cents,
+       CAST(MAX(cum) * 1000000 // MAX(tot) AS BIGINT) AS cum_share_ppm
+FROM ranked GROUP BY 1
+"""
+
+
+def q_orders_pit_fx_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join — the second as-of family member
+    (VERDICT r8 item 8): an effective-dated rate dimension (25
+    markets ``o_custkey % 25``; a new rate lands only every third
+    market-month, each effective UNTIL SUPERSEDED — the gap months are
+    what make it an as-of join, not a key join) built in-plan as a
+    pure function of the order-date range, then every order enriched
+    with the rate in force at ``o_orderdate`` and rolled up per
+    market: order/matched counts, raw revenue, converted revenue
+    (``Σ cents·rate_ppm DIV 10⁶`` on the decimal lattice).
+
+    Scale shape: the dimension is (markets × months) rows — bounded by
+    wall clock, built from a 1-row min/max aggregate, LEAD'd within
+    market, and BROADCAST onto the fact scan as a range join: the
+    standard plan for effective-dated small dimensions, where a
+    per-key window union (asof_join's shape, built for high-cardinality
+    keys) would funnel the fact table through 25 window partitions.
+    Orders before their market's first rate stay unmatched (LEFT
+    semantics), counted not dropped. Hash-oracled — the oracle rebuilds
+    the same dimension arithmetically and replays the interval match."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(((o_custkey % 25) + 25) % 25 AS INTEGER)").alias(
+            "market"
+        ),
+        F.to_date("o_orderdate").alias("odate"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    bounds = orders.agg(
+        F.date_trunc("month", F.min("odate")).cast("date").alias("lo"),
+        F.date_trunc("month", F.max("odate")).cast("date").alias("hi"),
+    )
+    months = bounds.select(
+        F.explode(
+            F.expr("sequence(lo, hi, interval 1 month)")
+        ).alias("month_start"),
+        "lo",
+    ).select(
+        "month_start",
+        F.expr(
+            "CAST(months_between(month_start, lo) AS INTEGER)"
+        ).alias("month_idx"),
+    )
+    markets = spark.range(25).select(F.col("id").cast("int").alias("market"))
+    dim = (
+        months.crossJoin(markets)
+        .where(F.expr("(market + month_idx) % 3 = 0"))
+        .select(
+            "market",
+            F.col("month_start").alias("valid_from"),
+            F.expr(
+                "CAST(1000000 + (market * 37 + month_idx * 7919) % 250000"
+                " AS BIGINT)"
+            ).alias("rate_ppm"),
+        )
+        .withColumn(
+            "valid_to",
+            F.lead("valid_from").over(
+                Window.partitionBy("market").orderBy("valid_from")
+            ),
+        )
+    )
+    enriched = orders.join(
+        F.broadcast(dim),
+        (orders["market"] == dim["market"])
+        & (orders["odate"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (orders["odate"] < dim["valid_to"])),
+        "left",
+    ).select(orders["market"], "cents", "rate_ppm")
+    return enriched.groupBy("market").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.count("rate_ppm").cast("bigint").alias("n_matched"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+        F.expr(
+            "CAST(sum(CASE WHEN rate_ppm IS NOT NULL THEN"
+            " CAST(cents AS DECIMAL(38,0)) * rate_ppm END)"
+            " DIV 1000000 AS BIGINT)"
+        ).alias("converted_cents"),
+    )
+
+
+SQL_ORDERS_PIT_FX_ENRICH = """
+WITH o AS (
+  SELECT CAST(((o_custkey % 25) + 25) % 25 AS INTEGER) AS market,
+         CAST(o_orderdate AS DATE) AS odate,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), bounds AS (
+  SELECT date_trunc('month', MIN(odate)) AS lo,
+         date_trunc('month', MAX(odate)) AS hi
+  FROM o
+), months AS (
+  SELECT CAST(m AS DATE) AS month_start,
+         CAST(datediff('month', (SELECT lo FROM bounds), m) AS INTEGER)
+           AS month_idx
+  FROM (SELECT UNNEST(generate_series((SELECT lo FROM bounds),
+                                      (SELECT hi FROM bounds),
+                                      INTERVAL 1 MONTH)) AS m)
+), dim AS (
+  SELECT g.market, month_start AS valid_from,
+         CAST(1000000 + (g.market * 37 + month_idx * 7919) % 250000
+              AS BIGINT) AS rate_ppm,
+         LEAD(month_start) OVER (PARTITION BY g.market
+                                 ORDER BY month_start) AS valid_to
+  FROM months
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 24)) AS market) g
+  WHERE (g.market + month_idx) % 3 = 0
+)
+SELECT o.market,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(rate_ppm) AS BIGINT) AS n_matched,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       CAST(SUM(CASE WHEN rate_ppm IS NOT NULL
+                     THEN CAST(cents AS HUGEINT) * rate_ppm END)
+            // 1000000 AS BIGINT) AS converted_cents
+FROM o LEFT JOIN dim
+  ON o.market = dim.market
+ AND o.odate >= dim.valid_from
+ AND (dim.valid_to IS NULL OR o.odate < dim.valid_to)
+GROUP BY 1
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -6144,6 +6428,10 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_jpeg_roundtrip": q_multimodal_jpeg_roundtrip,
+    "multimodal_mjpg_roundtrip": q_multimodal_mjpg_roundtrip,
+    "user_value_pareto": q_user_value_pareto,
+    "customer_lorenz_deciles": q_customer_lorenz_deciles,
+    "orders_pit_fx_enrich": q_orders_pit_fx_enrich,
     "dedup_components": q_dedup_components,
     "neardup_bfs_hops": q_neardup_bfs_hops,
     "corpus_pack_stats": q_corpus_pack_stats,
@@ -6248,6 +6536,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
+    "user_value_pareto": SQL_USER_VALUE_PARETO,
+    "customer_lorenz_deciles": SQL_CUSTOMER_LORENZ_DECILES,
+    "orders_pit_fx_enrich": SQL_ORDERS_PIT_FX_ENRICH,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_minhash_lsh": SQL_NGRAM_JACCARD,

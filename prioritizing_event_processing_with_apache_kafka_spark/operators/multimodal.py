@@ -63,6 +63,8 @@ __all__ = [
     "decode_avi",
     "synth_video_blobs",
     "decode_video_features",
+    "mjpg_roundtrip_metrics",
+    "MJPG_ROUNDTRIP_SCHEMA",
     "VIDEO_FEATURE_SCHEMA",
     "FEATURE_SCHEMA",
     "IMAGE_FEATURE_SCHEMA",
@@ -1139,3 +1141,78 @@ def decode_video_features(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return blobs.mapInPandas(batches, schema=VIDEO_FEATURE_SCHEMA)
+
+
+MJPG_ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("payload_bytes", T.IntegerType(), False),
+        T.StructField("dims_match", T.IntegerType(), False),
+        T.StructField("redecode_match", T.IntegerType(), False),
+        T.StructField("max_abs_err", T.IntegerType(), False),
+        T.StructField("mean_abs_err_ppm", T.LongType(), False),
+    ]
+)
+
+
+def mjpg_roundtrip_metrics(documents: DataFrame) -> DataFrame:
+    """MJPG-in-AVI end-to-end: encode each document's deterministic
+    frame stack as an AVI with baseline-JPEG-compressed '00dc' chunks
+    (``encode_avi(codec='MJPG')``), decode it back through the RIFF
+    walker + ``operators/jpeg.py``, and emit per-doc round-trip
+    metrics — the compressed-video counterpart of
+    :func:`jpeg_roundtrip_metrics`.
+
+    MJPG is lossy (each frame is a JPEG), so the contract mirrors the
+    still-image one: container dims and frame count exact, re-decode
+    bit-identical, error envelope bounded (the synth lattice frames
+    are tiny — 4..8 × 3..6 — so every pixel sits on a block edge; the
+    fixture-calibrated worst case governs the SELF_AUDITS bound).
+    ``mean_abs_err_ppm`` is an exact integer lattice
+    (Σ|err|·10⁶ DIV n_subpixels). Arrow-batched ``mapInPandas``,
+    partition-parallel, no driver involvement.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                frames = _synth_frames(int(doc_id))
+                payload = encode_avi(frames, codec="MJPG")
+                out = decode_avi(payload)
+                again = decode_avi(payload)
+                want = np.stack(frames).astype(np.int64)
+                got = np.stack(out).astype(np.int64)
+                dims_match = int(got.shape == want.shape)
+                err_max, err_ppm = -1, -1
+                if dims_match:
+                    err = np.abs(got - want)
+                    err_max = int(err.max())
+                    err_ppm = int(err.sum()) * 1_000_000 // err.size
+                rows.append(
+                    (
+                        int(doc_id),
+                        frames[0].shape[1],
+                        frames[0].shape[0],
+                        len(frames),
+                        len(payload),
+                        dims_match,
+                        int(
+                            len(again) == len(out)
+                            and all(
+                                np.array_equal(a, b)
+                                for a, b in zip(again, out)
+                            )
+                        ),
+                        err_max,
+                        err_ppm,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MJPG_ROUNDTRIP_SCHEMA.fields])
+
+    return documents.select("doc_id").mapInPandas(
+        batches, MJPG_ROUNDTRIP_SCHEMA
+    )

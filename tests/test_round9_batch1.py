@@ -1,0 +1,156 @@
+"""Round-9 batch-1 semantics: Pareto coverage, Lorenz deciles, PIT FX
+enrichment, MJPG round trip (fixture parity covered by the oracle
+harness; these tests replay the math independently in Python)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+
+from prioritizing_event_processing_with_apache_kafka_spark.inventory_pipeline import (
+    q_customer_lorenz_deciles,
+    q_multimodal_mjpg_roundtrip,
+    q_orders_pit_fx_enrich,
+    q_user_value_pareto,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestUserValuePareto:
+    def test_brute_force_replay(self, spark):
+        rows = {r["threshold_pct"]: r for r in q_user_value_pareto(spark, SF).collect()}
+        assert sorted(rows) == [50, 90, 99]
+        xs = [
+            row[0]
+            for row in duckdb.sql(
+                f"select coalesce(sum(cast(floor(value*1000000.0) as bigint)),0) x "
+                f"from '{SF}/events.parquet' where user_id is not null "
+                "group by user_id order by x desc, user_id"
+            ).fetchall()
+        ]
+        tot = sum(xs)
+        for pct in (50, 90, 99):
+            cum, n = 0, 0
+            for x in xs:
+                if cum * 100 >= tot * pct:
+                    break
+                cum += x
+                n += 1
+            r = rows[pct]
+            assert r["n_users"] == n
+            assert r["covered_value_micros"] == cum
+            assert r["share_ppm"] == cum * 1_000_000 // tot
+
+    def test_coverage_monotone(self, spark):
+        rows = sorted(
+            q_user_value_pareto(spark, SF).collect(),
+            key=lambda r: r["threshold_pct"],
+        )
+        for lo, hi in zip(rows, rows[1:]):
+            assert lo["n_users"] <= hi["n_users"]
+            assert lo["share_ppm"] <= hi["share_ppm"]
+        # each prefix actually reaches its threshold (floor rounding
+        # can cost at most 1 ppm)
+        for r in rows:
+            assert r["share_ppm"] >= r["threshold_pct"] * 10_000 - 1
+
+
+class TestCustomerLorenzDeciles:
+    def test_census_and_curve_shape(self, spark):
+        rows = sorted(
+            q_customer_lorenz_deciles(spark, SF).collect(),
+            key=lambda r: r["decile"],
+        )
+        assert [r["decile"] for r in rows] == list(range(10))
+        n_cust = duckdb.sql(
+            f"select count(distinct o_custkey) from '{SF}/orders.parquet'"
+        ).fetchone()[0]
+        assert sum(r["n_customers"] for r in rows) == n_cust
+        # equal-count deciles within 1
+        sizes = [r["n_customers"] for r in rows]
+        assert max(sizes) - min(sizes) <= 1
+        # the Lorenz curve is convex-ish: cumulative share is monotone,
+        # ends at ~100%, and the bottom decile's share is below 10%
+        shares = [r["cum_share_ppm"] for r in rows]
+        assert shares == sorted(shares)
+        assert shares[-1] == 1_000_000
+        assert shares[0] < 100_000
+
+
+class TestOrdersPitFxEnrich:
+    def test_python_replay(self, spark):
+        rows = {r["market"]: r for r in q_orders_pit_fx_enrich(spark, SF).collect()}
+        assert sorted(rows) == list(range(25))
+        orders = duckdb.sql(
+            f"select ((o_custkey % 25) + 25) % 25 as market, "
+            f"cast(o_orderdate as date) odate, "
+            f"cast(floor(o_totalprice*100) as bigint) cents "
+            f"from '{SF}/orders.parquet'"
+        ).fetchall()
+        lo = min(o[1] for o in orders).replace(day=1)
+        hi = max(o[1] for o in orders).replace(day=1)
+        # month spine + sparse effective-dated rates, as the query builds
+        months = []
+        cur = lo
+        while cur <= hi:
+            months.append(cur)
+            cur = (cur.replace(day=28) + __import__("datetime").timedelta(days=4)).replace(day=1)
+        rates = {}  # market -> [(valid_from, rate_ppm)]
+        for m in range(25):
+            rates[m] = [
+                (ms, 1_000_000 + (m * 37 + i * 7919) % 250_000)
+                for i, ms in enumerate(months)
+                if (m + i) % 3 == 0
+            ]
+        import bisect
+
+        agg = {m: [0, 0, 0, 0] for m in range(25)}  # n, matched, cents, conv
+        for market, odate, cents in orders:
+            a = agg[market]
+            a[0] += 1
+            a[2] += cents
+            froms = [vf for vf, _ in rates[market]]
+            k = bisect.bisect_right(froms, odate) - 1
+            if k >= 0:
+                a[1] += 1
+                a[3] += cents * rates[market][k][1]
+        for m, r in rows.items():
+            n, matched, cents, conv = agg[m]
+            assert (r["n_orders"], r["n_matched"], r["revenue_cents"]) == (
+                n, matched, cents,
+            )
+            assert r["converted_cents"] == conv // 1_000_000
+        # the sparse dimension leaves some early orders unmatched for
+        # at least one market OR matches everything — either way the
+        # left-join never drops rows
+        assert sum(r["n_orders"] for r in rows.values()) == len(orders)
+
+
+class TestMjpgRoundtrip:
+    def test_self_audit_passes_and_frames_match(self, spark):
+        from tools.check_oracle import SELF_AUDITS
+
+        df = q_multimodal_mjpg_roundtrip(spark, SF).limit(200)
+        pdf = df.toPandas()
+        assert SELF_AUDITS["multimodal_mjpg_roundtrip"](pdf) == []
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.multimodal import (
+            _synth_frames,
+        )
+
+        for _, row in pdf.head(20).iterrows():
+            frames = _synth_frames(int(row["doc_id"]))
+            assert row["n_frames"] == len(frames)
+            assert (row["height"], row["width"]) == frames[0].shape[:2]
+            assert row["max_abs_err"] <= 64
+            assert row["mean_abs_err_ppm"] >= 0
+
+    def test_audit_rejects_out_of_envelope(self):
+        import pandas as pd
+
+        from tools.check_oracle import SELF_AUDITS
+
+        bad = pd.DataFrame(
+            {"dims_match": [1], "redecode_match": [1], "max_abs_err": [65]}
+        )
+        assert SELF_AUDITS["multimodal_mjpg_roundtrip"](bad) != []

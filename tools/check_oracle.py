@@ -376,6 +376,13 @@ SELF_AUDITS = {
         + _audit_min("redecode_match", 1)(pdf)
         + _audit_abs_max("max_abs_err", 64)(pdf)
     ),
+    # MJPG-in-AVI round trip: same lossy contract as the still-image
+    # one (synth worst case measured 48 over 2,000 docs; bound 64).
+    "multimodal_mjpg_roundtrip": lambda pdf: (
+        _audit_min("dims_match", 1)(pdf)
+        + _audit_min("redecode_match", 1)(pdf)
+        + _audit_abs_max("max_abs_err", 64)(pdf)
+    ),
     # SimHash's probabilistic (7,16] hamming band, priced as a bound:
     # recall vs the in-plan exact Jaccard truth >= 0.99 (fixtures
     # measure 1.0; the 10x replica 0.9953), and zero extra pairs

@@ -278,6 +278,15 @@ GUARDED = [
     # convergence exceptions in operators/graph.py.)
     "effective_corpus_size",
     "neardup_kcore",
+    # round 9 first batch: Pareto/Lorenz ride the distributed ordered
+    # scan (an unpartitioned-window regression would change the
+    # shape); the PIT enrich must keep its dimension BROADCAST onto
+    # one fact aggregate (a sort-merge range join is the regression);
+    # the MJPG round trip is map-only like the other codec pipelines.
+    "user_value_pareto",
+    "customer_lorenz_deciles",
+    "orders_pit_fx_enrich",
+    "multimodal_mjpg_roundtrip",
 ]
 
 # The streaming headline queries above are fingerprinted twice: the

@@ -181,6 +181,13 @@ PROBED = [
     "nation_trade_matrix",
     "events_peak_census",
     "user_decayed_value",
+    # round 9 first batch: Pareto coverage runs the distributed ordered
+    # scan over per-USER sums — the events replica shifts user ids per
+    # copy, so the scan input honestly grows Nx here (the TPC-H-keyed
+    # ordered scans grow under --grow-tpch instead). The MJPG round
+    # trip is a pure map pipeline like the other codecs.
+    "user_value_pareto",
+    "multimodal_mjpg_roundtrip",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
@@ -235,6 +242,11 @@ GROW_PROBED = [
     "customer_rfm",            # per-customer frame + histogram fences
     "join_skew_diagnosis",     # per-key counts on both join sides
     "orders_dup_screen",       # triple aggregate over N× orders
+    # round 9: the two TPC-H-keyed ordered-scan consumers and the PIT
+    # range join (fact side grows N×; the dimension stays wall-clock
+    # bounded and broadcast).
+    "customer_lorenz_deciles",
+    "orders_pit_fx_enrich",
 ]
 
 # Bump when the replica construction changes so stale /tmp replicas
