@@ -88,6 +88,7 @@ _DRIVER_HEAD = [
     "user_value_pareto",
     "customer_lorenz_deciles",
     "orders_pit_fx_enrich",
+    "stream_rfm_incremental",
     # (f) overflow: more stale r04 bulk + the once-drawn r07 batches —
     # drawn as window room permits this round, fronted next round.
     "q14_promo_share",

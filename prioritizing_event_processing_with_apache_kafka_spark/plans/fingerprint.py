@@ -159,9 +159,56 @@ def streaming_core_queries():
         )
         return user_sessions(events, watermark=None)
 
+    def rfm_rollup_core(spark, sf_dir):
+        # Mirror q_stream_rfm_incremental's steady state: batch 1
+        # (post-cutoff orders) merged into the state batch 0 would have
+        # committed — ONE map-combined aggregate + ONE key merge join;
+        # a window or a second fact scan sneaking in fails the pin.
+        from prioritizing_event_processing_with_apache_kafka_spark.streaming.rollup import (
+            _batch_agg,
+            _merge,
+        )
+
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderdate", "o_totalprice"
+        )
+        specs = [
+            ("frequency", "count", "1"),
+            (
+                "__last_day",
+                "max",
+                "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000",
+            ),
+            (
+                "monetary_cents",
+                "sum",
+                "CAST(floor(o_totalprice * 100) AS BIGINT)",
+            ),
+        ]
+        cutoff = F.lit("1995-06-01").cast("timestamp")
+        out_cols = [out for out, _k, _e in specs]
+        state = (
+            orders.filter(F.col("o_orderdate") < cutoff)
+            .groupBy("o_custkey")
+            .agg(*[_batch_agg(k, e, out) for out, k, e in specs])
+            .select(
+                "o_custkey",
+                *[F.col(c).alias(f"__old_{c}") for c in out_cols],
+            )
+        )
+        batch_state = (
+            orders.filter(F.col("o_orderdate") >= cutoff)
+            .groupBy("o_custkey")
+            .agg(*[_batch_agg(k, e, f"__new_{out}") for out, k, e in specs])
+        )
+        return batch_state.join(state, "o_custkey", "full_outer").select(
+            "o_custkey", *[_merge(k, out) for out, k, _e in specs]
+        )
+
     return {
         "stream_locf_fill__enrich": locf_enrich_core,
         "stream_locf_fill__state": locf_state_core,
         "scd2_stream_history__merge": scd2_merge_core,
         "stream_sessionized_users__core": sessions_core,
+        "stream_rfm_incremental__core": rfm_rollup_core,
     }

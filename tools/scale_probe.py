@@ -247,6 +247,10 @@ GROW_PROBED = [
     # bounded and broadcast).
     "customer_lorenz_deciles",
     "orders_pit_fx_enrich",
+    # round 9: streaming RFM twin — wall includes the two staged
+    # writes + both micro-batches; per-batch work is one map-combined
+    # aggregate + one key merge join over the N× customer key space.
+    "stream_rfm_incremental",
 ]
 
 # Bump when the replica construction changes so stale /tmp replicas
