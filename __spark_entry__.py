@@ -89,6 +89,8 @@ _DRIVER_HEAD = [
     "customer_lorenz_deciles",
     "orders_pit_fx_enrich",
     "stream_rfm_incremental",
+    "stream_abc_incremental",
+    "vocab_rank_census",
     # (f) overflow: more stale r04 bulk + the once-drawn r07 batches —
     # drawn as window room permits this round, fronted next round.
     "q14_promo_share",

@@ -178,15 +178,19 @@ HEADLINE = [
     "user_decayed_value",
     # round 9, first batch: Pareto coverage + Lorenz deciles (both on
     # the distributed global ordered scan), PIT FX enrichment
-    # (broadcast effective-dated range join), MJPG-in-AVI round trip
-    # (map-only codec pipeline).
+    # (broadcast effective-dated range join). multimodal_mjpg_roundtrip
+    # is deliberately NOT a headline for the same reason as
+    # multimodal_jpeg_roundtrip (it measures the pure-Python entropy
+    # coder, not an engine plan; evidence = 100x probe + SELF_AUDITS).
     "user_value_pareto",
     "customer_lorenz_deciles",
     "orders_pit_fx_enrich",
-    "multimodal_mjpg_roundtrip",
     # round 9: streaming RFM twin (two staged writes + two rollup
-    # micro-batches, like the other streaming replays).
+    # micro-batches, like the other streaming replays), streaming ABC
+    # twin (rollup + distributed ordered scan), Zipf vocab census.
     "stream_rfm_incremental",
+    "stream_abc_incremental",
+    "vocab_rank_census",
 ]
 
 

@@ -5560,6 +5560,14 @@ def q_part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("__rev")
     )
+    return _abc_census(rev)
+
+
+def _abc_census(rev: DataFrame) -> DataFrame:
+    """Running-share ABC classification of a per-part (l_partkey,
+    __rev) frame — shared by the batch ``part_abc_analysis`` and its
+    streaming rollup twin, which is what lets the twin share the batch
+    hash oracle."""
     classed = global_ordered_scan(
         rev,
         [F.col("__rev").desc(), F.col("l_partkey").asc()],
@@ -6490,6 +6498,143 @@ def q_stream_rfm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_stream_abc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ABC census — the incremental twin of
+    ``part_abc_analysis``: a real two-batch file stream (availableNow,
+    split at l_shipdate 1995-06-01) maintains one mergeable state row
+    per part (revenue-cents sum, ``streaming/rollup.py``); the final
+    state feeds the SAME running-share classifier (``_abc_census``,
+    i.e. the distributed global ordered scan), so this query SHARES
+    the batch hash oracle. Composition story: streaming state keeps
+    the per-key aggregate incremental, the ordered scan keeps the
+    global rank distributed — no funnel at either stage."""
+    import os
+    import shutil
+    import tempfile
+
+    from prioritizing_event_processing_with_apache_kafka_spark.streaming.rollup import (
+        rollup_foreach_batch,
+        rollup_state_result,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    root = tempfile.mkdtemp(prefix="peps-abc-stream-")
+    src_dir = os.path.join(root, "src")
+    state_path = os.path.join(root, "state")
+    chk = os.path.join(root, "chk")
+    os.makedirs(src_dir)
+    try:
+        cutoff = F.lit("1995-06-01").cast("timestamp")
+        batches = [
+            li.filter(F.col("l_shipdate") < cutoff),
+            li.filter(F.col("l_shipdate") >= cutoff),
+        ]
+        schema = None
+        for i, b in enumerate(batches):
+            stage = os.path.join(root, f"stage{i}")
+            b.coalesce(1).write.parquet(stage)
+            part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+            dst = os.path.join(src_dir, f"batch-{i}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 3600,) * 2)
+            schema = b.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                rollup_foreach_batch(
+                    state_path=state_path,
+                    key_col="l_partkey",
+                    specs=[
+                        (
+                            "__rev",
+                            "sum",
+                            "CAST(floor(l_extendedprice * (1.0D - l_discount)"
+                            " * 100) AS BIGINT)",
+                        ),
+                    ],
+                )
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return _abc_census(
+            rollup_state_result(spark, state_path)
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_vocab_rank_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency census over the corpus vocabulary: term
+    occurrence counts ranked descending (ties by token), bucketed into
+    power-of-two rank bins ``floor(log2(rank))`` computed EXACTLY as
+    ``length(bin(rank)) - 1`` (a float log2 rounds 2³ down at the
+    boundary on some engines), each bin reporting its term count,
+    occurrence mass, and cumulative coverage ppm — the "how many terms
+    cover 90% of tokens" readout a tokenizer budget is sized from.
+    The vocabulary is corpus-scaled, so the global rank comes from the
+    distributed ordered scan, and everything after it is bin-sized
+    (≤ log₂|V| rows). Hash-oracled."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__occ"))
+    )
+    scanned = global_ordered_scan(
+        terms,
+        [F.col("__occ").desc(), F.col("token").asc()],
+        "__occ",
+        rank_col="__rank",
+        cum_col="__cum",
+        total_col="__tot",
+    )
+    return (
+        scanned.withColumn(
+            "rank_bin",
+            (F.length(F.bin(F.col("__rank"))) - F.lit(1)).cast("int"),
+        )
+        .groupBy("rank_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("__occ").cast("bigint").alias("occurrences"),
+            F.expr(
+                "CAST(max(__cum) * 1000000 DIV max(__tot) AS BIGINT)"
+            ).alias("cum_coverage_ppm"),
+        )
+    )
+
+
+SQL_VOCAB_RANK_CENSUS = """
+WITH terms AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS occ
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY 1
+), ranked AS (
+  SELECT occ,
+         ROW_NUMBER() OVER (ORDER BY occ DESC, token) AS r,
+         SUM(occ) OVER (ORDER BY occ DESC, token
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(occ) OVER () AS tot
+  FROM terms
+)
+SELECT CAST(LENGTH(bin(r)) - 1 AS INTEGER) AS rank_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(occ) AS BIGINT) AS occurrences,
+       CAST(MAX(cum) * 1000000 // MAX(tot) AS BIGINT) AS cum_coverage_ppm
+FROM ranked GROUP BY 1
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -6526,6 +6671,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_lorenz_deciles": q_customer_lorenz_deciles,
     "orders_pit_fx_enrich": q_orders_pit_fx_enrich,
     "stream_rfm_incremental": q_stream_rfm_incremental,
+    "stream_abc_incremental": q_stream_abc_incremental,
+    "vocab_rank_census": q_vocab_rank_census,
     "dedup_components": q_dedup_components,
     "neardup_bfs_hops": q_neardup_bfs_hops,
     "corpus_pack_stats": q_corpus_pack_stats,
@@ -6674,6 +6821,9 @@ PIPELINE_ORACLES: dict[str, str] = {
     # streaming twin SHARES the batch oracle (bit-identical by the
     # commutative-merge contract of streaming/rollup.py)
     "stream_rfm_incremental": SQL_CUSTOMER_RFM,
+    # streaming ABC twin shares the batch oracle, same contract
+    "stream_abc_incremental": SQL_PART_ABC_ANALYSIS,
+    "vocab_rank_census": SQL_VOCAB_RANK_CENSUS,
     "effective_corpus_size": SQL_EFFECTIVE_CORPUS_SIZE,
     "supplier_ship_sla": SQL_SUPPLIER_SHIP_SLA,
     "source_lang_fd": SQL_SOURCE_LANG_FD,

@@ -154,3 +154,72 @@ class TestMjpgRoundtrip:
             {"dims_match": [1], "redecode_match": [1], "max_abs_err": [65]}
         )
         assert SELF_AUDITS["multimodal_mjpg_roundtrip"](bad) != []
+
+
+class TestStreamingTwins:
+    def test_stream_rfm_equals_batch(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.inventory_pipeline import (
+            q_customer_rfm,
+            q_stream_rfm_incremental,
+        )
+
+        batch = {
+            (r.r_score, r.f_score, r.m_score): (r.n_customers, r.total_monetary_cents)
+            for r in q_customer_rfm(spark, SF).collect()
+        }
+        stream = {
+            (r.r_score, r.f_score, r.m_score): (r.n_customers, r.total_monetary_cents)
+            for r in q_stream_rfm_incremental(spark, SF).collect()
+        }
+        assert stream == batch
+
+    def test_stream_abc_equals_batch(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.inventory_pipeline import (
+            q_part_abc_analysis,
+            q_stream_abc_incremental,
+        )
+
+        batch = {
+            r.abc_class: (r.n_parts, r.revenue_cents, r.share_ppm)
+            for r in q_part_abc_analysis(spark, SF).collect()
+        }
+        stream = {
+            r.abc_class: (r.n_parts, r.revenue_cents, r.share_ppm)
+            for r in q_stream_abc_incremental(spark, SF).collect()
+        }
+        assert stream == batch
+
+
+class TestVocabRankCensus:
+    def test_brute_force_replay(self, spark):
+        from collections import Counter
+
+        from prioritizing_event_processing_with_apache_kafka_spark.inventory_pipeline import (
+            q_vocab_rank_census,
+        )
+
+        rows = {r.rank_bin: r for r in q_vocab_rank_census(spark, SF).collect()}
+        texts = [
+            t[0]
+            for t in duckdb.sql(f"select text from '{SF}/documents.parquet'").fetchall()
+        ]
+        occ = Counter()
+        for t in texts:
+            occ.update(t.split(" "))
+        ranked = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))
+        tot = sum(occ.values())
+        want = {}
+        cum = 0
+        for rank, (_tok, n) in enumerate(ranked, start=1):
+            cum += n
+            b = rank.bit_length() - 1
+            nt, oc, _ = want.get(b, (0, 0, 0))
+            want[b] = (nt + 1, oc + n, cum * 1_000_000 // tot)
+        assert {
+            b: (r.n_terms, r.occurrences, r.cum_coverage_ppm)
+            for b, r in rows.items()
+        } == want
+        # coverage is monotone in bin and ends at 100%
+        bins = sorted(rows)
+        shares = [rows[b].cum_coverage_ppm for b in bins]
+        assert shares == sorted(shares) and shares[-1] == 1_000_000

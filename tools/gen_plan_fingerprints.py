@@ -287,6 +287,10 @@ GUARDED = [
     "customer_lorenz_deciles",
     "orders_pit_fx_enrich",
     "multimodal_mjpg_roundtrip",
+    # round 9 second batch: the Zipf census must keep the ordered-scan
+    # shape over the term aggregate (bin-sized after it). The streaming
+    # twins are pinned via their __core builders instead.
+    "vocab_rank_census",
 ]
 
 # The streaming headline queries above are fingerprinted twice: the

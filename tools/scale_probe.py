@@ -188,6 +188,9 @@ PROBED = [
     # trip is a pure map pipeline like the other codecs.
     "user_value_pareto",
     "multimodal_mjpg_roundtrip",
+    # round 9 second batch: the Zipf census's ordered-scan input is the
+    # VOCABULARY, which the decorrelated replica grows Nx by design.
+    "vocab_rank_census",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
@@ -247,10 +250,12 @@ GROW_PROBED = [
     # bounded and broadcast).
     "customer_lorenz_deciles",
     "orders_pit_fx_enrich",
-    # round 9: streaming RFM twin — wall includes the two staged
-    # writes + both micro-batches; per-batch work is one map-combined
-    # aggregate + one key merge join over the N× customer key space.
+    # round 9: streaming twins — wall includes the two staged writes +
+    # both micro-batches; per-batch work is one map-combined aggregate
+    # + one key merge join over the N× key space (ABC adds the ordered
+    # scan readout over N× parts).
     "stream_rfm_incremental",
+    "stream_abc_incremental",
 ]
 
 # Bump when the replica construction changes so stale /tmp replicas
