@@ -91,6 +91,7 @@ _DRIVER_HEAD = [
     "stream_rfm_incremental",
     "stream_abc_incremental",
     "vocab_rank_census",
+    "heavy_hitters_cms",
     # (f) overflow: more stale r04 bulk + the once-drawn r07 batches —
     # drawn as window room permits this round, fronted next round.
     "q14_promo_share",

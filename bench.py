@@ -191,6 +191,9 @@ HEADLINE = [
     "stream_rfm_incremental",
     "stream_abc_incremental",
     "vocab_rank_census",
+    # round 9 third batch: relational Count-Min sketch (one 4x-exploded
+    # map-combined aggregate + broadcast probe joins).
+    "heavy_hitters_cms",
 ]
 
 

@@ -6635,6 +6635,49 @@ FROM ranked GROUP BY 1
 """
 
 
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch frequency estimates for the exact top-20 users
+    (``operators/sketches.py:cms_topk_audit``) — the mergeable
+    fixed-size counter sketch next to HLL/KLL/Theta, and the estimate
+    side of the Misra-Gries detector (`heavy_hitter_users`). The hash
+    family is pure int64 arithmetic, so unlike engine-hash sketches
+    the WHOLE sketch — cells, estimates, overcount — is hash-oracled:
+    DuckDB rebuilds the same 4×512 table and must agree bit-for-bit.
+    ``over_n ≥ 0`` structurally (CMS never undercounts)."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sketches import (
+        cms_topk_audit,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return cms_topk_audit(events, key_col="user_id", k=20)
+
+
+SQL_HEAVY_HITTERS_CMS = """
+WITH keyed AS (
+  SELECT user_id AS k FROM events WHERE user_id IS NOT NULL
+), cms AS (
+  SELECT j, ((37 + 61*j) * k + 13 + 7919*j) % 1000000007 % 512 AS cell,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM keyed CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS j)
+  GROUP BY 1, 2
+), top AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM keyed GROUP BY 1
+  ORDER BY exact_n DESC, k ASC LIMIT 20
+), est AS (
+  SELECT top.k, top.exact_n, CAST(MIN(cms.n) AS BIGINT) AS cms_n
+  FROM top CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS j) t
+  JOIN cms ON cms.j = t.j
+          AND cms.cell = ((37 + 61*t.j) * top.k + 13 + 7919*t.j)
+                         % 1000000007 % 512
+  GROUP BY 1, 2
+)
+SELECT k AS user_id, exact_n, cms_n,
+       CAST(cms_n - exact_n AS BIGINT) AS over_n
+FROM est
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -6673,6 +6716,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_rfm_incremental": q_stream_rfm_incremental,
     "stream_abc_incremental": q_stream_abc_incremental,
     "vocab_rank_census": q_vocab_rank_census,
+    "heavy_hitters_cms": q_heavy_hitters_cms,
     "dedup_components": q_dedup_components,
     "neardup_bfs_hops": q_neardup_bfs_hops,
     "corpus_pack_stats": q_corpus_pack_stats,
@@ -6824,6 +6868,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     # streaming ABC twin shares the batch oracle, same contract
     "stream_abc_incremental": SQL_PART_ABC_ANALYSIS,
     "vocab_rank_census": SQL_VOCAB_RANK_CENSUS,
+    "heavy_hitters_cms": SQL_HEAVY_HITTERS_CMS,
     "effective_corpus_size": SQL_EFFECTIVE_CORPUS_SIZE,
     "supplier_ship_sla": SQL_SUPPLIER_SHIP_SLA,
     "source_lang_fd": SQL_SOURCE_LANG_FD,

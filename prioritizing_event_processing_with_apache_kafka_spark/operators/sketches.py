@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "cms_topk_audit",
     "exact_group_mad",
     "exact_group_percentiles",
     "hll_distinct_rollup",
@@ -579,4 +580,85 @@ def hll_sliding_distinct(
             F.timestamp_micros(F.expr(f"__win * {bin_us}")).alias("window_end"),
             "est_keys",
         )
+    )
+
+
+def cms_topk_audit(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    k: int = 20,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Count-Min-Sketch frequency estimates audited against exact
+    counts for the exact top-``k`` keys — the mergeable fixed-size
+    counter sketch (Cormode & Muthukrishnan 2005) next to HLL/KLL/
+    Theta in the sketch family.
+
+    The CMS is built RELATIONALLY: each row increments ``depth``
+    cells, so one ``explode(sequence) → groupBy(row, bucket) → count``
+    pass materializes the whole ``depth × width`` table (≤ a few
+    thousand cells after map-side combine — the only row-scaled
+    exchange, and it carries the fact scan exactly once). Cells merge
+    by addition, so the same pass works per-partition, per-day, or
+    per-source and rolls up later — the property that makes CMS the
+    standard distributed counter.
+
+    The hash family is ARITHMETIC, not engine-native:
+    ``((a_j·key + b_j) mod 1e9+7) mod width`` with per-row constants
+    ``a_j = 37 + 61·j``, ``b_j = 13 + 7919·j`` — pure int64-safe
+    integer math any engine reproduces bit-for-bit, which is what
+    makes a SKETCH query hash-oracled (engine-native hashes like
+    xxhash64 would be Spark-only). Pairwise independence is
+    approximate at these constants; the audit columns price the
+    consequence instead of assuming it away.
+
+    Output: the exact top-``k`` keys (ties by key — deterministic)
+    with ``exact_n``, the CMS estimate ``cms_n = min_j cell_j``, and
+    ``over_n = cms_n − exact_n`` (structurally ≥ 0: every cell
+    overcounts, never undercounts — a negative value means the sketch
+    itself is broken).
+    """
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.caching import (
+        scoped_persist,
+    )
+
+    keyed = df.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col).alias("__k")
+    )
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("__j")
+    cell = (
+        (
+            (F.lit(37) + F.lit(61) * F.col("__j")) * F.col("__k")
+            + F.lit(13)
+            + F.lit(7919) * F.col("__j")
+        )
+        % F.lit(1_000_000_007)
+    ) % F.lit(width)
+    cms = scoped_persist(
+        keyed.select("__k", rows)
+        .select("__j", cell.cast("bigint").alias("__cell"))
+        .groupBy("__j", "__cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    top = (
+        keyed.groupBy("__k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("__k").asc())
+        .limit(k)
+    )
+    probes = top.select(
+        "__k", "exact_n", rows
+    ).withColumn("__cell", cell.cast("bigint"))
+    est = (
+        probes.join(F.broadcast(cms), ["__j", "__cell"])
+        .groupBy("__k", "exact_n")
+        .agg(F.min("__n").cast("bigint").alias("cms_n"))
+    )
+    return est.select(
+        F.col("__k").alias(key_col),
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).cast("bigint").alias("over_n"),
     )

@@ -223,3 +223,39 @@ class TestVocabRankCensus:
         bins = sorted(rows)
         shares = [rows[b].cum_coverage_ppm for b in bins]
         assert shares == sorted(shares) and shares[-1] == 1_000_000
+
+
+class TestHeavyHittersCms:
+    def test_brute_force_replay_and_overcount_property(self, spark):
+        from collections import Counter
+
+        from prioritizing_event_processing_with_apache_kafka_spark.inventory_pipeline import (
+            q_heavy_hitters_cms,
+        )
+
+        rows = q_heavy_hitters_cms(spark, SF).collect()
+        uids = [
+            u[0]
+            for u in duckdb.sql(
+                f"select user_id from '{SF}/events.parquet' "
+                "where user_id is not null"
+            ).fetchall()
+        ]
+        exact = Counter(uids)
+        assert len(rows) == min(20, len(exact))  # sf0.001 has 15 users
+        cells = Counter()
+        for u in uids:
+            for j in range(4):
+                cells[(j, ((37 + 61 * j) * u + 13 + 7919 * j) % 1_000_000_007 % 512)] += 1
+        top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        want = {}
+        for u, n in top:
+            est = min(
+                cells[(j, ((37 + 61 * j) * u + 13 + 7919 * j) % 1_000_000_007 % 512)]
+                for j in range(4)
+            )
+            want[u] = (n, est, est - n)
+        got = {r.user_id: (r.exact_n, r.cms_n, r.over_n) for r in rows}
+        assert got == want
+        # CMS never undercounts
+        assert all(r.over_n >= 0 for r in rows)

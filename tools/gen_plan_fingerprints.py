@@ -291,6 +291,10 @@ GUARDED = [
     # shape over the term aggregate (bin-sized after it). The streaming
     # twins are pinned via their __core builders instead.
     "vocab_rank_census",
+    # round 9 third batch: CMS must stay ONE exploded map-combined cell
+    # aggregate + a top-k TakeOrdered + broadcast probe joins (a
+    # second fact scan per hash row is the regression).
+    "heavy_hitters_cms",
 ]
 
 # The streaming headline queries above are fingerprinted twice: the

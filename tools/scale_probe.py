@@ -191,6 +191,10 @@ PROBED = [
     # round 9 second batch: the Zipf census's ordered-scan input is the
     # VOCABULARY, which the decorrelated replica grows Nx by design.
     "vocab_rank_census",
+    # round 9 third batch: CMS — the cell table is depth x width rows
+    # after ONE map-combined pass however big the input; expected
+    # strongly sub-linear.
+    "heavy_hitters_cms",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
