@@ -81,5 +81,6 @@ def test_fingerprints_cover_zero_shuffle_pipelines(queries):
         "multimodal_image_decode",
         "multimodal_image_resize",
         "multimodal_jpeg_roundtrip",
+        "multimodal_mjpg_roundtrip",
     ):
         assert FINGERPRINTS[name]["shuffle_exchanges"] == 0
