@@ -92,6 +92,8 @@ _DRIVER_HEAD = [
     "stream_abc_incremental",
     "vocab_rank_census",
     "heavy_hitters_cms",
+    "customer_active_islands",
+    "part_supplier_degree",
     # (f) overflow: more stale r04 bulk + the once-drawn r07 batches —
     # drawn as window room permits this round, fronted next round.
     "q14_promo_share",

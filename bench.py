@@ -194,6 +194,11 @@ HEADLINE = [
     # round 9 third batch: relational Count-Min sketch (one 4x-exploded
     # map-combined aggregate + broadcast probe joins).
     "heavy_hitters_cms",
+    # round 9 fourth batch: gaps-and-islands streak census (per-key
+    # windows only) and the bipartite degree census (one persisted
+    # distinct edge projection + two key aggregates).
+    "customer_active_islands",
+    "part_supplier_degree",
 ]
 
 

@@ -6678,6 +6678,113 @@ FROM est
 """
 
 
+def q_customer_active_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands census over customer activity: per customer the
+    DISTINCT active months collapse into runs of consecutive months
+    (the classic ``month_num − row_number()`` grouping key — constant
+    exactly within a consecutive run), reported as the streak census:
+    for each streak length, how many islands and how many distinct
+    customers have one. The retention shape a "consecutive-months
+    active" loyalty metric reads from. All windows are per-customer
+    (key-partitioned — scale-safe); the census aggregate is
+    streak-length-sized. Hash-oracled."""
+    orders = load_table(spark, sf_dir, "orders")
+    months = (
+        orders.select(
+            "o_custkey",
+            F.expr(
+                "year(o_orderdate) * 12 + month(o_orderdate)"
+            ).cast("bigint").alias("__m"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("__m")
+    islands = (
+        months.withColumn("__g", F.col("__m") - F.row_number().over(w))
+        .groupBy("o_custkey", "__g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("streak_months"))
+    )
+    return islands.groupBy("streak_months").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+    )
+
+
+SQL_CUSTOMER_ACTIVE_ISLANDS = """
+WITH months AS (
+  SELECT DISTINCT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+  FROM orders
+), islands AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS streak_months
+  FROM (
+    SELECT o_custkey, m,
+           m - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY m) AS g
+    FROM months
+  ) GROUP BY o_custkey, g
+)
+SELECT streak_months,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM islands GROUP BY 1
+"""
+
+
+def q_part_supplier_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite degree census of the part–supplier graph observed in
+    lineitem: per part the distinct suppliers that shipped it, per
+    supplier the distinct parts it shipped, folded into one
+    (side, degree, n_keys) census — the fan-out profile that says
+    whether a part→supplier or supplier→part join side is skewed
+    BEFORE running it (the bipartite companion to
+    `join_skew_diagnosis`). One distinct edge projection (persisted —
+    both degree passes read it) + two key aggregates; census output is
+    degree-histogram-sized. Hash-oracled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = scoped_persist(
+        li.select("l_partkey", "l_suppkey").where(
+            F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+        ).distinct()
+    )
+    pdeg = (
+        edges.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+        .select(F.lit("part").alias("side"), "degree", "n_keys")
+    )
+    sdeg = (
+        edges.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+        .select(F.lit("supplier").alias("side"), "degree", "n_keys")
+    )
+    return pdeg.unionByName(sdeg)
+
+
+SQL_PART_SUPPLIER_DEGREE = """
+WITH edges AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+), pdeg AS (
+  SELECT 'part' AS side, CAST(cnt AS BIGINT) AS degree,
+         CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM (SELECT l_partkey, COUNT(*) AS cnt FROM edges GROUP BY 1)
+  GROUP BY 2
+), sdeg AS (
+  SELECT 'supplier' AS side, CAST(cnt AS BIGINT) AS degree,
+         CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM (SELECT l_suppkey, COUNT(*) AS cnt FROM edges GROUP BY 1)
+  GROUP BY 2
+)
+SELECT side, degree, n_keys FROM pdeg
+UNION ALL
+SELECT side, degree, n_keys FROM sdeg
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -6717,6 +6824,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_abc_incremental": q_stream_abc_incremental,
     "vocab_rank_census": q_vocab_rank_census,
     "heavy_hitters_cms": q_heavy_hitters_cms,
+    "customer_active_islands": q_customer_active_islands,
+    "part_supplier_degree": q_part_supplier_degree,
     "dedup_components": q_dedup_components,
     "neardup_bfs_hops": q_neardup_bfs_hops,
     "corpus_pack_stats": q_corpus_pack_stats,
@@ -6869,6 +6978,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "stream_abc_incremental": SQL_PART_ABC_ANALYSIS,
     "vocab_rank_census": SQL_VOCAB_RANK_CENSUS,
     "heavy_hitters_cms": SQL_HEAVY_HITTERS_CMS,
+    "customer_active_islands": SQL_CUSTOMER_ACTIVE_ISLANDS,
+    "part_supplier_degree": SQL_PART_SUPPLIER_DEGREE,
     "effective_corpus_size": SQL_EFFECTIVE_CORPUS_SIZE,
     "supplier_ship_sla": SQL_SUPPLIER_SHIP_SLA,
     "source_lang_fd": SQL_SOURCE_LANG_FD,

@@ -259,3 +259,63 @@ class TestHeavyHittersCms:
         assert got == want
         # CMS never undercounts
         assert all(r.over_n >= 0 for r in rows)
+
+
+class TestCustomerActiveIslands:
+    def test_brute_force_replay(self, spark):
+        from collections import Counter
+
+        from prioritizing_event_processing_with_apache_kafka_spark.inventory_pipeline import (
+            q_customer_active_islands,
+        )
+
+        rows = {r.streak_months: r for r in q_customer_active_islands(spark, SF).collect()}
+        data = duckdb.sql(
+            f"select distinct o_custkey, year(o_orderdate)*12 + month(o_orderdate) "
+            f"from '{SF}/orders.parquet'"
+        ).fetchall()
+        by_cust = {}
+        for c, m in data:
+            by_cust.setdefault(c, []).append(m)
+        n_islands = Counter()
+        cust_with = {}
+        for c, ms in by_cust.items():
+            ms.sort()
+            streak = 1
+            for prev, cur in zip(ms, ms[1:]):
+                if cur == prev + 1:
+                    streak += 1
+                else:
+                    n_islands[streak] += 1
+                    cust_with.setdefault(streak, set()).add(c)
+                    streak = 1
+            n_islands[streak] += 1
+            cust_with.setdefault(streak, set()).add(c)
+        assert {
+            k: (r.n_islands, r.n_customers) for k, r in rows.items()
+        } == {k: (n, len(cust_with[k])) for k, n in n_islands.items()}
+
+
+class TestPartSupplierDegree:
+    def test_census_mass_conservation(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.inventory_pipeline import (
+            q_part_supplier_degree,
+        )
+
+        rows = q_part_supplier_degree(spark, SF).collect()
+        n_edges = duckdb.sql(
+            f"select count(*) from (select distinct l_partkey, l_suppkey "
+            f"from '{SF}/lineitem.parquet' "
+            "where l_partkey is not null and l_suppkey is not null)"
+        ).fetchone()[0]
+        for side, keycol in (("part", "l_partkey"), ("supplier", "l_suppkey")):
+            side_rows = [r for r in rows if r.side == side]
+            # Σ degree·n_keys over the census = total edges (each edge
+            # counted once per side)
+            assert sum(r.degree * r.n_keys for r in side_rows) == n_edges
+            n_keys = duckdb.sql(
+                f"select count(distinct {keycol}) from '{SF}/lineitem.parquet' "
+                f"where {keycol} is not null and "
+                f"{'l_suppkey' if side == 'part' else 'l_partkey'} is not null"
+            ).fetchone()[0]
+            assert sum(r.n_keys for r in side_rows) == n_keys

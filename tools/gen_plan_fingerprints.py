@@ -295,6 +295,12 @@ GUARDED = [
     # aggregate + a top-k TakeOrdered + broadcast probe joins (a
     # second fact scan per hash row is the regression).
     "heavy_hitters_cms",
+    # round 9 fourth batch: islands = one distinct + one per-key window
+    # + two aggregates (a GLOBAL window is the regression); the degree
+    # census = one persisted distinct edge projection + two aggregates
+    # (a second lineitem scan is the regression).
+    "customer_active_islands",
+    "part_supplier_degree",
 ]
 
 # The streaming headline queries above are fingerprinted twice: the

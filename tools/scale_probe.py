@@ -260,6 +260,11 @@ GROW_PROBED = [
     # scan readout over N× parts).
     "stream_rfm_incremental",
     "stream_abc_incremental",
+    # round 9 fourth batch: islands = per-customer windows over N×
+    # customers; degree census = distinct edge projection over N×
+    # parts/orders (suppliers passthrough).
+    "customer_active_islands",
+    "part_supplier_degree",
 ]
 
 # Bump when the replica construction changes so stale /tmp replicas
