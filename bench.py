@@ -199,6 +199,9 @@ HEADLINE = [
     # distinct edge projection + two key aggregates).
     "customer_active_islands",
     "part_supplier_degree",
+    # round 9 fifth batch: Bloom-prefiltered semi-join (one bit_or
+    # bitmap pass + a zero-shuffle projection probe + survivor verify).
+    "lineitem_bloom_prefilter",
 ]
 
 

@@ -6785,6 +6785,112 @@ SELECT side, degree, n_keys FROM sdeg
 """
 
 
+def q_lineitem_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi-join — the runtime-join-filter pattern,
+    relationally: high-value order keys (``o_totalprice ≥ 450000``,
+    ~10% of orders) build a 2¹⁸-bit Bloom bitmap in ONE map-combined
+    ``bit_or`` pass (``operators/sketches.py:bloom_build``); the
+    lineitem scan checks its 3 bits as a PURE PROJECTION against the
+    broadcast dense bitmap (32 KB — zero probe-side shuffle,
+    ``bloom_might_contain``); only survivors reach the exact
+    verification join. At 100 TB this is the difference between
+    shuffling the whole fact table into the semi-join and shuffling
+    the ~10% that can possibly match. Output census per return flag:
+    bloom survivors, exact matches, exact revenue, and the structural
+    ``n_false_pos = survivors − exact ≥ 0`` (a Bloom filter never
+    false-negatives). The arithmetic hash family makes the WHOLE
+    thing hash-oracled: DuckDB rebuilds the identical bitmap and must
+    agree on every count, false positives included."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hot = scoped_persist(
+        orders.where(F.col("o_totalprice") >= 450000).select("o_orderkey")
+    )
+    bloom = bloom_build(hot, key_col="o_orderkey")
+    flagged = bloom_might_contain(
+        li.select(
+            "l_orderkey",
+            "l_returnflag",
+            F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias(
+                "__cents"
+            ),
+        ),
+        bloom,
+        key_col="l_orderkey",
+    )
+    survivors = flagged.where(F.col("bloom_pass"))
+    marked = survivors.join(
+        hot.withColumn("__in", F.lit(1)),
+        survivors["l_orderkey"] == hot["o_orderkey"],
+        "left",
+    )
+    return (
+        marked.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bloom_pass"),
+            F.coalesce(F.sum("__in"), F.lit(0)).cast("bigint").alias("n_exact"),
+            F.coalesce(
+                F.sum(F.expr("CASE WHEN __in = 1 THEN __cents END")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+            (F.count(F.lit(1)) - F.coalesce(F.sum("__in"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_false_pos"),
+        )
+    )
+
+
+SQL_LINEITEM_BLOOM_PREFILTER = """
+WITH hot AS (
+  SELECT o_orderkey FROM orders WHERE o_totalprice >= 450000
+), words AS (
+  SELECT bit // 32 AS word_idx,
+         BIT_OR(CAST(1 AS BIGINT) << CAST(bit % 32 AS INTEGER)) AS word
+  FROM (
+    SELECT ((37 + 61*j) * o_orderkey + 13 + 7919*j) % 1000000007 % 262144
+             AS bit
+    FROM hot CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j)
+  ) GROUP BY 1
+), keys AS (
+  SELECT DISTINCT l_orderkey FROM lineitem
+), probe AS (
+  SELECT k.l_orderkey,
+         SUM(CASE WHEN (w.word >> CAST(k.bit % 32 AS INTEGER)) & 1 = 1
+                  THEN 1 ELSE 0 END) AS hits
+  FROM (
+    SELECT l_orderkey, j,
+           ((37 + 61*j) * l_orderkey + 13 + 7919*j) % 1000000007 % 262144
+             AS bit
+    FROM keys CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j)
+  ) k
+  LEFT JOIN words w ON w.word_idx = k.bit // 32
+  GROUP BY 1
+), pass AS (
+  SELECT l_orderkey FROM probe WHERE hits = 3
+)
+SELECT l.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_bloom_pass,
+       CAST(COALESCE(SUM(CASE WHEN h.o_orderkey IS NOT NULL THEN 1 END), 0)
+            AS BIGINT) AS n_exact,
+       CAST(COALESCE(SUM(CASE WHEN h.o_orderkey IS NOT NULL THEN
+              CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT) END), 0)
+            AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) -
+            COALESCE(SUM(CASE WHEN h.o_orderkey IS NOT NULL THEN 1 END), 0)
+            AS BIGINT) AS n_false_pos
+FROM lineitem l
+JOIN pass USING (l_orderkey)
+LEFT JOIN hot h ON l.l_orderkey = h.o_orderkey
+GROUP BY 1
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -6826,6 +6932,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "customer_active_islands": q_customer_active_islands,
     "part_supplier_degree": q_part_supplier_degree,
+    "lineitem_bloom_prefilter": q_lineitem_bloom_prefilter,
     "dedup_components": q_dedup_components,
     "neardup_bfs_hops": q_neardup_bfs_hops,
     "corpus_pack_stats": q_corpus_pack_stats,
@@ -6980,6 +7087,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "heavy_hitters_cms": SQL_HEAVY_HITTERS_CMS,
     "customer_active_islands": SQL_CUSTOMER_ACTIVE_ISLANDS,
     "part_supplier_degree": SQL_PART_SUPPLIER_DEGREE,
+    "lineitem_bloom_prefilter": SQL_LINEITEM_BLOOM_PREFILTER,
     "effective_corpus_size": SQL_EFFECTIVE_CORPUS_SIZE,
     "supplier_ship_sla": SQL_SUPPLIER_SHIP_SLA,
     "source_lang_fd": SQL_SOURCE_LANG_FD,

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "bloom_build",
+    "bloom_might_contain",
     "cms_topk_audit",
     "exact_group_mad",
     "exact_group_percentiles",
@@ -662,3 +664,93 @@ def cms_topk_audit(
         "cms_n",
         (F.col("cms_n") - F.col("exact_n")).cast("bigint").alias("over_n"),
     )
+
+
+def bloom_build(
+    keys: DataFrame,
+    *,
+    key_col: str,
+    bits: int = 1 << 18,
+    hashes: int = 3,
+) -> DataFrame:
+    """Build a Bloom filter over ``keys`` as a RELATIONAL bitmap: one
+    row per non-empty 32-bit word, ``(word_idx, word)``, produced by a
+    single ``explode(hashes) → groupBy(word_idx) → bit_or`` pass —
+    map-side combinable, mergeable by OR, and at most ``bits/32`` rows
+    however many keys went in. 32-bit words keep every mask strictly
+    positive in int64, so the identical bit arithmetic runs on any
+    engine (a 1<<63 long mask would hit the sign bit and engine-
+    specific overflow rules).
+
+    Hash family is the same ARITHMETIC universal hashing as
+    :func:`cms_topk_audit` (``((a_j·key + b_j) mod 1e9+7) mod bits``),
+    so any engine rebuilds the identical bitmap bit-for-bit — which is
+    what lets a Bloom-prefiltered query keep a hash oracle.
+    """
+    j = F.explode(F.sequence(F.lit(0), F.lit(hashes - 1))).alias("__j")
+    bit = (
+        (
+            (F.lit(37) + F.lit(61) * F.col("__j")) * F.col(key_col)
+            + F.lit(13)
+            + F.lit(7919) * F.col("__j")
+        )
+        % F.lit(1_000_000_007)
+    ) % F.lit(bits)
+    return (
+        keys.select(F.col(key_col), j)
+        .select(bit.cast("bigint").alias("__bit"))
+        .select(
+            F.expr("__bit DIV 32").alias("word_idx"),
+            # shiftleft's count arg must be a literal in the Python
+            # API; the SQL function form takes a column
+            F.expr("shiftleft(1L, CAST(__bit % 32 AS INT))").alias("__mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__mask").cast("bigint").alias("word"))
+    )
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    bloom: DataFrame,
+    *,
+    key_col: str,
+    out_col: str = "bloom_pass",
+    bits: int = 1 << 18,
+    hashes: int = 3,
+) -> DataFrame:
+    """Flag each row of ``df`` with whether the Bloom filter possibly
+    contains ``key_col`` — the probe is a PURE PROJECTION: the sparse
+    word table densifies into one ``bits/32``-long array (one ~tens-of-
+    KB row, broadcast via crossJoin), and each row checks its
+    ``hashes`` bits with ``element_at`` — zero shuffle on the probe
+    side, exactly the map-side shape a runtime join filter needs at
+    100 TB. No false negatives by construction; false positives are
+    the filter\'s priced trade (the caller verifies with an exact
+    semi-join on the survivors)."""
+    nwords = bits // 32
+    dense = bloom.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("__bm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(nwords - 1).cast("bigint")),
+            lambda i: F.coalesce(
+                F.element_at(F.col("__bm"), i), F.lit(0).cast("bigint")
+            ),
+        ).alias("__bloom")
+    )
+    out = df.crossJoin(F.broadcast(dense))
+    cond = F.lit(True)
+    for j in range(hashes):
+        bit_sql = (
+            f"((({37 + 61 * j} * {key_col}) + {13 + 7919 * j})"
+            f" % 1000000007) % {bits}"
+        )
+        word = F.element_at(
+            F.col("__bloom"), F.expr(f"CAST(({bit_sql}) DIV 32 AS INT) + 1")
+        )
+        mask = F.expr(f"shiftleft(1L, CAST(({bit_sql}) % 32 AS INT))")
+        cond = cond & (word.bitwiseAND(mask) == mask)
+    return out.withColumn(out_col, cond).drop("__bloom")

@@ -319,3 +319,45 @@ class TestPartSupplierDegree:
                 f"{'l_suppkey' if side == 'part' else 'l_partkey'} is not null"
             ).fetchone()[0]
             assert sum(r.n_keys for r in side_rows) == n_keys
+
+
+class TestBloomPrefilter:
+    def test_no_false_negatives_and_exact_census(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.inventory_pipeline import (
+            q_lineitem_bloom_prefilter,
+        )
+
+        rows = q_lineitem_bloom_prefilter(spark, SF).collect()
+        want = duckdb.sql(
+            f"""
+            select l_returnflag, count(*) n,
+                   sum(cast(floor(l_extendedprice*100) as bigint)) rev
+            from read_parquet('{SF}/lineitem.parquet') l
+            join (select o_orderkey from read_parquet('{SF}/orders.parquet')
+                  where o_totalprice >= 450000) h
+              on l.l_orderkey = h.o_orderkey
+            group by 1
+            """
+        ).fetchall()
+        want = {flag: (n, rev) for flag, n, rev in want}
+        got = {r.l_returnflag: (r.n_exact, r.revenue_cents) for r in rows}
+        # exact semi-join census is bit-exact regardless of the bloom
+        assert got == want
+        for r in rows:
+            # a Bloom filter may overshoot, never undershoot
+            assert r.n_false_pos >= 0
+            assert r.n_bloom_pass == r.n_exact + r.n_false_pos
+
+    def test_bloom_unit_membership(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.sketches import (
+            bloom_build,
+            bloom_might_contain,
+        )
+
+        keys = spark.createDataFrame([(i,) for i in range(0, 200, 2)], "k bigint")
+        probe = spark.createDataFrame([(i,) for i in range(200)], "k bigint")
+        bloom = bloom_build(keys, key_col="k", bits=1 << 14)
+        out = bloom_might_contain(probe, bloom, key_col="k", bits=1 << 14)
+        flags = {r.k: r.bloom_pass for r in out.collect()}
+        # every inserted key passes (no false negatives)
+        assert all(flags[i] for i in range(0, 200, 2))

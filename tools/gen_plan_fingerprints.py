@@ -301,6 +301,11 @@ GUARDED = [
     # (a second lineitem scan is the regression).
     "customer_active_islands",
     "part_supplier_degree",
+    # round 9 fifth batch: the Bloom prefilter must keep the probe a
+    # PROJECTION against the broadcast dense bitmap (a shuffle join of
+    # the full fact table into the membership check is the regression)
+    # + one bit_or bitmap aggregate + the survivor verify join.
+    "lineitem_bloom_prefilter",
 ]
 
 # The streaming headline queries above are fingerprinted twice: the

@@ -265,6 +265,10 @@ GROW_PROBED = [
     # parts/orders (suppliers passthrough).
     "customer_active_islands",
     "part_supplier_degree",
+    # round 9 fifth batch: bloom build is one map-combined bit_or pass
+    # (bitmap size fixed), probe is a projection; the N× cost is the
+    # survivor verify join over the N× hot subset.
+    "lineitem_bloom_prefilter",
 ]
 
 # Bump when the replica construction changes so stale /tmp replicas
