@@ -729,17 +729,29 @@ def bloom_might_contain(
     the filter\'s priced trade (the caller verifies with an exact
     semi-join on the survivors)."""
     nwords = bits // 32
-    dense = bloom.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("word_idx", "word"))
-        ).alias("__bm")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0).cast("bigint"), F.lit(nwords - 1).cast("bigint")),
-            lambda i: F.coalesce(
-                F.element_at(F.col("__bm"), i), F.lit(0).cast("bigint")
-            ),
-        ).alias("__bloom")
+    # Densify via a zero-filled word spine + ordered collect: element_at
+    # on an ARRAY is O(1) per probe, where a MAP built from entries
+    # would linear-scan per lookup (O(nwords²) to densify — measured as
+    # the dominant cost of the whole query before this form).
+    spine = bloom.sparkSession.range(nwords).select(
+        F.col("id").cast("bigint").alias("word_idx")
+    )
+    dense = (
+        spine.join(bloom, "word_idx", "left")
+        .select(
+            F.struct(
+                F.col("word_idx"),
+                F.coalesce(F.col("word"), F.lit(0).cast("bigint")).alias(
+                    "word"
+                ),
+            ).alias("__s")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("__s")),
+                lambda s: s.getField("word"),
+            ).alias("__bloom")
+        )
     )
     out = df.crossJoin(F.broadcast(dense))
     cond = F.lit(True)
