@@ -95,6 +95,7 @@ _DRIVER_HEAD = [
     "customer_active_islands",
     "part_supplier_degree",
     "lineitem_bloom_prefilter",
+    "cohort_ltv_curve",
     # (f) overflow: more stale r04 bulk + the once-drawn r07 batches —
     # drawn as window room permits this round, fronted next round.
     "q14_promo_share",

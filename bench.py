@@ -202,6 +202,9 @@ HEADLINE = [
     # round 9 fifth batch: Bloom-prefiltered semi-join (one bit_or
     # bitmap pass + a zero-shuffle projection probe + survivor verify).
     "lineitem_bloom_prefilter",
+    # round 9 sixth batch: cohort LTV curve (one key window + cell-
+    # sized cumulative windows).
+    "cohort_ltv_curve",
 ]
 
 

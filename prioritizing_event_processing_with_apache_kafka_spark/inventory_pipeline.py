@@ -6891,6 +6891,70 @@ GROUP BY 1
 """
 
 
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by FIRST-order
+    month, each cohort's revenue tracked by months-since-first-order —
+    the (cohort, age) matrix with active-customer counts, period
+    revenue, and the CUMULATIVE revenue through each age (cents
+    lattice). The per-customer cohort comes from a key-partitioned
+    min-window (one exchange, no self-join); the cumulative window
+    runs over the (cohort × age) CELL table — wall-clock-bounded
+    (≤ months², never row-scaled), partitioned by cohort. The curve a
+    payback/LTV model is fit from. Hash-oracled."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        F.expr(
+            "year(o_orderdate) * 12 + month(o_orderdate)"
+        ).cast("bigint").alias("__m"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("__cents"),
+    )
+    w = Window.partitionBy("o_custkey")
+    staged = o.withColumn("__cohort", F.min("__m").over(w))
+    cells = staged.groupBy(
+        F.col("__cohort").alias("cohort_month"),
+        (F.col("__m") - F.col("__cohort")).cast("int").alias("age_months"),
+    ).agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+        F.sum("__cents").cast("bigint").alias("revenue_cents"),
+    )
+    cum = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.withColumn(
+        "cum_revenue_cents",
+        F.sum("revenue_cents").over(cum).cast("bigint"),
+    )
+
+
+SQL_COHORT_LTV_CURVE = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), staged AS (
+  SELECT o_custkey, m, cents,
+         MIN(m) OVER (PARTITION BY o_custkey) AS cohort
+  FROM o
+), cells AS (
+  SELECT cohort AS cohort_month,
+         CAST(m - cohort AS INTEGER) AS age_months,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+         CAST(SUM(cents) AS BIGINT) AS revenue_cents
+  FROM staged GROUP BY 1, 2
+)
+SELECT cohort_month, age_months, n_active, revenue_cents,
+       CAST(SUM(revenue_cents) OVER (
+              PARTITION BY cohort_month ORDER BY age_months
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_revenue_cents
+FROM cells
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -6933,6 +6997,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_active_islands": q_customer_active_islands,
     "part_supplier_degree": q_part_supplier_degree,
     "lineitem_bloom_prefilter": q_lineitem_bloom_prefilter,
+    "cohort_ltv_curve": q_cohort_ltv_curve,
     "dedup_components": q_dedup_components,
     "neardup_bfs_hops": q_neardup_bfs_hops,
     "corpus_pack_stats": q_corpus_pack_stats,
@@ -7088,6 +7153,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "customer_active_islands": SQL_CUSTOMER_ACTIVE_ISLANDS,
     "part_supplier_degree": SQL_PART_SUPPLIER_DEGREE,
     "lineitem_bloom_prefilter": SQL_LINEITEM_BLOOM_PREFILTER,
+    "cohort_ltv_curve": SQL_COHORT_LTV_CURVE,
     "effective_corpus_size": SQL_EFFECTIVE_CORPUS_SIZE,
     "supplier_ship_sla": SQL_SUPPLIER_SHIP_SLA,
     "source_lang_fd": SQL_SOURCE_LANG_FD,

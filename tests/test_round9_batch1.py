@@ -361,3 +361,30 @@ class TestBloomPrefilter:
         flags = {r.k: r.bloom_pass for r in out.collect()}
         # every inserted key passes (no false negatives)
         assert all(flags[i] for i in range(0, 200, 2))
+
+
+class TestCohortLtvCurve:
+    def test_mass_conservation_and_monotone_cum(self, spark):
+        from prioritizing_event_processing_with_apache_kafka_spark.inventory_pipeline import (
+            q_cohort_ltv_curve,
+        )
+
+        rows = q_cohort_ltv_curve(spark, SF).collect()
+        total = duckdb.sql(
+            f"select sum(cast(floor(o_totalprice*100) as bigint)) "
+            f"from '{SF}/orders.parquet'"
+        ).fetchone()[0]
+        # every order lands in exactly one (cohort, age) cell
+        assert sum(r.revenue_cents for r in rows) == total
+        by_cohort = {}
+        for r in rows:
+            by_cohort.setdefault(r.cohort_month, []).append(r)
+        for cohort, cells in by_cohort.items():
+            cells.sort(key=lambda r: r.age_months)
+            # age 0 is always present (the first order IS the cohort)
+            assert cells[0].age_months == 0
+            # cumulative is the running sum of period revenue
+            cum = 0
+            for c in cells:
+                cum += c.revenue_cents
+                assert c.cum_revenue_cents == cum

@@ -306,6 +306,10 @@ GUARDED = [
     # the full fact table into the membership check is the regression)
     # + one bit_or bitmap aggregate + the survivor verify join.
     "lineitem_bloom_prefilter",
+    # round 9 sixth batch: LTV = one customer-keyed window exchange +
+    # one cell aggregate + a cell-sized cohort window (a self-join for
+    # the cohort month is the regression).
+    "cohort_ltv_curve",
 ]
 
 # The streaming headline queries above are fingerprinted twice: the

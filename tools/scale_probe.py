@@ -269,6 +269,9 @@ GROW_PROBED = [
     # (bitmap size fixed), probe is a projection; the N× cost is the
     # survivor verify join over the N× hot subset.
     "lineitem_bloom_prefilter",
+    # round 9 sixth batch: LTV curve — one customer-keyed window over
+    # N× customers; everything after is (cohort × age)-cell-sized.
+    "cohort_ltv_curve",
 ]
 
 # Bump when the replica construction changes so stale /tmp replicas
