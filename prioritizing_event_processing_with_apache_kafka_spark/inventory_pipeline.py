@@ -5894,7 +5894,8 @@ def q_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("__x").asc(), F.col("o_custkey").asc()],
         "__x",
         rank_col="__i",
-    ).drop("__gos_cum", "__gos_tot")
+        with_cum=False,  # rank-only: skip the cum window + totals join
+    )
     # decimal(38,0) end-to-end: the cleared numerator x 10^6 tops
     # 5e19 at sf0.01 already — past int64; DuckDB's SUM is HUGEINT.
     return ranked.agg(

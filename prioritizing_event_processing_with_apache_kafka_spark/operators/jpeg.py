@@ -454,6 +454,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         # B.1.1.2): skip to the final 0xFF that precedes the marker code.
         while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
+        # The skip can run to the buffer's edge (payload ending in
+        # 0xFF 0xFF): re-check before reading, or struct.error would
+        # escape the decoder's ValueError contract.
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG: fill bytes run to end of payload")
         marker = struct.unpack_from(">H", payload, pos)[0]
         if marker == 0xFFD9:
             break

@@ -66,6 +66,7 @@ def global_ordered_scan(
     total_col: str = "__gos_tot",
     count_col: str | None = None,
     num_partitions: int | None = None,
+    with_cum: bool = True,
 ) -> DataFrame:
     """Attach 1-based global ``rank_col``, inclusive ``cum_col`` running
     sum of ``value_col``, and the grand ``total_col`` — all over the
@@ -76,9 +77,13 @@ def global_ordered_scan(
     must form a TOTAL order (unique per row) for the result to be
     engine-portable. ``cum_col``/``total_col`` come back as
     ``decimal(38,0)``; ``rank_col`` as bigint. ``count_col`` (optional)
-    adds the grand row count. ``num_partitions`` pins the range
-    partition count (tests force >1; production uses the session
-    shuffle-partition default).
+    adds the grand row count. ``with_cum=False`` is the rank-only
+    mode: the value sums, the cum window, and (unless ``count_col``
+    asks for the row count) the grand-totals aggregate + crossJoin are
+    skipped entirely — callers that only need the rank shouldn't pay
+    for plan pieces Catalyst can't fully prune. ``num_partitions``
+    pins the range partition count (tests force >1; production uses
+    the session shuffle-partition default).
     """
     parts = [num_partitions] if num_partitions is not None else []
     srt = scoped_persist(
@@ -87,21 +92,29 @@ def global_ordered_scan(
         .withColumn(_PID, F.spark_partition_id())
     )
     val = F.col(value_col).cast("decimal(38,0)")
-    # Persisted: the #partitions-row statistics frame is read three
-    # times (both sides of the triangular join + the grand totals) —
-    # without the persist each read re-scans the full cached input.
-    stats = scoped_persist(
-        srt.groupBy(_PID).agg(
-            F.count(F.lit(1)).alias("__gos_cnt"),
-            F.sum(val).alias("__gos_sum"),
-        )
-    )
+    # Persisted: the #partitions-row statistics frame is read up to
+    # three times (both sides of the triangular join + the grand
+    # totals) — without the persist each read re-scans the full
+    # cached input.
+    stat_aggs = [F.count(F.lit(1)).alias("__gos_cnt")]
+    if with_cum:
+        stat_aggs.append(F.sum(val).alias("__gos_sum"))
+    stats = scoped_persist(srt.groupBy(_PID).agg(*stat_aggs))
     # Exclusive prefix totals: triangular broadcast self-join over the
     # #partitions-row statistics frame. Empty range partitions simply
     # don't appear; the join condition only needs predecessors that
     # hold rows.
     a = stats.alias("a")
     b = stats.alias("b")
+    off_aggs = [
+        F.coalesce(F.sum("b.__gos_cnt"), F.lit(0)).alias("__gos_cnt_off")
+    ]
+    if with_cum:
+        off_aggs.append(
+            F.coalesce(
+                F.sum("b.__gos_sum"), F.lit(0).cast("decimal(38,0)")
+            ).alias("__gos_sum_off")
+        )
     offsets = (
         a.join(
             F.broadcast(b),
@@ -109,26 +122,24 @@ def global_ordered_scan(
             "left",
         )
         .groupBy(F.col(f"a.{_PID}").alias(_PID))
-        .agg(
-            F.coalesce(F.sum("b.__gos_cnt"), F.lit(0)).alias("__gos_cnt_off"),
-            F.coalesce(
-                F.sum("b.__gos_sum"), F.lit(0).cast("decimal(38,0)")
-            ).alias("__gos_sum_off"),
-        )
-    )
-    totals = stats.agg(
-        F.sum("__gos_sum").cast("decimal(38,0)").alias(total_col),
-        F.sum("__gos_cnt").alias("__gos_n"),
+        .agg(*off_aggs)
     )
     w = Window.partitionBy(_PID).orderBy(*order_cols)
-    out = (
-        srt.join(F.broadcast(offsets), _PID)
-        .crossJoin(F.broadcast(totals))
-        .withColumn(
-            rank_col,
-            (F.col("__gos_cnt_off") + F.row_number().over(w)).cast("bigint"),
-        )
-        .withColumn(
+    out = srt.join(F.broadcast(offsets), _PID)
+    if with_cum or count_col is not None:
+        total_aggs = []
+        if with_cum:
+            total_aggs.append(
+                F.sum("__gos_sum").cast("decimal(38,0)").alias(total_col)
+            )
+        total_aggs.append(F.sum("__gos_cnt").alias("__gos_n"))
+        out = out.crossJoin(F.broadcast(stats.agg(*total_aggs)))
+    out = out.withColumn(
+        rank_col,
+        (F.col("__gos_cnt_off") + F.row_number().over(w)).cast("bigint"),
+    )
+    if with_cum:
+        out = out.withColumn(
             cum_col,
             (
                 F.col("__gos_sum_off")
@@ -136,10 +147,9 @@ def global_ordered_scan(
                     w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
                 )
             ).cast("decimal(38,0)"),
-        )
-    )
+        ).drop("__gos_sum_off")
     if count_col is not None:
         out = out.withColumnRenamed("__gos_n", count_col)
-    else:
+    elif with_cum:
         out = out.drop("__gos_n")
-    return out.drop(_PID, "__gos_cnt_off", "__gos_sum_off")
+    return out.drop(_PID, "__gos_cnt_off")

@@ -626,8 +626,13 @@ def cms_topk_audit(
         scoped_persist,
     )
 
-    keyed = df.where(F.col(key_col).isNotNull()).select(
-        F.col(key_col).alias("__k")
+    # ONE fact scan: the keyed projection feeds both the cell build
+    # and the exact top-k — persist it (the reused-input-frame rule)
+    # or each aggregate re-reads the source.
+    keyed = scoped_persist(
+        df.where(F.col(key_col).isNotNull()).select(
+            F.col(key_col).alias("__k")
+        )
     )
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("__j")
     cell = (

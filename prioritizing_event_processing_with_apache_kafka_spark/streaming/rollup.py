@@ -102,11 +102,24 @@ def rollup_apply_batch(
             spark.read.parquet(state_path)
             .filter(F.col(_VERSION_COL) == parent)
             .select(
-                key_col, *[F.col(c).alias(f"__old_{c}") for c in out_cols]
+                F.col(key_col).alias("__old_key"),
+                *[F.col(c).alias(f"__old_{c}") for c in out_cols],
             )
         )
-        merged = batch_state.join(state, key_col, "full_outer").select(
-            key_col, *[_merge(kind, out) for out, kind, _e in specs]
+        # NULL-SAFE key equality: a plain equi-join never matches
+        # NULL == NULL, so a null-key group would duplicate instead of
+        # merging (one partial state row per null-bearing batch) and
+        # break the bit-identical-to-batch contract — the batch
+        # groupBy has ONE null group.
+        merged = batch_state.join(
+            state,
+            batch_state[key_col].eqNullSafe(F.col("__old_key")),
+            "full_outer",
+        ).select(
+            F.coalesce(batch_state[key_col], F.col("__old_key")).alias(
+                key_col
+            ),
+            *[_merge(kind, out) for out, kind, _e in specs],
         )
     except FileNotFoundError:
         # No committed state version: correct for batch 0 (and the

@@ -119,3 +119,23 @@ class TestRollupReplay:
     def test_empty_store_raises_on_read(self, spark, store):
         with pytest.raises(FileNotFoundError):
             rollup_state_result(spark, store)
+
+
+class TestRollupNullKeys:
+    def test_null_key_group_merges_across_batches(self, spark, store):
+        # NULL keys are ONE group in a batch aggregate; the state merge
+        # must treat them the same (null-safe join) or partial rows
+        # accumulate one per null-bearing batch.
+        rollup_apply_batch(
+            spark.createDataFrame([(None, 5), (1, 2)], "k bigint, v bigint"),
+            state_path=store, key_col="k", specs=SPECS, batch_id=0,
+        )
+        rollup_apply_batch(
+            spark.createDataFrame([(None, 7)], "k bigint, v bigint"),
+            state_path=store, key_col="k", specs=SPECS, batch_id=1,
+        )
+        rows = rollup_state_result(spark, store).collect()
+        nulls = [r for r in rows if r.k is None]
+        assert len(nulls) == 1, "null-key state rows must merge, not duplicate"
+        assert (nulls[0].n, nulls[0].mx, nulls[0].mn, nulls[0].sm) == (2, 7, 5, 12)
+        assert [r for r in rows if r.k == 1][0].sm == 2

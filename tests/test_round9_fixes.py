@@ -153,3 +153,11 @@ class TestAviCodecDispatch:
             assert np.abs(
                 got.astype(np.int64) - want.astype(np.int64)
             ).max() <= 32
+
+
+class TestMarkerWalkTruncation:
+    def test_fill_bytes_to_eof_raise_value_error(self):
+        # a payload ending in 0xFF 0xFF must stay inside the decoder's
+        # ValueError contract, not leak struct.error
+        with pytest.raises(ValueError, match="truncated JPEG"):
+            decode_jpeg(b"\xff\xd8\xff\xff")

@@ -509,11 +509,17 @@ def main() -> int:
             probe_list += [(n, True) for n in DEDUP_PROBES]
     if only is not None:
         excluded = sorted(only - {n for n, _d in probe_list})
-        if excluded:  # valid names filtered out by --no-dedup
-            print(
-                f"--only names excluded by --no-dedup: {excluded}",
-                file=sys.stderr,
+        if excluded:
+            # name the ACTUAL filter that dropped the query — blaming
+            # --no-dedup for a grow-mode mismatch sent a past run off
+            # probing nothing with a clean-looking log
+            reason = (
+                "not in GROW_PROBED (grow mode probes only key-scaled "
+                "TPC-H queries)"
+                if grow
+                else "excluded by --no-dedup"
             )
+            print(f"--only names {reason}: {excluded}", file=sys.stderr)
             return 2
         probe_list = [(n, d) for n, d in probe_list if n in only]
     if not probe_list:
