@@ -175,3 +175,70 @@ class TestReplannedCensusQueries:
         for ln in plan.splitlines():
             if "windowspecdefinition(" in ln:
                 assert "__gos_pid" in ln
+
+
+class TestOrderedScanProperties:
+    def test_hypothesis_matches_reference(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        rows_st = st.lists(
+            st.integers(min_value=-1_000_000, max_value=1_000_000),
+            min_size=1,
+            max_size=40,
+        )
+
+        @settings(
+            max_examples=6,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(rows_st, st.integers(min_value=1, max_value=9),
+               st.booleans())
+        def run(values, parts, desc):
+            rows = list(enumerate(values))
+            df = spark.createDataFrame(rows, "id bigint, v bigint")
+            order = [
+                F.col("v").desc() if desc else F.col("v").asc(),
+                F.col("id").asc(),
+            ]
+            got = global_ordered_scan(
+                df, order, "v", num_partitions=parts
+            ).collect()
+            srt = sorted(rows, key=lambda r: (-r[1] if desc else r[1], r[0]))
+            tot = sum(values)
+            want, cum = {}, 0
+            for i, (rid, v) in enumerate(srt, start=1):
+                cum += v
+                want[rid] = (i, cum, tot)
+            for r in got:
+                assert (
+                    r["__gos_rank"], int(r["__gos_cum"]), int(r["__gos_tot"])
+                ) == want[r.id]
+
+        run()
+
+    def test_rank_only_mode_matches_and_slims_plan(self, spark):
+        rows = [(i, (i * 17) % 23) for i in range(50)]
+        df = spark.createDataFrame(rows, "id bigint, v bigint")
+        order = [F.col("v").asc(), F.col("id").asc()]
+        full = global_ordered_scan(df, order, "v", num_partitions=4)
+        slim = global_ordered_scan(
+            df, order, "v", num_partitions=4, with_cum=False
+        )
+        assert "__gos_cum" not in slim.columns
+        assert "__gos_tot" not in slim.columns
+        got_full = {r.id: r["__gos_rank"] for r in full.collect()}
+        got_slim = {r.id: r["__gos_rank"] for r in slim.collect()}
+        assert got_full == got_slim
+        # the rank-only plan drops the totals aggregate's join entirely
+        slim_plan = slim._jdf.queryExecution().executedPlan().toString()
+        assert "__gos_tot" not in slim_plan
+
+    def test_rank_only_with_count(self, spark):
+        df = spark.createDataFrame([(i, i) for i in range(10)], "id bigint, v bigint")
+        got = global_ordered_scan(
+            df, [F.col("v").asc(), F.col("id").asc()], "v",
+            num_partitions=3, with_cum=False, count_col="n",
+        ).collect()
+        assert all(r.n == 10 for r in got)
