@@ -48,81 +48,93 @@ _DRIVER_HEAD = [
     "starved_discard_audit",
     "assignment_golden",
     "bucket_allocation_vs_load",
-    # --- round-9 rotation (VERDICT r8 "what's wrong" #1: the r8
-    # ordering put 43 zero-draw queries AHEAD of the stale list, so
-    # the ~50-entry draw window never reached it and the stalest
-    # queries went an 8th round without a hard-signal draw). Fixed
-    # structurally: the STALE list now comes BEFORE the new-query
-    # slots — ≥12 stale slots are guaranteed inside the window, and
-    # new queries are capped at the tail of the window (excess new
-    # queries wait a round; stale ones must not wait another five).
-    # (a) last drawn r01 — seven rounds of engine churn ago
-    "multimodal_features",
-    "text_quality",
-    "text_token_stats",
-    # (b) last drawn r03
-    "discard_audit_except",
-    "key_parse_variants",
-    "priority_grouping_sets",
-    "bucket_value_percentiles",
-    "salted_type_counts",
-    "bucket_pivot",
-    "q2_min_cost_supplier",
-    # (c) last drawn r04
-    "bucket_metric_unpivot",
-    "events_variant_extract",
-    "stream_dedup_keys",
-    "stream_sessionized_users",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
-    "q6_forecast_revenue",
-    # (d) re-planned this round: the Gini/ABC censuses moved off the
-    # unpartitioned global window onto the distributed ordered scan —
-    # their hash must be re-confirmed by an independent draw.
-    "customer_revenue_gini",
-    "part_abc_analysis",
-    # (e) round-9 new queries (zero draws) — appended here as they
-    # land, CAP ~20 so (a)-(d) always stay inside the draw window.
-    "multimodal_mjpg_roundtrip",
-    "user_value_pareto",
-    "customer_lorenz_deciles",
-    "orders_pit_fx_enrich",
-    "stream_rfm_incremental",
-    "stream_abc_incremental",
-    "vocab_rank_census",
-    "heavy_hitters_cms",
-    "customer_active_islands",
-    "part_supplier_degree",
-    "lineitem_bloom_prefilter",
-    "cohort_ltv_curve",
-    # (f) overflow: more stale r04 bulk + the once-drawn r07 batches —
-    # drawn as window room permits this round, fronted next round.
-    "q14_promo_share",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "top_events_per_user",
-    "bucket_rollup",
-    "user_event_gaps",
-    "events_json_extract",
-    "sessionized_events",
-    "route_rendezvous",
-    "doc_containment",
-    "copurchase_lift",
-    "bucket_key_concentration",
-    "bucket_cusum_alarm",
-    "priority_open_orders_peak",
-    "stream_transition_counts",
-    "user_value_trend",
-    "top_session_paths",
-    "corpus_merkle_buckets",
-    "lineitem_numeric_corr",
-    "purchase_attribution",
-    "neardup_common_neighbors",
-    "priority_mix_shift",
-    "dedup_prefix_filter",
-    "dedup_multiset_jaccard",
-    "drain_tick_percentiles",
+    # --- round-10 rotation (VERDICT r9 "next" #1: the draw window must
+    # hold ONLY hash-oracled queries so the driver gate reads 50/50
+    # with zero `no_oracle` rows — the 14 audit-only queries now live
+    # BEHIND the window; their machine-audited evidence is in
+    # CORRECTNESS_full.json, enforced by tools/check_oracle.py).
+    # Ordering within the window: stalest-first (fewest/oldest prior
+    # driver draws), new queries capped at the tail.
+    # (a) last drawn r04 — five rounds ago, the stalest cohort
+    "big_spender_segments",
+    "bucket_cube",
+    "bucket_quiet_hours",
+    "bucket_throughput_hourly",
+    "bucket_value_histogram",
+    "cohort_retention",
+    "conversion_funnel",
+    "customers_without_big_orders",
+    "customers_without_orders",
+    "distinct_users_per_bucket",
+    "error_purchase_interval",
+    "events_asof_last_purchase",
+    "events_asof_next_error",
+    "incident_window_counts",
+    "ranked_order_priorities",
+    "running_bucket_count",
+    "sliding_window_throughput",
+    "stream_route_counts",
+    "stream_windowed_throughput",
+    "union_priority_tiers",
+    "user_value_percent_rank",
+    "user_value_quartiles",
+    # (b) last drawn r05 (oracled members only)
+    "bucket_hourly_anomaly",
+    "dataset_split",
+    "doc_packing",
+    "embedding_ann_int8",
+    "mixture_sample",
+    "multimodal_frame_sample",
+    "multimodal_image_decode",
+    "multimodal_image_resize",
+    "multimodal_resize",
+    "q13_order_count_distribution",
+    "q21_waiting_suppliers",
+    "q4_order_priority",
+    "q9_profit_by_nation_year",
+    "reservoir_sample",
+    "salted_segment_revenue",
+    "source_dup_profile",
+    "stratified_sample",
+    "table_profile",
+    "user_value_ewma",
+    # (c) round-10 new queries (zero draws, both hash-oracled — the
+    # streaming twins SHARE their batch oracles) — window slot 49-50.
+    "stream_heavy_hitters",
+    "stream_lorenz_incremental",
+    # --- window boundary (~50) ---
+    # (d) overflow: the r06-drawn cohort, fronted next round; all
+    # oracled, so a slightly wider draw window stays 100% hash-green.
+    "boilerplate_spans",
+    "bpe_merge_pairs",
+    "changelog_compaction",
+    "corpus_diff_status",
+    "curation_funnel",
+    "decontamination",
+    "decontamination_bloom",
+    "dedup_components",
+    "dedup_edit_distance",
+    "dedup_incremental",
+    "dedup_incremental_steady",
+    "dedup_minhash_oph",
+    "dedup_pagerank",
+    "doc_chunks",
+    "dsir_weights",
+    "embedding_kmeans",
+    "embedding_label_centroids",
+    "embedding_quantize",
+    "heavy_hitter_users",
+    "lm_doc_score",
+    "pii_redact",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_filter",
+    "q20_excess_shippers",
+    "q22_idle_customers",
+    "q7_nation_volume",
+    "q8_market_share",
 ]
 
 

@@ -205,6 +205,12 @@ HEADLINE = [
     # round 9 sixth batch: cohort LTV curve (one key window + cell-
     # sized cumulative windows).
     "cohort_ltv_curve",
+    # round 10: streaming heavy-hitters twin (two staged writes + two
+    # MG merge micro-batches + the exact-verify readout) and the
+    # streaming Lorenz twin (rollup micro-batches + ordered-scan
+    # readout) — same replay-cost shape as the other streaming twins.
+    "stream_heavy_hitters",
+    "stream_lorenz_incremental",
 ]
 
 

@@ -43,6 +43,9 @@ from prioritizing_event_processing_with_apache_kafka_spark.operators import (
 from prioritizing_event_processing_with_apache_kafka_spark.operators.ordered import (
     global_ordered_scan,
 )
+from prioritizing_event_processing_with_apache_kafka_spark.inventory import (
+    SQL_HEAVY_HITTER_USERS,
+)
 from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import (
     bucket_for_event_type,
     load_table,
@@ -6233,19 +6236,12 @@ FROM staged GROUP BY 1
 """
 
 
-def q_customer_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lorenz-curve deciles over customer revenue: customers ranked
-    ASCENDING by revenue (cents lattice, ties by key), split into ten
-    equal-count rank deciles ``(rank-1)*10 DIV n``, each reporting its
-    customer count, revenue, and the CUMULATIVE revenue share through
-    it — the curve whose area the Gini scalar summarizes (a uniform
-    corpus walks the diagonal; fixture bottom deciles carry far less).
-    The rank and running sum come from the distributed ordered scan;
-    everything after it is decile-sized. Hash-oracled."""
-    orders = load_table(spark, sf_dir, "orders")
-    per = orders.groupBy("o_custkey").agg(
-        F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).alias("__x")
-    )
+def _lorenz_census(per: DataFrame) -> DataFrame:
+    """Lorenz-decile readout of a per-customer ``(o_custkey, __x)``
+    revenue frame — shared by the batch ``customer_lorenz_deciles``
+    and its streaming rollup twin, which is what lets the twin share
+    the batch hash oracle. Rank and running sum ride the distributed
+    ordered scan; everything after it is decile-sized."""
     scanned = global_ordered_scan(
         per,
         [F.col("__x").asc(), F.col("o_custkey").asc()],
@@ -6268,6 +6264,22 @@ def q_customer_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share_ppm"),
         )
     )
+
+
+def q_customer_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve deciles over customer revenue: customers ranked
+    ASCENDING by revenue (cents lattice, ties by key), split into ten
+    equal-count rank deciles ``(rank-1)*10 DIV n``, each reporting its
+    customer count, revenue, and the CUMULATIVE revenue share through
+    it — the curve whose area the Gini scalar summarizes (a uniform
+    corpus walks the diagonal; fixture bottom deciles carry far less).
+    The rank and running sum come from the distributed ordered scan;
+    everything after it is decile-sized. Hash-oracled."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).alias("__x")
+    )
+    return _lorenz_census(per)
 
 
 SQL_CUSTOMER_LORENZ_DECILES = """
@@ -6414,6 +6426,29 @@ GROUP BY 1
 """
 
 
+def _stage_two_batch_stream(root: str, batches: list[DataFrame]):
+    """Stage a list of batch frames as single-file parquet drops under
+    ``root/src`` with strictly increasing mtimes, so an availableNow /
+    ``maxFilesPerTrigger=1`` file stream replays them as separate
+    micro-batches in order. Returns ``(src_dir, schema)`` — shared by
+    every streaming twin (RFM/ABC/heavy-hitters/Lorenz)."""
+    import os
+    import shutil
+
+    src_dir = os.path.join(root, "src")
+    os.makedirs(src_dir)
+    schema = None
+    for i, b in enumerate(batches):
+        stage = os.path.join(root, f"stage{i}")
+        b.coalesce(1).write.parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dst = os.path.join(src_dir, f"batch-{i}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 3600,) * 2)
+        schema = b.schema
+    return src_dir, schema
+
+
 def q_stream_rfm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming RFM census (VERDICT r8 item 8) — the incremental twin
     of ``customer_rfm`` via the mergeable per-key rollup store
@@ -6442,25 +6477,17 @@ def q_stream_rfm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderdate", "o_totalprice"
     )
     root = tempfile.mkdtemp(prefix="peps-rfm-stream-")
-    src_dir = os.path.join(root, "src")
     state_path = os.path.join(root, "state")
     chk = os.path.join(root, "chk")
-    os.makedirs(src_dir)
     try:
         cutoff = F.lit("1995-06-01").cast("timestamp")
-        batches = [
-            orders.filter(F.col("o_orderdate") < cutoff),
-            orders.filter(F.col("o_orderdate") >= cutoff),
-        ]
-        schema = None
-        for i, b in enumerate(batches):
-            stage = os.path.join(root, f"stage{i}")
-            b.coalesce(1).write.parquet(stage)
-            part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
-            dst = os.path.join(src_dir, f"batch-{i}.parquet")
-            shutil.move(os.path.join(stage, part), dst)
-            os.utime(dst, (1_700_000_000 + i * 3600,) * 2)
-            schema = b.schema
+        src_dir, schema = _stage_two_batch_stream(
+            root,
+            [
+                orders.filter(F.col("o_orderdate") < cutoff),
+                orders.filter(F.col("o_orderdate") >= cutoff),
+            ],
+        )
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -6522,25 +6549,17 @@ def q_stream_abc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
     )
     root = tempfile.mkdtemp(prefix="peps-abc-stream-")
-    src_dir = os.path.join(root, "src")
     state_path = os.path.join(root, "state")
     chk = os.path.join(root, "chk")
-    os.makedirs(src_dir)
     try:
         cutoff = F.lit("1995-06-01").cast("timestamp")
-        batches = [
-            li.filter(F.col("l_shipdate") < cutoff),
-            li.filter(F.col("l_shipdate") >= cutoff),
-        ]
-        schema = None
-        for i, b in enumerate(batches):
-            stage = os.path.join(root, f"stage{i}")
-            b.coalesce(1).write.parquet(stage)
-            part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
-            dst = os.path.join(src_dir, f"batch-{i}.parquet")
-            shutil.move(os.path.join(stage, part), dst)
-            os.utime(dst, (1_700_000_000 + i * 3600,) * 2)
-            schema = b.schema
+        src_dir, schema = _stage_two_batch_stream(
+            root,
+            [
+                li.filter(F.col("l_shipdate") < cutoff),
+                li.filter(F.col("l_shipdate") >= cutoff),
+            ],
+        )
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -6653,11 +6672,155 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_topk_audit(events, key_col="user_id", k=20)
 
 
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters (VERDICT r9 item 4) — the incremental
+    twin of ``heavy_hitter_users`` via the mergeable Misra-Gries state
+    store (``streaming/mgstate.py``): a real two-batch availableNow
+    file stream (split at the events midpoint 2024-01-16) maintains at
+    most ``capacity`` candidate rows however many distinct users flow
+    past — each batch pays one Arrow-batched MG map pass (first
+    shuffle capped at ``capacity`` rows per task), one summary-sized
+    merge join, and one summary-sized in-plan truncation. MG merges
+    are associative, so the streamed summary is a merge tree over the
+    same per-partition partials the batch operator folds — identical
+    guarantee: every key with true count > accumulated decrement is a
+    candidate. The readout recounts ONLY candidates from the retained
+    source (the exact-verify pass, same as the batch op), so the
+    top-20 is EXACT and SHARES the batch ``heavy_hitter_users`` DuckDB
+    oracle. Capacity 32768 covers fixture/10× key cardinality with
+    zero decrements (see ``q_heavy_hitter_users``'s capacity note);
+    the decrement path is crash-replay- and truncation-tested in
+    ``tests/test_mgstate_stream.py``."""
+    import os
+    import shutil
+    import tempfile
+
+    from prioritizing_event_processing_with_apache_kafka_spark.streaming.mgstate import (
+        mg_foreach_batch,
+        mg_state_candidates,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    root = tempfile.mkdtemp(prefix="peps-hh-stream-")
+    state_path = os.path.join(root, "state")
+    chk = os.path.join(root, "chk")
+    try:
+        cutoff = F.lit("2024-01-16").cast("timestamp")
+        src_dir, schema = _stage_two_batch_stream(
+            root,
+            [
+                events.filter(F.col("ts") < cutoff),
+                events.filter(
+                    F.col("ts").isNull() | (F.col("ts") >= cutoff)
+                ),
+            ],
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                mg_foreach_batch(
+                    state_path=state_path,
+                    key_col="user_id",
+                    capacity=32768,
+                )
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        cand_keys = mg_state_candidates(spark, state_path).select("user_id")
+        source = spark.read.parquet(src_dir)
+        exact = (
+            source.join(F.broadcast(cand_keys), "user_id", "inner")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        return (
+            exact.orderBy(F.desc("n_events"), F.asc("user_id"))
+            .limit(20)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_stream_lorenz_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Lorenz deciles (VERDICT r9 item 5) — the incremental
+    twin of ``customer_lorenz_deciles``: a real two-batch availableNow
+    file stream (split at o_orderdate 1995-06-01) maintains one
+    mergeable revenue-cents sum per customer in the rollup store
+    (``streaming/rollup.py``); the final state feeds the SAME
+    Lorenz-decile readout (``_lorenz_census``, i.e. the distributed
+    global ordered scan), so this query SHARES the batch hash oracle.
+    Same composition story as ``stream_abc_incremental``: streaming
+    state keeps the per-key aggregate incremental, the ordered scan
+    keeps the global rank distributed — no funnel at either stage."""
+    import os
+    import shutil
+    import tempfile
+
+    from prioritizing_event_processing_with_apache_kafka_spark.streaming.rollup import (
+        rollup_foreach_batch,
+        rollup_state_result,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="peps-lorenz-stream-")
+    state_path = os.path.join(root, "state")
+    chk = os.path.join(root, "chk")
+    try:
+        cutoff = F.lit("1995-06-01").cast("timestamp")
+        src_dir, schema = _stage_two_batch_stream(
+            root,
+            [
+                orders.filter(F.col("o_orderdate") < cutoff),
+                orders.filter(F.col("o_orderdate") >= cutoff),
+            ],
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                rollup_foreach_batch(
+                    state_path=state_path,
+                    key_col="o_custkey",
+                    specs=[
+                        (
+                            "__x",
+                            "sum",
+                            "CAST(floor(o_totalprice * 100) AS BIGINT)",
+                        ),
+                    ],
+                )
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return _lorenz_census(
+            rollup_state_result(spark, state_path)
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 SQL_HEAVY_HITTERS_CMS = """
 WITH keyed AS (
   SELECT user_id AS k FROM events WHERE user_id IS NOT NULL
 ), cms AS (
-  SELECT j, ((37 + 61*j) * k + 13 + 7919*j) % 1000000007 % 512 AS cell,
+  SELECT j, (((37 + 61*j) * k + 13 + 7919*j) % 1000000007 + 1000000007)
+           % 1000000007 % 512 AS cell,
          CAST(COUNT(*) AS BIGINT) AS n
   FROM keyed CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS j)
   GROUP BY 1, 2
@@ -6669,8 +6832,8 @@ WITH keyed AS (
   SELECT top.k, top.exact_n, CAST(MIN(cms.n) AS BIGINT) AS cms_n
   FROM top CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS j) t
   JOIN cms ON cms.j = t.j
-          AND cms.cell = ((37 + 61*t.j) * top.k + 13 + 7919*t.j)
-                         % 1000000007 % 512
+          AND cms.cell = (((37 + 61*t.j) * top.k + 13 + 7919*t.j)
+                          % 1000000007 + 1000000007) % 1000000007 % 512
   GROUP BY 1, 2
 )
 SELECT k AS user_id, exact_n, cms_n,
@@ -6854,7 +7017,8 @@ WITH hot AS (
   SELECT bit // 32 AS word_idx,
          BIT_OR(CAST(1 AS BIGINT) << CAST(bit % 32 AS INTEGER)) AS word
   FROM (
-    SELECT ((37 + 61*j) * o_orderkey + 13 + 7919*j) % 1000000007 % 262144
+    SELECT (((37 + 61*j) * o_orderkey + 13 + 7919*j)
+            % 1000000007 + 1000000007) % 1000000007 % 262144
              AS bit
     FROM hot CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j)
   ) GROUP BY 1
@@ -6866,7 +7030,8 @@ WITH hot AS (
                   THEN 1 ELSE 0 END) AS hits
   FROM (
     SELECT l_orderkey, j,
-           ((37 + 61*j) * l_orderkey + 13 + 7919*j) % 1000000007 % 262144
+           (((37 + 61*j) * l_orderkey + 13 + 7919*j)
+            % 1000000007 + 1000000007) % 1000000007 % 262144
              AS bit
     FROM keys CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j)
   ) k
@@ -6995,6 +7160,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_abc_incremental": q_stream_abc_incremental,
     "vocab_rank_census": q_vocab_rank_census,
     "heavy_hitters_cms": q_heavy_hitters_cms,
+    "stream_heavy_hitters": q_stream_heavy_hitters,
+    "stream_lorenz_incremental": q_stream_lorenz_incremental,
     "customer_active_islands": q_customer_active_islands,
     "part_supplier_degree": q_part_supplier_degree,
     "lineitem_bloom_prefilter": q_lineitem_bloom_prefilter,
@@ -7151,6 +7318,10 @@ PIPELINE_ORACLES: dict[str, str] = {
     "stream_abc_incremental": SQL_PART_ABC_ANALYSIS,
     "vocab_rank_census": SQL_VOCAB_RANK_CENSUS,
     "heavy_hitters_cms": SQL_HEAVY_HITTERS_CMS,
+    # streaming twins SHARE their batch oracles (commutative merges +
+    # exact-verify / shared readout => bit-identical final frames)
+    "stream_heavy_hitters": SQL_HEAVY_HITTER_USERS,
+    "stream_lorenz_incremental": SQL_CUSTOMER_LORENZ_DECILES,
     "customer_active_islands": SQL_CUSTOMER_ACTIVE_ISLANDS,
     "part_supplier_degree": SQL_PART_SUPPLIER_DEGREE,
     "lineitem_bloom_prefilter": SQL_LINEITEM_BLOOM_PREFILTER,

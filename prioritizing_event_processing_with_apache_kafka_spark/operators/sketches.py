@@ -585,6 +585,20 @@ def hll_sliding_distinct(
     )
 
 
+def _pmod_hash(key, j):
+    """The shared arithmetic universal hash ``(a_j·key + b_j) mod p``
+    (``a_j = 37 + 61·j``, ``b_j = 13 + 7919·j``, ``p = 1e9+7``),
+    normalized NON-NEGATIVE via ``((x % p) + p) % p``: SQL ``%`` takes
+    the dividend's sign on every engine, so a negative key would
+    otherwise yield a negative index — which ``element_at`` silently
+    resolves from the END of the array (false negatives in the Bloom
+    probe). For non-negative keys the normalization is the identity,
+    so existing bitmaps/cell tables are bit-identical."""
+    p = F.lit(1_000_000_007)
+    raw = (F.lit(37) + F.lit(61) * j) * key + F.lit(13) + F.lit(7919) * j
+    return ((raw % p) + p) % p
+
+
 def cms_topk_audit(
     df: DataFrame,
     *,
@@ -635,14 +649,7 @@ def cms_topk_audit(
         )
     )
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("__j")
-    cell = (
-        (
-            (F.lit(37) + F.lit(61) * F.col("__j")) * F.col("__k")
-            + F.lit(13)
-            + F.lit(7919) * F.col("__j")
-        )
-        % F.lit(1_000_000_007)
-    ) % F.lit(width)
+    cell = _pmod_hash(F.col("__k"), F.col("__j")) % F.lit(width)
     cms = scoped_persist(
         keyed.select("__k", rows)
         .select("__j", cell.cast("bigint").alias("__cell"))
@@ -693,14 +700,7 @@ def bloom_build(
     what lets a Bloom-prefiltered query keep a hash oracle.
     """
     j = F.explode(F.sequence(F.lit(0), F.lit(hashes - 1))).alias("__j")
-    bit = (
-        (
-            (F.lit(37) + F.lit(61) * F.col("__j")) * F.col(key_col)
-            + F.lit(13)
-            + F.lit(7919) * F.col("__j")
-        )
-        % F.lit(1_000_000_007)
-    ) % F.lit(bits)
+    bit = _pmod_hash(F.col(key_col), F.col("__j")) % F.lit(bits)
     return (
         keys.select(F.col(key_col), j)
         .select(bit.cast("bigint").alias("__bit"))
@@ -761,9 +761,12 @@ def bloom_might_contain(
     out = df.crossJoin(F.broadcast(dense))
     cond = F.lit(True)
     for j in range(hashes):
+        # Same non-negative normalization as the build side — the two
+        # remainders MUST agree or a negative key probes different bits
+        # than it set and the no-false-negatives contract breaks.
         bit_sql = (
-            f"((({37 + 61 * j} * {key_col}) + {13 + 7919 * j})"
-            f" % 1000000007) % {bits}"
+            f"((((({37 + 61 * j} * {key_col}) + {13 + 7919 * j})"
+            f" % 1000000007) + 1000000007) % 1000000007) % {bits}"
         )
         word = F.element_at(
             F.col("__bloom"), F.expr(f"CAST(({bit_sql}) DIV 32 AS INT) + 1")

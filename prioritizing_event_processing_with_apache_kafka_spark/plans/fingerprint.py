@@ -205,10 +205,108 @@ def streaming_core_queries():
             "o_custkey", *[_merge(k, out) for out, k, _e in specs]
         )
 
+    def lorenz_rollup_core(spark, sf_dir):
+        # Mirror q_stream_lorenz_incremental's steady state: batch 1
+        # merged into batch 0's committed revenue-sum state — same
+        # ONE-aggregate + ONE-merge-join contract as the RFM core (the
+        # ordered-scan readout is pinned by customer_lorenz_deciles,
+        # which shares _lorenz_census).
+        from prioritizing_event_processing_with_apache_kafka_spark.streaming.rollup import (
+            _batch_agg,
+            _merge,
+        )
+
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderdate", "o_totalprice"
+        )
+        specs = [
+            ("__x", "sum", "CAST(floor(o_totalprice * 100) AS BIGINT)"),
+        ]
+        cutoff = F.lit("1995-06-01").cast("timestamp")
+        out_cols = [out for out, _k, _e in specs]
+        state = (
+            orders.filter(F.col("o_orderdate") < cutoff)
+            .groupBy("o_custkey")
+            .agg(*[_batch_agg(k, e, out) for out, k, e in specs])
+            .select(
+                "o_custkey",
+                *[F.col(c).alias(f"__old_{c}") for c in out_cols],
+            )
+        )
+        batch_state = (
+            orders.filter(F.col("o_orderdate") >= cutoff)
+            .groupBy("o_custkey")
+            .agg(*[_batch_agg(k, e, f"__new_{out}") for out, k, e in specs])
+        )
+        return batch_state.join(state, "o_custkey", "full_outer").select(
+            "o_custkey", *[_merge(k, out) for out, k, _e in specs]
+        )
+
+    def mg_merge_core(spark, sf_dir):
+        # Mirror mg_apply_batch's steady state for stream_heavy_hitters:
+        # batch 1's MG partial summaries merged with batch 0's state,
+        # plus the in-plan truncation threshold crossJoin — the
+        # contract is ONE capped map pass per side, summary-sized
+        # merge join, summary-sized ordered limit; a fact-scaled
+        # shuffle or a window sneaking in fails the pin.
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.heavyhitters import (
+            misra_gries_partial,
+        )
+
+        events = load_table(spark, sf_dir, "events").select("ts", "user_id")
+        cutoff = F.lit("2024-01-16").cast("timestamp")
+        capacity = 32768
+
+        def summary(df):
+            return (
+                misra_gries_partial(df, "user_id", capacity)
+                .filter(F.col("user_id").isNotNull())
+                .groupBy("user_id")
+                .agg(F.sum("mg_weight").cast("bigint").alias("__w"))
+            )
+
+        old_w = summary(events.filter(F.col("ts") < cutoff)).select(
+            F.col("user_id").alias("__old_key"), F.col("__w").alias("__ow")
+        )
+        batch_w = summary(
+            events.filter(F.col("ts").isNull() | (F.col("ts") >= cutoff))
+        )
+        merged = batch_w.join(
+            old_w, batch_w["user_id"] == F.col("__old_key"), "full_outer"
+        ).select(
+            F.coalesce(batch_w["user_id"], F.col("__old_key")).alias(
+                "user_id"
+            ),
+            (
+                F.coalesce(F.col("__w"), F.lit(0))
+                + F.coalesce(F.col("__ow"), F.lit(0))
+            ).alias("__w"),
+        )
+        thr = (
+            merged.orderBy(F.col("__w").desc(), F.col("user_id").asc())
+            .limit(capacity + 1)
+            .agg(
+                F.coalesce(F.min("__w"), F.lit(0)).alias("__kth"),
+                F.count(F.lit(1)).alias("__m"),
+            )
+            .select(
+                F.when(F.col("__m") == capacity + 1, F.col("__kth"))
+                .otherwise(F.lit(0))
+                .alias("__thr")
+            )
+        )
+        return (
+            merged.crossJoin(F.broadcast(thr))
+            .select("user_id", (F.col("__w") - F.col("__thr")).alias("mg_weight"))
+            .filter(F.col("mg_weight") > 0)
+        )
+
     return {
         "stream_locf_fill__enrich": locf_enrich_core,
         "stream_locf_fill__state": locf_state_core,
         "scd2_stream_history__merge": scd2_merge_core,
         "stream_sessionized_users__core": sessions_core,
         "stream_rfm_incremental__core": rfm_rollup_core,
+        "stream_lorenz_incremental__core": lorenz_rollup_core,
+        "stream_heavy_hitters__core": mg_merge_core,
     }

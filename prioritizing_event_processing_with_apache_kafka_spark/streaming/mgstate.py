@@ -1,0 +1,240 @@
+"""Streaming mergeable Misra-Gries state — the incremental twin of the
+batch heavy-hitters detector (``operators/heavyhitters.py``).
+
+The rollup store (``streaming/rollup.py``) proved the pattern for
+DECOMPOSABLE aggregates: one state row per key, commutative merges,
+final state bit-identical to the batch aggregate. Misra-Gries extends
+it to the BOUNDED-state regime: the summary keeps at most ``capacity``
+kept-key rows however many distinct keys flow past, because MG
+summaries are mergeable (Agarwal et al., "Mergeable Summaries",
+PODS'12) — combine two summaries by adding weights per key, then, if
+more than ``capacity`` keys remain, subtract the (capacity+1)-th
+largest weight from all of them, keep the strictly-positive survivors,
+and add the subtracted value to the accumulated decrement total. The
+invariant every merge preserves (same as the batch partial's):
+
+    true_count − offset  ≤  Σweight(key)  ≤  true_count
+
+so after the final batch the candidate set provably contains every key
+whose true count exceeds ``offset`` — the identical guarantee the
+batch ``misra_gries_partial`` pass gives, because the batch pass IS a
+merge tree over per-partition summaries and merging is associative.
+The streaming half only changes WHERE the tree's internal nodes live:
+in a versioned state store between micro-batches instead of inside one
+job's shuffle.
+
+Storage protocol: the versioned-parquet exactly-once discipline shared
+by ``streaming/{dimension,locf,transitions,rollup}.py`` — state lands
+in ``__version = batch_id + 1`` partitions via dynamic partition
+overwrite; a replayed batch re-reads its parent version and atomically
+rewrites its own. One NULL-key marker row per version carries the
+``(offset, rows)`` accounting (the same convention as the batch
+partial's marker row); kept keys carry ``mg_weight``.
+
+Scale: per batch, one Arrow-batched MG map pass over the batch (first
+shuffle capped at ``capacity`` rows per map task), one summary-sized
+merge join against ≤ ``capacity`` state rows, and one summary-sized
+ordered ``limit(capacity+1)`` to find the truncation threshold
+in-plan — nothing driver-side, nothing proportional to key
+cardinality. The exact-verify readout (recount only candidate keys
+from the retained source, the lakehouse norm) is what keeps the final
+answer EXACT and lets the streaming query share the batch oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prioritizing_event_processing_with_apache_kafka_spark.operators.heavyhitters import (
+    misra_gries_partial,
+)
+from prioritizing_event_processing_with_apache_kafka_spark.streaming.dimension import (
+    _latest_version_below,
+    _write_version,
+    _versions,
+    _VERSION_COL,
+)
+
+__all__ = [
+    "mg_apply_batch",
+    "mg_foreach_batch",
+    "mg_state_candidates",
+    "mg_state_meta",
+]
+
+
+def mg_apply_batch(
+    batch: DataFrame,
+    *,
+    state_path: str,
+    key_col: str,
+    capacity: int,
+    batch_id: int,
+) -> int:
+    """Merge one micro-batch's MG summary into the bounded state;
+    returns the version written (``batch_id + 1``). Replaying the same
+    ``batch_id`` re-reads the same parent and overwrites the same
+    partition — idempotent under ``foreachBatch`` replay."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    spark = batch.sparkSession
+    target = int(batch_id) + 1
+    key_type = batch.schema[key_col].dataType
+
+    parts = misra_gries_partial(batch, key_col, capacity)
+    batch_w = (
+        parts.filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.sum("mg_weight").cast("bigint").alias("__bw"))
+    )
+    batch_meta = (
+        parts.select("mg_pid", "mg_offset", "mg_rows")
+        .distinct()
+        .agg(
+            F.coalesce(F.sum("mg_offset"), F.lit(0))
+            .cast("bigint")
+            .alias("__boff"),
+            F.coalesce(F.sum("mg_rows"), F.lit(0))
+            .cast("bigint")
+            .alias("__brows"),
+        )
+    )
+    try:
+        parent = _latest_version_below(spark, state_path, target)
+        state = spark.read.parquet(state_path).filter(
+            F.col(_VERSION_COL) == parent
+        )
+        old_w = state.filter(F.col(key_col).isNotNull()).select(
+            F.col(key_col).alias("__old_key"),
+            F.col("mg_weight").alias("__ow"),
+        )
+        old_meta = state.filter(F.col(key_col).isNull()).agg(
+            F.coalesce(F.sum("mg_offset"), F.lit(0))
+            .cast("bigint")
+            .alias("__ooff"),
+            F.coalesce(F.sum("mg_rows"), F.lit(0))
+            .cast("bigint")
+            .alias("__orows"),
+        )
+        merged = batch_w.join(
+            old_w, batch_w[key_col] == F.col("__old_key"), "full_outer"
+        ).select(
+            F.coalesce(batch_w[key_col], F.col("__old_key")).alias(key_col),
+            (
+                F.coalesce(F.col("__bw"), F.lit(0))
+                + F.coalesce(F.col("__ow"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("__w"),
+        )
+        meta = batch_meta.crossJoin(old_meta).select(
+            (F.col("__boff") + F.col("__ooff")).alias("__off"),
+            (F.col("__brows") + F.col("__orows")).alias("__rows"),
+        )
+    except FileNotFoundError:
+        # No committed state version: correct for batch 0 (and the
+        # lost-checkpoint degradation — absent durable state means
+        # "no history", the bound simply restarts).
+        merged = batch_w.select(
+            key_col, F.col("__bw").cast("bigint").alias("__w")
+        )
+        meta = batch_meta.select(
+            F.col("__boff").alias("__off"), F.col("__brows").alias("__rows")
+        )
+
+    # Mergeable-summaries truncation, entirely in-plan: the threshold
+    # is the (capacity+1)-th largest merged weight when the summary
+    # overflows, else 0. The ordered limit runs over summary-sized
+    # data (≤ capacity state rows + ≤ capacity·partitions batch rows).
+    thr = (
+        merged.orderBy(F.col("__w").desc(), F.col(key_col).asc())
+        .limit(capacity + 1)
+        .agg(
+            F.coalesce(F.min("__w"), F.lit(0)).alias("__kth"),
+            F.count(F.lit(1)).alias("__m"),
+        )
+        .select(
+            F.when(F.col("__m") == capacity + 1, F.col("__kth"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("__thr")
+        )
+    )
+    kept = (
+        merged.crossJoin(F.broadcast(thr))
+        .select(
+            key_col,
+            (F.col("__w") - F.col("__thr")).cast("bigint").alias("mg_weight"),
+        )
+        .filter(F.col("mg_weight") > 0)
+        .select(
+            key_col,
+            "mg_weight",
+            F.lit(None).cast("bigint").alias("mg_offset"),
+            F.lit(None).cast("bigint").alias("mg_rows"),
+        )
+    )
+    marker = meta.crossJoin(thr).select(
+        F.lit(None).cast(key_type).alias(key_col),
+        F.lit(None).cast("bigint").alias("mg_weight"),
+        (F.col("__off") + F.col("__thr")).cast("bigint").alias("mg_offset"),
+        F.col("__rows").cast("bigint").alias("mg_rows"),
+    )
+    _write_version(kept.unionByName(marker), state_path, target)
+    return target
+
+
+def mg_foreach_batch(
+    *,
+    state_path: str,
+    key_col: str,
+    capacity: int,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` adapter for :func:`mg_apply_batch`."""
+
+    def inner(batch: DataFrame, batch_id: int) -> None:
+        mg_apply_batch(
+            batch,
+            state_path=state_path,
+            key_col=key_col,
+            capacity=capacity,
+            batch_id=batch_id,
+        )
+
+    return inner
+
+
+def _latest_state(spark: SparkSession, state_path: str) -> DataFrame:
+    versions = _versions(spark, state_path)
+    if not versions:
+        raise FileNotFoundError(f"no committed MG versions under {state_path}")
+    return (
+        spark.read.parquet(state_path)
+        .filter(F.col(_VERSION_COL) == versions[-1])
+        .drop(_VERSION_COL)
+    )
+
+
+def mg_state_candidates(spark: SparkSession, state_path: str) -> DataFrame:
+    """The latest committed candidate set ``(key, mg_weight)`` — every
+    key whose true stream count exceeds the accumulated decrement total
+    (see :func:`mg_state_meta`) is guaranteed present."""
+    key_rows = _latest_state(spark, state_path)
+    key_col = key_rows.columns[0]
+    return key_rows.filter(F.col(key_col).isNotNull()).select(
+        key_col, "mg_weight"
+    )
+
+
+def mg_state_meta(spark: SparkSession, state_path: str) -> DataFrame:
+    """One row: ``(err_bound, total_rows)`` — the accumulated decrement
+    total (max possible undercount for ANY key) and rows processed."""
+    key_rows = _latest_state(spark, state_path)
+    key_col = key_rows.columns[0]
+    return key_rows.filter(F.col(key_col).isNull()).select(
+        F.col("mg_offset").alias("err_bound"),
+        F.col("mg_rows").alias("total_rows"),
+    )

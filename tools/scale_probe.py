@@ -272,22 +272,42 @@ GROW_PROBED = [
     # round 9 sixth batch: LTV curve — one customer-keyed window over
     # N× customers; everything after is (cohort × age)-cell-sized.
     "cohort_ltv_curve",
+    # round 10 backfill (VERDICT r9 item 3): the r8-era key-scaled
+    # censuses, probed decorrelated-only until the v3 grow replica
+    # started growing their actual post-aggregate states — customer/
+    # supplier dims replicate with matching key shifts; events gets
+    # user/ts/value decorrelation so user flags, hourly bins, and
+    # value histograms grow N×.
+    "user_churn_census",      # (type,user) flags over N× users
+    "events_decile_drift",    # per-type value histograms over N× values
+    "nation_trade_matrix",    # N× fact through dim joins (25² census)
+    "supplier_ship_sla",      # (supplier, lag) histograms over N× suppliers
+    "events_peak_census",     # (type, hour) bins over N× wall clock
+    # round 10 streaming twins: MG state (bounded at capacity rows)
+    # over N× users; Lorenz rollup + ordered-scan readout over N×
+    # customers. Wall includes the staged writes + both micro-batches.
+    "stream_heavy_hitters",
+    "stream_lorenz_incremental",
 ]
 
 # Bump when the replica construction changes so stale /tmp replicas
 # from earlier revisions are not reused.
-_REPLICA_VERSION = "v2-decorrelated-text"
+_REPLICA_VERSION = "v3-grow-dims-events"
 
 TABLES = ("events", "documents", "embeddings")
-GROW_TABLES = ("orders", "lineitem")
+# Grow mode (round 10 extension): customer/supplier dims replicate
+# WITH the matching key shifts (so dim-joining censuses keep their
+# joins honest at N× keys), and events replicates with user/ts/value
+# decorrelation (so user-keyed flags, hourly bins, and value
+# histograms — the r8-era censuses' post-aggregate states — really
+# grow N× instead of collapsing at the key aggregate).
+GROW_TABLES = ("orders", "lineitem", "customer", "supplier", "events")
 # Tables the probed queries need but that aren't replicated (TPC-H
 # dims etc.) are symlink-copied as-is.
 PASSTHROUGH = (
     "region nation customer supplier part orders lineitem".split()
 )
-GROW_PASSTHROUGH = (
-    "region nation customer supplier part events documents embeddings".split()
-)
+GROW_PASSTHROUGH = "region nation part documents embeddings".split()
 
 
 def replica_dir(sf_dir: str, copies: int, *, grow: bool = False) -> str:
@@ -316,26 +336,66 @@ def build_grow_replica(spark, sf_dir: str, out_dir: str, copies: int) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
-    orders = spark.read.parquet(f"{sf_dir.rstrip('/')}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
+    rd = lambda t: spark.read.parquet(f"{sf_dir.rstrip('/')}/{t}.parquet")  # noqa: E731
+    orders, li = rd("orders"), rd("lineitem")
+    cust, supp, events = rd("customer"), rd("supplier"), rd("events")
     # ONE span per logical key domain — o_orderkey and l_orderkey must
-    # shift identically or per-copy joins break (orders holds the
-    # superset of order keys).
+    # shift identically or per-copy joins break; customer/supplier
+    # spans come from the DIM tables (the key-domain supersets), so
+    # the replicated dims and the remapped fact keys stay joined.
     span_order = orders.agg(F.max("o_orderkey")).first()[0] + 1
-    span_cust = orders.agg(F.max("o_custkey")).first()[0] + 1
+    span_cust = cust.agg(F.max("c_custkey")).first()[0] + 1
     span_part = li.agg(F.max("l_partkey")).first()[0] + 1
+    span_supp = supp.agg(F.max("s_suppkey")).first()[0] + 1
+    span_user = events.agg(F.max("user_id")).first()[0] + 1
+    span_event = events.agg(F.max("event_id")).first()[0] + 1
+    # the raw parquet ts is TIMESTAMP_NTZ; go through an explicit
+    # TIMESTAMP cast (exact in the UTC session) for the micros lattice
+    ts_us = "unix_micros(CAST(ts AS TIMESTAMP))"
+    ts_lo, ts_hi = events.agg(
+        F.min(F.expr(ts_us)), F.max(F.expr(ts_us))
+    ).first()
+    # each copy occupies its own disjoint time span (one spare hour of
+    # gap), so wall-clock-bounded states (hourly bins, churn halves)
+    # grow N× instead of stacking on the same clock
+    span_ts_us = (ts_hi - ts_lo) + 3_600_000_000
     spine = spark.range(copies).withColumnRenamed("id", "__copy")
     shifts = {
         "orders": {"o_orderkey": span_order, "o_custkey": span_cust},
-        "lineitem": {"l_orderkey": span_order, "l_partkey": span_part},
+        "lineitem": {
+            "l_orderkey": span_order,
+            "l_partkey": span_part,
+            "l_suppkey": span_supp,
+        },
+        "customer": {"c_custkey": span_cust},
+        "supplier": {"s_suppkey": span_supp},
+        "events": {"user_id": span_user, "event_id": span_event},
     }
     out_parts = max(8, min(256, copies * 4))
-    for name, df in (("orders", orders), ("lineitem", li)):
+    for name, df in (
+        ("orders", orders),
+        ("lineitem", li),
+        ("customer", cust),
+        ("supplier", supp),
+        ("events", events),
+    ):
         big = df.crossJoin(F.broadcast(spine))
         for col, span in shifts[name].items():
             big = big.withColumn(
                 col, F.col(col) + F.col("__copy") * F.lit(span)
             )
+        if name == "events":
+            # decorrelate the time axis and the value lattice per copy
+            # (NULLs stay NULL through the arithmetic): hourly-bin
+            # counts, churn halves, and per-type value histograms —
+            # the post-aggregate states of the r8-era event censuses —
+            # then grow N× the way a corpus N× longer/richer would.
+            big = big.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.expr(ts_us) + F.col("__copy") * F.lit(span_ts_us)
+                ).cast(df.schema["ts"].dataType),
+            ).withColumn("value", F.col("value") + F.col("__copy"))
         big.drop("__copy").repartition(out_parts).write.mode(
             "overwrite"
         ).parquet(f"{out_dir}/{name}.parquet")
