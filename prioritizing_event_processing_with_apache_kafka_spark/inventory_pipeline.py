@@ -886,6 +886,24 @@ def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.jpeg_roundtrip_metrics(docs, quality=90)
 
 
+def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG (SOF2) encode→decode round trip per document
+    (VERDICT r9 stretch item 8: successive-approximation scans over
+    the existing Huffman/IDCT machinery —
+    ``jpeg.py:encode_jpeg_progressive`` + the multi-scan decode path,
+    via ``multimodal.py:jpeg_progressive_metrics``). The audit is
+    stronger than an error envelope: progressive transmission is a
+    LOSSLESS REORDERING of the same quantized coefficients, so
+    ``baseline_match`` demands the progressive decode be BIT-IDENTICAL
+    to the baseline round trip per document — any slip in the EOB-run,
+    ZRL, or correction-bit logic breaks it. Dims exact and the
+    ``max_abs_err <= 64`` envelope (same calibration as
+    ``multimodal_jpeg_roundtrip``) ride along. Enforced by
+    tools/check_oracle.py SELF_AUDITS; rows-only for the driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.jpeg_progressive_metrics(docs, quality=90)
+
+
 def q_multimodal_mjpg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MJPG-in-AVI end-to-end (VERDICT r8 item 9): each document's
     deterministic frame stack encoded as an AVI whose '00dc' chunks are
@@ -7152,6 +7170,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_jpeg_roundtrip": q_multimodal_jpeg_roundtrip,
+    "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
     "multimodal_mjpg_roundtrip": q_multimodal_mjpg_roundtrip,
     "user_value_pareto": q_user_value_pareto,
     "customer_lorenz_deciles": q_customer_lorenz_deciles,

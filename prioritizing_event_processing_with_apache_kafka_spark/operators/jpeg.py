@@ -12,14 +12,25 @@ specification (ITU-T T.81):
   code-length tables in DHT segments — what ``libjpeg -optimize``
   does; structurally standard, so any baseline decoder reads the
   output).
-- ``decode_jpeg``: parses SOI/APP0/DQT/SOF0/DHT/SOS, canonical
+- ``encode_jpeg_progressive``: PROGRESSIVE (SOF2) encoding — spectral
+  selection plus one successive-approximation level (T.81 Annex G:
+  interleaved DC first scan at Al=1, per-component full-band AC first
+  scans with EOB-run coding, the DC refinement bit scan, and one AC
+  refinement scan per component with correction bits). Carries the
+  identical quantized coefficients as ``encode_jpeg`` at the same
+  quality, so the progressive decode is bit-identical to the baseline
+  round trip — the audit the round-trip query enforces.
+- ``decode_jpeg``: parses SOI/APP0/DQT/SOF0|SOF2/DHT/SOS, canonical
   Huffman decode with 0xFF00 unstuffing, dequantize, de-zigzag,
   orthonormal 8×8 IDCT, level shift, YCbCr→RGB (JFIF matrix), clamp.
   Supports any 1- or 3-component baseline file with 1×1 sampling
-  factors (4:4:4 / grayscale) and 8-bit quantization tables;
-  progressive (SOF2), subsampled, arithmetic-coded and
-  restart-interval files raise through the explicit
-  ``NotImplementedError`` seam rather than decoding wrong.
+  factors (4:4:4 / grayscale) and 8-bit quantization tables, plus
+  multi-scan progressive (SOF2) files in the same sampling envelope —
+  spectral-selection and successive-approximation DC/AC scans
+  including EOB runs and refinement correction bits (T.81 G.1.2);
+  subsampled, arithmetic-coded, hierarchical and restart-interval
+  files raise through the explicit ``NotImplementedError`` seam
+  rather than decoding wrong.
 
 Determinism: every step is integer or IEEE-double arithmetic with a
 fixed operation order (einsum against a precomputed DCT matrix,
@@ -43,7 +54,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_jpeg", "decode_jpeg"]
+__all__ = ["encode_jpeg", "encode_jpeg_progressive", "decode_jpeg"]
 
 # ---------------------------------------------------------------------------
 # Shared constants
@@ -257,8 +268,16 @@ def _magnitude(v: int) -> tuple[int, int]:
 # ---------------------------------------------------------------------------
 
 
-def encode_jpeg(arr: np.ndarray, *, quality: int = 90) -> bytes:
-    """Encode an (H, W, 3) uint8 RGB array as baseline JFIF 4:4:4."""
+def _quantized_zz(
+    arr: np.ndarray, quality: int
+) -> tuple[list[np.ndarray], np.ndarray, np.ndarray, int, int]:
+    """Shared front half of both encoders: RGB → YCbCr → 8×8 DCT →
+    quantize → zig-zag. Returns (per-component (n_blocks, 64) int64
+    zig-zag coefficients, qluma, qchroma, h, w). Progressive and
+    baseline encodes of the same image at the same quality carry THE
+    SAME coefficients — progressive transmission only reorders them —
+    which is what lets the progressive round-trip audit demand
+    bit-identical pixels against the baseline decode."""
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
         raise ValueError("encode_jpeg expects an (H, W, 3) uint8 array")
     h, w = arr.shape[:2]
@@ -267,8 +286,6 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 90) -> bytes:
     ycc = _rgb_to_ycbcr(arr)
     qluma = _scaled_quant(_QUANT_LUMA, quality)
     qchroma = _scaled_quant(_QUANT_CHROMA, quality)
-
-    # forward DCT + quantization per component, blocks in raster order
     comp_coefs = []
     for ci in range(3):
         blocks, _, _ = _blocks(ycc[..., ci])
@@ -283,6 +300,12 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 90) -> bytes:
         # level-shifted DC range is [-1024, 1016] before this clip).
         quant = np.clip(quant, -1023, 1023)
         comp_coefs.append(quant.reshape(-1, 64)[:, _ZZ])
+    return comp_coefs, qluma, qchroma, h, w
+
+
+def encode_jpeg(arr: np.ndarray, *, quality: int = 90) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as baseline JFIF 4:4:4."""
+    comp_coefs, qluma, qchroma, h, w = _quantized_zz(arr, quality)
 
     # symbol statistics (DC/AC × luma/chroma)
     n_blocks = comp_coefs[0].shape[0]
@@ -379,6 +402,247 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 90) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# Progressive encoder (T.81 Annex G, Huffman variant)
+# ---------------------------------------------------------------------------
+#
+# Scan script (the shape libjpeg's default progressive script has,
+# trimmed to one successive-approximation level): an interleaved DC
+# first scan at Al=1, full-band AC first scans per component at Al=1
+# (with EOB-run coding, G.1.2.2), the DC refinement bit scan, and one
+# AC refinement scan per component (correction bits, G.1.2.3). Every
+# scan re-emits an optimized Huffman table (two-phase: count symbols,
+# then emit), exactly like the baseline encoder's per-image tables.
+
+
+class _FreqSink:
+    """Phase-1 sink: count Huffman symbols, ignore raw bits."""
+
+    def __init__(self) -> None:
+        self.freq = np.zeros(256, dtype=np.int64)
+
+    def symbol(self, sym: int) -> None:
+        self.freq[sym] += 1
+
+    def bits(self, value: int, length: int) -> None:  # noqa: ARG002
+        pass
+
+
+class _CodeSink:
+    """Phase-2 sink: emit Huffman codes + raw bits into a _BitWriter."""
+
+    def __init__(self, bw: _BitWriter, codes: dict[int, tuple[int, int]]):
+        self.bw = bw
+        self.codes = codes
+
+    def symbol(self, sym: int) -> None:
+        code, length = self.codes[sym]
+        self.bw.write(code, length)
+
+    def bits(self, value: int, length: int) -> None:
+        if length:
+            self.bw.write(value, length)
+
+
+def _scan_dc_first(sink, comp_coefs, comp_ids, al: int) -> None:
+    """Interleaved DC scan, Ah=0: Huffman-coded diffs of the point-
+    transformed (arithmetic >> Al) DC values."""
+    n_blocks = comp_coefs[0].shape[0]
+    prev = {ci: 0 for ci in comp_ids}
+    for bi in range(n_blocks):
+        for ci in comp_ids:
+            v = int(comp_coefs[ci][bi, 0]) >> al
+            t, bits_v = _magnitude(v - prev[ci])
+            prev[ci] = v
+            sink.symbol(t)
+            sink.bits(bits_v, t)
+
+
+def _scan_dc_refine(bw: _BitWriter, comp_coefs, comp_ids, al: int) -> None:
+    """DC refinement scan: one raw bit per block per component (no
+    Huffman coding in DC refinement — T.81 G.1.2.1)."""
+    n_blocks = comp_coefs[0].shape[0]
+    for bi in range(n_blocks):
+        for ci in comp_ids:
+            bw.write((int(comp_coefs[ci][bi, 0]) >> al) & 1, 1)
+
+
+def _scan_ac_first(sink, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+    """Single-component AC first scan (Ah=0) with EOB-run coding."""
+    eobrun = 0
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            sink.symbol(nbits << 4)
+            sink.bits(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+
+    for bi in range(zz.shape[0]):
+        row = zz[bi]
+        r = 0
+        wrote = False
+        for k in range(ss, se + 1):
+            v = int(row[k])
+            t = (abs(v) >> al)
+            if t == 0:
+                r += 1
+                continue
+            flush_eobrun()
+            while r > 15:
+                sink.symbol(0xF0)
+                r -= 16
+            vshift = t if v > 0 else -t
+            s, bits_v = _magnitude(vshift)
+            sink.symbol((r << 4) | s)
+            sink.bits(bits_v, s)
+            r = 0
+            wrote = True
+        if r > 0 or not wrote:
+            # block ends in (or is entirely) zeros at this precision
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+    flush_eobrun()
+
+
+def _scan_ac_refine(sink, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+    """Single-component AC refinement scan (Ah=Al+1): newly-significant
+    coefficients via run-length symbols with one sign bit, correction
+    bits for already-significant ones, EOB runs carrying the deferred
+    correction bits (T.81 G.1.2.3)."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits deferred to the next symbol
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun, pending
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            sink.symbol(nbits << 4)
+            sink.bits(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+        for b in pending:
+            sink.bits(b, 1)
+        pending = []
+
+    for bi in range(zz.shape[0]):
+        row = zz[bi]
+        absv = [abs(int(row[k])) >> al for k in range(ss, se + 1)]
+        # index (into the band) of the LAST newly-significant coef
+        eob = -1
+        for i in range(len(absv) - 1, -1, -1):
+            if absv[i] == 1:
+                eob = i
+                break
+        r = 0
+        block_bits: list[int] = []  # correction bits since last symbol
+        for i, temp in enumerate(absv):
+            if temp == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                flush_eobrun()
+                sink.symbol(0xF0)
+                r -= 16
+                for b in block_bits:
+                    sink.bits(b, 1)
+                block_bits = []
+            if temp > 1:
+                # already significant: defer its correction bit
+                block_bits.append(temp & 1)
+                continue
+            # newly significant
+            flush_eobrun()
+            sink.symbol((r << 4) | 1)
+            v = int(row[ss + i])
+            sink.bits(1 if v > 0 else 0, 1)
+            for b in block_bits:
+                sink.bits(b, 1)
+            block_bits = []
+            r = 0
+        if r > 0 or block_bits:
+            eobrun += 1
+            pending.extend(block_bits)
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+    flush_eobrun()
+
+
+def encode_jpeg_progressive(arr: np.ndarray, *, quality: int = 90) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as PROGRESSIVE JFIF 4:4:4
+    (SOF2, spectral selection + one successive-approximation level).
+    Carries the identical quantized coefficients as
+    :func:`encode_jpeg` at the same quality — progressive transmission
+    is a lossless reordering, so ``decode_jpeg`` of this payload is
+    bit-identical to the baseline round trip."""
+    comp_coefs, qluma, qchroma, h, w = _quantized_zz(arr, quality)
+    comp_ids = [0, 1, 2]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, q in ((0, qluma), (1, qchroma)):
+        out += seg(
+            0xFFDB,
+            bytes([tid]) + bytes(int(x) for x in q.reshape(-1)[_ZZ]),
+        )
+    out += seg(
+        0xFFC2,  # SOF2 progressive
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+
+    # scan script: (kind, comps, Ss, Se, Ah, Al)
+    scans = [
+        ("dc_first", comp_ids, 0, 0, 0, 1),
+        ("ac_first", [0], 1, 63, 0, 1),
+        ("ac_first", [1], 1, 63, 0, 1),
+        ("ac_first", [2], 1, 63, 0, 1),
+        ("dc_refine", comp_ids, 0, 0, 1, 0),
+        ("ac_refine", [0], 1, 63, 1, 0),
+        ("ac_refine", [1], 1, 63, 1, 0),
+        ("ac_refine", [2], 1, 63, 1, 0),
+    ]
+    for kind, comps, ss, se, ah, al in scans:
+        huff_cls = 0 if kind.startswith("dc") else 1
+
+        def run(sink) -> None:
+            if kind == "dc_first":
+                _scan_dc_first(sink, comp_coefs, comps, al)
+            elif kind == "ac_first":
+                _scan_ac_first(sink, comp_coefs[comps[0]], ss, se, al)
+            elif kind == "ac_refine":
+                _scan_ac_refine(sink, comp_coefs[comps[0]], ss, se, al)
+
+        bw = _BitWriter()
+        if kind == "dc_refine":
+            _scan_dc_refine(bw, comp_coefs, comps, al)
+        else:
+            # phase 1: optimal per-scan table; phase 2: emit. Table id
+            # 0 is re-defined before every scan (legal — T.81 B.2.4.2).
+            freq = _FreqSink()
+            run(freq)
+            bits, vals = _build_huffman(freq.freq)
+            out += seg(
+                0xFFC4,
+                bytes([(huff_cls << 4) | 0]) + bytes(bits) + bytes(vals),
+            )
+            run(_CodeSink(bw, _canonical_codes(bits, vals)))
+        comp_spec = b"".join(
+            bytes([ci + 1, 0x00]) for ci in comps
+        )
+        out += seg(
+            0xFFDA,
+            bytes([len(comps)]) + comp_spec + bytes([ss, se, (ah << 4) | al]),
+        )
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
 
@@ -435,16 +699,154 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _entropy_end(payload: bytes, start: int) -> int:
+    """Index of the first marker (0xFF followed by a non-stuffing,
+    non-fill byte) after ``start`` — the end of a scan's entropy-coded
+    segment. Restart markers cannot appear (DRI is unsupported)."""
+    i = start
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] == 0xFF and payload[i + 1] not in (0x00, 0xFF):
+            return i
+        i += 1
+    return n
+
+
+def _decode_prog_scan(
+    data: bytes,
+    scan_comps: list[tuple[int, int, int]],
+    coefs: dict[int, np.ndarray],
+    prev_dc: dict[int, int],
+    htables,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> None:
+    """Decode one progressive scan (T.81 Annex G) into the coefficient
+    arrays. DC scans (Ss=0) may interleave components; AC scans are
+    single-component. ``prev_dc`` is the DC predictor store — T.81
+    resets predictors at every scan start, so the caller passes a
+    zeroed dict per scan."""
+    br = _BitReader(data)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        n_blocks = next(iter(coefs.values())).shape[0]
+        if ah == 0:
+            for bi in range(n_blocks):
+                for cid, dc_t, _ac_t in scan_comps:
+                    lut = htables[(0, dc_t)]
+                    t = _decode_symbol(br, lut)
+                    diff = _extend(br.bits(t), t) if t else 0
+                    prev_dc[cid] += diff
+                    coefs[cid][bi, 0] = prev_dc[cid] << al
+        else:
+            p1 = 1 << al
+            for bi in range(n_blocks):
+                for cid, _dc_t, _ac_t in scan_comps:
+                    if br.bit():
+                        coefs[cid][bi, 0] |= p1
+        return
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    cid, _dc_t, ac_t = scan_comps[0]
+    zz = coefs[cid]
+    n_blocks = zz.shape[0]
+    eobrun = 0
+    if ah == 0:
+        lut = htables[(1, ac_t)]
+        for bi in range(n_blocks):
+            if eobrun:
+                eobrun -= 1
+                continue
+            row = zz[bi]
+            k = ss
+            while k <= se:
+                sym = _decode_symbol(br, lut)
+                r, s = sym >> 4, sym & 0xF
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end")
+                row[k] = _extend(br.bits(s), s) << al
+                k += 1
+        return
+    # AC refinement (Ah = Al + 1). Unlike the first pass, an EOB run
+    # still carries data: every already-nonzero coefficient in the
+    # remainder of EACH run block's band reads a correction bit — so
+    # ``eobrun`` holds the FULL run count here (decremented once per
+    # completed block), and the block that starts the run falls
+    # through to the correction sweep below even for a run of 1.
+    lut = htables[(1, ac_t)]
+    p1, m1 = 1 << al, -(1 << al)
+    for bi in range(n_blocks):
+        row = zz[bi]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = _decode_symbol(br, lut)
+                r, s = sym >> 4, sym & 0xF
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            f"invalid refinement symbol {sym:#x}"
+                        )
+                    val = p1 if br.bit() else m1
+                # advance past r zero-history coefficients, applying
+                # correction bits to nonzero-history ones on the way
+                while k <= se:
+                    v = int(row[k])
+                    if v != 0:
+                        if br.bit() and (v & p1) == 0:
+                            row[k] = v + (p1 if v > 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val != 0 and k <= se:
+                    row[k] = val
+                k += 1
+        if eobrun > 0:
+            # inside an EOB run: remaining nonzero-history coefficients
+            # in the band still carry their correction bits
+            while k <= se:
+                v = int(row[k])
+                if v != 0:
+                    if br.bit() and (v & p1) == 0:
+                        row[k] = v + (p1 if v > 0 else m1)
+                k += 1
+            eobrun -= 1
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline 4:4:4 (or grayscale) JFIF payload to an
-    (H, W, 3) uint8 RGB array. See module docstring for the supported
-    envelope; unsupported variants raise ``NotImplementedError``."""
+    """Decode a baseline OR progressive 4:4:4 (or grayscale) JFIF
+    payload to an (H, W, 3) uint8 RGB array. See module docstring for
+    the supported envelope; unsupported variants raise
+    ``NotImplementedError``."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
+    progressive = False
+    prog_coefs: dict[int, np.ndarray] | None = None
     scan_comps = None
     data_start = None
     while pos + 2 <= len(payload):
@@ -501,7 +903,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     code <<= 1
                 htables[(cls, tid)] = lut
                 off += 17 + n
-        elif marker == 0xFFC0 or marker == 0xFFC1:
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC2):
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
@@ -514,7 +916,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     )
                 comps.append((cid, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+            if marker == 0xFFC2:
+                progressive = True
+                h8p, w8p = -(-fh // 8), -(-fw // 8)
+                prog_coefs = {
+                    cid: np.zeros((h8p * w8p, 64), dtype=np.int64)
+                    for cid, _ in comps
+                }
+        elif marker in (0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise NotImplementedError(
                 f"non-baseline JPEG frame {marker:#x} unsupported"
@@ -528,11 +937,52 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, tt = body[1 + 2 * i : 3 + 2 * i]
                 scan_comps.append((cid, tt >> 4, tt & 0xF))
             data_start = pos + 2 + length
+            if progressive:
+                if frame is None or prog_coefs is None:
+                    raise ValueError("progressive SOS before SOF2")
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                end = _entropy_end(payload, data_start)
+                _decode_prog_scan(
+                    payload[data_start:end],
+                    scan_comps,
+                    prog_coefs,
+                    {cid: 0 for cid, _ in frame[2]},
+                    htables,
+                    ss,
+                    se,
+                    ahal >> 4,
+                    ahal & 0xF,
+                )
+                pos = end
+                continue
             break
         pos += 2 + length
     if frame is None or scan_comps is None or data_start is None:
         raise ValueError("JPEG missing SOF/SOS")
     fh, fw, comps = frame
+    if progressive:
+        assert prog_coefs is not None
+        h8, w8 = -(-fh // 8), -(-fw // 8)
+        qt = {cid: qtables[tq] for cid, tq in comps}
+        planes = {}
+        for cid, _ in comps:
+            raster = np.zeros((h8 * w8, 64), dtype=np.float64)
+            raster[:, _ZZ] = prog_coefs[cid] * qt[cid].reshape(-1)[_ZZ]
+            blocks = raster.reshape(-1, 8, 8)
+            pix = np.einsum("ji,njk,kl->nil", _C, blocks, _C) + 128.0
+            planes[cid] = (
+                pix.reshape(h8, w8, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(h8 * 8, w8 * 8)[:fh, :fw]
+            )
+        if len(comps) == 1:
+            y = np.clip(np.round(planes[comps[0][0]]), 0, 255).astype(
+                np.uint8
+            )
+            return np.stack([y, y, y], axis=-1)
+        y, cb, cr = (planes[cid] for cid, _ in comps)
+        return _ycbcr_to_rgb(y, cb, cr)
     if len(comps) not in (1, 3) or len(scan_comps) != len(comps):
         raise NotImplementedError(
             "only single-scan grayscale/3-component files supported"

@@ -653,6 +653,81 @@ def jpeg_roundtrip_metrics(
     )
 
 
+JPEG_PROGRESSIVE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload_bytes", T.IntegerType(), False),
+        T.StructField("dims_match", T.IntegerType(), False),
+        T.StructField("baseline_match", T.IntegerType(), False),
+        T.StructField("max_abs_err", T.IntegerType(), False),
+        T.StructField("mean_abs_err_ppm", T.LongType(), False),
+    ]
+)
+
+
+def jpeg_progressive_metrics(
+    documents: DataFrame, *, quality: int = 90
+) -> DataFrame:
+    """Encode each document's deterministic synth image as PROGRESSIVE
+    JPEG (SOF2, ``operators/jpeg.py:encode_jpeg_progressive``), decode
+    it back through the multi-scan path, and emit per-doc metrics —
+    the audit surface for the successive-approximation codec.
+
+    The decisive column is ``baseline_match``: progressive
+    transmission reorders the SAME quantized coefficients the baseline
+    scan carries, so the progressive decode must be BIT-IDENTICAL to
+    the baseline round trip of the same image at the same quality — a
+    strictly stronger check than an error envelope (any slip in the
+    EOB-run or correction-bit logic breaks it). The envelope
+    (``max_abs_err`` vs the source, same bound as
+    ``multimodal_jpeg_roundtrip``) rides along.
+
+    Arrow-batched ``mapInPandas``, partition-parallel — the execution
+    shape ingest-side decode has at 100 TB.
+    """
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                img = _synth_pixels(int(doc_id))
+                prog = encode_jpeg_progressive(img, quality=quality)
+                out = decode_jpeg(prog)
+                base = decode_jpeg(encode_jpeg(img, quality=quality))
+                err = np.abs(out.astype(np.int64) - img.astype(np.int64))
+                rows.append(
+                    (
+                        int(doc_id),
+                        img.shape[1],
+                        img.shape[0],
+                        len(prog),
+                        int(out.shape == img.shape),
+                        int(np.array_equal(out, base)),
+                        int(err.max()),
+                        int(err.sum()) * 1_000_000 // err.size,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "payload_bytes",
+                    "dims_match", "baseline_match", "max_abs_err",
+                    "mean_abs_err_ppm",
+                ],
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        batches, JPEG_PROGRESSIVE_SCHEMA
+    )
+
+
 def resize_images(
     blobs: DataFrame, *, out_w: int, out_h: int
 ) -> DataFrame:

@@ -143,10 +143,20 @@ class TestContainerAndSeams:
         with pytest.raises(ValueError):
             decode_jpeg(payload[: len(payload) // 2])
 
-    def test_progressive_marker_raises_not_implemented(self):
+    def test_baseline_scan_mislabeled_progressive_raises(self):
+        # SOF2 is supported now (TestProgressive), but a BASELINE scan
+        # relabeled progressive is malformed: its SOS says Ss=0, Se=63,
+        # which a progressive DC scan forbids — refuse, don't misparse.
         payload = bytearray(encode_jpeg(_smooth(8, 8)))
         idx = bytes(payload).find(b"\xff\xc0")
         payload[idx + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+        with pytest.raises(ValueError, match="Se=0"):
+            decode_jpeg(bytes(payload))
+
+    def test_lossless_marker_raises_not_implemented(self):
+        payload = bytearray(encode_jpeg(_smooth(8, 8)))
+        idx = bytes(payload).find(b"\xff\xc0")
+        payload[idx + 1] = 0xC3  # SOF0 -> SOF3 (lossless)
         with pytest.raises(NotImplementedError, match="non-baseline"):
             decode_jpeg(bytes(payload))
 
@@ -285,6 +295,99 @@ class TestHuffmanConstruction:
                 assert 1 <= ln <= 16
                 # the dummy-symbol construction reserves all-ones
                 assert c != (1 << ln) - 1
+
+
+class TestProgressive:
+    """Progressive (SOF2) codec: the decisive invariant is that the
+    progressive decode is BIT-IDENTICAL to the baseline decode of the
+    same image at the same quality — progressive transmission is a
+    lossless reordering of the same quantized coefficients, so any
+    slip in the EOB-run / ZRL / correction-bit logic breaks it."""
+
+    def test_matches_baseline_bit_for_bit(self):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.jpeg import (
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(1234)
+        imgs = [
+            _smooth(19, 25),
+            _smooth(64, 48),
+            rng.integers(0, 256, (33, 57, 3), dtype=np.uint8),
+            np.zeros((16, 16, 3), np.uint8),
+            np.full((9, 31, 3), 255, np.uint8),
+        ]
+        for quality in (30, 75, 90, 100):
+            for img in imgs:
+                base = decode_jpeg(encode_jpeg(img, quality=quality))
+                prog = decode_jpeg(
+                    encode_jpeg_progressive(img, quality=quality)
+                )
+                assert np.array_equal(base, prog)
+
+    def test_noise_exercises_eob_runs_and_refinement(self):
+        # High-frequency noise at low quality maximizes zero runs and
+        # EOB-run coding; high quality maximizes newly-significant +
+        # correction-bit traffic. Both must stay bit-identical.
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.jpeg import (
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(77)
+        img = rng.integers(0, 256, (88, 72, 3), dtype=np.uint8)
+        for quality in (5, 95):
+            base = decode_jpeg(encode_jpeg(img, quality=quality))
+            prog = decode_jpeg(encode_jpeg_progressive(img, quality=quality))
+            assert np.array_equal(base, prog)
+
+    def test_marker_structure(self):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.jpeg import (
+            encode_jpeg_progressive,
+        )
+
+        payload = encode_jpeg_progressive(_smooth(24, 16))
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+        pos = 2
+        seen = []
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = struct.unpack_from(">H", payload, pos)[0]
+            if marker == 0xFFD9:
+                break
+            seen.append(marker)
+            (length,) = struct.unpack_from(">H", payload, pos + 2)
+            if marker == 0xFFDA:
+                # skip the entropy segment to the next marker
+                from prioritizing_event_processing_with_apache_kafka_spark.operators.jpeg import (
+                    _entropy_end,
+                )
+
+                pos = _entropy_end(payload, pos + 2 + length)
+                continue
+            pos += 2 + length
+        # SOF2, 8 scans (1 DC first + 3 AC first + 1 DC refine +
+        # 3 AC refine), 7 Huffman-coded scans each with a fresh DHT
+        assert seen.count(0xFFC2) == 1
+        assert seen.count(0xFFDA) == 8
+        assert seen.count(0xFFC4) == 7
+
+    def test_progressive_ac_scan_must_be_single_component(self):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.jpeg import (
+            encode_jpeg_progressive,
+        )
+
+        payload = bytearray(encode_jpeg_progressive(_smooth(8, 8)))
+        # find the second SOS (first AC scan) and claim 3 components:
+        # the decoder must refuse rather than misparse
+        first = bytes(payload).find(b"\xff\xda")
+        second = bytes(payload).find(b"\xff\xda", first + 2)
+        assert second > 0
+        # SOS body: len(2) ns(1) ... — patch ns from 1 to a bad value
+        payload[second + 4] = 3
+        with pytest.raises((ValueError, IndexError)):
+            decode_jpeg(bytes(payload))
 
 
 class TestDispatchIntegration:

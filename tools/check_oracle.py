@@ -376,6 +376,15 @@ SELF_AUDITS = {
         + _audit_min("redecode_match", 1)(pdf)
         + _audit_abs_max("max_abs_err", 64)(pdf)
     ),
+    # Progressive JPEG round trip: the strong form — progressive
+    # transmission is a lossless reordering of the same quantized
+    # coefficients, so the decode must be BIT-IDENTICAL to the
+    # baseline round trip per document, on top of the shared envelope.
+    "multimodal_jpeg_progressive": lambda pdf: (
+        _audit_min("dims_match", 1)(pdf)
+        + _audit_min("baseline_match", 1)(pdf)
+        + _audit_abs_max("max_abs_err", 64)(pdf)
+    ),
     # MJPG-in-AVI round trip: same lossy contract as the still-image
     # one (synth worst case measured 48 over 2,000 docs; bound 64).
     "multimodal_mjpg_roundtrip": lambda pdf: (
