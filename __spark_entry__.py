@@ -97,14 +97,18 @@ _DRIVER_HEAD = [
     "source_dup_profile",
     "stratified_sample",
     "table_profile",
-    "user_value_ewma",
-    # (c) round-10 new queries (zero draws, both hash-oracled — the
-    # streaming twins SHARE their batch oracles) — window slot 49-50.
+    # (c) round-10 new queries (zero draws, all hash-oracled — the
+    # streaming twins SHARE their batch oracles; the FLAC round trip
+    # is lossless so it shares the audio-decode arithmetic oracle) —
+    # window slots 48-50.
     "stream_heavy_hitters",
     "stream_lorenz_incremental",
+    "multimodal_flac_roundtrip",
     # --- window boundary (~50) ---
-    # (d) overflow: the r06-drawn cohort, fronted next round; all
-    # oracled, so a slightly wider draw window stays 100% hash-green.
+    # (d) overflow: the last r05 straggler, then the r06-drawn cohort,
+    # fronted next round; all oracled, so a slightly wider draw window
+    # stays 100% hash-green.
+    "user_value_ewma",
     "boilerplate_spans",
     "bpe_merge_pairs",
     "changelog_compaction",

@@ -4807,6 +4807,21 @@ FROM s GROUP BY doc_id
 """
 
 
+def q_multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC encode→decode round trip per document (r10, VERDICT
+    "entropy-coded codec families" seam: Rice/Golomb residual coding
+    over fixed linear predictors — ``operators/flac.py``, a byte-level
+    subset of the public FLAC format with CRC-8/CRC-16/MD5
+    validation). FLAC is LOSSLESS, so this entropy-coded path gets the
+    STRONG check the lossy codecs cannot: the decoded-sample features
+    SHARE the arithmetic ``multimodal_audio_decode`` oracle and must
+    hash bit-identical to DuckDB's replay of the synth lattice — a
+    Rice-parameter slip, predictor off-by-one, or bit-alignment bug
+    anywhere in the coder breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.flac_roundtrip_features(docs)
+
+
 def q_multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode end-to-end: deterministic uncompressed-DIB
     AVI payloads per document (full RIFF container — hdrl/strl stream
@@ -7201,6 +7216,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_decile_drift": q_events_decile_drift,
     "erasure_cascade": q_erasure_cascade,
     "multimodal_audio_decode": q_multimodal_audio_decode,
+    "multimodal_flac_roundtrip": q_multimodal_flac_roundtrip,
     "multimodal_video_decode": q_multimodal_video_decode,
     "customer_rfm": q_customer_rfm,
     "effective_corpus_size": q_effective_corpus_size,
@@ -7328,6 +7344,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "events_decile_drift": SQL_EVENTS_DECILE_DRIFT,
     "erasure_cascade": SQL_ERASURE_CASCADE,
     "multimodal_audio_decode": SQL_MULTIMODAL_AUDIO_DECODE,
+    # FLAC round trip is lossless, so it SHARES the arithmetic oracle
+    "multimodal_flac_roundtrip": SQL_MULTIMODAL_AUDIO_DECODE,
     "multimodal_video_decode": SQL_MULTIMODAL_VIDEO_DECODE,
     "customer_rfm": SQL_CUSTOMER_RFM,
     # streaming twin SHARES the batch oracle (bit-identical by the

@@ -977,6 +977,46 @@ def decode_audio_features(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
 
 
+def flac_roundtrip_features(documents: DataFrame) -> DataFrame:
+    """REAL FLAC encode→decode per document (``operators/flac.py``:
+    Rice-coded fixed-predictor subset of the public FLAC format), then
+    the SAME integer signal features as :func:`decode_audio_features`
+    computed from the DECODED samples. FLAC is LOSSLESS, so unlike the
+    JPEG/MJPG envelope audits this entropy-coded path is HASH-ORACLED:
+    the features frame must be bit-identical to the arithmetic DuckDB
+    replay of the synth lattice — any slip in the Rice coder, the
+    fixed-predictor integration, a CRC, or the MD5 check breaks the
+    hash (decode validates all three). Arrow-batched ``mapInPandas``,
+    partition-parallel."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in AUDIO_FEATURE_SCHEMA.fields}
+            for doc_id in pdf["doc_id"]:
+                src = _synth_samples(int(doc_id))
+                rate, s = decode_flac(encode_flac(src, sample_rate=8000))
+                s64 = s.astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(1)
+                out["bits_per_sample"].append(16)
+                out["n_samples"].append(len(s64))
+                out["sum_abs"].append(int(np.abs(s64).sum()))
+                out["max_abs"].append(int(np.abs(s64).max()))
+                out["zero_crossings"].append(
+                    int((s64[:-1] * s64[1:] < 0).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id").mapInPandas(
+        batches, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
 # ---------------------------------------------------------------------------
 # Video: REAL RIFF/AVI container codec. Uncompressed DIB ('00db') frames
 # are fully specified (the BMP raster layout inside an AVI stream), so

@@ -195,6 +195,10 @@ PROBED = [
     # after ONE map-combined pass however big the input; expected
     # strongly sub-linear.
     "heavy_hitters_cms",
+    # round 10: the two new per-document codec pipelines — pure
+    # map-side Arrow batches like the other codecs, expected ~linear.
+    "multimodal_jpeg_progressive",
+    "multimodal_flac_roundtrip",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
