@@ -218,12 +218,24 @@ def _latest_state(spark: SparkSession, state_path: str) -> DataFrame:
     )
 
 
+_RESERVED = ("mg_weight", "mg_offset", "mg_rows")
+
+
+def _key_col(df: DataFrame) -> str:
+    # derive the key column by elimination, not position — parquet
+    # reads can reorder columns around partition columns
+    names = [c for c in df.columns if c not in _RESERVED]
+    if len(names) != 1:
+        raise ValueError(f"ambiguous MG state schema: {df.columns}")
+    return names[0]
+
+
 def mg_state_candidates(spark: SparkSession, state_path: str) -> DataFrame:
     """The latest committed candidate set ``(key, mg_weight)`` — every
     key whose true stream count exceeds the accumulated decrement total
     (see :func:`mg_state_meta`) is guaranteed present."""
     key_rows = _latest_state(spark, state_path)
-    key_col = key_rows.columns[0]
+    key_col = _key_col(key_rows)
     return key_rows.filter(F.col(key_col).isNotNull()).select(
         key_col, "mg_weight"
     )
@@ -233,7 +245,7 @@ def mg_state_meta(spark: SparkSession, state_path: str) -> DataFrame:
     """One row: ``(err_bound, total_rows)`` — the accumulated decrement
     total (max possible undercount for ANY key) and rows processed."""
     key_rows = _latest_state(spark, state_path)
-    key_col = key_rows.columns[0]
+    key_col = _key_col(key_rows)
     return key_rows.filter(F.col(key_col).isNull()).select(
         F.col("mg_offset").alias("err_bound"),
         F.col("mg_rows").alias("total_rows"),
