@@ -14,10 +14,11 @@ error-envelope audits.
 Implemented from the public FLAC format specification (xiph.org /
 RFC 9639):
 
-- ``encode_flac``: mono 16-bit, one frame per stream. fLaC marker +
+- ``encode_flac``: mono 16-bit, one frame per ``block_size`` samples
+  (fixed blocking strategy, UTF-8-coded frame numbers). fLaC marker +
   STREAMINFO (with the spec's MD5 of the unencoded samples), fixed-
-  blocksize frame with CRC-8-guarded header and CRC-16-guarded frame,
-  one subframe per stream: CONSTANT for flat signals, else the best
+  blocksize frames with CRC-8-guarded headers and CRC-16-guarded
+  bodies, one subframe per frame: CONSTANT for flat signals, else the best
   FIXED predictor (orders 0–4, chosen by summed residual magnitude —
   the standard encoder heuristic) with partitioned-Rice residual
   coding (partition order 0, optimal 4-bit Rice parameter, escape to
@@ -158,23 +159,49 @@ def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
     return r
 
 
-def encode_flac(samples: np.ndarray, *, sample_rate: int = 8000) -> bytes:
-    """Encode a mono int16 sample vector as a single-frame FLAC
-    stream. Lossless: ``decode_flac(encode_flac(s)) == s`` exactly."""
+def _utf8_code(value: int) -> bytes:
+    """The UTF-8-style frame-number coding FLAC frame headers use."""
+    if value < 0x80:
+        return bytes([value])
+    if value < 0x800:
+        return bytes([0xC0 | (value >> 6), 0x80 | (value & 0x3F)])
+    if value < 0x10000:
+        return bytes(
+            [
+                0xE0 | (value >> 12),
+                0x80 | ((value >> 6) & 0x3F),
+                0x80 | (value & 0x3F),
+            ]
+        )
+    raise ValueError(f"frame number {value} not encodable here")
+
+
+def encode_flac(
+    samples: np.ndarray,
+    *,
+    sample_rate: int = 8000,
+    block_size: int = 65535,
+) -> bytes:
+    """Encode a mono int16 sample vector as a FLAC stream — one frame
+    per ``block_size`` samples (fixed blocking strategy; the last
+    frame may be shorter, per the format). Lossless:
+    ``decode_flac(encode_flac(s)) == s`` exactly."""
     if samples.dtype != np.int16:
         raise ValueError(f"int16 samples required, got {samples.dtype}")
     n = len(samples)
-    if n < 16 or n > 65535:
+    if not 16 <= block_size <= 65535:
+        raise ValueError(f"block_size {block_size} outside 16..65535")
+    if n < 16:
         raise ValueError(f"blocksize {n} outside the supported 16..65535")
     if not 1 <= sample_rate < (1 << 20):
         raise ValueError(f"sample_rate {sample_rate} not encodable")
-    x = samples.astype(np.int64)
+    bs = min(block_size, n)
 
     # --- stream header: fLaC marker + STREAMINFO (last metadata block)
     md5 = hashlib.md5(samples.astype("<i2").tobytes()).digest()
     si = _BitWriter()
-    si.write(n, 16)  # min blocksize
-    si.write(n, 16)  # max blocksize
+    si.write(bs, 16)  # min blocksize (fixed strategy: last frame exempt)
+    si.write(bs, 16)  # max blocksize
     si.write(0, 24)  # min framesize (unknown)
     si.write(0, 24)  # max framesize (unknown)
     si.write(sample_rate, 20)
@@ -186,8 +213,17 @@ def encode_flac(samples: np.ndarray, *, sample_rate: int = 8000) -> bytes:
     out = bytearray(b"fLaC")
     out += bytes([0x80, 0, 0, 34])  # last-block flag | type 0, len 34
     out += streaminfo
+    for frame_no, start in enumerate(range(0, n, bs)):
+        out += _encode_frame(
+            samples[start : start + bs].astype(np.int64), frame_no
+        )
+    return bytes(out)
 
-    # --- frame header (fixed blocking strategy, frame number 0)
+
+def _encode_frame(x: np.ndarray, frame_no: int) -> bytes:
+    """One fixed-blocking-strategy frame: CRC-8-guarded header, one
+    mono subframe, zero-padding to alignment, CRC-16 footer."""
+    n = len(x)
     hdr = _BitWriter()
     hdr.write(0b11111111111110, 14)  # sync
     hdr.write(0, 1)  # reserved
@@ -197,7 +233,8 @@ def encode_flac(samples: np.ndarray, *, sample_rate: int = 8000) -> bytes:
     hdr.write(0b0000, 4)  # channel assignment: mono
     hdr.write(0b100, 3)  # sample size: 16 bits
     hdr.write(0, 1)  # reserved
-    hdr.write(0, 8)  # UTF-8 frame number 0
+    for b in _utf8_code(frame_no):
+        hdr.write(b, 8)
     hdr.write(n - 1, 16)  # blocksize - 1
     hdr_bytes = hdr.bytes()
     frame = _BitWriter()
@@ -257,9 +294,7 @@ def encode_flac(samples: np.ndarray, *, sample_rate: int = 8000) -> bytes:
                 frame.write(int(uv), best_k)
     frame.align()
     frame_bytes = frame.bytes()
-    out += frame_bytes
-    out += struct.pack(">H", _crc16(frame_bytes))
-    return bytes(out)
+    return frame_bytes + struct.pack(">H", _crc16(frame_bytes))
 
 
 def _read_streaminfo(body: bytes) -> tuple[int, int, int, int, bytes]:

@@ -57,6 +57,26 @@ class TestRoundTrip:
         s = _synth(42)
         assert encode_flac(s) == encode_flac(s)
 
+    def test_multi_frame_streams_exact(self):
+        # long signals split into fixed-blocksize frames (last one
+        # short), exercising the decoder's frame loop, per-frame CRCs,
+        # and multi-byte UTF-8 frame numbers (3125 frames at bs=16)
+        rng = np.random.default_rng(11)
+        s = (np.cumsum(rng.integers(-50, 51, 50000)) % 30000).astype(
+            np.int16
+        )
+        for bs in (16, 257, 4096):
+            rate, out = decode_flac(
+                encode_flac(s, sample_rate=22050, block_size=bs)
+            )
+            assert rate == 22050
+            assert np.array_equal(out, s), bs
+        # exact multiple of the block size (no short last frame)
+        s2 = np.arange(8192, dtype=np.int16)
+        assert np.array_equal(
+            decode_flac(encode_flac(s2, block_size=2048))[1], s2
+        )
+
 
 class TestValidationSeams:
     def test_not_flac_raises(self):
