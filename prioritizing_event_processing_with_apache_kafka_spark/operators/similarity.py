@@ -41,6 +41,8 @@ __all__ = [
     "semantic_neardup_pairs",
     "quantize_vectors",
     "quantized_ann_topk",
+    "pq_train_encode",
+    "pq_ann_topk",
 ]
 
 
@@ -451,6 +453,215 @@ def quantized_ann_topk(
         )
     )
     return _topk_per_query(scored, query_id_col, id_col, k, "qcos_sim")
+
+
+def _pq_subvectors(
+    df: DataFrame, *, id_col: str, vec_col: str, m: int, dsub: int
+) -> DataFrame:
+    """Explode each L2-normalized vector into its ``m`` subvectors:
+    ``(id, __j, __sub)`` with ``__sub`` a float64 array of ``dsub``
+    components. Zero-norm vectors are dropped (no meaningful cosine
+    neighbors), mirroring the int8 path."""
+    n2 = (
+        f"aggregate(transform({vec_col}, x -> CAST(x AS DOUBLE) * x),"
+        " 0.0D, (acc, v) -> acc + v)"
+    )
+    normed = (
+        df.withColumn("__n2", F.expr(n2))
+        .filter(F.col("__n2") > 0)
+        .withColumn(
+            "__nvec",
+            F.expr(
+                f"transform({vec_col}, x -> CAST(x AS DOUBLE) / sqrt(__n2))"
+            ),
+        )
+    )
+    return normed.select(
+        id_col,
+        "__nvec",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("__j"),
+    ).withColumn(
+        "__sub", F.expr(f"slice(__nvec, __j * {dsub} + 1, {dsub})")
+    ).select(id_col, "__j", "__sub")
+
+
+def pq_train_encode(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization training + encoding (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+    L2-normalized vector into ``m`` subvectors, learn a ``ksub``-entry
+    codebook per subspace with Lloyd's iterations, and encode every
+    vector as ``m`` sub-centroid ids — the billion-scale ANN memory
+    bargain (dim×8 bytes → m bytes per vector; 64-dim float64 at
+    m=8/ksub=16 is a 64× footprint cut).
+
+    Deterministic throughout (the clustering.py discipline): codebooks
+    initialize to the first ``ksub`` vectors' subvectors by ``id_col``,
+    distances round to 6 decimals with sub-centroid-id tie-breaks, and
+    centroid updates average on a fixed lattice — so training,
+    encoding, and every downstream score are reproducible run-to-run.
+
+    Scale shape: ALL ``m`` subspaces train in the same passes — the
+    subvector frame carries a subspace index, so one assignment join
+    (codebooks broadcast: m·ksub rows) plus one ``posexplode``
+    map-combined average per iteration covers every subspace; nothing
+    driver-side, no per-subspace jobs. Encoding is the final
+    assignment, one scan. Returns ``(codes, codebooks)``: ``codes`` =
+    ``(id, __j, __cid)``, ``codebooks`` = ``(__j, __cid, __cvec)``.
+    """
+    if m < 1 or ksub < 1 or n_iter < 1:
+        raise ValueError("m, ksub and n_iter must be >= 1")
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    sub = scoped_persist(
+        _pq_subvectors(corpus, id_col=id_col, vec_col=vec_col, m=m, dsub=dsub)
+    )
+    seed_ids = (
+        sub.select(id_col).distinct().orderBy(id_col).limit(ksub)
+    )
+    codebooks = (
+        sub.join(F.broadcast(seed_ids), id_col)
+        .withColumn(
+            "__cid",
+            F.row_number().over(
+                Window.partitionBy("__j").orderBy(id_col)
+            )
+            - 1,
+        )
+        .select("__j", "__cid", F.col("__sub").alias("__cvec"))
+    )
+
+    def assign(books: DataFrame) -> DataFrame:
+        scored = sub.join(F.broadcast(books), "__j").withColumn(
+            "__d2",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "__sub",
+                        "__cvec",
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ),
+        )
+        return (
+            scored.groupBy(id_col, "__j")
+            .agg(F.min(F.struct("__d2", "__cid")).alias("__best"))
+            .select(id_col, "__j", F.col("__best.__cid").alias("__cid"))
+        )
+
+    for _ in range(n_iter):
+        assigned = assign(codebooks)
+        comps = (
+            assigned.join(sub, [id_col, "__j"])
+            .select("__j", "__cid", F.posexplode("__sub").alias("pos", "v"))
+            .groupBy("__j", "__cid", "pos")
+            .agg(F.round(F.avg("v"), 6).alias("c"))
+        )
+        new_books = comps.groupBy("__j", "__cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("__new")
+        )
+        # empty sub-clusters keep their previous centroid
+        codebooks = (
+            codebooks.join(new_books, ["__j", "__cid"], "left")
+            .select(
+                "__j",
+                "__cid",
+                F.coalesce("__new", "__cvec").alias("__cvec"),
+            )
+        ).localCheckpoint(eager=True)
+    return assign(codebooks), codebooks
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 3,
+    rerank: int = 8,
+) -> DataFrame:
+    """Asymmetric-distance PQ top-k with exact re-ranking: corpus
+    encoded to ``m``-code PQ vectors, each query scored against every
+    code through a per-query lookup table of exact query-subvector ·
+    sub-centroid inner products (ADC — on unit vectors the summed
+    table entries approximate cosine, and the error is pure codebook
+    quantization: PQ scans ALL codes, so unlike LSH/IVF nothing is
+    missed by bucketing). The ADC pass keeps a ``k·rerank`` shortlist
+    per query; the shortlist alone is re-scored with exact cosine on
+    the full vectors — the standard two-stage ANN deployment (compact
+    codes in memory for the scan, full vectors fetched only for the
+    shortlist), so the returned scores are EXACT cosines and recall is
+    governed by whether the true top-k survives into the shortlist.
+
+    Scale shape: the LUT is (queries × m × ksub) rows — broadcast —
+    the ADC pass is one map-side join over the code table plus a
+    ``(query, id)``-keyed combine, and the exact stage touches only
+    ``queries × k·rerank`` full vectors via a broadcast semi-join:
+    the classic IVFADC+rerank loop, minus the IVF cell routing that
+    ``ivf_ann_topk`` already covers.
+    """
+    codes, codebooks = pq_train_encode(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub,
+        n_iter=n_iter,
+    )
+    dim = len(queries.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    qsub = _pq_subvectors(
+        queries.select(query_id_col, vec_col),
+        id_col=query_id_col,
+        vec_col=vec_col,
+        m=m,
+        dsub=dim // m,
+    )
+    lut = qsub.join(F.broadcast(codebooks), "__j").select(
+        query_id_col,
+        "__j",
+        "__cid",
+        F.aggregate(
+            F.zip_with("__sub", "__cvec", lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        ).alias("__pdot"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["__j", "__cid"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("__pdot"), 6).alias("pq_score"))
+        .filter(F.col(query_id_col) != F.col(id_col))
+    )
+    shortlist = _topk_per_query(
+        scored, query_id_col, id_col, k * rerank, "pq_score"
+    ).select(query_id_col, id_col)
+    full = corpus.select(id_col, F.col(vec_col).alias("__cv"))
+    qfull = queries.select(query_id_col, F.col(vec_col).alias("__qv"))
+    exact = (
+        shortlist.join(full, id_col)
+        .join(F.broadcast(qfull), query_id_col)
+        .withColumn("cos_sim", F.round(cosine("__cv", "__qv"), 6))
+    )
+    return _topk_per_query(exact, query_id_col, id_col, k, "cos_sim")
 
 
 def semantic_neardup_pairs(

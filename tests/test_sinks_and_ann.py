@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from prioritizing_event_processing_with_apache_kafka_spark import BucketPriorityConfig
@@ -55,6 +56,62 @@ class TestAnnQuality:
         assert len(ivf) == 25  # full result set (5 queries × k=5)
         recall = len(exact & ivf) / len(exact)
         assert recall >= 0.4, f"ivf recall collapsed: {recall}"
+
+    def test_pq_recall_vs_exact(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {
+            (r["query_id"], r["vec_id"])
+            for r in S.cosine_topk(emb, queries, k=5).collect()
+        }
+        pq = {
+            (r["query_id"], r["vec_id"])
+            for r in S.pq_ann_topk(
+                emb, queries, k=5, m=16, ksub=32, n_iter=2, rerank=16
+            ).collect()
+        }
+        assert len(pq) == 25
+        recall = len(exact & pq) / len(exact)
+        assert recall >= 0.8, f"pq recall collapsed: {recall}"
+
+    def test_pq_codes_cover_corpus_and_are_bounded(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        codes, books = S.pq_train_encode(emb, m=8, ksub=4, n_iter=1)
+        n = emb.count()
+        rows = codes.groupBy("__j").count().collect()
+        # every vector gets exactly one code per subspace
+        assert {r["count"] for r in rows} == {n}
+        assert codes.filter(
+            (F.col("__cid") < 0) | (F.col("__cid") >= 4)
+        ).count() == 0
+        # codebooks: m x ksub entries of the subvector width
+        assert books.count() == 8 * 4
+        widths = books.select(F.size("__cvec").alias("w")).distinct().collect()
+        assert [r["w"] for r in widths] == [8]  # dim 64 / m 8
+
+    def test_pq_deterministic(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        run = lambda: sorted(  # noqa: E731
+            map(
+                tuple,
+                S.pq_ann_topk(
+                    emb, queries, k=3, m=8, ksub=8, n_iter=2, rerank=4
+                ).collect(),
+            )
+        )
+        assert run() == run()
+
+    def test_pq_validates_params(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        with pytest.raises(ValueError, match="divisible"):
+            S.pq_train_encode(emb, m=7)
+        with pytest.raises(ValueError, match=">= 1"):
+            S.pq_train_encode(emb, m=8, ksub=0)
 
     def test_ivf_cells_cover_corpus(self, spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")

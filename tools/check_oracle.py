@@ -346,6 +346,9 @@ SELF_AUDITS = {
     "embedding_ann_ivf": _audit_mean_per_query(
         "recall_vs_exact", 0.8, expect_queries=5
     ),
+    "embedding_ann_pq": _audit_mean_per_query(
+        "recall_vs_exact", 0.8, expect_queries=5
+    ),
     # Pruned (IVF-style) k-means assignment vs exact, same seed
     # centroids: inertia ratios bounded (measured ~1.03 on every
     # fixture; 1.10 = the documented quality contract), and the
