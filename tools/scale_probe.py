@@ -199,6 +199,11 @@ PROBED = [
     # map-side Arrow batches like the other codecs, expected ~linear.
     "multimodal_jpeg_progressive",
     "multimodal_flac_roundtrip",
+    # round 10: PQ ANN — codebook training is m-in-one-pass Lloyd's
+    # over 100x vectors; ADC scan is one broadcast-LUT join + a
+    # (query,id) combine over 100x codes; the exact stage stays
+    # shortlist-sized. Expected near-linear in the corpus.
+    "embedding_ann_pq",
 ]
 
 # Near-dup detection: linear-output on the decorrelated replica, but
