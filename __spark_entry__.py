@@ -96,18 +96,19 @@ _DRIVER_HEAD = [
     "salted_segment_revenue",
     "source_dup_profile",
     "stratified_sample",
-    "table_profile",
     # (c) round-10 new queries (zero draws, all hash-oracled — the
     # streaming twins SHARE their batch oracles; the FLAC round trip
     # is lossless so it shares the audio-decode arithmetic oracle) —
-    # window slots 48-50.
+    # window slots 47-50.
     "stream_heavy_hitters",
     "stream_lorenz_incremental",
+    "stream_vocab_incremental",
     "multimodal_flac_roundtrip",
     # --- window boundary (~50) ---
-    # (d) overflow: the last r05 straggler, then the r06-drawn cohort,
-    # fronted next round; all oracled, so a slightly wider draw window
-    # stays 100% hash-green.
+    # (d) overflow: the last two r05 stragglers, then the r06-drawn
+    # cohort, fronted next round; all oracled, so a slightly wider
+    # draw window stays 100% hash-green.
+    "table_profile",
     "user_value_ewma",
     "boilerplate_spans",
     "bpe_merge_pairs",

@@ -211,6 +211,7 @@ HEADLINE = [
     # readout) — same replay-cost shape as the other streaming twins.
     "stream_heavy_hitters",
     "stream_lorenz_incremental",
+    "stream_vocab_incremental",
 ]
 
 

@@ -6667,6 +6667,13 @@ def q_vocab_rank_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("__occ"))
     )
+    return _vocab_census(terms)
+
+
+def _vocab_census(terms: DataFrame) -> DataFrame:
+    """Zipf rank-bin readout of a per-token ``(token, __occ)`` frame —
+    shared by the batch ``vocab_rank_census`` and its streaming rollup
+    twin, which is what lets the twin share the batch hash oracle."""
     scanned = global_ordered_scan(
         terms,
         [F.col("__occ").desc(), F.col("token").asc()],
@@ -6689,6 +6696,73 @@ def q_vocab_rank_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_coverage_ppm"),
         )
     )
+
+
+def q_stream_vocab_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Zipf vocabulary census (r10) — the incremental twin
+    of ``vocab_rank_census``, extending the rollup-store family
+    (RFM/ABC/Lorenz) to a TEXT census whose key space is the
+    corpus-scaled VOCABULARY: a real two-batch availableNow file
+    stream over the documents table (split by ``doc_id % 2`` — the
+    merges are commutative, so ANY batch boundary yields the same
+    state) explodes each batch into tokens and maintains one mergeable
+    occurrence-count row per token (``streaming/rollup.py``); the
+    final state feeds the SAME rank-bin readout (``_vocab_census``,
+    i.e. the distributed global ordered scan), so this query SHARES
+    the batch hash oracle. State is vocabulary-sized — exactly the
+    footprint an incremental tokenizer-budget monitor needs — and no
+    window appears anywhere."""
+    import os
+    import shutil
+    import tempfile
+
+    from prioritizing_event_processing_with_apache_kafka_spark.streaming.rollup import (
+        rollup_apply_batch,
+        rollup_state_result,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="peps-vocab-stream-")
+    state_path = os.path.join(root, "state")
+    chk = os.path.join(root, "chk")
+    try:
+        src_dir, schema = _stage_two_batch_stream(
+            root,
+            [
+                docs.filter(F.col("doc_id") % 2 == 0),
+                docs.filter(F.col("doc_id") % 2 == 1),
+            ],
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+        def apply(batch, batch_id):
+            tokens = batch.select(
+                F.explode(F.split(F.col("text"), " ")).alias("token")
+            )
+            rollup_apply_batch(
+                tokens,
+                state_path=state_path,
+                key_col="token",
+                specs=[("__occ", "count", "1")],
+                batch_id=batch_id,
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return _vocab_census(
+            rollup_state_result(spark, state_path)
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 SQL_VOCAB_RANK_CENSUS = """
@@ -7222,6 +7296,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "stream_heavy_hitters": q_stream_heavy_hitters,
     "stream_lorenz_incremental": q_stream_lorenz_incremental,
+    "stream_vocab_incremental": q_stream_vocab_incremental,
     "customer_active_islands": q_customer_active_islands,
     "part_supplier_degree": q_part_supplier_degree,
     "lineitem_bloom_prefilter": q_lineitem_bloom_prefilter,
@@ -7385,6 +7460,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     # exact-verify / shared readout => bit-identical final frames)
     "stream_heavy_hitters": SQL_HEAVY_HITTER_USERS,
     "stream_lorenz_incremental": SQL_CUSTOMER_LORENZ_DECILES,
+    "stream_vocab_incremental": SQL_VOCAB_RANK_CENSUS,
     "customer_active_islands": SQL_CUSTOMER_ACTIVE_ISLANDS,
     "part_supplier_degree": SQL_PART_SUPPLIER_DEGREE,
     "lineitem_bloom_prefilter": SQL_LINEITEM_BLOOM_PREFILTER,

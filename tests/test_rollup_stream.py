@@ -40,6 +40,38 @@ def _state(spark, store):
     }
 
 
+class TestStringKeyRollup:
+    def test_token_counts_merge_across_batches(self, spark, tmp_path):
+        # the vocab twin's shape: STRING keys (tokens), count spec,
+        # merges across two exploded batches == one global aggregate
+        from pyspark.sql import functions as F
+
+        store = str(tmp_path / "state")
+        docs = [("a b b c",), ("c c d",), ("a d d d",), ("b e",)]
+        df = spark.createDataFrame(docs, "text string")
+        tok = lambda d: d.select(  # noqa: E731
+            F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        halves = [df.limit(2), df.subtract(df.limit(2))]
+        rollup_apply_batch(
+            tok(halves[0]), state_path=store, key_col="token",
+            specs=[("n", "count", "1")], batch_id=0,
+        )
+        rollup_apply_batch(
+            tok(halves[1]), state_path=store, key_col="token",
+            specs=[("n", "count", "1")], batch_id=1,
+        )
+        got = {
+            r.token: r.n
+            for r in rollup_state_result(spark, store).collect()
+        }
+        want = {}
+        for (t,) in docs:
+            for w in t.split():
+                want[w] = want.get(w, 0) + 1
+        assert got == want
+
+
 class TestRollupAlgebra:
     def test_two_batch_merge_equals_batch_aggregate(self, spark, store):
         rows = [(i % 7, (i * 31) % 100 - 50) for i in range(200)]

@@ -199,6 +199,11 @@ PROBED = [
     # map-side Arrow batches like the other codecs, expected ~linear.
     "multimodal_jpeg_progressive",
     "multimodal_flac_roundtrip",
+    # round 10: streaming vocab census — the decorrelated replica grows
+    # the VOCABULARY (the rollup key space) Nx by design; wall includes
+    # the two staged writes + both micro-batches + the ordered-scan
+    # readout over the Nx vocabulary.
+    "stream_vocab_incremental",
     # round 10: PQ ANN — codebook training is m-in-one-pass Lloyd's
     # over 100x vectors; ADC scan is one broadcast-LUT join + a
     # (query,id) combine over 100x codes; the exact stage stays
