@@ -37,8 +37,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # the routing/assignment core — the reference's own semantics — is
 # pinned at the head every round, followed by the queries with the
 # FEWEST prior driver draws. Names and semantics never change; only
-# dict order rotates, and the full 132-query suite is still verified
-# every round in CORRECTNESS_full.json at both scale factors.
+# dict order rotates, and the FULL declared suite (every queries()
+# entry — count derived from the registries, see docs/COVERAGE.md
+# totals) is still verified every round in CORRECTNESS_full.json at
+# both scale factors.
 _DRIVER_HEAD = [
     # pinned core (reference semantics, drawn every round)
     "route_events_exact",

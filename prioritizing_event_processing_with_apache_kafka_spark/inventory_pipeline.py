@@ -6817,7 +6817,8 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same per-partition partials the batch operator folds — identical
     guarantee: every key with true count > accumulated decrement is a
     candidate. The readout recounts ONLY candidates from the retained
-    source (the exact-verify pass, same as the batch op), so the
+    source (the exact-verify pass, same as the batch op) and CERTIFIES
+    exactness against the decrement bound (``mg_exact_topk``), so the
     top-20 is EXACT and SHARES the batch ``heavy_hitter_users`` DuckDB
     oracle. Capacity 32768 covers fixture/10× key cardinality with
     zero decrements (see ``q_heavy_hitter_users``'s capacity note);
@@ -6828,8 +6829,8 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from prioritizing_event_processing_with_apache_kafka_spark.streaming.mgstate import (
+        mg_exact_topk,
         mg_foreach_batch,
-        mg_state_candidates,
     )
 
     events = load_table(spark, sf_dir, "events").select("ts", "user_id")
@@ -6865,18 +6866,15 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        cand_keys = mg_state_candidates(spark, state_path).select("user_id")
+        # Certified exact readout (ADVICE r10): recount candidates, then
+        # check the 20th count against the accumulated decrement bound;
+        # a failed certificate falls back to one full exact recount —
+        # see mg_exact_topk. Free on this fixture (capacity >> distinct
+        # users ⇒ err_bound 0); loud-and-exact under key growth.
         source = spark.read.parquet(src_dir)
-        exact = (
-            source.join(F.broadcast(cand_keys), "user_id", "inner")
-            .groupBy("user_id")
-            .agg(F.count(F.lit(1)).alias("n_events"))
-        )
-        return (
-            exact.orderBy(F.desc("n_events"), F.asc("user_id"))
-            .limit(20)
-            .localCheckpoint(eager=True)
-        )
+        return mg_exact_topk(
+            spark, state_path, source, key_col="user_id", k=20
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

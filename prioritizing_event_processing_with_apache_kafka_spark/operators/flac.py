@@ -280,7 +280,10 @@ def _encode_frame(x: np.ndarray, frame_no: int) -> bytes:
         # of a full-range int16 signal reach ~21 bits); 5-bit field
         # caps the escape width at 31
         raw_bits = min(31, max(2, int(np.abs(res).max()).bit_length() + 1))
-        if best_bits + len(u) > raw_bits * len(u):
+        # Faithful cost model: the escape partition spends 5 extra bits
+        # on its width field that the Rice partition doesn't (both spend
+        # the same 4-bit parameter field).
+        if best_bits + len(u) > raw_bits * len(u) + 5:
             # Rice wider than raw: escape partition (0b1111 + 5-bit
             # width + fixed-width signed residuals)
             frame.write(0b1111, 4)

@@ -819,7 +819,13 @@ def _decode_prog_scan(
                             break
                         r -= 1
                     k += 1
-                if val != 0 and k <= se:
+                if val != 0:
+                    # Mirror the AC-first pass's bound check: a corrupt
+                    # stream whose zero-run overruns the band with a
+                    # newly-significant coefficient still pending must
+                    # refuse, not silently drop the coefficient.
+                    if k > se:
+                        raise ValueError("AC refinement run past band end")
                     row[k] = val
                 k += 1
         if eobrun > 0:

@@ -63,6 +63,7 @@ __all__ = [
     "mg_foreach_batch",
     "mg_state_candidates",
     "mg_state_meta",
+    "mg_exact_topk",
 ]
 
 
@@ -239,6 +240,49 @@ def mg_state_candidates(spark: SparkSession, state_path: str) -> DataFrame:
     return key_rows.filter(F.col(key_col).isNotNull()).select(
         key_col, "mg_weight"
     )
+
+
+def mg_exact_topk(
+    spark: SparkSession,
+    state_path: str,
+    source: DataFrame,
+    *,
+    key_col: str,
+    k: int = 20,
+    count_alias: str = "n_events",
+) -> DataFrame:
+    """EXACT top-``k`` readout over the MG candidate set, with the
+    exactness certificate the bare candidates-only recount lacks
+    (ADVICE r10): the MG invariant bounds every NON-candidate's true
+    count by ``err_bound`` (the accumulated decrement total), so the
+    candidates-only recount provably holds the true top-k iff the k-th
+    recounted candidate still exceeds ``err_bound``. When the summary
+    never decremented (capacity ≥ distinct keys — the fixture regime)
+    the certificate is free; when key growth overflows capacity and
+    the certificate fails, fall back to ONE full key-sized exact
+    recount — the honest cost of exactness — instead of silently
+    dropping a decremented true heavy hitter. Only driver-side data
+    touched: the 1-row meta and the ≤ k-row head."""
+    cand_keys = mg_state_candidates(spark, state_path).select(key_col)
+    exact = (
+        source.join(F.broadcast(cand_keys), key_col, "inner")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias(count_alias))
+    )
+    top = exact.orderBy(F.desc(count_alias), F.asc(key_col)).limit(k)
+    err_bound = (
+        mg_state_meta(spark, state_path).collect()[0]["err_bound"] or 0
+    )
+    if err_bound > 0:
+        head = top.collect()
+        if len(head) < k or head[-1][count_alias] <= err_bound:
+            top = (
+                source.groupBy(key_col)
+                .agg(F.count(F.lit(1)).alias(count_alias))
+                .orderBy(F.desc(count_alias), F.asc(key_col))
+                .limit(k)
+            )
+    return top
 
 
 def mg_state_meta(spark: SparkSession, state_path: str) -> DataFrame:
