@@ -212,6 +212,11 @@ HEADLINE = [
     "stream_heavy_hitters",
     "stream_lorenz_incremental",
     "stream_vocab_incremental",
+    # round 11: the transformWithState router promoted to a declared
+    # query — two staged writes + two RocksDB-backed micro-batches
+    # through the typed ValueState counter (same replay-cost shape as
+    # the other streaming twins, plus the state-server round trip).
+    "stream_route_tws",
 ]
 
 

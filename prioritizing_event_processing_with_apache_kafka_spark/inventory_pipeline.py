@@ -6484,27 +6484,12 @@ GROUP BY 1
 """
 
 
-def _stage_two_batch_stream(root: str, batches: list[DataFrame]):
-    """Stage a list of batch frames as single-file parquet drops under
-    ``root/src`` with strictly increasing mtimes, so an availableNow /
-    ``maxFilesPerTrigger=1`` file stream replays them as separate
-    micro-batches in order. Returns ``(src_dir, schema)`` — shared by
-    every streaming twin (RFM/ABC/heavy-hitters/Lorenz)."""
-    import os
-    import shutil
-
-    src_dir = os.path.join(root, "src")
-    os.makedirs(src_dir)
-    schema = None
-    for i, b in enumerate(batches):
-        stage = os.path.join(root, f"stage{i}")
-        b.coalesce(1).write.parquet(stage)
-        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
-        dst = os.path.join(src_dir, f"batch-{i}.parquet")
-        shutil.move(os.path.join(stage, part), dst)
-        os.utime(dst, (1_700_000_000 + i * 3600,) * 2)
-        schema = b.schema
-    return src_dir, schema
+# Staging for the availableNow replays — shared home is
+# streaming/staging.py (the tws router promotion in inventory.py needs
+# it too); the local alias keeps this module's call sites unchanged.
+from prioritizing_event_processing_with_apache_kafka_spark.streaming.staging import (  # noqa: E402
+    stage_two_batch_stream as _stage_two_batch_stream,
+)
 
 
 def q_stream_rfm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

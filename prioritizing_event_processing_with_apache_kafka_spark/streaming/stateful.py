@@ -39,11 +39,110 @@ from prioritizing_event_processing_with_apache_kafka_spark.plans.config import (
 from prioritizing_event_processing_with_apache_kafka_spark.plans.layout import compute_layout
 
 __all__ = [
+    "ensure_protobuf",
     "route_stream_stateful",
     "route_stream_tws",
     "STATEFUL_OUTPUT_SCHEMA",
     "stateful_output_schema",
 ]
+
+# The Google Cloud SDK bundles the public protobuf runtime; this is the
+# same vendored copy tests/conftest.py wires onto PYTHONPATH. Used only
+# as a fallback when the site environment lacks protobuf.
+_VENDORED_PROTOBUF_ROOT = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+
+
+def ensure_protobuf(spark) -> None:
+    """Make the public protobuf runtime importable on the driver AND on
+    Spark's Python workers, at RUNTIME (no pip install, no env-var
+    ordering constraint): transformWithState's state-server protocol is
+    protobuf-framed, and the worker processes import
+    ``google.protobuf.descriptor`` during stream initialization.
+
+    Strategy: if protobuf already imports, done (workers share the same
+    site environment). Otherwise zip the vendored protobuf subtree (with
+    a pkgutil-style ``google/__init__.py`` so zipimport resolves the
+    package — an implicit namespace portion inside a zip does not) and
+    ship it with ``sc.addPyFile``, which both inserts it into the
+    driver's ``sys.path`` and adds it to the python includes every
+    subsequently-created python function carries to its workers. The
+    vendored runtime may trail pyspark's gencode by a minor version
+    (wire-compatible); protobuf's own escape hatch disables the strict
+    equality check — propagated to workers via ``sc.environment``.
+
+    Must run BEFORE ``transformWithStateInPandas`` builds its python
+    function (that call snapshots ``sc.environment`` and the includes).
+    Raises ImportError with a clear message when no protobuf exists
+    anywhere — ``route_stream_stateful`` is the dependency-free
+    equivalent.
+    """
+    import os
+    import sys
+    import tempfile
+    import uuid
+    import zipfile
+
+    os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    src = os.path.join(_VENDORED_PROTOBUF_ROOT, "google", "protobuf")
+    if not os.path.isdir(src):
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package for "
+            "its state protocol and no vendored copy was found; use "
+            "route_stream_stateful (same output, applyInPandasWithState) "
+            "where protobuf is unavailable"
+        )
+    zpath = os.path.join(tempfile.gettempdir(), "peps_vendored_protobuf.zip")
+    if not os.path.exists(zpath):
+        tmp = f"{zpath}.tmp-{uuid.uuid4().hex}"
+        with zipfile.ZipFile(tmp, "w") as z:
+            # zipimport needs a REGULAR package; the pkgutil shim keeps
+            # any other on-path google.* portions importable too.
+            z.writestr(
+                "google/__init__.py",
+                "__path__ = __import__('pkgutil')"
+                ".extend_path(__path__, __name__)\n",
+            )
+            for root, _dirs, files in os.walk(src):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(
+                            full,
+                            os.path.join(
+                                "google",
+                                "protobuf",
+                                os.path.relpath(full, src),
+                            ),
+                        )
+        os.replace(tmp, zpath)  # atomic: concurrent callers see whole zips
+    sc = spark.sparkContext
+    sc.environment["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+    # Two propagation channels, because transformWithState spawns TWO
+    # kinds of python process: task workers honor the python INCLUDES
+    # (addPyFile), while the long-running state-server "driver worker"
+    # (StreamingPythonRunner) honors only the function's ENV VARS — its
+    # PYTHONPATH is sparkPythonPath merged with envVars["PYTHONPATH"].
+    prev = sc.environment.get("PYTHONPATH", "")
+    if zpath not in prev.split(os.pathsep):
+        sc.environment["PYTHONPATH"] = (
+            (prev + os.pathsep if prev else "") + zpath
+        )
+    sc.addPyFile(zpath)
+    # A partially-resolved 'google' namespace module cached BEFORE the
+    # zip joined sys.path would keep shadowing the zip's regular
+    # package; drop the stale entries and re-resolve.
+    for name in [n for n in sys.modules if n == "google" or n.startswith("google.")]:
+        del sys.modules[name]
+    import importlib
+
+    importlib.invalidate_caches()
+    import google.protobuf.descriptor  # noqa: F401  (verify, or raise)
 
 # Default-column schema (order_col="event_id": long, key_col="key":
 # string) — kept as a constant for back-compat; the operators derive
@@ -176,18 +275,13 @@ def route_stream_tws(
     timers, TTL) for custom stateful operators.
 
     Requires ``protobuf`` (the transformWithState state-server protocol
-    is protobuf-framed); raises ImportError with a clear message where
-    it is unavailable — ``route_stream_stateful`` is the
+    is protobuf-framed); :func:`ensure_protobuf` wires the vendored
+    runtime onto the driver and workers at runtime where the site
+    environment lacks one, and raises ImportError with a clear message
+    where none exists — ``route_stream_stateful`` is the
     dependency-free equivalent.
     """
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise ImportError(
-            "transformWithStateInPandas needs the 'protobuf' package for "
-            "its state protocol; use route_stream_stateful (same output, "
-            "applyInPandasWithState) where protobuf is unavailable"
-        ) from e
+    ensure_protobuf(stream.sparkSession)
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

@@ -268,3 +268,26 @@ def test_statestore_reader_exposes_counter_state(spark, dirs):
     # counter field must have advanced to exactly that count.
     # value nests the applyInPandasWithState struct under groupState
     assert by_bucket["Platinum"]["groupState"]["counter"] == 7
+
+
+def test_declared_tws_query_matches_batch_exact_router(spark):
+    """The promoted `stream_route_tws` declared query (VERDICT r10 item
+    2) must be bit-identical to the batch exact-mode router: the
+    two-batch id-ordered replay through the typed ValueState counter IS
+    the lifetime AtomicInteger sequence, so both paths share the
+    `route_events_exact` oracle."""
+    from prioritizing_event_processing_with_apache_kafka_spark.inventory import (
+        q_route_events_exact,
+        q_stream_route_tws,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_id"]: (r["bucket"], r["partition"])
+        for r in q_stream_route_tws(spark, sf).collect()
+    }
+    expect = {
+        r["event_id"]: (r["bucket"], r["partition"])
+        for r in q_route_events_exact(spark, sf).collect()
+    }
+    assert got == expect
