@@ -103,9 +103,11 @@ class TestValidationSeams:
         with pytest.raises(ValueError, match="blocksize"):
             encode_flac(np.zeros(8, dtype=np.int16))
 
-    def test_lpc_seam_raises_not_implemented(self):
+    def test_corrupted_subframe_type_refuses(self):
         # patch the subframe type bits to LPC order 1 (0b100000): the
-        # decoder must refuse through the documented seam, not misparse
+        # LPC path now DECODES (r11 — the seam closed), so the patched
+        # stream misparses into garbage the validation chain must
+        # refuse (structural check or frame CRC-16), never return wrong
         s = np.arange(64, dtype=np.int16)
         payload = bytearray(encode_flac(s))
         # frame starts after fLaC(4) + block header(4) + streaminfo(34)
@@ -117,3 +119,115 @@ class TestValidationSeams:
         payload[sub] = 0b0100000 << 1 | (payload[sub] & 1)
         with pytest.raises((NotImplementedError, ValueError)):
             decode_flac(bytes(payload))
+
+    def test_remaining_envelope_guards(self):
+        # the honest seams left after r11: >2 channels and non-16-bit
+        # sample sizes — patch STREAMINFO's channel field to 3ch (bits
+        # 100-102 of the 34-byte block starting at byte 8)
+        s = np.arange(64, dtype=np.int16)
+        payload = bytearray(encode_flac(s))
+        # STREAMINFO byte 12 within block (offset 8+12=20) holds
+        # rate[3:0] | chan[2:0] | bps[4]; chan bits are 3:1
+        payload[20] = (payload[20] & ~0b1110) | (0b010 << 1)  # 3 channels
+        with pytest.raises(NotImplementedError, match="mono/stereo"):
+            decode_flac(bytes(payload))
+
+
+def _synth_stereo(doc_id: int) -> np.ndarray:
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.multimodal import (
+        _synth_stereo_samples,
+    )
+
+    return _synth_stereo_samples(doc_id)
+
+
+class TestStereoAndLpc:
+    def test_fixture_roundtrip_exact_and_exercises_lpc_stereo(self):
+        # The declared `multimodal_flac_lpc_roundtrip` fixture must not
+        # just round-trip — it must actually DRIVE the new decode
+        # paths: LPC subframes and a decorrelated channel assignment.
+        total = {"lpc": 0}
+        decor = 0
+        for doc_id in (0, 1, 7, 64, 999, 123456):
+            src = _synth_stereo(doc_id)
+            stats: dict = {}
+            rate, out = decode_flac(
+                encode_flac(src, sample_rate=16000), stats
+            )
+            assert rate == 16000
+            assert np.array_equal(out, src)
+            total["lpc"] += stats["subframe_types"].get("lpc", 0)
+            decor += sum(
+                n for c, n in stats["chan_codes"].items() if c >= 0b1000
+            )
+        assert total["lpc"] > 0, "fixture never chose an LPC subframe"
+        assert decor > 0, "fixture never chose a decorrelated assignment"
+
+    def test_all_channel_assignments_roundtrip(self):
+        # Force each assignment by signal construction: independent
+        # (uncorrelated noise), left/side & mid/side (tiny side), and
+        # right/side (right much cheaper than left).
+        rng = np.random.default_rng(21)
+        n = 400
+        smooth = (np.sin(np.arange(n) / 9.0) * 14000).astype(np.int64)
+        noise = rng.integers(-32768, 32768, n, dtype=np.int64)
+        small = (np.arange(n) % 17 - 8).astype(np.int64)
+        cases = {
+            "independent": np.stack([noise, -noise[::-1]], axis=1),
+            "tiny_side": np.stack([smooth, smooth - small], axis=1),
+            "right_cheap": np.stack([noise // 2 + smooth, smooth], axis=1),
+            "extremes": np.stack(
+                [
+                    np.where(np.arange(n) % 2 == 0, 32767, -32768),
+                    np.where(np.arange(n) % 2 == 0, -32768, 32767),
+                ],
+                axis=1,
+            ),
+        }
+        seen = set()
+        for name, sig in cases.items():
+            sig16 = np.clip(sig, -32768, 32767).astype(np.int16)
+            stats: dict = {}
+            rate, out = decode_flac(encode_flac(sig16), stats)
+            assert np.array_equal(out, sig16), name
+            seen |= set(stats["chan_codes"])
+        # at least three distinct assignments across the shapes,
+        # including one decorrelated mode
+        assert len(seen) >= 3 and any(c >= 0b1000 for c in seen), seen
+
+    def test_mid_side_parity_bit_exact(self):
+        # mid/side drops the sum's low bit into the side channel's
+        # parity; odd L+R sums are the reconstruction's edge case.
+        l = np.array([1, 2, -3, 5] * 100, dtype=np.int64)
+        r = np.array([0, -1, 4, 2] * 100, dtype=np.int64)  # odd sums
+        sig = np.stack([l, r], axis=1).astype(np.int16)
+        rate, out = decode_flac(encode_flac(sig))
+        assert np.array_equal(out, sig)
+
+    def test_stereo_multiframe_and_random(self):
+        rng = np.random.default_rng(17)
+        sig = rng.integers(-32768, 32768, (5000, 2)).astype(np.int16)
+        for bs in (64, 999):
+            rate, out = decode_flac(encode_flac(sig, block_size=bs))
+            assert np.array_equal(out, sig), bs
+
+    def test_stereo_compresses_correlated_signals(self):
+        # the point of decorrelation + LPC: a correlated stereo pair
+        # codes far below raw PCM
+        t = np.arange(4000)
+        l = (np.sin(t / 4.0) * 12000).astype(np.int64)
+        sig = np.stack([l, l - (t % 13 - 6)], axis=1).astype(np.int16)
+        payload = encode_flac(sig, block_size=1024)
+        assert len(payload) < sig.size * 2 // 3
+
+    def test_lpc_mono_roundtrip(self):
+        # mono signals can pick LPC too (the planner is channel-blind)
+        sig = _synth_stereo(123)[:, 0].copy()
+        stats: dict = {}
+        rate, out = decode_flac(encode_flac(sig), stats)
+        assert np.array_equal(out, sig)
+        assert stats["subframe_types"].get("lpc", 0) > 0
+
+    def test_input_shape_validation(self):
+        with pytest.raises(ValueError, match="shape"):
+            encode_flac(np.zeros((32, 3), dtype=np.int16))

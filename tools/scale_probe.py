@@ -199,6 +199,9 @@ PROBED = [
     # map-side Arrow batches like the other codecs, expected ~linear.
     "multimodal_jpeg_progressive",
     "multimodal_flac_roundtrip",
+    # round 11: the stereo/LPC FLAC round trip — same pure map-side
+    # Arrow shape as the other codecs, expected ~linear.
+    "multimodal_flac_lpc_roundtrip",
     # round 10: streaming vocab census — the decorrelated replica grows
     # the VOCABULARY (the rollup key space) Nx by design; wall includes
     # the two staged writes + both micro-batches + the ordered-scan
