@@ -220,6 +220,76 @@ HEADLINE = [
 ]
 
 
+def adjudicate(
+    timings: dict[str, float],
+    spreads: dict[str, list[float]],
+    ref: dict,
+) -> dict | None:
+    """Self-adjudicate this run against the committed reference series
+    (VERDICT r10 item 1: the r10 driver bench read 1.32× the solo
+    series purely from machine contention, and the evidence had to be
+    reconstructed forensically — detect it AT MEASUREMENT TIME
+    instead).
+
+    A query is DIVERGENT when its median exceeds 1.5× its reference
+    median (with a 0.3 s absolute floor so sub-second noise can't
+    trigger it). The discriminator between contention and plan drift is
+    the per-query spread MINIMUM from the same session: a plan that
+    still reaches ≤1.25× its reference somewhere in its three reps can
+    still execute at historical speed — the elevated median is load,
+    not shape. Verdicts:
+
+    - ``within_band``: common-set total ratio ≤ 1.1 and nothing
+      divergent — nothing to explain.
+    - ``contention_suspected_plans_unchanged``: divergent medians whose
+      minima all recover — cross-check the committed plan fingerprints
+      and prefer the solo series for cross-round comparison.
+    - ``plan_drift_suspected``: a divergent query whose minimum never
+      approaches reference — re-run tools/gen_plan_fingerprints.py and
+      the solo bench; something real changed.
+    - ``elevated``: total ratio > 1.1 without any per-query divergence
+      (uniform slowdown — ambient load).
+    """
+    ref_q = ref.get("queries", {})
+    common = [n for n in timings if n in ref_q and ref_q[n] > 0]
+    if not common:
+        return None
+    total_now = sum(timings[n] for n in common)
+    total_ref = sum(ref_q[n] for n in common)
+    ratio = total_now / total_ref
+    divergent = {}
+    for n in common:
+        r = timings[n] / ref_q[n]
+        if r > 1.5 and timings[n] - ref_q[n] > 0.3:
+            mn = spreads.get(n, [timings[n]])[0]
+            divergent[n] = {
+                "median": timings[n],
+                "ref": ref_q[n],
+                "ratio": round(r, 2),
+                "min": mn,
+                "min_ratio": round(mn / ref_q[n], 2),
+            }
+    if ratio <= 1.1 and not divergent:
+        verdict = "within_band"
+    elif divergent and all(
+        d["min_ratio"] <= 1.25 for d in divergent.values()
+    ):
+        verdict = "contention_suspected_plans_unchanged"
+    elif divergent:
+        verdict = "plan_drift_suspected"
+    else:
+        verdict = "elevated"
+    return {
+        "reference": ref.get("round", "unknown"),
+        "common": len(common),
+        "total_sec": round(total_now, 3),
+        "ref_total_sec": round(total_ref, 3),
+        "ratio": round(ratio, 3),
+        "divergent": divergent,
+        "verdict": verdict,
+    }
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F  # noqa: F401 — warmup aggregates
@@ -351,6 +421,38 @@ def main() -> int:
         "sf": sf_value,
         "stat": "median_of_3",
     }
+    # Self-adjudication vs the committed reference series (see
+    # adjudicate()): written as a sidecar in the same instant as the
+    # headline artifact, so a contention-elevated driver bench carries
+    # its own explanation instead of needing forensics.
+    here = os.path.dirname(os.path.abspath(__file__))
+    adj = None
+    try:
+        ref = json.load(
+            open(os.path.join(here, "docs", "artifacts", "bench_reference.json"))
+        )
+        if ref.get("sf") == sf_value:
+            adj = adjudicate(timings, spreads, ref)
+    except (OSError, ValueError):
+        pass
+    if adj is not None:
+        adj_path = os.environ.get(
+            "SPARK_GRAFT_ADJ_OUT", os.path.join(here, "bench_adjudication.json")
+        )
+        try:
+            with open(adj_path, "w") as fh:
+                json.dump(adj, fh, indent=1)
+        except OSError as exc:
+            print(f"adjudication sidecar not written: {exc}", file=sys.stderr)
+        # Compact summary rides the stdout JSON itself (budget-capped
+        # below, so it always fits the driver's tail window).
+        result["adj"] = {
+            "ref": adj["reference"],
+            "n": adj["common"],
+            "ratio": adj["ratio"],
+            "div": len(adj["divergent"]),
+            "verdict": adj["verdict"],
+        }
     # The per-query [min, max] spread stays OUT of the stdout line: the
     # driver captures only a bounded tail of output, and round 6's
     # spread block grew the JSON past that window, truncating the
