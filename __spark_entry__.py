@@ -50,75 +50,35 @@ _DRIVER_HEAD = [
     "starved_discard_audit",
     "assignment_golden",
     "bucket_allocation_vs_load",
-    # --- round-10 rotation (VERDICT r9 "next" #1: the draw window must
-    # hold ONLY hash-oracled queries so the driver gate reads 50/50
-    # with zero `no_oracle` rows — the 14 audit-only queries now live
-    # BEHIND the window; their machine-audited evidence is in
-    # CORRECTNESS_full.json, enforced by tools/check_oracle.py).
-    # Ordering within the window: stalest-first (fewest/oldest prior
-    # driver draws), new queries capped at the tail.
-    # (a) last drawn r04 — five rounds ago, the stalest cohort
-    "big_spender_segments",
-    "bucket_cube",
-    "bucket_quiet_hours",
-    "bucket_throughput_hourly",
-    "bucket_value_histogram",
-    "cohort_retention",
-    "conversion_funnel",
-    "customers_without_big_orders",
-    "customers_without_orders",
-    "distinct_users_per_bucket",
-    "error_purchase_interval",
-    "events_asof_last_purchase",
-    "events_asof_next_error",
-    "incident_window_counts",
-    "ranked_order_priorities",
-    "running_bucket_count",
-    "sliding_window_throughput",
-    "stream_route_counts",
-    "stream_windowed_throughput",
-    "union_priority_tiers",
-    "user_value_percent_rank",
-    "user_value_quartiles",
-    # (b) last drawn r05 (oracled members only)
-    "bucket_hourly_anomaly",
-    "dataset_split",
-    "doc_packing",
-    "embedding_ann_int8",
-    "mixture_sample",
-    "multimodal_frame_sample",
-    "multimodal_image_decode",
-    "multimodal_image_resize",
-    "multimodal_resize",
-    "q13_order_count_distribution",
-    "q21_waiting_suppliers",
-    "q4_order_priority",
-    "q9_profit_by_nation_year",
-    "reservoir_sample",
-    "salted_segment_revenue",
-    "source_dup_profile",
-    "stratified_sample",
-    # (c) round-10 new queries (zero draws, all hash-oracled — the
-    # streaming twins SHARE their batch oracles; the FLAC round trip
-    # is lossless so it shares the audio-decode arithmetic oracle) —
-    # window slots 47-50.
-    "stream_heavy_hitters",
-    "stream_lorenz_incremental",
-    "stream_vocab_incremental",
-    "multimodal_flac_roundtrip",
-    # --- window boundary (~50) ---
-    # (d) overflow: the last two r05 stragglers, then the r06-drawn
-    # cohort, fronted next round; all oracled, so a slightly wider
-    # draw window stays 100% hash-green.
+    # --- round-11 rotation (VERDICT r10 item 5: front the r06-drawn
+    # cohort). Stalest-first by (last drawn round, total draws): the
+    # two r05 stragglers, the seventeen r06/draws=1 names, then the
+    # r06/draws=2 cohort up to the window budget; every entry is
+    # hash-oracled (the all-oracled-window rule from r10 holds, pinned
+    # by tests/test_round10_fixes.py::test_driver_head_is_all_oracled).
     "table_profile",
     "user_value_ewma",
-    "boilerplate_spans",
-    "bpe_merge_pairs",
     "changelog_compaction",
     "corpus_diff_status",
+    "decontamination_bloom",
+    "heavy_hitter_users",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_filter",
+    "q20_excess_shippers",
+    "q22_idle_customers",
+    "q7_nation_volume",
+    "q8_market_share",
+    "scd2_customer_segments",
+    "scd2_stream_history",
+    "stream_enriched_segments",
+    "stream_error_purchase_pairs",
+    "boilerplate_spans",
+    "bpe_merge_pairs",
     "curation_funnel",
     "decontamination",
-    "decontamination_bloom",
     "dedup_components",
     "dedup_edit_distance",
     "dedup_incremental",
@@ -130,18 +90,51 @@ _DRIVER_HEAD = [
     "embedding_kmeans",
     "embedding_label_centroids",
     "embedding_quantize",
-    "heavy_hitter_users",
     "lm_doc_score",
     "pii_redact",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q19_disjunctive_filter",
-    "q20_excess_shippers",
-    "q22_idle_customers",
-    "q7_nation_volume",
-    "q8_market_share",
+    "semantic_dedup",
+    "span_dedup",
+    "term_doc_frequency",
+    "text_bigram_quality",
+    "text_repetition",
+    # (tail) round-11 new queries, zero prior draws, both hash-oracled:
+    # the promoted transformWithState router (shares the
+    # route_events_exact oracle) and the stereo/LPC FLAC round trip
+    # (lossless, arithmetic-lattice oracle) — window slots 49-50.
+    "stream_route_tws",
+    "multimodal_flac_lpc_roundtrip",
+    # --- window boundary (~50) ---
+    # (overflow) next-stalest oracled cohort — the r06 remainder, then
+    # the r07-drawn names — fronted next round per the rotation policy.
+    "tfidf_top_terms",
+    "vocab_coverage",
+    "bucket_cusum_alarm",
+    "bucket_key_concentration",
+    "corpus_merkle_buckets",
+    "data_quality_audit",
+    "dedup_keep_canonical",
+    "dedup_multiset_jaccard",
+    "dedup_prefix_filter",
+    "dedup_triangle_count",
+    "drain_tick_percentiles",
+    "event_transition_matrix",
+    "label_propagation",
+    "leakage_safe_split",
+    "lineitem_numeric_corr",
+    "nb_calibration",
+    "nb_lang_classifier",
+    "neardup_common_neighbors",
+    "priority_drain_schedule",
+    "priority_mix_shift",
+    "priority_open_orders_peak",
+    "purchase_attribution",
+    "rolling_value_median",
+    "stream_locf_fill",
+    "stream_transition_counts",
+    "top_session_paths",
+    "ts_gap_fill",
+    "user_time_weighted_value",
+    "user_value_trend",
 ]
 
 
