@@ -929,6 +929,24 @@ def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame
     return M.jpeg_progressive_metrics(docs, quality=90)
 
 
+def q_multimodal_jpeg420_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chroma-subsampled (4:2:0) baseline JPEG round trip per document
+    (r11, VERDICT r10 stretch item 8: MCU-interleaved 2x2/1x1 sampling
+    over the existing DCT/Huffman machinery — ``jpeg.py:encode_jpeg_420``
+    + the sampling-aware MCU decode walker, via
+    ``multimodal.py:jpeg420_roundtrip_metrics``). Audited: dims exact,
+    re-decode bit-identical, ``max_abs_err <= 64`` on the smooth-chroma
+    triangle fixture (calibrated worst case 50 over 2,000 docs — chroma
+    subsampling is lossy exactly at chroma EDGES, so the fixture bounds
+    slopes at 2/px; a wrap-edge sawtooth would measure the fixture, not
+    the codec), ``max_luma_err_centi <= 800`` (luma is NOT subsampled —
+    its error stays pure quantization), and the 4:2:0 payload total
+    strictly below the 4:4:4 total (~0.87x measured). Enforced by
+    tools/check_oracle.py SELF_AUDITS; rows-only for the driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.jpeg420_roundtrip_metrics(docs, quality=90)
+
+
 def q_multimodal_mjpg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MJPG-in-AVI end-to-end (VERDICT r8 item 9): each document's
     deterministic frame stack encoded as an AVI whose '00dc' chunks are
@@ -7326,6 +7344,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_jpeg_roundtrip": q_multimodal_jpeg_roundtrip,
     "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
+    "multimodal_jpeg420_roundtrip": q_multimodal_jpeg420_roundtrip,
     "multimodal_mjpg_roundtrip": q_multimodal_mjpg_roundtrip,
     "user_value_pareto": q_user_value_pareto,
     "customer_lorenz_deciles": q_customer_lorenz_deciles,

@@ -12,6 +12,9 @@ specification (ITU-T T.81):
   code-length tables in DHT segments — what ``libjpeg -optimize``
   does; structurally standard, so any baseline decoder reads the
   output).
+- ``encode_jpeg_420``: baseline JFIF **4:2:0** — full-resolution luma,
+  2×2 box-downsampled chroma, MCU-interleaved scan (four Y blocks +
+  Cb + Cr per 16×16 MCU, T.81 A.2.3), the layout camera JPEGs use.
 - ``encode_jpeg_progressive``: PROGRESSIVE (SOF2) encoding — spectral
   selection plus one successive-approximation level (T.81 Annex G:
   interleaved DC first scan at Al=1, per-component full-band AC first
@@ -24,13 +27,15 @@ specification (ITU-T T.81):
   Huffman decode with 0xFF00 unstuffing, dequantize, de-zigzag,
   orthonormal 8×8 IDCT, level shift, YCbCr→RGB (JFIF matrix), clamp.
   Supports any 1- or 3-component baseline file with 1×1 sampling
-  factors (4:4:4 / grayscale) and 8-bit quantization tables, plus
-  multi-scan progressive (SOF2) files in the same sampling envelope —
-  spectral-selection and successive-approximation DC/AC scans
-  including EOB runs and refinement correction bits (T.81 G.1.2);
-  subsampled, arithmetic-coded, hierarchical and restart-interval
-  files raise through the explicit ``NotImplementedError`` seam
-  rather than decoding wrong.
+  factors (4:4:4 / grayscale) or the 4:2:0 layout (Y=2×2, chroma 1×1 —
+  sampling-aware MCU walk + nearest-neighbor chroma upsampling), and
+  8-bit quantization tables, plus multi-scan progressive (SOF2) files
+  in the 1×1 sampling envelope — spectral-selection and
+  successive-approximation DC/AC scans including EOB runs and
+  refinement correction bits (T.81 G.1.2); other sampling layouts
+  (e.g. 4:2:2), progressive+subsampled, arithmetic-coded, hierarchical
+  and restart-interval files raise through the explicit
+  ``NotImplementedError`` seam rather than decoding wrong.
 
 Determinism: every step is integer or IEEE-double arithmetic with a
 fixed operation order (einsum against a precomputed DCT matrix,
@@ -54,7 +59,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_jpeg", "encode_jpeg_progressive", "decode_jpeg"]
+__all__ = ["encode_jpeg", "encode_jpeg_420", "encode_jpeg_progressive", "decode_jpeg"]
 
 # ---------------------------------------------------------------------------
 # Shared constants
@@ -385,6 +390,167 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 90) -> bytes:
         0xFFC0,  # SOF0 baseline
         struct.pack(">BHHB", 8, h, w, 3)
         + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    for cls, tables in ((0, dc_tables), (1, ac_tables)):
+        for tid, (bits, vals) in enumerate(tables):
+            out += seg(
+                0xFFC4,
+                bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals),
+            )
+    out += seg(
+        0xFFDA,
+        bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]),
+    )
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _plane_zz(plane: np.ndarray, qtab: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """One plane → quantized zig-zag block coefficients (the per-plane
+    half of ``_quantized_zz``, needed separately once luma and chroma
+    stop sharing a block grid)."""
+    blocks, h8, w8 = _blocks(plane)
+    coefs = np.einsum("ij,njk,lk->nil", _C, blocks - 128.0, _C)
+    quant = np.clip(np.round(coefs / qtab).astype(np.int64), -1023, 1023)
+    return quant.reshape(-1, 64)[:, _ZZ], h8, w8
+
+
+def _component_symbols(
+    zz_blocks: np.ndarray, dc_freq: np.ndarray, ac_freq: np.ndarray
+) -> list[list]:
+    """Phase-1 symbol pass for one component's blocks IN WRITE ORDER:
+    DC-predict across the sequence, accumulate Huffman frequencies,
+    return per-block symbol lists (same encoding the baseline encoder
+    builds inline)."""
+    out: list[list] = []
+    prev_dc = 0
+    for bi in range(zz_blocks.shape[0]):
+        zz = zz_blocks[bi]
+        t, bits_v = _magnitude(int(zz[0]) - prev_dc)
+        prev_dc = int(zz[0])
+        dc_freq[t] += 1
+        syms = [("dc", t, bits_v)]
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last = int(nz[-1]) + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                ac_freq[0xF0] += 1
+                syms.append(("ac", 0xF0, 0, 0))
+                run -= 16
+            t, bits_v = _magnitude(v)
+            sym = (run << 4) | t
+            ac_freq[sym] += 1
+            syms.append(("ac", sym, t, bits_v))
+            run = 0
+        if last < 63:
+            ac_freq[0x00] += 1
+            syms.append(("ac", 0x00, 0, 0))
+        out.append(syms)
+    return out
+
+
+def encode_jpeg_420(arr: np.ndarray, *, quality: int = 90) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as baseline JFIF **4:2:0**:
+    full-resolution luma, chroma 2×2 box-downsampled, MCU-interleaved
+    scan (four Y blocks + one Cb + one Cr per 16×16 MCU, T.81 A.2.3
+    data ordering) with sampling factors Y=2×2, Cb=Cr=1×1 in SOF0 —
+    the layout virtually every camera JPEG uses. Same optimized
+    two-phase Huffman machinery as :func:`encode_jpeg`."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg_420 expects an (H, W, 3) uint8 array")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError(f"unencodable dimensions {h}x{w}")
+    ycc = _rgb_to_ycbcr(arr)
+    qluma = _scaled_quant(_QUANT_LUMA, quality)
+    qchroma = _scaled_quant(_QUANT_CHROMA, quality)
+    # Pad everything to whole 16x16 MCUs by edge replication, THEN
+    # box-average chroma: the subsampled planes land on exact 8-block
+    # grids aligned with the luma quads.
+    mch, mcw = -(-h // 16), -(-w // 16)
+    pads = [
+        np.pad(
+            ycc[..., ci],
+            ((0, mch * 16 - h), (0, mcw * 16 - w)),
+            mode="edge",
+        )
+        for ci in range(3)
+    ]
+    ypad = pads[0]
+    sub = [
+        c.reshape(mch * 8, 2, mcw * 8, 2).mean(axis=(1, 3))
+        for c in pads[1:]
+    ]
+    yzz, yh8, yw8 = _plane_zz(ypad, qluma)
+    cbzz, _, _ = _plane_zz(sub[0], qchroma)
+    crzz, _, _ = _plane_zz(sub[1], qchroma)
+    # Luma blocks reordered to MCU sequence: top-left, top-right,
+    # bottom-left, bottom-right per 16x16 quad.
+    order_y = []
+    for my in range(mch):
+        for mx in range(mcw):
+            base = (2 * my) * yw8 + 2 * mx
+            order_y += [base, base + 1, base + yw8, base + yw8 + 1]
+    yzz = yzz[order_y]
+
+    dc_freq = [np.zeros(256, dtype=np.int64) for _ in range(2)]
+    ac_freq = [np.zeros(256, dtype=np.int64) for _ in range(2)]
+    y_syms = _component_symbols(yzz, dc_freq[0], ac_freq[0])
+    cb_syms = _component_symbols(cbzz, dc_freq[1], ac_freq[1])
+    cr_syms = _component_symbols(crzz, dc_freq[1], ac_freq[1])
+
+    dc_tables = [_build_huffman(f) for f in dc_freq]
+    ac_tables = [_build_huffman(f) for f in ac_freq]
+    dc_codes = [_canonical_codes(*t) for t in dc_tables]
+    ac_codes = [_canonical_codes(*t) for t in ac_tables]
+
+    bw = _BitWriter()
+
+    def emit(syms: list, tbl: int) -> None:
+        for sym in syms:
+            if sym[0] == "dc":
+                _, t, bits_v = sym
+                code, length = dc_codes[tbl][t]
+                bw.write(code, length)
+                if t:
+                    bw.write(bits_v, t)
+            else:
+                _, s, t, bits_v = sym
+                code, length = ac_codes[tbl][s]
+                bw.write(code, length)
+                if t:
+                    bw.write(bits_v, t)
+
+    n_mcus = mch * mcw
+    for mi in range(n_mcus):
+        for q in range(4):
+            emit(y_syms[mi * 4 + q], 0)
+        emit(cb_syms[mi], 1)
+        emit(cr_syms[mi], 1)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(
+        0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )  # APP0
+    for tid, q in ((0, qluma), (1, qchroma)):
+        out += seg(
+            0xFFDB,
+            bytes([tid]) + bytes(int(x) for x in q.reshape(-1)[_ZZ]),
+        )
+    out += seg(
+        0xFFC0,  # SOF0 baseline, 4:2:0 sampling
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
     for cls, tables in ((0, dc_tables), (1, ac_tables)):
         for tid, (bits, vals) in enumerate(tables):
@@ -916,18 +1082,27 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "only 1x1 sampling (4:4:4/grayscale) supported"
-                    )
-                comps.append((cid, tq))
+                comps.append((cid, tq, samp >> 4, samp & 0xF))
+            samps = [(hi, vi) for _cid, _tq, hi, vi in comps]
+            if not (
+                all(s == (1, 1) for s in samps)
+                or (nc == 3 and samps == [(2, 2), (1, 1), (1, 1)])
+            ):
+                raise NotImplementedError(
+                    f"sampling factors {samps} unsupported "
+                    "(4:4:4/grayscale/4:2:0 only)"
+                )
             frame = (fh, fw, comps)
             if marker == 0xFFC2:
+                if samps != [(1, 1)] * nc:
+                    raise NotImplementedError(
+                        "progressive + subsampling unsupported"
+                    )
                 progressive = True
                 h8p, w8p = -(-fh // 8), -(-fw // 8)
                 prog_coefs = {
                     cid: np.zeros((h8p * w8p, 64), dtype=np.int64)
-                    for cid, _ in comps
+                    for cid, *_ in comps
                 }
         elif marker in (0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
@@ -953,7 +1128,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     payload[data_start:end],
                     scan_comps,
                     prog_coefs,
-                    {cid: 0 for cid, _ in frame[2]},
+                    {cid: 0 for cid, *_ in frame[2]},
                     htables,
                     ss,
                     se,
@@ -970,9 +1145,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if progressive:
         assert prog_coefs is not None
         h8, w8 = -(-fh // 8), -(-fw // 8)
-        qt = {cid: qtables[tq] for cid, tq in comps}
+        qt = {cid: qtables[tq] for cid, tq, *_ in comps}
         planes = {}
-        for cid, _ in comps:
+        for cid, *_ in comps:
             raster = np.zeros((h8 * w8, 64), dtype=np.float64)
             raster[:, _ZZ] = prog_coefs[cid] * qt[cid].reshape(-1)[_ZZ]
             blocks = raster.reshape(-1, 8, 8)
@@ -987,59 +1162,83 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 np.uint8
             )
             return np.stack([y, y, y], axis=-1)
-        y, cb, cr = (planes[cid] for cid, _ in comps)
+        y, cb, cr = (planes[cid] for cid, *_ in comps)
         return _ycbcr_to_rgb(y, cb, cr)
     if len(comps) not in (1, 3) or len(scan_comps) != len(comps):
         raise NotImplementedError(
             "only single-scan grayscale/3-component files supported"
         )
-    h8, w8 = -(-fh // 8), -(-fw // 8)
-    n_blocks = h8 * w8
+    # MCU geometry from the sampling factors (T.81 A.2.3): with hmax =
+    # vmax = 1 this degenerates to one block per component per MCU (the
+    # 4:4:4/grayscale layout); the 4:2:0 SOF carries Y=2x2 so each MCU
+    # holds a 2x2 luma quad + one block of each chroma plane.
+    hmax = max(hi for _cid, _tq, hi, _vi in comps)
+    vmax = max(vi for _cid, _tq, _hi, vi in comps)
+    mcw, mch = -(-fw // (8 * hmax)), -(-fh // (8 * vmax))
+    samp = {cid: (hi, vi) for cid, _tq, hi, vi in comps}
+    grid = {cid: (mch * vi, mcw * hi) for cid, (hi, vi) in samp.items()}
     br = _BitReader(payload[data_start:])
-    qt = {cid: qtables[tq] for cid, tq in comps}
+    qt = {cid: qtables[tq] for cid, tq, *_ in comps}
     coefs = {
-        cid: np.zeros((n_blocks, 64), dtype=np.int64) for cid, _ in comps
+        cid: np.zeros((bh * bw, 64), dtype=np.int64)
+        for cid, (bh, bw) in grid.items()
     }
-    prev_dc = {cid: 0 for cid, _ in comps}
-    for bi in range(n_blocks):
-        for cid, dc_t, ac_t in scan_comps:
-            dc_lut = htables[(0, dc_t)]
-            ac_lut = htables[(1, ac_t)]
-            zz = coefs[cid][bi]
-            t = _decode_symbol(br, dc_lut)
-            diff = _extend(br.bits(t), t) if t else 0
-            prev_dc[cid] += diff
-            zz[0] = prev_dc[cid]
-            k = 1
-            while k < 64:
-                sym = _decode_symbol(br, ac_lut)
-                if sym == 0x00:  # EOB
-                    break
-                run, t = sym >> 4, sym & 0xF
-                if t == 0:
-                    if run != 15:
-                        raise ValueError(f"invalid AC symbol {sym:#x}")
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[k] = _extend(br.bits(t), t)
-                k += 1
+    prev_dc = {cid: 0 for cid, *_ in comps}
+
+    def decode_block(zz: np.ndarray, cid: int, dc_t: int, ac_t: int) -> None:
+        dc_lut = htables[(0, dc_t)]
+        ac_lut = htables[(1, ac_t)]
+        t = _decode_symbol(br, dc_lut)
+        diff = _extend(br.bits(t), t) if t else 0
+        prev_dc[cid] += diff
+        zz[0] = prev_dc[cid]
+        k = 1
+        while k < 64:
+            sym = _decode_symbol(br, ac_lut)
+            if sym == 0x00:  # EOB
+                break
+            run, t = sym >> 4, sym & 0xF
+            if t == 0:
+                if run != 15:
+                    raise ValueError(f"invalid AC symbol {sym:#x}")
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[k] = _extend(br.bits(t), t)
+            k += 1
+
+    for my in range(mch):
+        for mx in range(mcw):
+            for cid, dc_t, ac_t in scan_comps:
+                hi, vi = samp[cid]
+                _bh, bw_i = grid[cid]
+                for by in range(vi):
+                    for bx in range(hi):
+                        bi = (my * vi + by) * bw_i + (mx * hi + bx)
+                        decode_block(coefs[cid][bi], cid, dc_t, ac_t)
     planes = {}
-    for cid, _ in comps:
-        raster = np.zeros((n_blocks, 64), dtype=np.float64)
+    for cid, *_ in comps:
+        bh, bw_i = grid[cid]
+        hi, vi = samp[cid]
+        raster = np.zeros((bh * bw_i, 64), dtype=np.float64)
         raster[:, _ZZ] = coefs[cid] * qt[cid].reshape(-1)[_ZZ]
         blocks = raster.reshape(-1, 8, 8)
         pix = np.einsum("ji,njk,kl->nil", _C, blocks, _C) + 128.0
         plane = (
-            pix.reshape(h8, w8, 8, 8)
+            pix.reshape(bh, bw_i, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(h8 * 8, w8 * 8)[:fh, :fw]
+            .reshape(bh * 8, bw_i * 8)
         )
-        planes[cid] = plane
+        if hi != hmax or vi != vmax:
+            # nearest-neighbor chroma upsampling back to the luma grid
+            plane = plane.repeat(vmax // vi, axis=0).repeat(
+                hmax // hi, axis=1
+            )
+        planes[cid] = plane[:fh, :fw]
     if len(comps) == 1:
         y = np.clip(np.round(planes[comps[0][0]]), 0, 255).astype(np.uint8)
         return np.stack([y, y, y], axis=-1)
-    y, cb, cr = (planes[cid] for cid, _ in comps)
+    y, cb, cr = (planes[cid] for cid, *_ in comps)
     return _ycbcr_to_rgb(y, cb, cr)

@@ -160,13 +160,23 @@ class TestContainerAndSeams:
         with pytest.raises(NotImplementedError, match="non-baseline"):
             decode_jpeg(bytes(payload))
 
-    def test_subsampling_raises_not_implemented(self):
+    def test_unsupported_sampling_raises_not_implemented(self):
+        # 4:2:0 decodes since r11; 4:2:2 (2x1) is the remaining seam
         payload = bytearray(encode_jpeg(_smooth(8, 8)))
         idx = bytes(payload).find(b"\xff\xc0")
         # SOF0 body: len(2) prec(1) h(2) w(2) nc(1) then comp triples;
         # first component's sampling byte is at idx+2+2+1+2+2+1+1
-        payload[idx + 11] = 0x22  # claim 2x2 sampling for Y
+        payload[idx + 11] = 0x21  # claim 2x1 sampling for Y
         with pytest.raises(NotImplementedError, match="sampling"):
+            decode_jpeg(bytes(payload))
+
+    def test_mislabeled_420_sampling_refuses(self):
+        # claiming 2x2 sampling over a 4:4:4-coded scan desyncs the
+        # MCU walk — the decoder must raise, not return wrong pixels
+        payload = bytearray(encode_jpeg(_smooth(24, 24)))
+        idx = bytes(payload).find(b"\xff\xc0")
+        payload[idx + 11] = 0x22
+        with pytest.raises((ValueError, NotImplementedError)):
             decode_jpeg(bytes(payload))
 
     def test_restart_interval_raises_not_implemented(self):
@@ -400,3 +410,102 @@ class TestDispatchIntegration:
         out = decode_image(encode_jpeg(img, quality=95))
         assert out.shape == img.shape
         assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+
+class TestJpeg420:
+    """Chroma-subsampled baseline JPEG (r11, VERDICT r10 stretch item
+    8): 2x2 box-downsampled chroma, MCU-interleaved scan (4Y+Cb+Cr per
+    16x16 MCU), sampling-aware decode walk + nearest upsampling."""
+
+    def _synth_smooth(self, doc_id: int) -> np.ndarray:
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.multimodal import (
+            _synth_pixels_smooth,
+        )
+
+        return _synth_pixels_smooth(doc_id)
+
+    def test_smooth_images_bounded_error(self):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.jpeg import (
+            encode_jpeg_420,
+        )
+
+        for h, w in [(16, 16), (17, 23), (8, 8), (33, 48), (12, 100)]:
+            img = _smooth(h, w)
+            out = decode_jpeg(encode_jpeg_420(img))
+            assert out.shape == img.shape
+            err = np.abs(out.astype(np.int64) - img.astype(np.int64))
+            assert err.max() <= 64, (h, w, int(err.max()))
+
+    def test_luma_stays_quantization_tight(self):
+        # luma is NOT subsampled: its error must match the 4:4:4
+        # codec's quantization envelope, whatever chroma lost
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.jpeg import (
+            encode_jpeg_420,
+        )
+
+        def luma(a):
+            return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+        for doc_id in (0, 7, 123, 999):
+            img = self._synth_smooth(doc_id)
+            out = decode_jpeg(encode_jpeg_420(img))
+            lerr = np.abs(
+                luma(out.astype(np.float64)) - luma(img.astype(np.float64))
+            )
+            assert lerr.max() <= 8.0, (doc_id, float(lerr.max()))
+
+    def test_compresses_below_444(self):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.jpeg import (
+            encode_jpeg_420,
+        )
+
+        tot420 = tot444 = 0
+        for doc_id in range(40):
+            img = self._synth_smooth(doc_id)
+            tot420 += len(encode_jpeg_420(img))
+            tot444 += len(encode_jpeg(img))
+        assert tot420 < tot444
+
+    def test_deterministic_and_redecodable(self):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.jpeg import (
+            encode_jpeg_420,
+        )
+
+        img = self._synth_smooth(42)
+        p1, p2 = encode_jpeg_420(img), encode_jpeg_420(img)
+        assert p1 == p2
+        assert np.array_equal(decode_jpeg(p1), decode_jpeg(p1))
+
+    def test_sof_carries_420_sampling_factors(self):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.jpeg import (
+            encode_jpeg_420,
+        )
+
+        payload = encode_jpeg_420(self._synth_smooth(3))
+        idx = payload.find(b"\xff\xc0")
+        assert payload[idx + 11] == 0x22  # Y 2x2
+        assert payload[idx + 14] == 0x11  # Cb 1x1
+        assert payload[idx + 17] == 0x11  # Cr 1x1
+
+    def test_solid_color_nearly_exact(self):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.jpeg import (
+            encode_jpeg_420,
+        )
+
+        img = np.full((20, 28, 3), (90, 160, 40), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg_420(img))
+        err = np.abs(out.astype(np.int64) - img.astype(np.int64))
+        assert err.max() <= 2
+
+    def test_progressive_subsampled_guard(self):
+        # SOF2 + subsampling stays a seam: patch the progressive SOF's
+        # sampling byte and expect the refusal
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.jpeg import (
+            encode_jpeg_progressive,
+        )
+
+        payload = bytearray(encode_jpeg_progressive(_smooth(16, 16)))
+        idx = bytes(payload).find(b"\xff\xc2")
+        payload[idx + 11] = 0x22
+        with pytest.raises(NotImplementedError, match="progressive"):
+            decode_jpeg(bytes(payload))

@@ -388,6 +388,28 @@ SELF_AUDITS = {
         + _audit_min("baseline_match", 1)(pdf)
         + _audit_abs_max("max_abs_err", 64)(pdf)
     ),
+    # 4:2:0 JPEG round trip (r11): the shared lossy envelope on the
+    # smooth-chroma fixture (calibrated worst case 50 over 2,000 docs),
+    # PLUS a tight luma bound (luma is not subsampled — its error stays
+    # pure quantization; measured max 3.3, bound 8.0 in centi-units)
+    # and the format's raison d'etre: the 4:2:0 payload total must be
+    # strictly below the 4:4:4 total for the same images (~0.87x).
+    "multimodal_jpeg420_roundtrip": lambda pdf: (
+        _audit_min("dims_match", 1)(pdf)
+        + _audit_min("redecode_match", 1)(pdf)
+        + _audit_abs_max("max_abs_err", 64)(pdf)
+        + _audit_abs_max("max_luma_err_centi", 800)(pdf)
+        + (
+            []
+            if "payload_bytes" in pdf.columns
+            and "payload_bytes_444" in pdf.columns
+            and pdf["payload_bytes"].sum() < pdf["payload_bytes_444"].sum()
+            else [
+                "self-audit: 4:2:0 payload total not below the 4:4:4 "
+                "total — subsampling bought nothing"
+            ]
+        )
+    ),
     # MJPG-in-AVI round trip: same lossy contract as the still-image
     # one (synth worst case measured 48 over 2,000 docs; bound 64).
     "multimodal_mjpg_roundtrip": lambda pdf: (

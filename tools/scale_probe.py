@@ -202,6 +202,9 @@ PROBED = [
     # round 11: the stereo/LPC FLAC round trip — same pure map-side
     # Arrow shape as the other codecs, expected ~linear.
     "multimodal_flac_lpc_roundtrip",
+    # round 11: the 4:2:0 JPEG round trip — encodes BOTH layouts per
+    # doc (the payload-shrink audit), so ~2x the 4:4:4 probe's work.
+    "multimodal_jpeg420_roundtrip",
     # round 10: streaming vocab census — the decorrelated replica grows
     # the VOCABULARY (the rollup key space) Nx by design; wall includes
     # the two staged writes + both micro-batches + the ordered-scan
