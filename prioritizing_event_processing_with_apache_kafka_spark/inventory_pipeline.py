@@ -5162,64 +5162,141 @@ FROM per_cluster
 """
 
 
+def _fact_partitions(
+    spark: SparkSession, sf_dir: str, table: str, *, target_mb: int = 64
+) -> int:
+    """Reduce-partition count sized from a fact table's on-disk bytes
+    (~``target_mb`` of decompressed data per partition, assuming ~3x
+    parquet expansion), floored at the session's default parallelism
+    and capped at 4096. The bytes-per-partition discipline a real
+    deployment applies cluster-wide, derived per-query here because
+    the fixture harness pins spark.sql.shuffle.partitions to the core
+    count — right for 60k-row fixtures, thrash-prone once a key-scaled
+    working set is 100x that (see q_supplier_ship_sla's plan note)."""
+    import os
+
+    path = f"{sf_dir.rstrip('/')}/{table}.parquet"
+    try:
+        if os.path.isdir(path):
+            nbytes = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(path)
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+        else:
+            nbytes = os.path.getsize(path)
+    except OSError:
+        nbytes = 0
+    floor = spark.sparkContext.defaultParallelism
+    return max(floor, min(4096, -(-nbytes * 3 // (target_mb << 20))))
+
+
 def q_supplier_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier order-to-ship SLA watch: per supplier, shipment count,
     mean and EXACT p95 lag days (histogram-lattice disc percentile —
     fences sized by distinct lag values per supplier), the share of
     shipments beyond 90 days (ppm), and a flag vs the corpus-wide late
-    share. The fact scan pays one supplier-keyed aggregate; the
-    percentile pass runs on the (supplier, lag) histogram. Hash-
-    oracled."""
+    share. Hash-oracled.
+
+    Plan (re-planned r11 — the third-decade grow probe caught the old
+    shape bending super-linear at 300× keys because the lag frame's
+    lineitem⋈orders join ran TWICE, once under the base aggregate and
+    once under the percentile operator): ONE fact join, ONE map-
+    combined (supplier, lag) histogram aggregate, the histogram
+    persisted, and every statistic — count, integer mean, late share,
+    AND the p95 fences (``exact_group_percentiles(count_col=...)``) —
+    derived from that single histogram. Nothing downstream of the one
+    aggregate touches the fact table again.
+
+    Partition sizing: on this query the "histogram" does NOT collapse
+    far below the fact table (suppliers × observed lags ≈ 0.75× fact
+    rows at grow scale), so reduce partitions must track the DATA, not
+    the core count — at 300× keys on 32 fixed partitions the persisted
+    histogram thrashed (controlled experiment, docs/SCALE.md r11: old
+    shape 134.6 s / new 235.4 s at 32 partitions, old 175.2 s / new
+    71.3 s at 256). The lag frame is therefore explicitly
+    ``repartition(N, l_suppkey)`` with N sized from the fact table's
+    bytes (~64 MB decompressed per partition, floored at the session
+    parallelism) — and because hash(l_suppkey) satisfies the
+    clustering requirement of the histogram aggregate, the percentile
+    window, AND the per-supplier rollup (subset clustering), that one
+    right-sized exchange is the ONLY post-join shuffle in the query."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    lag = (
-        li.select("l_orderkey", "l_suppkey", "l_shipdate")
-        .join(orders.select("o_orderkey", "o_orderdate"),
-              li["l_orderkey"] == F.col("o_orderkey"))
-        .select(
-            "l_suppkey",
-            F.expr(
-                "CAST((unix_micros(CAST(l_shipdate AS TIMESTAMP))"
-                " - unix_micros(CAST(o_orderdate AS TIMESTAMP)))"
-                " DIV 86400000000 AS BIGINT)"
-            ).alias("lag_days"),
-        )
+    n_parts = _fact_partitions(spark, sf_dir, "lineitem")
+    # Size the JOIN exchanges too, not just the post-join shuffle: the
+    # controlled experiment showed the 32-partition sort-merge sort
+    # (5.6M rows/task at 300x) was the thrash source. Explicit
+    # same-N hash partitioning on the join keys is exactly what the
+    # sort-merge join requires, so no extra exchange is inserted.
+    li_k = li.select("l_orderkey", "l_suppkey", "l_shipdate").repartition(
+        n_parts, "l_orderkey"
+    )
+    ord_k = orders.select("o_orderkey", "o_orderdate").repartition(
+        n_parts, "o_orderkey"
+    )
+    lag = li_k.join(
+        ord_k, li_k["l_orderkey"] == F.col("o_orderkey")
+    ).select(
+        "l_suppkey",
+        F.expr(
+            "CAST((unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+            " - unix_micros(CAST(o_orderdate AS TIMESTAMP)))"
+            " DIV 86400000000 AS BIGINT)"
+        ).alias("lag_days"),
     )
     from prioritizing_event_processing_with_apache_kafka_spark.operators.sketches import (
         exact_group_percentiles,
     )
 
-    base = lag.groupBy("l_suppkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_shipments"),
-        F.expr("sum(lag_days) DIV count(1)").cast("bigint").alias(
-            "mean_lag_days"
-        ),
-        F.coalesce(F.sum(F.when(F.col("lag_days") > 90, 1)), F.lit(0))
-        .cast("bigint")
-        .alias("__late"),
-    )
-    p95 = exact_group_percentiles(
-        lag, group_col="l_suppkey", value_col="lag_days", percentiles=(95,)
-    ).select("l_suppkey", F.col("disc_p95").cast("bigint").alias("p95_lag_days"))
-    glob = base.agg(
-        F.expr("sum(__late) * 1000000 DIV sum(n_shipments)").alias("__gppm")
-    )
-    return (
-        base.join(p95, "l_suppkey")
-        .join(F.broadcast(glob))
-        .select(
-            "l_suppkey",
-            "n_shipments",
-            "mean_lag_days",
-            "p95_lag_days",
-            F.expr("__late * 1000000 DIV n_shipments")
+    base = exact_group_percentiles(
+        lag.repartition(n_parts, "l_suppkey"),
+        group_col="l_suppkey",
+        value_col="lag_days",
+        percentiles=(95,),
+        extra_aggs=[
+            F.sum("__c").cast("bigint").alias("n_shipments"),
+            F.expr("sum(lag_days * __c) DIV sum(__c)")
             .cast("bigint")
-            .alias("late_ppm"),
-            (
-                F.expr("__late * 1000000 DIV n_shipments")
-                > F.col("__gppm")
-            ).alias("worse_than_fleet"),
-        )
+            .alias("mean_lag_days"),
+            F.coalesce(
+                F.sum(F.when(F.col("lag_days") > 90, F.col("__c"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("__late"),
+        ],
+    ).select(
+        "l_suppkey",
+        F.col("disc_p95").cast("bigint").alias("p95_lag_days"),
+        "n_shipments",
+        "mean_lag_days",
+        "__late",
+    )
+    # base is SUPPLIER-sized (one row per supplier) and needed twice
+    # (the fleet-wide share and the final projection). Persist + fetch
+    # the ONE fleet scalar driver-side (the same convergence-scalar
+    # discipline the graph operators use): a lazy second consumer —
+    # even broadcast-joined — launches a concurrent job that RACES the
+    # main plan into the unmaterialized cache and re-runs the 205-task
+    # fact stages (measured at 300x: 183 s vs 80 s).
+    base = scoped_persist(base)
+    tot = base.agg(
+        F.sum("__late").alias("l"), F.sum("n_shipments").alias("n")
+    ).collect()[0]
+    gppm = int(tot["l"]) * 1_000_000 // int(tot["n"])
+    return base.select(
+        "l_suppkey",
+        "n_shipments",
+        "mean_lag_days",
+        "p95_lag_days",
+        F.expr("__late * 1000000 DIV n_shipments")
+        .cast("bigint")
+        .alias("late_ppm"),
+        (
+            F.expr("__late * 1000000 DIV n_shipments") > F.lit(gppm)
+        ).alias("worse_than_fleet"),
     )
 
 

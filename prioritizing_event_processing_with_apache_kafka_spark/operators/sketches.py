@@ -258,6 +258,8 @@ def exact_group_percentiles(
     group_col: str,
     value_col: str,
     percentiles: tuple[int, ...] = (50, 90, 99),
+    count_col: str | None = None,
+    extra_aggs: list | None = None,
 ) -> DataFrame:
     """EXACT ``percentile_disc`` and ``percentile_cont`` per group from
     a value HISTOGRAM — the scale path for exact order statistics.
@@ -282,12 +284,32 @@ def exact_group_percentiles(
     aggregate (map-side combinable — the row count collapses at the
     mappers) and the per-group cumulative window. Nothing downstream
     of the first aggregate ever scales with the fact-table row count.
+
+    Pass ``count_col`` when ``df`` ALREADY IS the (group, value, count)
+    histogram: the aggregate is skipped entirely.
+
+    Pass ``extra_aggs`` (Column aggregate expressions over the
+    histogram frame — per-(group, value) rows with the count in
+    ``__c``) to fold FURTHER per-group statistics into the SAME final
+    aggregate: a caller that needs the histogram for other numbers too
+    (e.g. ``q_supplier_ship_sla``'s count/integer-mean/late-share)
+    then pays ZERO extra passes and ZERO extra joins — the r11
+    third-decade probe caught that query's old separate-base-aggregate
+    shape re-running the fact join and bending super-linear at 300×
+    keys.
     """
-    hist = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(group_col, value_col)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
-    )
+    if count_col is not None:
+        hist = df.filter(F.col(value_col).isNotNull()).select(
+            group_col,
+            value_col,
+            F.col(count_col).cast("bigint").alias("__c"),
+        )
+    else:
+        hist = (
+            df.filter(F.col(value_col).isNotNull())
+            .groupBy(group_col, value_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+        )
     from pyspark.sql import Window
 
     wcum = (
@@ -322,6 +344,8 @@ def exact_group_percentiles(
                 / F.lit(100.0)
             ).alias(f"cont_p{p}")
         )
+    if extra_aggs:
+        aggs.extend(extra_aggs)
     return cum.groupBy(group_col).agg(*aggs)
 
 
