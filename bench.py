@@ -231,24 +231,33 @@ def adjudicate(
     reconstructed forensically — detect it AT MEASUREMENT TIME
     instead).
 
-    A query is DIVERGENT when its median exceeds 1.5× its reference
-    median (with a 0.3 s absolute floor so sub-second noise can't
-    trigger it). The discriminator between contention and plan drift is
-    the per-query spread MINIMUM from the same session: a plan that
-    still reaches ≤1.25× its reference somewhere in its three reps can
-    still execute at historical speed — the elevated median is load,
-    not shape. Verdicts:
+    Per-query ratios are first NORMALIZED by the fleet median ratio:
+    when the whole machine runs 1.7× slower than it did at the
+    reference epoch (observed in r11 — untouched trivial queries shift
+    exactly like heavy ones), every raw ratio exceeds any fixed
+    threshold and per-query flags are meaningless. A query is DIVERGENT
+    only when it moved 1.5× beyond the FLEET's own shift (with a 0.3 s
+    absolute floor so sub-second noise can't trigger it). The
+    contention-vs-drift discriminator is the per-query spread MINIMUM
+    from the same session, also fleet-normalized: a plan whose best rep
+    still reaches ≤1.25× (fleet-adjusted) reference can still execute
+    at historical speed. Verdicts:
 
     - ``within_band``: common-set total ratio ≤ 1.1 and nothing
       divergent — nothing to explain.
+    - ``ambient_slowdown``: fleet median ratio > 1.25 with no query
+      diverging from the fleet — the MACHINE moved, not the plans;
+      compare rounds through the fleet-normalized numbers (or
+      regenerate the reference series on the current machine).
     - ``contention_suspected_plans_unchanged``: divergent medians whose
       minima all recover — cross-check the committed plan fingerprints
       and prefer the solo series for cross-round comparison.
     - ``plan_drift_suspected``: a divergent query whose minimum never
-      approaches reference — re-run tools/gen_plan_fingerprints.py and
-      the solo bench; something real changed.
-    - ``elevated``: total ratio > 1.1 without any per-query divergence
-      (uniform slowdown — ambient load).
+      approaches (fleet-adjusted) reference — re-run
+      tools/gen_plan_fingerprints.py and the solo bench; something
+      real changed.
+    - ``elevated``: total ratio > 1.1 without per-query divergence or
+      a fleet-wide shift (mild mixed load).
     """
     ref_q = ref.get("queries", {})
     common = [n for n in timings if n in ref_q and ref_q[n] > 0]
@@ -257,20 +266,31 @@ def adjudicate(
     total_now = sum(timings[n] for n in common)
     total_ref = sum(ref_q[n] for n in common)
     ratio = total_now / total_ref
+    ratios = sorted(timings[n] / ref_q[n] for n in common)
+    mid = len(ratios) // 2
+    fleet = (
+        ratios[mid]
+        if len(ratios) % 2
+        else (ratios[mid - 1] + ratios[mid]) / 2
+    )
+    fleet = max(fleet, 1e-9)
     divergent = {}
     for n in common:
         r = timings[n] / ref_q[n]
-        if r > 1.5 and timings[n] - ref_q[n] > 0.3:
+        if r / fleet > 1.5 and timings[n] - ref_q[n] * fleet > 0.3:
             mn = spreads.get(n, [timings[n]])[0]
             divergent[n] = {
                 "median": timings[n],
                 "ref": ref_q[n],
                 "ratio": round(r, 2),
+                "fleet_norm_ratio": round(r / fleet, 2),
                 "min": mn,
-                "min_ratio": round(mn / ref_q[n], 2),
+                "min_ratio": round(mn / (ref_q[n] * fleet), 2),
             }
     if ratio <= 1.1 and not divergent:
         verdict = "within_band"
+    elif not divergent and fleet > 1.25:
+        verdict = "ambient_slowdown"
     elif divergent and all(
         d["min_ratio"] <= 1.25 for d in divergent.values()
     ):
@@ -285,6 +305,7 @@ def adjudicate(
         "total_sec": round(total_now, 3),
         "ref_total_sec": round(total_ref, 3),
         "ratio": round(ratio, 3),
+        "fleet_median_ratio": round(fleet, 3),
         "divergent": divergent,
         "verdict": verdict,
     }
