@@ -1316,7 +1316,6 @@ def q_stream_route_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     mid = (lo_hi["lo"] + lo_hi["hi"]) // 2
     root = tempfile.mkdtemp(prefix="peps-tws-route-")
-    chk = tempfile.mkdtemp(prefix="peps-tws-chk-")
     prov_key = "spark.sql.streaming.stateStore.providerClass"
     prev_prov = spark.conf.get(prov_key, None)
     try:
@@ -1357,7 +1356,6 @@ def q_stream_route_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set(prov_key, prev_prov)
         shutil.rmtree(root, ignore_errors=True)
-        shutil.rmtree(chk, ignore_errors=True)
 
 
 def q_stream_windowed_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -305,6 +305,15 @@ def _plan_subframe(x: np.ndarray, eff_bps: int) -> tuple:
             continue
         q, shift = ql
         res = _lpc_residual(x, q, shift)
+        # Self-review guard: a pathologically unstable quantized filter
+        # (shift 0, near-max coefficients) can push residuals past the
+        # 31-bit escape width, which write() would silently truncate
+        # into an undecodable stream (the MD5 would catch it at decode,
+        # but the encoder must never emit it). FIXED predictors bound
+        # their residuals at ~2^21, so skipping LPC here always leaves
+        # a safe plan.
+        if int(np.abs(res).max(initial=0)) >= 1 << 30:
+            continue
         cost = (
             8
             + order * eff_bps
