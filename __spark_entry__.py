@@ -50,62 +50,14 @@ _DRIVER_HEAD = [
     "starved_discard_audit",
     "assignment_golden",
     "bucket_allocation_vs_load",
-    # --- round-11 rotation (VERDICT r10 item 5: front the r06-drawn
-    # cohort). Stalest-first by (last drawn round, total draws): the
-    # two r05 stragglers, the seventeen r06/draws=1 names, then the
-    # r06/draws=2 cohort up to the window budget; every entry is
-    # hash-oracled (the all-oracled-window rule from r10 holds, pinned
-    # by tests/test_round10_fixes.py::test_driver_head_is_all_oracled).
-    "table_profile",
-    "user_value_ewma",
-    "changelog_compaction",
-    "corpus_diff_status",
-    "decontamination_bloom",
-    "heavy_hitter_users",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q19_disjunctive_filter",
-    "q20_excess_shippers",
-    "q22_idle_customers",
-    "q7_nation_volume",
-    "q8_market_share",
-    "scd2_customer_segments",
-    "scd2_stream_history",
-    "stream_enriched_segments",
-    "stream_error_purchase_pairs",
-    "boilerplate_spans",
-    "bpe_merge_pairs",
-    "curation_funnel",
-    "decontamination",
-    "dedup_components",
-    "dedup_edit_distance",
-    "dedup_incremental",
-    "dedup_incremental_steady",
-    "dedup_minhash_oph",
-    "dedup_pagerank",
-    "doc_chunks",
-    "dsir_weights",
-    "embedding_kmeans",
-    "embedding_label_centroids",
-    "embedding_quantize",
-    "lm_doc_score",
-    "pii_redact",
-    "semantic_dedup",
-    "span_dedup",
-    "term_doc_frequency",
-    "text_bigram_quality",
-    "text_repetition",
-    # (tail) round-11 new queries, zero prior draws, both hash-oracled:
-    # the promoted transformWithState router (shares the
-    # route_events_exact oracle) and the stereo/LPC FLAC round trip
-    # (lossless, arithmetic-lattice oracle) — window slots 49-50.
-    "stream_route_tws",
-    "multimodal_flac_lpc_roundtrip",
-    # --- window boundary (~50) ---
-    # (overflow) next-stalest oracled cohort — the r06 remainder, then
-    # the r07-drawn names — fronted next round per the rotation policy.
+    # --- round-12 rotation (VERDICT r11 item 5: front the overflow
+    # cohort). Stalest-first by (last drawn round, total draws),
+    # recomputed from CORRECTNESS_r01..r11.json: the two r06/draws=2
+    # stragglers, the twenty-seven r07/draws=1 names, the ten
+    # r07/draws=2 names, then the r08/draws=1 cohort (alphabetical)
+    # up to the window budget; every entry is hash-oracled (the
+    # all-oracled-window rule from r10 holds, pinned by
+    # tests/test_round10_fixes.py::test_driver_head_is_all_oracled).
     "tfidf_top_terms",
     "vocab_coverage",
     "bucket_cusum_alarm",
@@ -135,6 +87,30 @@ _DRIVER_HEAD = [
     "ts_gap_fill",
     "user_time_weighted_value",
     "user_value_trend",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "embedding_neardup",
+    "embedding_topk",
+    "events_tier_at_time",
+    "lang_id_eval",
+    "q12_priority_by_lateness",
+    "bucket_percentile_exact",
+    "bucket_value_mad",
+    "conversion_wilson_ci",
+    "corpus_pack_stats",
+    # --- window boundary (~50) ---
+    # (overflow) next-stalest oracled cohort — the r08/draws=1
+    # remainder — fronted next round per the rotation policy.
+    "customer_rfm",
+    "documents_weighted_sample",
+    "effective_corpus_size",
+    "embedding_outlier_audit",
+    "embedding_quantile_norm",
+    "erasure_cascade",
+    "events_ab_test",
 ]
 
 

@@ -5188,6 +5188,30 @@ def _fact_partitions(
             nbytes = os.path.getsize(path)
     except OSError:
         nbytes = 0
+    if nbytes <= 0:
+        # Non-local sf_dir (hdfs://, s3a://, ...): os.path sees nothing
+        # and a silent 0 would quietly revert the caller to
+        # defaultParallelism — the exact thrash regime the r11 re-plan
+        # fixed (ADVICE r11). Ask the Hadoop FileSystem instead, and
+        # make any remaining failure visible rather than silent.
+        try:
+            jvm = spark._jvm
+            jsc = spark._jsc
+            hconf = jsc.hadoopConfiguration()
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(hconf)
+            nbytes = fs.getContentSummary(hpath).getLength()
+        except Exception:
+            import warnings
+
+            warnings.warn(
+                f"_fact_partitions: byte probe failed for {path!r}; "
+                "falling back to defaultParallelism reduce partitions "
+                "(fine for fixtures, thrash-prone at grow scale)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            nbytes = 0
     floor = spark.sparkContext.defaultParallelism
     return max(floor, min(4096, -(-nbytes * 3 // (target_mb << 20))))
 

@@ -460,10 +460,18 @@ def _frame_header(n: int, chan_code: int, frame_no: int) -> bytes:
     return hdr.bytes()
 
 
-def _encode_frame(subchans: list[np.ndarray], chan_code: int, frame_no: int) -> bytes:
+def _encode_frame(
+    subchans: list[np.ndarray],
+    chan_code: int,
+    frame_no: int,
+    plans: list | None = None,
+) -> bytes:
     """One fixed-blocking-strategy frame: CRC-8-guarded header, the
     given per-channel subframe signals (already decorrelated where the
-    assignment says so), zero-padding to alignment, CRC-16 footer."""
+    assignment says so), zero-padding to alignment, CRC-16 footer.
+    ``plans`` (one per subchannel) reuses subframe plans the caller
+    already computed during candidate costing; when absent each
+    subchannel is planned here."""
     n = len(subchans[0])
     hdr_bytes = _frame_header(n, chan_code, frame_no)
     frame = _BitWriter()
@@ -472,7 +480,10 @@ def _encode_frame(subchans: list[np.ndarray], chan_code: int, frame_no: int) -> 
     frame.write(_crc8(hdr_bytes), 8)
     for idx, x in enumerate(subchans):
         eff_bps = 16 + _side_bit(chan_code, idx)
-        plan, _cost = _plan_subframe(x, eff_bps)
+        if plans is not None:
+            plan = plans[idx]
+        else:
+            plan, _cost = _plan_subframe(x, eff_bps)
         _write_subframe(frame, x, eff_bps, plan)
     frame.align()
     frame_bytes = frame.bytes()
@@ -501,15 +512,35 @@ def _encode_stereo_frame(left: np.ndarray, right: np.ndarray, frame_no: int) -> 
         (0b1001, [side, right]),
         (0b1010, [mid, side]),
     ]
-    best_code, best_chans, best_cost = None, None, None
+    # Distinct (signal, eff_bps) pairs across the four candidates:
+    # left@16, right@16, mid@16, side@17 — plan each ONCE and hand the
+    # winner's plans straight to the serializer instead of re-running
+    # autocorrelation + Levinson-Durbin + Rice scans on the winning
+    # channels (ADVICE r11: ~25% redundant planning per stereo frame).
+    plan_cache: dict[tuple[int, int], tuple] = {}
+
+    def planned(x: np.ndarray, eff_bps: int) -> tuple:
+        key = (id(x), eff_bps)
+        if key not in plan_cache:
+            plan_cache[key] = _plan_subframe(x, eff_bps)
+        return plan_cache[key]
+
+    best_code, best_chans, best_plans, best_cost = None, None, None, None
     for code, chans in candidates:
         cost = 0
+        plans = []
         for idx, x in enumerate(chans):
-            _plan, c = _plan_subframe(x, 16 + _side_bit(code, idx))
+            plan, c = planned(x, 16 + _side_bit(code, idx))
+            plans.append(plan)
             cost += c
         if best_cost is None or cost < best_cost:
-            best_code, best_chans, best_cost = code, chans, cost
-    return _encode_frame(best_chans, best_code, frame_no)
+            best_code, best_chans, best_plans, best_cost = (
+                code,
+                chans,
+                plans,
+                cost,
+            )
+    return _encode_frame(best_chans, best_code, frame_no, plans=best_plans)
 
 
 # ---------------------------------------------------------------------------

@@ -282,6 +282,12 @@ def mg_exact_topk(
                 .orderBy(F.desc(count_alias), F.asc(key_col))
                 .limit(k)
             )
+        else:
+            # Certificate passed: the collected head IS the certified
+            # readout — hand it back as a local-relation DataFrame so
+            # the caller's materialization doesn't re-run the candidate
+            # recount job a second time (ADVICE r11).
+            return spark.createDataFrame(head, top.schema)
     return top
 
 

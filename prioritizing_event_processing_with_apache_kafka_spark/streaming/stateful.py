@@ -15,9 +15,11 @@ throughput — state-store I/O costs real latency, and one state key per
 bucket serializes each bucket's assignment into a single task per batch
 (the same trade-off the reference's shared counter makes).
 
-Not SQL-expressible (stateful, order-dependent) — exercised by the
-streaming test suite rather than the DuckDB oracle; the driver records
-the weaker rows-only check for such operators by design.
+Despite being stateful and order-dependent, the batch-replay harness
+makes it fully hash-oracled: the declared ``stream_route_tws`` query
+replays the events table through a real two-batch checkpointed stream
+and its result is bit-compared against ``SQL_ROUTE_EVENTS_EXACT``
+(``inventory.py``) — the same DuckDB oracle the stateless router uses.
 """
 
 from __future__ import annotations
@@ -50,6 +52,40 @@ __all__ = [
 # same vendored copy tests/conftest.py wires onto PYTHONPATH. Used only
 # as a fallback when the site environment lacks protobuf.
 _VENDORED_PROTOBUF_ROOT = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+
+
+def _private_zip_path(base_tmp: str | None = None) -> str:
+    """Path for the vendored-protobuf zip inside a per-user 0700
+    directory (NOT directly under the world-writable /tmp): a
+    predictable world-readable path could be pre-planted by another
+    local user and would then execute in the driver and every worker
+    via ``addPyFile`` (ADVICE r11). Anything pre-existing that we don't
+    own with exactly these permissions — a symlink, a foreign owner,
+    group/other access, or a foreign-owned zip inside — is refused in
+    favor of a fresh ``mkdtemp`` private dir."""
+    import os
+    import stat as stat_mod
+    import tempfile
+
+    tmp = base_tmp or tempfile.gettempdir()
+    zdir = os.path.join(tmp, f"peps-protobuf-{os.getuid()}")
+    try:
+        os.mkdir(zdir, 0o700)
+    except FileExistsError:
+        st = os.lstat(zdir)
+        if (
+            not stat_mod.S_ISDIR(st.st_mode)
+            or st.st_uid != os.getuid()
+            or (st.st_mode & 0o077) != 0
+        ):
+            zdir = tempfile.mkdtemp(prefix="peps-protobuf-", dir=tmp)
+    zpath = os.path.join(zdir, "peps_vendored_protobuf.zip")
+    if os.path.exists(zpath):
+        st = os.lstat(zpath)
+        if not stat_mod.S_ISREG(st.st_mode) or st.st_uid != os.getuid():
+            zdir = tempfile.mkdtemp(prefix="peps-protobuf-", dir=tmp)
+            zpath = os.path.join(zdir, "peps_vendored_protobuf.zip")
+    return zpath
 
 
 def ensure_protobuf(spark) -> None:
@@ -97,7 +133,7 @@ def ensure_protobuf(spark) -> None:
             "route_stream_stateful (same output, applyInPandasWithState) "
             "where protobuf is unavailable"
         )
-    zpath = os.path.join(tempfile.gettempdir(), "peps_vendored_protobuf.zip")
+    zpath = _private_zip_path()
     if not os.path.exists(zpath):
         tmp = f"{zpath}.tmp-{uuid.uuid4().hex}"
         with zipfile.ZipFile(tmp, "w") as z:
@@ -136,8 +172,17 @@ def ensure_protobuf(spark) -> None:
     sc.addPyFile(zpath)
     # A partially-resolved 'google' namespace module cached BEFORE the
     # zip joined sys.path would keep shadowing the zip's regular
-    # package; drop the stale entries and re-resolve.
-    for name in [n for n in sys.modules if n == "google" or n.startswith("google.")]:
+    # package; drop ONLY 'google' itself plus any partially-imported
+    # google.protobuf entries and re-resolve. Evicting unrelated
+    # google.* namespace packages (e.g. google.cloud) would break class
+    # identity for code holding live references to the old modules.
+    for name in [
+        n
+        for n in sys.modules
+        if n == "google"
+        or n == "google.protobuf"
+        or n.startswith("google.protobuf.")
+    ]:
         del sys.modules[name]
     import importlib
 
