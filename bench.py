@@ -219,11 +219,85 @@ HEADLINE = [
     "stream_route_tws",
 ]
 
+# The staged-replay streaming twins: their sf0.1 cost is dominated by a
+# ~2 s session-constant floor (temp parquet staging + checkpoint +
+# state-store setup), not per-row work, which masks scan-shaped
+# regressions in the raw numbers (VERDICT r11 item 3). The bench
+# measures that floor ONCE per session via a 0-row twin and reports
+# each twin's MARGINAL (median - floor); the adjudicator compares
+# marginals so a twin's divergence flag reflects its data path.
+STREAM_TWINS = frozenset(
+    n
+    for n in HEADLINE
+    if n.startswith("stream_") or n == "scd2_stream_history"
+)
+
+
+def setup_floor_query(spark):
+    """The 0-row streaming twin: identical machinery to the staged-
+    replay twins — two single-file parquet drops, an availableNow file
+    stream with maxFilesPerTrigger=1, the mergeable rollup store
+    behind foreachBatch, a checkpoint, and the state-result readout —
+    over ONE data row per batch (a truly empty batch commits no state
+    version; one row keeps the commit path real at negligible row
+    cost). Its cost IS the session's staged-replay setup floor."""
+    import shutil
+    import tempfile
+
+    from prioritizing_event_processing_with_apache_kafka_spark.streaming.rollup import (
+        rollup_foreach_batch,
+        rollup_state_result,
+    )
+    from prioritizing_event_processing_with_apache_kafka_spark.streaming.staging import (
+        stage_two_batch_stream,
+    )
+
+    from pyspark.sql import functions as F
+
+    # One JVM-side row (spark.range, NOT createDataFrame — the Python-
+    # rows path spins up a Python worker per staged write, ~2-4 s of
+    # cost NO real twin pays, which would overstate the floor and
+    # clamp every marginal to zero).
+    one = spark.range(1).select(
+        F.lit(0).cast("bigint").alias("k"),
+        F.lit(1).cast("bigint").alias("v"),
+    )
+    root = tempfile.mkdtemp(prefix="peps-floor-")
+    state_path = os.path.join(root, "state")
+    chk = os.path.join(root, "chk")
+    try:
+        src_dir, schema = stage_two_batch_stream(root, [one, one])
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .writeStream.foreachBatch(
+                rollup_foreach_batch(
+                    state_path=state_path,
+                    key_col="k",
+                    specs=[("v_sum", "sum", "v")],
+                )
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return rollup_state_result(spark, state_path).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
 
 def adjudicate(
     timings: dict[str, float],
     spreads: dict[str, list[float]],
     ref: dict,
+    *,
+    floors: tuple[float, float] | None = None,
+    stream_twins: frozenset = frozenset(),
+    remeasure=None,
 ) -> dict | None:
     """Self-adjudicate this run against the committed reference series
     (VERDICT r10 item 1: the r10 driver bench read 1.32× the solo
@@ -258,15 +332,42 @@ def adjudicate(
       real changed.
     - ``elevated``: total ratio > 1.1 without per-query divergence or
       a fleet-wide shift (mild mixed load).
+
+    Round-12 hardening (VERDICT r11 items 1 and 3):
+
+    - **Marginal comparison for the staged-replay stream twins.** When
+      ``floors=(now_floor, ref_floor)`` is given, queries in
+      ``stream_twins`` are compared on ``median - floor`` (clamped to
+      50 ms) on BOTH sides — the session-constant staging/checkpoint/
+      state-store floor otherwise dilutes every twin's ratio and masks
+      scan-shaped regressions in the marginal data path.
+    - **Re-measure before committing a drift verdict.** The r11
+      official bench carried a false ``plan_drift_suspected`` for
+      ``stream_vocab_incremental`` because the committed reference
+      point was one lucky solo draw. With ``remeasure`` (a callable
+      ``name -> list[sec]`` that re-runs the query solo in the same
+      session), every would-be divergent query is re-measured and its
+      fresh minimum replaces the in-run spread minimum; only a query
+      whose BEST re-measured rep still can't approach (fleet-adjusted)
+      reference keeps the drift verdict.
     """
     ref_q = ref.get("queries", {})
     common = [n for n in timings if n in ref_q and ref_q[n] > 0]
     if not common:
         return None
+    now_floor, ref_floor = floors if floors else (None, None)
+
+    def eff(n: str, t: float, floor: float | None) -> float:
+        if floor is not None and n in stream_twins:
+            return max(t - floor, 0.05)
+        return t
+
     total_now = sum(timings[n] for n in common)
     total_ref = sum(ref_q[n] for n in common)
     ratio = total_now / total_ref
-    ratios = sorted(timings[n] / ref_q[n] for n in common)
+    eff_now = {n: eff(n, timings[n], now_floor) for n in common}
+    eff_ref = {n: eff(n, ref_q[n], ref_floor) for n in common}
+    ratios = sorted(eff_now[n] / eff_ref[n] for n in common)
     mid = len(ratios) // 2
     fleet = (
         ratios[mid]
@@ -276,17 +377,35 @@ def adjudicate(
     fleet = max(fleet, 1e-9)
     divergent = {}
     for n in common:
-        r = timings[n] / ref_q[n]
-        if r / fleet > 1.5 and timings[n] - ref_q[n] * fleet > 0.3:
-            mn = spreads.get(n, [timings[n]])[0]
+        r = eff_now[n] / eff_ref[n]
+        if r / fleet > 1.5 and eff_now[n] - eff_ref[n] * fleet > 0.3:
+            mn = eff(n, spreads.get(n, [timings[n]])[0], now_floor)
             divergent[n] = {
                 "median": timings[n],
                 "ref": ref_q[n],
+                "marginal": round(eff_now[n], 3),
+                "ref_marginal": round(eff_ref[n], 3),
                 "ratio": round(r, 2),
                 "fleet_norm_ratio": round(r / fleet, 2),
                 "min": mn,
-                "min_ratio": round(mn / (ref_q[n] * fleet), 2),
+                "min_ratio": round(mn / (eff_ref[n] * fleet), 2),
             }
+    if divergent and remeasure is not None:
+        for n, d in divergent.items():
+            try:
+                runs = remeasure(n)
+            except Exception as exc:  # noqa: BLE001 — adjudication is advisory
+                d["remeasure_error"] = str(exc)
+                continue
+            if not runs:
+                continue
+            d["remeasured"] = [round(x, 3) for x in sorted(runs)]
+            fresh_min = eff(n, min(runs), now_floor)
+            if fresh_min < d["min"]:
+                d["min"] = round(fresh_min, 3)
+                d["min_ratio"] = round(
+                    fresh_min / (eff_ref[n] * fleet), 2
+                )
     if ratio <= 1.1 and not divergent:
         verdict = "within_band"
     elif not divergent and fleet > 1.25:
@@ -299,7 +418,7 @@ def adjudicate(
         verdict = "plan_drift_suspected"
     else:
         verdict = "elevated"
-    return {
+    out = {
         "reference": ref.get("round", "unknown"),
         "common": len(common),
         "total_sec": round(total_now, 3),
@@ -309,6 +428,11 @@ def adjudicate(
         "divergent": divergent,
         "verdict": verdict,
     }
+    if now_floor is not None:
+        out["setup_floor_sec"] = round(now_floor, 3)
+    if ref_floor is not None:
+        out["ref_setup_floor_sec"] = round(ref_floor, 3)
+    return out
 
 
 def main() -> int:
@@ -429,6 +553,19 @@ def main() -> int:
         spreads[name] = [round(runs[0], 3), round(runs[2], 3)]
         isolate()
 
+    # Session staged-replay setup floor (VERDICT r11 item 3): one warm
+    # run then median of three, same protocol as the headline queries.
+    floor_runs: list[float] = []
+    for rep in range(4):
+        t0 = time.time()
+        materialize(setup_floor_query(spark))
+        if rep > 0:
+            floor_runs.append(time.time() - t0)
+        spark.catalog.clearCache()
+    floor_runs.sort()
+    setup_floor = round(floor_runs[1], 3)
+    isolate()
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_value: float | str = float(sf)
@@ -441,19 +578,54 @@ def main() -> int:
         "queries": timings,
         "sf": sf_value,
         "stat": "median_of_3",
+        "setup_floor_sec": setup_floor,
+        "stream_marginal_sec": {
+            n: round(max(timings[n] - setup_floor, 0.0), 3)
+            for n in HEADLINE
+            if n in STREAM_TWINS
+        },
     }
     # Self-adjudication vs the committed reference series (see
     # adjudicate()): written as a sidecar in the same instant as the
     # headline artifact, so a contention-elevated driver bench carries
     # its own explanation instead of needing forensics.
     here = os.path.dirname(os.path.abspath(__file__))
+
+    def remeasure(name: str) -> list[float]:
+        """Solo re-measure of one would-be divergent query (VERDICT r11
+        item 1): isolate, one warm run, three timed reps — fresh
+        evidence before a drift verdict is committed."""
+        isolate()
+        out: list[float] = []
+        for rep in range(4):
+            t0 = time.time()
+            materialize(queries[name](spark, SF_DIR))
+            if rep > 0:
+                out.append(time.time() - t0)
+            spark.catalog.clearCache()
+        return out
+
     adj = None
     try:
         ref = json.load(
             open(os.path.join(here, "docs", "artifacts", "bench_reference.json"))
         )
         if ref.get("sf") == sf_value:
-            adj = adjudicate(timings, spreads, ref)
+            ref_floor = ref.get("setup_floor_sec")
+            adj = adjudicate(
+                timings,
+                spreads,
+                ref,
+                # marginal comparison needs the floor on BOTH sides —
+                # an old reference without one falls back to raw.
+                floors=(
+                    (setup_floor, float(ref_floor))
+                    if ref_floor
+                    else None
+                ),
+                stream_twins=STREAM_TWINS,
+                remeasure=remeasure,
+            )
     except (OSError, ValueError):
         pass
     if adj is not None:
@@ -485,7 +657,17 @@ def main() -> int:
     )
     try:
         with open(spread_path, "w") as fh:
-            json.dump({"sf": sf_value, "stat": "median_of_3", "spread": spreads}, fh)
+            json.dump(
+                {
+                    "sf": sf_value,
+                    "stat": "median_of_3",
+                    "spread": spreads,
+                    "setup_floor_sec": setup_floor,
+                    "setup_floor_spread": [floor_runs[0], floor_runs[2]],
+                    "stream_marginal_sec": result["stream_marginal_sec"],
+                },
+                fh,
+            )
     except OSError as exc:
         # The sidecar is auxiliary — an unwritable path must never cost
         # the headline line (the exact failure mode this split fixes).
@@ -504,14 +686,19 @@ def main() -> int:
     budget = 1200
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])
     kept: dict[str, float] = {}
+    # The capped final line drops the per-twin marginal map (it rides
+    # the full line above + the spread sidecar) to keep query budget.
+    capped_base = {
+        k: v for k, v in result.items() if k != "stream_marginal_sec"
+    }
     for name, sec in slowest:
-        trial = dict(result)
+        trial = dict(capped_base)
         trial["queries"] = {**kept, name: sec}
         trial["queries_elided"] = len(timings) - len(trial["queries"])
         if len(json.dumps(trial, separators=(",", ":"))) > budget:
             break
         kept[name] = sec
-    final = dict(result)
+    final = dict(capped_base)
     final["queries"] = kept
     final["queries_elided"] = len(timings) - len(kept)
     # FINAL line of stdout — nothing may print after.

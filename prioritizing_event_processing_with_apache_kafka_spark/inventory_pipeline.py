@@ -4922,6 +4922,66 @@ def q_multimodal_flac_lpc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     return M.flac_lpc_roundtrip_features(docs)
 
 
+SQL_MULTIMODAL_FLAC24 = """
+WITH d AS (
+  SELECT doc_id, 96 + doc_id % 97 AS n FROM documents
+), s AS (
+  SELECT d.doc_id, d.n, g.i,
+         ((([0, 8560, 5290, -5290, -8560])[((d.doc_id + g.i) % 5) + 1]
+           + ([0, 3909, 4875, 2169, -2169, -4875, -3909])[((d.doc_id + g.i) % 7) + 1]
+          ) * 256 + (((d.doc_id * 5 + g.i * 19) % 129) - 64)
+         ) AS l,
+         ((([0, 8560, 5290, -5290, -8560])[((d.doc_id + g.i) % 5) + 1]
+           + ([0, 3909, 4875, 2169, -2169, -4875, -3909])[((d.doc_id + g.i) % 7) + 1]
+          ) * 256 + (((d.doc_id * 5 + g.i * 19) % 129) - 64)
+          - (((d.doc_id * 7 + g.i * 13) % 257) - 128)
+         ) AS r,
+         CASE WHEN g.i > 0 THEN
+           ((([0, 8560, 5290, -5290, -8560])[((d.doc_id + g.i - 1) % 5) + 1]
+             + ([0, 3909, 4875, 2169, -2169, -4875, -3909])[((d.doc_id + g.i - 1) % 7) + 1]
+            ) * 256 + (((d.doc_id * 5 + (g.i - 1) * 19) % 129) - 64))
+         END AS l_prev,
+         CASE WHEN g.i > 0 THEN
+           ((([0, 8560, 5290, -5290, -8560])[((d.doc_id + g.i - 1) % 5) + 1]
+             + ([0, 3909, 4875, 2169, -2169, -4875, -3909])[((d.doc_id + g.i - 1) % 7) + 1]
+            ) * 256 + (((d.doc_id * 5 + (g.i - 1) * 19) % 129) - 64)
+            - (((d.doc_id * 7 + (g.i - 1) * 13) % 257) - 128))
+         END AS r_prev
+  FROM d CROSS JOIN generate_series(0, 192) AS g(i)
+  WHERE g.i < d.n
+)
+SELECT doc_id,
+       CAST(48000 AS INTEGER) AS sample_rate,
+       CAST(2 AS INTEGER) AS n_channels,
+       CAST(24 AS INTEGER) AS bits_per_sample,
+       CAST(MAX(n) AS INTEGER) AS n_samples,
+       CAST(SUM(ABS(l)) AS BIGINT) AS sum_abs_l,
+       CAST(SUM(ABS(r)) AS BIGINT) AS sum_abs_r,
+       CAST(MAX(ABS(l)) AS BIGINT) AS max_abs_l,
+       CAST(MAX(ABS(r)) AS BIGINT) AS max_abs_r,
+       CAST(SUM(CASE WHEN l_prev * l < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS zero_crossings_l,
+       CAST(SUM(CASE WHEN r_prev * r < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS zero_crossings_r
+FROM s GROUP BY doc_id
+"""
+
+
+def q_multimodal_flac24_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-bit stereo FLAC round trip (r12, VERDICT r11 item 8 — the
+    ``flac.py`` 24-bit guard closed: int32 samples encode with the
+    spec's 0b110 sample-size code, 25-bit side-channel warmups, and
+    the 3-byte little-endian MD5 lattice; remaining guards are
+    8/12/20-bit sizes and >2 channels). The fixture is the 16-bit
+    two-tone lattice scaled by 256 plus an independent low-byte
+    lattice, so the stream carries true 24-bit content and the
+    encoder still genuinely selects LPC subframes and a decorrelated
+    assignment (stream-introspection test in ``tests/test_flac.py``).
+    LOSSLESS ⇒ hash-oracled against DuckDB's arithmetic replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.flac24_roundtrip_features(docs)
+
+
 def q_multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode end-to-end: deterministic uncompressed-DIB
     AVI payloads per document (full RIFF container — hdrl/strl stream
@@ -7479,6 +7539,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_audio_decode": q_multimodal_audio_decode,
     "multimodal_flac_roundtrip": q_multimodal_flac_roundtrip,
     "multimodal_flac_lpc_roundtrip": q_multimodal_flac_lpc_roundtrip,
+    "multimodal_flac24_roundtrip": q_multimodal_flac24_roundtrip,
     "multimodal_video_decode": q_multimodal_video_decode,
     "customer_rfm": q_customer_rfm,
     "effective_corpus_size": q_effective_corpus_size,
@@ -7609,6 +7670,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     # FLAC round trip is lossless, so it SHARES the arithmetic oracle
     "multimodal_flac_roundtrip": SQL_MULTIMODAL_AUDIO_DECODE,
     "multimodal_flac_lpc_roundtrip": SQL_MULTIMODAL_FLAC_LPC,
+    "multimodal_flac24_roundtrip": SQL_MULTIMODAL_FLAC24,
     "multimodal_video_decode": SQL_MULTIMODAL_VIDEO_DECODE,
     "customer_rfm": SQL_CUSTOMER_RFM,
     # streaming twin SHARES the batch oracle (bit-identical by the

@@ -14,8 +14,11 @@ error-envelope audits.
 Implemented from the public FLAC format specification (xiph.org /
 RFC 9639):
 
-- ``encode_flac``: mono 16-bit ``(n,)`` or stereo 16-bit ``(n, 2)``
-  input, one frame per ``block_size`` samples (fixed blocking
+- ``encode_flac``: mono ``(n,)`` or stereo ``(n, 2)`` input at
+  16-bit (int16) or 24-bit (int32, r12 — the wider sample lattice
+  reuses the same machinery with ``eff_bps`` rebased and the MD5
+  packed as 3-byte little-endian), one frame per ``block_size``
+  samples (fixed blocking
   strategy, UTF-8-coded frame numbers). fLaC marker + STREAMINFO
   (with the spec's MD5 of the unencoded interleaved samples),
   fixed-blocksize frames with CRC-8-guarded headers and CRC-16-guarded
@@ -33,7 +36,7 @@ RFC 9639):
   metadata blocks, validates frame-header CRC-8, frame CRC-16 and the
   stream MD5, and reconstructs CONSTANT / VERBATIM / FIXED / LPC
   subframes under all four channel assignments. Remaining envelope
-  guards (raised, never misparsed): sample sizes other than 16-bit
+  guards (raised, never misparsed): sample sizes other than 16/24-bit
   and channel counts above 2.
 
 Determinism: everything after the one float Levinson-Durbin solve is
@@ -388,19 +391,52 @@ def _write_subframe(frame: _BitWriter, x: np.ndarray, eff_bps: int, plan: tuple)
 # ---------------------------------------------------------------------------
 
 
+def _pack_samples_le(samples: np.ndarray, bps: int) -> bytes:
+    """The spec's MD5 input: channel-interleaved little-endian samples,
+    ``bps/8`` bytes each (24-bit = the low 3 bytes of the int32 LE
+    two's-complement representation)."""
+    if bps == 16:
+        return samples.astype("<i2").tobytes()
+    flat = np.ascontiguousarray(samples.reshape(-1).astype("<i4"))
+    return (
+        np.frombuffer(flat.tobytes(), dtype=np.uint8)
+        .reshape(-1, 4)[:, :3]
+        .tobytes()
+    )
+
+
 def encode_flac(
     samples: np.ndarray,
     *,
     sample_rate: int = 8000,
     block_size: int = 65535,
 ) -> bytes:
-    """Encode an int16 sample array — mono ``(n,)`` or stereo
-    ``(n, 2)`` — as a FLAC stream, one frame per ``block_size``
-    samples (fixed blocking strategy; the last frame may be shorter,
-    per the format). Lossless: ``decode_flac(encode_flac(s)) == s``
-    exactly, including the stereo decorrelation round trip."""
-    if samples.dtype != np.int16:
-        raise ValueError(f"int16 samples required, got {samples.dtype}")
+    """Encode a sample array — mono ``(n,)`` or stereo ``(n, 2)`` — as
+    a FLAC stream, one frame per ``block_size`` samples (fixed
+    blocking strategy; the last frame may be shorter, per the format).
+    The sample size follows the dtype: int16 encodes 16-bit, int32
+    encodes 24-bit (values must fit the 24-bit signed range; the int32
+    lattice IS the spec's 24-bit sample lattice — the stream carries
+    exactly 24 bits per sample). Lossless:
+    ``decode_flac(encode_flac(s)) == s`` exactly, including the stereo
+    decorrelation round trip."""
+    if samples.dtype == np.int16:
+        bps = 16
+    elif samples.dtype == np.int32:
+        bps = 24
+        lim = 1 << 23
+        if samples.size and (
+            int(samples.min()) < -lim or int(samples.max()) >= lim
+        ):
+            raise ValueError(
+                "int32 samples encode as 24-bit and must fit "
+                f"[-2^23, 2^23), got [{samples.min()}, {samples.max()}]"
+            )
+    else:
+        raise ValueError(
+            f"int16 (16-bit) or int32 (24-bit) samples required, "
+            f"got {samples.dtype}"
+        )
     if samples.ndim == 1:
         channels = 1
     elif samples.ndim == 2 and samples.shape[1] == 2:
@@ -420,7 +456,7 @@ def encode_flac(
 
     # --- stream header: fLaC marker + STREAMINFO (last metadata block)
     # MD5 per the spec: interleaved little-endian samples
-    md5 = hashlib.md5(samples.astype("<i2").tobytes()).digest()
+    md5 = hashlib.md5(_pack_samples_le(samples, bps)).digest()
     si = _BitWriter()
     si.write(bs, 16)  # min blocksize (fixed strategy: last frame exempt)
     si.write(bs, 16)  # max blocksize
@@ -428,7 +464,7 @@ def encode_flac(
     si.write(0, 24)  # max framesize (unknown)
     si.write(sample_rate, 20)
     si.write(channels - 1, 3)
-    si.write(15, 5)  # bits per sample - 1 (16-bit)
+    si.write(bps - 1, 5)  # bits per sample - 1
     si.write(n, 36)  # total inter-channel samples
     streaminfo = si.bytes() + md5
     assert len(streaminfo) == 34
@@ -438,13 +474,21 @@ def encode_flac(
     for frame_no, start in enumerate(range(0, n, bs)):
         block = samples[start : start + bs].astype(np.int64)
         if channels == 1:
-            out += _encode_frame([block], 0b0000, frame_no)
+            out += _encode_frame([block], 0b0000, frame_no, bps=bps)
         else:
-            out += _encode_stereo_frame(block[:, 0], block[:, 1], frame_no)
+            out += _encode_stereo_frame(
+                block[:, 0], block[:, 1], frame_no, bps=bps
+            )
     return bytes(out)
 
 
-def _frame_header(n: int, chan_code: int, frame_no: int) -> bytes:
+# Frame-header sample-size codes (FLAC spec): the two lattices the
+# codec encodes; the decoder additionally parses 8/12/20-bit codes.
+_SS_CODE = {16: 0b100, 24: 0b110}
+_SS_BITS = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24}
+
+
+def _frame_header(n: int, chan_code: int, frame_no: int, bps: int = 16) -> bytes:
     hdr = _BitWriter()
     hdr.write(0b11111111111110, 14)  # sync
     hdr.write(0, 1)  # reserved
@@ -452,7 +496,7 @@ def _frame_header(n: int, chan_code: int, frame_no: int) -> bytes:
     hdr.write(0b0111, 4)  # blocksize: 16-bit value at header end
     hdr.write(0b0000, 4)  # sample rate: from STREAMINFO
     hdr.write(chan_code, 4)  # channel assignment
-    hdr.write(0b100, 3)  # sample size: 16 bits
+    hdr.write(_SS_CODE[bps], 3)  # sample size
     hdr.write(0, 1)  # reserved
     for b in _utf8_code(frame_no):
         hdr.write(b, 8)
@@ -465,6 +509,7 @@ def _encode_frame(
     chan_code: int,
     frame_no: int,
     plans: list | None = None,
+    bps: int = 16,
 ) -> bytes:
     """One fixed-blocking-strategy frame: CRC-8-guarded header, the
     given per-channel subframe signals (already decorrelated where the
@@ -473,13 +518,13 @@ def _encode_frame(
     already computed during candidate costing; when absent each
     subchannel is planned here."""
     n = len(subchans[0])
-    hdr_bytes = _frame_header(n, chan_code, frame_no)
+    hdr_bytes = _frame_header(n, chan_code, frame_no, bps)
     frame = _BitWriter()
     for b in hdr_bytes:
         frame.write(b, 8)
     frame.write(_crc8(hdr_bytes), 8)
     for idx, x in enumerate(subchans):
-        eff_bps = 16 + _side_bit(chan_code, idx)
+        eff_bps = bps + _side_bit(chan_code, idx)
         if plans is not None:
             plan = plans[idx]
         else:
@@ -501,7 +546,9 @@ def _side_bit(chan_code: int, subframe_idx: int) -> int:
     return 0
 
 
-def _encode_stereo_frame(left: np.ndarray, right: np.ndarray, frame_no: int) -> bytes:
+def _encode_stereo_frame(
+    left: np.ndarray, right: np.ndarray, frame_no: int, bps: int = 16
+) -> bytes:
     """Pick the cheapest of the four spec channel assignments for this
     frame by exact planned bit cost, then serialize it."""
     side = left - right
@@ -530,7 +577,7 @@ def _encode_stereo_frame(left: np.ndarray, right: np.ndarray, frame_no: int) -> 
         cost = 0
         plans = []
         for idx, x in enumerate(chans):
-            plan, c = planned(x, 16 + _side_bit(code, idx))
+            plan, c = planned(x, bps + _side_bit(code, idx))
             plans.append(plan)
             cost += c
         if best_cost is None or cost < best_cost:
@@ -540,7 +587,9 @@ def _encode_stereo_frame(left: np.ndarray, right: np.ndarray, frame_no: int) -> 
                 plans,
                 cost,
             )
-    return _encode_frame(best_chans, best_code, frame_no, plans=best_plans)
+    return _encode_frame(
+        best_chans, best_code, frame_no, plans=best_plans, bps=bps
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -703,9 +752,9 @@ def decode_flac(
     if streaminfo is None:
         raise ValueError("FLAC missing STREAMINFO")
     rate, channels, bps, total, md5_expect = streaminfo
-    if channels not in (1, 2) or bps != 16:
+    if channels not in (1, 2) or bps not in (16, 24):
         raise NotImplementedError(
-            f"only mono/stereo 16-bit supported, got {channels}ch {bps}-bit"
+            f"only mono/stereo 16/24-bit supported, got {channels}ch {bps}-bit"
         )
 
     blocks: list[np.ndarray] = []
@@ -733,8 +782,11 @@ def decode_flac(
                 f"frame channel assignment {chan} disagrees with "
                 f"STREAMINFO ({channels}ch)"
             )
-        if ss_code != 0b100:
-            raise NotImplementedError("only 16-bit sample size supported")
+        if _SS_BITS.get(ss_code) != bps:
+            raise NotImplementedError(
+                f"frame sample-size code {ss_code:#05b} disagrees with "
+                f"STREAMINFO ({bps}-bit)"
+            )
         # UTF-8 frame/sample number: 1-7 bytes, same scheme as UTF-8
         lead = br.read(8)
         extra = 0
@@ -772,7 +824,7 @@ def decode_flac(
             codes = stats.setdefault("chan_codes", {})
             codes[chan] = codes.get(chan, 0) + 1
         subchans = [
-            _decode_subframe(br, blocksize, 16 + _side_bit(chan, idx), stats)
+            _decode_subframe(br, blocksize, bps + _side_bit(chan, idx), stats)
             for idx in range(n_sub)
         ]
         br.align()
@@ -807,7 +859,7 @@ def decode_flac(
     )
     if len(all_x) != total:
         raise ValueError(f"decoded {len(all_x)} samples, expected {total}")
-    out = all_x.astype(np.int16)
-    if hashlib.md5(out.astype("<i2").tobytes()).digest() != md5_expect:
+    out = all_x.astype(np.int16 if bps == 16 else np.int32)
+    if hashlib.md5(_pack_samples_le(out, bps)).digest() != md5_expect:
         raise ValueError("stream MD5 mismatch")
     return rate, out

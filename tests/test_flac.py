@@ -98,8 +98,9 @@ class TestValidationSeams:
             decode_flac(payload[: len(payload) // 2])
 
     def test_input_validation(self):
+        # int32 now means 24-bit (r12); unsupported dtypes still refuse
         with pytest.raises(ValueError, match="int16"):
-            encode_flac(np.zeros(32, dtype=np.int32))
+            encode_flac(np.zeros(32, dtype=np.int8))
         with pytest.raises(ValueError, match="blocksize"):
             encode_flac(np.zeros(8, dtype=np.int16))
 
@@ -231,3 +232,93 @@ class TestStereoAndLpc:
     def test_input_shape_validation(self):
         with pytest.raises(ValueError, match="shape"):
             encode_flac(np.zeros((32, 3), dtype=np.int16))
+
+
+class Test24Bit:
+    """Round-12 stretch (VERDICT r11 item 8): the 24-bit sample
+    lattice — int32 input, 0b110 sample-size code, 25-bit side-channel
+    warmups, 3-byte little-endian MD5 packing."""
+
+    def _synth24(self, doc_id: int) -> np.ndarray:
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.multimodal import (
+            _synth_stereo24_samples,
+        )
+
+        return _synth_stereo24_samples(doc_id)
+
+    def test_fixture_roundtrip_exact_and_exercises_lpc_stereo(self):
+        tot: dict = {}
+        for doc_id in (0, 3, 17, 96, 500):
+            src = self._synth24(doc_id)
+            stats: dict = {}
+            rate, out = decode_flac(
+                encode_flac(src, sample_rate=48000), stats
+            )
+            assert rate == 48000
+            assert out.dtype == np.int32
+            assert np.array_equal(out, src)
+            for k, v in stats.get("subframe_types", {}).items():
+                tot[k] = tot.get(k, 0) + v
+            for c in stats.get("chan_codes", {}):
+                tot[f"chan{c}"] = 1
+        assert tot.get("lpc", 0) > 0, tot  # genuinely drives 24-bit LPC
+        assert any(k in tot for k in ("chan8", "chan9", "chan10")), tot
+
+    def test_full_range_extremes_exact(self):
+        lim = 1 << 23
+        sig = np.array([-lim, lim - 1, -lim, lim - 1] * 512, dtype=np.int32)
+        rate, out = decode_flac(encode_flac(sig))
+        assert np.array_equal(out, sig)
+
+    def test_random_24bit_mono_and_stereo(self):
+        rng = np.random.default_rng(24)
+        mono = rng.integers(-(1 << 23), 1 << 23, 4096, dtype=np.int32)
+        rate, out = decode_flac(encode_flac(mono, block_size=777))
+        assert np.array_equal(out, mono)
+        st = rng.integers(-(1 << 23), 1 << 23, (3000, 2), dtype=np.int32)
+        rate, out = decode_flac(encode_flac(st, block_size=512))
+        assert np.array_equal(out, st)
+
+    def test_true_24bit_content_in_low_byte(self):
+        # content below the 16-bit lattice (odd low bytes) survives —
+        # the decode is not a shifted 16-bit path
+        sig = (np.arange(2048, dtype=np.int32) * 255 + 1) % (1 << 23)
+        rate, out = decode_flac(encode_flac(sig.astype(np.int32)))
+        assert np.array_equal(out, sig)
+
+    def test_out_of_range_int32_refused(self):
+        with pytest.raises(ValueError, match="24-bit"):
+            encode_flac(np.full(64, 1 << 23, dtype=np.int32))
+        with pytest.raises(ValueError, match="24-bit"):
+            encode_flac(np.full(64, -(1 << 23) - 1, dtype=np.int32))
+
+    def test_md5_packing_is_three_bytes_le(self):
+        # a 24-bit stream's MD5 must be over 3-byte LE samples; verify
+        # by construction against the reference packing
+        import hashlib
+
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.flac import (
+            _pack_samples_le,
+        )
+
+        sig = np.array([1, -1, 0x7FFFFF, -0x800000], dtype=np.int32)
+        packed = _pack_samples_le(sig, 24)
+        assert len(packed) == 12
+        assert packed == bytes.fromhex("010000" + "ffffff" + "ffff7f" + "000080")
+        payload = encode_flac(np.repeat(sig, 16))
+        md5 = hashlib.md5(
+            _pack_samples_le(np.repeat(sig, 16), 24)
+        ).digest()
+        assert md5 in payload  # STREAMINFO carries exactly this digest
+
+    def test_unsupported_bit_depth_guards_remain(self):
+        s = np.arange(64, dtype=np.int16)
+        payload = bytearray(encode_flac(s))
+        # STREAMINFO bps field: low bit of byte 20 + high 4 bits of
+        # byte 21 — set bps-1 = 19 (20-bit) => guard must raise
+        payload[20] = (payload[20] & ~1) | ((19 >> 4) & 1)
+        payload[21] = (payload[21] & 0x0F) | ((19 & 0x0F) << 4)
+        with pytest.raises(NotImplementedError, match="16/24-bit"):
+            decode_flac(bytes(payload))
+        with pytest.raises(ValueError, match="int16 .* or int32"):
+            encode_flac(np.zeros(64, dtype=np.float32))

@@ -308,6 +308,13 @@ GROW_PROBED = [
     # customers. Wall includes the staged writes + both micro-batches.
     "stream_heavy_hitters",
     "stream_lorenz_incremental",
+    # round 12 (VERDICT r11 item 2): the transformWithState router —
+    # one ValueState counter per bucket serializes each bucket into a
+    # single task per batch BY DESIGN (the reference's shared
+    # AtomicInteger, Bucket.java:14); this probe quantifies the
+    # trade-off the stateful.py docstring promises vs the stateless
+    # modes (route_events_exact's plan) as events grow N×.
+    "stream_route_tws",
 ]
 
 # Bump when the replica construction changes so stale /tmp replicas
