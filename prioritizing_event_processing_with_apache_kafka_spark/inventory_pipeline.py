@@ -5222,17 +5222,12 @@ FROM per_cluster
 """
 
 
-def _fact_partitions(
-    spark: SparkSession, sf_dir: str, table: str, *, target_mb: int = 64
-) -> int:
-    """Reduce-partition count sized from a fact table's on-disk bytes
-    (~``target_mb`` of decompressed data per partition, assuming ~3x
-    parquet expansion), floored at the session's default parallelism
-    and capped at 4096. The bytes-per-partition discipline a real
-    deployment applies cluster-wide, derived per-query here because
-    the fixture harness pins spark.sql.shuffle.partitions to the core
-    count — right for 60k-row fixtures, thrash-prone once a key-scaled
-    working set is 100x that (see q_supplier_ship_sla's plan note)."""
+def _table_bytes(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """On-disk parquet bytes for one table — the size signal behind
+    per-query partition sizing (:func:`_fact_partitions`) and
+    size-aware dim-join strategy picks (broadcast vs shuffle-hash).
+    Local filesystem probe first; Hadoop FileSystem fallback for
+    non-local sf_dirs, loud RuntimeWarning when both fail."""
     import os
 
     path = f"{sf_dir.rstrip('/')}/{table}.parquet"
@@ -5265,13 +5260,28 @@ def _fact_partitions(
             import warnings
 
             warnings.warn(
-                f"_fact_partitions: byte probe failed for {path!r}; "
-                "falling back to defaultParallelism reduce partitions "
-                "(fine for fixtures, thrash-prone at grow scale)",
+                f"byte probe failed for {path!r}; size-aware plan "
+                "choices fall back to their fixture defaults (fine for "
+                "fixtures, thrash-prone at grow scale)",
                 RuntimeWarning,
-                stacklevel=2,
+                stacklevel=3,
             )
             nbytes = 0
+    return nbytes
+
+
+def _fact_partitions(
+    spark: SparkSession, sf_dir: str, table: str, *, target_mb: int = 64
+) -> int:
+    """Reduce-partition count sized from a fact table's on-disk bytes
+    (~``target_mb`` of decompressed data per partition, assuming ~3x
+    parquet expansion), floored at the session's default parallelism
+    and capped at 4096. The bytes-per-partition discipline a real
+    deployment applies cluster-wide, derived per-query here because
+    the fixture harness pins spark.sql.shuffle.partitions to the core
+    count — right for 60k-row fixtures, thrash-prone once a key-scaled
+    working set is 100x that (see q_supplier_ship_sla's plan note)."""
+    nbytes = _table_bytes(spark, sf_dir, table)
     floor = spark.sparkContext.defaultParallelism
     return max(floor, min(4096, -(-nbytes * 3 // (target_mb << 20))))
 
@@ -6230,10 +6240,31 @@ def q_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full nation-pair trade matrix — TPC-H Q7 generalized from two
     hard-coded nations to the complete (supplier nation, customer
     nation) census: revenue cents and lineitem count per ordered pair.
-    The join pipeline is the snowflake shape Catalyst should broadcast
-    end-to-end (nation/customer/supplier dims onto the lineitem⋈orders
-    fact join); the census aggregate is at most nations² rows.
-    Hash-oracled."""
+    The join pipeline is the snowflake shape; the census aggregate is
+    at most nations² rows (ONE map-combined exchange carrying ≤ 625
+    partial rows per task). Hash-oracled.
+
+    Plan (re-planned r12 — the third-decade grow probe caught the old
+    shape bending super-linear at 300× keys: 68.4× vs 7.5× at 100×,
+    because customer and supplier were FORCE-broadcast and both GROW
+    with the data — at 300× the forced customer broadcast is a 4.5M-row
+    hash relation every executor must build, and at 100 TB it would
+    OOM outright). Measured A/B/C at 300× before settling
+    (docs/SCALE.md round-12): unhinting alone is WORSE (75× — AQE
+    sort-merge-joins the full fact on BOTH dim keys, and the SORT of
+    5.6M-row partitions is the real killer: li⋈orders SMJ 136 s vs
+    21.8 s SHUFFLE_HASH); a (l_suppkey, cust_nation) pre-aggregate is
+    a false economy (7.5M groups ≈ no map-side reduction, 214 s). The
+    scale shape: fold the 25-value cust_nation onto orders first
+    (orders-sized SHUFFLE_HASH — hash side is the customer map, which
+    byte-sized shuffle partitioning keeps per-task-memory-bounded),
+    carry it through the ONE unavoidable fact-scaled exchange
+    (SHUFFLE_HASH, order-map hashed — no 180M-row sort), put
+    supp_nation on the fact via a size-aware dim join (broadcast while
+    the supplier map is under ~64 MB on disk — 100 TB suppliers flip
+    to a shuffle-hash join automatically), and aggregate straight to
+    the ≤ 625-row census, whose map-side partials are genuinely tiny.
+    Only the 25-row nation dim keeps an unconditional broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -6245,24 +6276,27 @@ def q_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_n = cust.join(
         F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
     ).select("c_custkey", F.col("n_name").alias("cust_nation"))
-    fact = (
-        li.join(
-            orders.select("o_orderkey", "o_custkey"),
-            li["l_orderkey"] == F.col("o_orderkey"),
-        )
-        .join(F.broadcast(supp_n), F.col("l_suppkey") == supp_n["s_suppkey"])
-        .join(F.broadcast(cust_n), F.col("o_custkey") == cust_n["c_custkey"])
+    ord_n = orders.select("o_orderkey", "o_custkey").join(
+        cust_n.hint("SHUFFLE_HASH"), F.col("o_custkey") == cust_n["c_custkey"]
+    ).select("o_orderkey", "cust_nation")
+    fact = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * (1.0D - l_discount) * 100)"
+            " AS BIGINT)"
+        ).alias("rev_cents"),
+    ).join(
+        ord_n.hint("SHUFFLE_HASH"), F.col("l_orderkey") == ord_n["o_orderkey"]
+    )
+    supp_small = _table_bytes(spark, sf_dir, "supplier") < (64 << 20)
+    fact = fact.join(
+        F.broadcast(supp_n) if supp_small else supp_n.hint("SHUFFLE_HASH"),
+        fact["l_suppkey"] == supp_n["s_suppkey"],
     )
     return fact.groupBy("supp_nation", "cust_nation").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
-        F.sum(
-            F.expr(
-                "CAST(floor(l_extendedprice * (1.0D - l_discount) * 100)"
-                " AS BIGINT)"
-            )
-        )
-        .cast("bigint")
-        .alias("revenue_cents"),
+        F.sum("rev_cents").cast("bigint").alias("revenue_cents"),
     )
 
 
