@@ -378,7 +378,13 @@ def adjudicate(
     divergent = {}
     for n in common:
         r = eff_now[n] / eff_ref[n]
-        if r / fleet > 1.5 and eff_now[n] - eff_ref[n] * fleet > 0.3:
+        # The ratio gate runs on marginals (floor-corrected) but the
+        # absolute floor gates on RAW time: two sessions' floor
+        # measurements differ by ±0.25 s of pure noise, and a twin
+        # whose marginal is near zero at fixture scale would otherwise
+        # read 3-4x divergent on a 60 ms raw difference (observed on
+        # stream_sessionized_users while validating the r12 series).
+        if r / fleet > 1.5 and timings[n] - ref_q[n] * fleet > 0.3:
             mn = eff(n, spreads.get(n, [timings[n]])[0], now_floor)
             divergent[n] = {
                 "median": timings[n],
