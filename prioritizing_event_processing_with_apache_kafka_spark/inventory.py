@@ -1358,6 +1358,90 @@ def q_stream_route_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_stream_route_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's lifetime per-bucket round-robin counter
+    (``Bucket.java:14,22-29``) with FULL intra-batch parallelism
+    (VERDICT r12 item 1): counter-block reservation per micro-batch —
+    per-(task, bucket) counts offset the persisted lifetime counters,
+    a distributed zip-with-index ranks rows within the batch, and
+    ``seq = base + rank`` reproduces the exact AtomicInteger sequence
+    with no one-task-per-bucket funnel (``streaming/lifetime.py``).
+
+    Driven exactly like ``stream_route_tws`` — the events table split
+    at the event_id midpoint, replayed as two real availableNow
+    micro-batches through ``foreachBatch`` with a checkpoint and a
+    versioned counter-state dir — and SHARES the ``route_events_exact``
+    oracle: batch 2 continues batch 1's sequence bit-identically to the
+    batch exact-mode router. This is the scale default for
+    lifetime-exact routing (the stateful.py routers remain the
+    state-store API showcase).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from prioritizing_event_processing_with_apache_kafka_spark.streaming.lifetime import (
+        lifetime_foreach_batch,
+    )
+    from prioritizing_event_processing_with_apache_kafka_spark.streaming.staging import (
+        stage_two_batch_stream,
+    )
+
+    events = with_routing_key(load_table(spark, sf_dir, "events")).select(
+        "event_id", "key"
+    )
+    lo_hi = events.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]
+    mid = (lo_hi["lo"] + lo_hi["hi"]) // 2
+    root = tempfile.mkdtemp(prefix="peps-lifetime-route-")
+    try:
+        src_dir, schema = stage_two_batch_stream(
+            root,
+            [
+                events.filter(F.col("event_id") <= mid),
+                events.filter(F.col("event_id") > mid),
+            ],
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out_dir = os.path.join(root, "out")
+        state_dir = os.path.join(root, "state")
+        chk = os.path.join(root, "chk")
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(
+                lifetime_foreach_batch(
+                    EVENTS_CONFIG,
+                    EVENTS_NUM_PARTITIONS,
+                    sink,
+                    state_dir=state_dir,
+                    key_col="key",
+                    order_col="event_id",
+                )
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        result = spark.read.parquet(out_dir).select(
+            "event_id", "bucket", "partition"
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_stream_windowed_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked event-time windows on a real stream, oracle-checked:
     hourly per-bucket event counts computed by Structured Streaming
@@ -2731,6 +2815,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_window_throughput": q_sliding_window_throughput,
     "stream_route_counts": q_stream_route_counts,
     "stream_route_tws": q_stream_route_tws,
+    "stream_route_lifetime": q_stream_route_lifetime,
     "stream_windowed_throughput": q_stream_windowed_throughput,
     "stream_sessionized_users": q_stream_sessionized_users,
     "stream_dedup_keys": q_stream_dedup_keys,
@@ -2802,6 +2887,7 @@ ORACLES: dict[str, str] = {
     "sliding_window_throughput": SQL_SLIDING_WINDOW_THROUGHPUT,
     "stream_route_counts": SQL_STREAM_ROUTE_COUNTS,
     "stream_route_tws": SQL_ROUTE_EVENTS_EXACT,
+    "stream_route_lifetime": SQL_ROUTE_EVENTS_EXACT,
     "stream_windowed_throughput": SQL_STREAM_WINDOWED_THROUGHPUT,
     "stream_sessionized_users": SQL_STREAM_SESSIONIZED_USERS,
     "stream_dedup_keys": SQL_STREAM_DEDUP_KEYS,

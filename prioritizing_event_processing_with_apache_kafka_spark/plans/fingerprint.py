@@ -338,6 +338,36 @@ def streaming_core_queries():
             "token", *[_merge(k, out) for out, k, _e in specs]
         )
 
+    def lifetime_route_core(spark, sf_dir):
+        # Mirror q_stream_route_lifetime's steady state: batch 2 (the
+        # post-midpoint events) routed from a non-zero counter base.
+        # The contract is ONE range exchange (the distributed
+        # zip-with-index) + TWO broadcast joins (offsets, layout) —
+        # a per-bucket window/funnel (#buckets reducers) or a second
+        # fact scan sneaking in fails the pin.
+        from prioritizing_event_processing_with_apache_kafka_spark.inventory import (
+            EVENTS_CONFIG,
+            EVENTS_NUM_PARTITIONS,
+        )
+        from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import (
+            with_routing_key,
+        )
+        from prioritizing_event_processing_with_apache_kafka_spark.streaming.lifetime import (
+            route_batch_lifetime,
+        )
+
+        events = with_routing_key(load_table(spark, sf_dir, "events")).select(
+            "event_id", "key"
+        )
+        batch = events.filter(F.col("event_id") % 2 == 1)
+        routed, _counters = route_batch_lifetime(
+            batch,
+            EVENTS_CONFIG,
+            EVENTS_NUM_PARTITIONS,
+            {"Platinum": 1000, "Gold": 500, "Standard": 250},
+        )
+        return routed
+
     return {
         "stream_locf_fill__enrich": locf_enrich_core,
         "stream_locf_fill__state": locf_state_core,
@@ -347,4 +377,5 @@ def streaming_core_queries():
         "stream_lorenz_incremental__core": lorenz_rollup_core,
         "stream_heavy_hitters__core": mg_merge_core,
         "stream_vocab_incremental__core": vocab_rollup_core,
+        "stream_route_lifetime__core": lifetime_route_core,
     }

@@ -1,0 +1,283 @@
+"""Parallel lifetime-exact routing: counter-block reservation per batch.
+
+The reference keeps one ``AtomicInteger`` per bucket for the producer
+process lifetime (``Bucket.java:14,22-29``): record N+1 continues where
+record N left off, across batches. ``route_stream_stateful`` /
+``route_stream_tws`` (``stateful.py``) reproduce that sequence with one
+state-store key per bucket — which serializes each bucket's slice of
+every micro-batch into a single task (the r12 grow probe measured 68×
+wall at 100× data vs 4–5× for the stateless router). This module keeps
+the SAME bit-exact lifetime sequence with full intra-batch parallelism
+(VERDICT r12 item 1):
+
+1. **rank** — distributed per-bucket zip-with-index *within* the batch:
+   one range shuffle on (bucket, order) + local sort +
+   ``monotonically_increasing_id``, then a tiny per-(task, bucket)
+   stats aggregate turns local indices into global batch ranks — the
+   same technique as the batch exact router
+   (``operators/routing.py:_exact_global_sequence``), here
+   NULL-bucket-inclusive so unparseable keys keep their own counter
+   exactly like the stateful routers' NULL group.
+2. **reserve** — the stats aggregate also yields per-bucket row counts;
+   adding them to the persisted lifetime counters reserves each
+   bucket's contiguous block ``[base, base+n)`` for this batch.
+3. **assign** — ``seq = base(bucket) + rank``; ``partition = lo +
+   seq % size`` exactly as ``Bucket.nextPartition`` computes it
+   (unknown bucket → NULL, starved bucket → -1, reference fall-through
+   parity with ``BucketPriorityPartitioner.java:62-84``).
+
+Because every per-bucket block is reserved up front, no task ever
+waits on another: the sequence is order-*defined* (by ``order_col``)
+but not order-*computed*. The only driver-side data is the stats
+aggregate — ``#buckets × #range-tasks`` rows (a few KB even at 1000
+executors), the same loop-control-scalar scale as the layout itself.
+
+**State**: the lifetime counters are a ``#buckets``-entry JSON file
+per micro-batch, versioned by batch id (``counters-after-{B}.json`` =
+state after batch B committed). Structured Streaming replays at most
+the last uncommitted batch with the SAME batch id after a crash, so
+batch B always reads ``counters-after-{B-1}`` and deterministically
+(re)writes ``counters-after-{B}`` — idempotent exactly-once
+continuation, the same recovery contract the state-store routers get
+from checkpointing, at #buckets-row cost instead of state-store I/O.
+
+Keys are expected to be strings (the reference only parses
+``key instanceof String``, ``BucketPriorityPartitioner.java:69``);
+non-parseable keys land in the NULL-bucket group with NULL partition,
+matching ``route_stream_stateful``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from prioritizing_event_processing_with_apache_kafka_spark.functions.keys import extract_bucket
+from prioritizing_event_processing_with_apache_kafka_spark.operators.caching import scoped_persist
+from prioritizing_event_processing_with_apache_kafka_spark.operators.routing import layout_table
+from prioritizing_event_processing_with_apache_kafka_spark.plans.config import (
+    BucketPriorityConfig,
+)
+from prioritizing_event_processing_with_apache_kafka_spark.streaming.stateful import (
+    stateful_output_schema,
+)
+
+__all__ = [
+    "route_batch_lifetime",
+    "lifetime_foreach_batch",
+    "load_counters",
+]
+
+_MID_LOCAL_MASK = (1 << 33) - 1
+
+
+def route_batch_lifetime(
+    batch_df: DataFrame,
+    config: BucketPriorityConfig,
+    num_partitions: int,
+    base_counters: dict[str | None, int] | None = None,
+    *,
+    key_col: str = "key",
+    order_col: str = "event_id",
+) -> tuple[DataFrame, dict[str | None, int]]:
+    """Route one bounded batch, continuing the lifetime sequence from
+    ``base_counters`` (bucket → next seq value; missing buckets start
+    at 0). Returns ``(routed, new_counters)`` where ``routed`` has the
+    stateful routers' exact output shape ``(order_col, key_col,
+    bucket, partition, seq)`` and ``new_counters`` is the advanced
+    counter map to feed the next batch.
+
+    The returned frame carries a ``_peps_exact_cache`` handle (the
+    persisted rank midframe) so bounded-lifetime callers can unpersist
+    eagerly after sinking — same contract as ``route(mode='exact')``.
+    """
+    base_counters = base_counters or {}
+    spark = batch_df.sparkSession
+
+    tagged = batch_df.select(order_col, key_col).withColumn(
+        "bucket", extract_bucket(F.col(key_col), config.delimiter)
+    )
+    # Distributed zip-with-index (routing.py:_exact_global_sequence's
+    # technique, NULL-group-inclusive): after the range shuffle +
+    # local sort, a bucket's rows are globally ordered across task
+    # ids, so (per-task offsets + local index) is the batch rank.
+    srt = (
+        tagged.repartitionByRange(F.col("bucket"), F.col(order_col))
+        .sortWithinPartitions(F.col("bucket"), F.col(order_col))
+        .withColumn("__peps_mid", F.monotonically_increasing_id())
+    )
+    srt = scoped_persist(srt)
+    pid = F.shiftrightunsigned(F.col("__peps_mid"), 33)
+    local = F.col("__peps_mid").bitwiseAND(F.lit(_MID_LOCAL_MASK))
+    # Tiny: #range-tasks × #buckets rows, map-side combined. Collected
+    # because the SAME aggregate both (a) seeds the broadcast offsets
+    # join and (b) advances the persisted counters — one pass, and the
+    # driver must see (b) anyway to write the state file.
+    stats = (
+        srt.groupBy(pid.alias("__peps_pid"), "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("__peps_cnt"),
+            F.min(local).alias("__peps_lo"),
+        )
+        .collect()
+    )
+    new_counters = dict(base_counters)
+    offset_rows = []
+    for row in sorted(
+        stats, key=lambda r: ((r["bucket"] is not None, r["bucket"]), r["__peps_pid"])
+    ):
+        b = row["bucket"]
+        seq_base = new_counters.get(b, 0)
+        offset_rows.append((int(row["__peps_pid"]), b, seq_base, int(row["__peps_lo"])))
+        new_counters[b] = seq_base + int(row["__peps_cnt"])
+
+    out_schema = stateful_output_schema(
+        batch_df, key_col=key_col, order_col=order_col
+    )
+    if not offset_rows:  # empty batch: counters unchanged, empty frame
+        empty = spark.createDataFrame([], out_schema)
+        empty._peps_exact_cache = srt  # type: ignore[attr-defined]
+        return empty, new_counters
+
+    offsets = spark.createDataFrame(
+        offset_rows, "__peps_pid long, bucket string, __peps_base long, __peps_lo long"
+    )
+    # eqNullSafe: the NULL-bucket group must match its offsets row too.
+    srtp = srt.withColumn("__peps_pid", pid)
+    joined = (
+        srtp.join(
+            F.broadcast(offsets),
+            srtp["bucket"].eqNullSafe(offsets["bucket"])
+            & (srtp["__peps_pid"] == offsets["__peps_pid"]),
+            "left",
+        )
+        .drop(offsets["bucket"])
+        .drop(offsets["__peps_pid"])
+    )
+    seq = (F.col("__peps_base") + local.cast("long") - F.col("__peps_lo")).cast("long")
+
+    layout = layout_table(spark, config, num_partitions).select(
+        F.col("bucket").alias("__peps_l_bucket"),
+        F.col("partition_lo").alias("__peps_l_lo"),
+        F.col("bucket_size").alias("__peps_l_size"),
+    )
+    routed = joined.withColumn("seq", seq).join(
+        F.broadcast(layout),
+        F.col("bucket") == F.col("__peps_l_bucket"),
+        "left",
+    )
+    size = F.col("__peps_l_size")
+    partition = (
+        F.when(F.col("__peps_l_bucket").isNull(), F.lit(None).cast("int"))
+        .when(size == 0, F.lit(-1))
+        # seq >= 0 always (counters start at 0 and only grow), so %
+        # equals pmod — same arithmetic as Bucket.nextPartition.
+        .otherwise((F.col("__peps_l_lo") + F.col("seq") % size).cast("int"))
+    )
+    out = routed.select(
+        F.col(order_col),
+        F.col(key_col),
+        F.col("bucket"),
+        partition.alias("partition"),
+        F.col("seq"),
+    )
+    out._peps_exact_cache = srt  # type: ignore[attr-defined]
+    return out, new_counters
+
+
+def _counters_path(state_dir: str, batch_id: int) -> str:
+    return os.path.join(state_dir, f"counters-after-{batch_id:020d}.json")
+
+
+def load_counters(state_dir: str, after_batch_id: int) -> dict[str | None, int]:
+    """Counters as of the commit of ``after_batch_id`` (-1 → fresh)."""
+    if after_batch_id < 0:
+        return {}
+    path = _counters_path(state_dir, after_batch_id)
+    if not os.path.exists(path):
+        raise RuntimeError(
+            f"lifetime counter state for batch {after_batch_id} missing at "
+            f"{path}: the counter directory must live as long as the "
+            "checkpoint (both are needed to resume the sequence)"
+        )
+    with open(path) as f:
+        doc = json.load(f)
+    return {b: int(c) for b, c in doc["counters"]}
+
+
+def _save_counters(
+    state_dir: str, batch_id: int, counters: dict[str | None, int], *, retain: int = 3
+) -> None:
+    os.makedirs(state_dir, exist_ok=True)
+    path = _counters_path(state_dir, batch_id)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "version": 1,
+                "batch_id": batch_id,
+                # JSON objects can't key on null; a pair list can.
+                "counters": sorted(
+                    counters.items(), key=lambda kv: (kv[0] is not None, kv[0])
+                ),
+            },
+            f,
+        )
+    os.replace(tmp, path)  # atomic: a crashed writer never half-writes
+    # Streaming replays at most the LAST uncommitted batch, so only
+    # counters-after-{B-1} is ever read again; keep a few extra
+    # versions for forensics and drop the rest (a long-running stream
+    # would otherwise accrete one small file per micro-batch forever).
+    stale = batch_id - retain
+    if stale >= 0:
+        old = _counters_path(state_dir, stale)
+        if os.path.exists(old):
+            os.remove(old)
+
+
+def lifetime_foreach_batch(
+    config: BucketPriorityConfig,
+    num_partitions: int,
+    sink: Callable[[DataFrame, int], None],
+    *,
+    state_dir: str,
+    key_col: str = "key",
+    order_col: str = "event_id",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` wrapper: bit-exact lifetime round-robin with
+    full intra-batch parallelism. Wire it as::
+
+        stream.writeStream.foreachBatch(
+            lifetime_foreach_batch(cfg, 12, sink, state_dir=...)
+        ).option("checkpointLocation", chk).start()
+
+    ``state_dir`` must live as long as the checkpoint: on restart,
+    batch B re-reads ``counters-after-{B-1}`` and deterministically
+    reproduces the identical routed batch (rank is defined by
+    ``order_col``, blocks by the persisted bases), so a replayed
+    micro-batch is byte-identical — idempotent exactly-once.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        base = load_counters(state_dir, batch_id - 1)
+        routed, advanced = route_batch_lifetime(
+            batch_df,
+            config,
+            num_partitions,
+            base,
+            key_col=key_col,
+            order_col=order_col,
+        )
+        try:
+            sink(routed, batch_id)
+        finally:
+            cached = getattr(routed, "_peps_exact_cache", None)
+            if cached is not None:
+                cached.unpersist()
+        _save_counters(state_dir, batch_id, advanced)
+
+    return write

@@ -291,3 +291,189 @@ def test_declared_tws_query_matches_batch_exact_router(spark):
         for r in q_route_events_exact(spark, sf).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Parallel lifetime router (streaming/lifetime.py, VERDICT r12 item 1):
+# counter-block reservation + distributed rank must reproduce the
+# stateful routers' sequence bit-exactly with no per-bucket task funnel.
+# ---------------------------------------------------------------------------
+
+
+def test_lifetime_batch_matches_stateful_router(spark, dirs):
+    """route_batch_lifetime chained over the same two micro-batches the
+    stateful router replays must be bit-identical per event: same seq,
+    same partition, same bucket — including the NULL-key group, an
+    unknown bucket, and the cross-batch continuation."""
+    from prioritizing_event_processing_with_apache_kafka_spark.streaming.lifetime import (
+        route_batch_lifetime,
+    )
+
+    src, chk = dirs
+    base = dt.datetime(2024, 1, 1)
+
+    def rows(n0, n):
+        out = []
+        for i in range(n0, n0 + n):
+            key = (
+                None
+                if i % 7 == 3
+                else ("Silver" if i % 5 == 4 else ["Platinum", "Gold"][i % 2])
+                + f"-{i}"
+            )
+            out.append((i, base + dt.timedelta(seconds=i), 1, key))
+        return out
+
+    b0 = spark.createDataFrame(rows(0, 13), SCHEMA)
+    b1 = spark.createDataFrame(rows(13, 11), SCHEMA)
+
+    # streaming truth: two real micro-batches through the state store
+    b0.coalesce(1).write.mode("append").parquet(src)
+    source = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    routed = route_stream_stateful(source, CFG, 10, order_col="event_id")
+    q = (
+        routed.writeStream.format("memory")
+        .queryName("lifetime_truth")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b1.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        truth = {
+            r["event_id"]: (r["key"], r["bucket"], r["partition"], r["seq"])
+            for r in spark.table("lifetime_truth").collect()
+        }
+    finally:
+        q.stop()
+
+    r0, counters = route_batch_lifetime(b0, CFG, 10)
+    got = {
+        r["event_id"]: (r["key"], r["bucket"], r["partition"], r["seq"])
+        for r in r0.collect()
+    }
+    r1, counters = route_batch_lifetime(b1, CFG, 10, counters)
+    got.update(
+        {
+            r["event_id"]: (r["key"], r["bucket"], r["partition"], r["seq"])
+            for r in r1.collect()
+        }
+    )
+    assert got == truth
+    # the advanced counters equal the per-group row totals
+    assert counters["Platinum"] + counters["Gold"] + counters["Silver"] + counters[
+        None
+    ] == 24
+
+
+def test_lifetime_starved_bucket_parity(spark):
+    """A bucket with 0 partitions must route to -1 (reference
+    fall-through, Bucket.nextPartition returning -1)."""
+    from prioritizing_event_processing_with_apache_kafka_spark.streaming.lifetime import (
+        route_batch_lifetime,
+    )
+
+    cfg = BucketPriorityConfig(
+        topic="events", buckets=["Big", "Tiny"], allocation=[99, 1]
+    )
+    # 2 partitions: Big gets both, Tiny starves (size 0)
+    df = spark.createDataFrame(
+        [(0, "Tiny-a"), (1, "Big-a"), (2, "Tiny-b")], "event_id long, key string"
+    )
+    routed, counters = route_batch_lifetime(df, cfg, 2)
+    got = {r["event_id"]: (r["partition"], r["seq"]) for r in routed.collect()}
+    assert got == {0: (-1, 0), 1: (0, 0), 2: (-1, 1)}
+    assert counters == {"Big": 1, "Tiny": 2}
+
+
+def test_lifetime_foreach_batch_restart_continuity(spark, dirs):
+    """Mirror of test_counter_survives_restart_across_many_batches for
+    the foreachBatch path: 6 micro-batches, stop, 5 more from the same
+    checkpoint + counter dir — seq must be the unbroken global arrival
+    order and partition = seq % 7 (Platinum lo=0 size=7)."""
+    from prioritizing_event_processing_with_apache_kafka_spark.streaming.lifetime import (
+        lifetime_foreach_batch,
+    )
+
+    src, chk = dirs
+    out = tempfile.mkdtemp(prefix="peps-lifetime-out-")
+    state = tempfile.mkdtemp(prefix="peps-lifetime-state-")
+    per_batch = 4
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    def run(n_batches, first_batch):
+        source = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            source.writeStream.foreachBatch(
+                lifetime_foreach_batch(
+                    CFG, 10, sink, state_dir=state, order_col="event_id"
+                )
+            )
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            for b in range(first_batch, first_batch + n_batches):
+                chunk(spark, src, b * 100, per_batch)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+    try:
+        run(6, 0)
+        run(5, 6)
+        combined = {
+            r["event_id"]: (r["seq"], r["partition"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert len(combined) == 11 * per_batch
+        by_arrival = sorted(combined)
+        seqs = [combined[e][0] for e in by_arrival]
+        assert seqs == list(range(11 * per_batch))
+        assert all(combined[e][1] == combined[e][0] % 7 for e in by_arrival)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+
+
+def test_lifetime_missing_state_raises(spark):
+    from prioritizing_event_processing_with_apache_kafka_spark.streaming.lifetime import (
+        load_counters,
+    )
+
+    assert load_counters("/nonexistent-peps-state", -1) == {}
+    with pytest.raises(RuntimeError, match="counter state for batch 4"):
+        load_counters("/nonexistent-peps-state", 4)
+
+
+def test_declared_lifetime_query_matches_batch_exact_router(spark):
+    """The declared `stream_route_lifetime` query (VERDICT r12 item 1)
+    must be bit-identical to the batch exact-mode router: the two-batch
+    replay through counter-block reservation IS the lifetime
+    AtomicInteger sequence, so both paths share the
+    `route_events_exact` oracle."""
+    from prioritizing_event_processing_with_apache_kafka_spark.inventory import (
+        q_route_events_exact,
+        q_stream_route_lifetime,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_id"]: (r["bucket"], r["partition"])
+        for r in q_stream_route_lifetime(spark, sf).collect()
+    }
+    expect = {
+        r["event_id"]: (r["bucket"], r["partition"])
+        for r in q_route_events_exact(spark, sf).collect()
+    }
+    assert got == expect
