@@ -217,20 +217,60 @@ HEADLINE = [
     # through the typed ValueState counter (same replay-cost shape as
     # the other streaming twins, plus the state-server round trip).
     "stream_route_tws",
+    # round 13: the parallel lifetime router (VERDICT r12 item 1) —
+    # same two staged writes + two foreachBatch micro-batches, but the
+    # per-batch work is the distributed zip-with-index instead of a
+    # one-task-per-bucket state funnel.
+    "stream_route_lifetime",
 ]
 
 # The staged-replay streaming twins: their sf0.1 cost is dominated by a
 # ~2 s session-constant floor (temp parquet staging + checkpoint +
 # state-store setup), not per-row work, which masks scan-shaped
 # regressions in the raw numbers (VERDICT r11 item 3). The bench
-# measures that floor ONCE per session via a 0-row twin and reports
-# each twin's MARGINAL (median - floor); the adjudicator compares
-# marginals so a twin's divergence flag reflects its data path.
+# brackets that floor via a 0-row twin measured both before and after
+# the headline loop (ADVICE r12: once-after is systematically warmer
+# than the regime the twins ran in) and reports each twin's MARGINAL
+# (median - floor); the adjudicator compares marginals so a twin's
+# divergence flag reflects its data path.
+#
+# EXPLICIT membership (ADVICE r12): every name here routes through
+# stage_two_batch_stream + a writeStream drain; a future stream_*
+# headline that is NOT a staged-replay twin must simply not be listed
+# (prefix inference would silently subtract the floor from it). The
+# guard below fails the bench loudly if a stream_* headline is added
+# without deciding its twin status.
 STREAM_TWINS = frozenset(
+    {
+        "stream_route_counts",
+        "stream_windowed_throughput",
+        "stream_sessionized_users",
+        "stream_dedup_keys",
+        "stream_enriched_segments",
+        "stream_error_purchase_pairs",
+        "stream_locf_fill",
+        "stream_transition_counts",
+        "scd2_stream_history",
+        "stream_rfm_incremental",
+        "stream_abc_incremental",
+        "stream_heavy_hitters",
+        "stream_lorenz_incremental",
+        "stream_vocab_incremental",
+        "stream_route_tws",
+        "stream_route_lifetime",
+    }
+    & set(HEADLINE)
+)
+_UNDECLARED_STREAM_HEADLINES = [
     n
     for n in HEADLINE
-    if n.startswith("stream_") or n == "scd2_stream_history"
-)
+    if n.startswith("stream_") and n not in STREAM_TWINS
+]
+if _UNDECLARED_STREAM_HEADLINES:
+    raise AssertionError(
+        "stream_* headline(s) missing from the explicit STREAM_TWINS "
+        f"list (add or consciously exclude): {_UNDECLARED_STREAM_HEADLINES}"
+    )
 
 
 def setup_floor_query(spark):
@@ -544,6 +584,26 @@ def main() -> int:
     # (and the min remains comparable to the min-of-two that rounds
     # 1-5 reported). Runs can't reuse each other's data caches —
     # clearCache between runs.
+    # Staged-replay setup floor, PRE-headline half (ADVICE r12: the
+    # floor was measured once, after all headline queries, in a warmer
+    # JVM/page-cache regime than the one the stream twins were timed
+    # in — a systematic, not random, bias). Bracketing the headline
+    # loop with one half-measurement on each side and taking the
+    # median of all six timed runs centers the floor on the regime the
+    # twins actually ran in.
+    def measure_floor_runs() -> list[float]:
+        runs: list[float] = []
+        for rep in range(4):
+            t0 = time.time()
+            materialize(setup_floor_query(spark))
+            if rep > 0:
+                runs.append(time.time() - t0)
+            spark.catalog.clearCache()
+        isolate()
+        return runs
+
+    floor_runs = measure_floor_runs()
+
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -559,18 +619,16 @@ def main() -> int:
         spreads[name] = [round(runs[0], 3), round(runs[2], 3)]
         isolate()
 
-    # Session staged-replay setup floor (VERDICT r11 item 3): one warm
-    # run then median of three, same protocol as the headline queries.
-    floor_runs: list[float] = []
-    for rep in range(4):
-        t0 = time.time()
-        materialize(setup_floor_query(spark))
-        if rep > 0:
-            floor_runs.append(time.time() - t0)
-        spark.catalog.clearCache()
+    # Session staged-replay setup floor (VERDICT r11 item 3), POST-
+    # headline half: same warm-run + 3 timed protocol as the pre half;
+    # the floor is the median of the six timed runs across both halves.
+    floor_runs += measure_floor_runs()
     floor_runs.sort()
-    setup_floor = round(floor_runs[1], 3)
-    isolate()
+    setup_floor = round(
+        (floor_runs[len(floor_runs) // 2 - 1] + floor_runs[len(floor_runs) // 2])
+        / 2.0,
+        3,
+    )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -483,7 +483,11 @@ def encode_flac(
 
 
 # Frame-header sample-size codes (FLAC spec): the two lattices the
-# codec encodes; the decoder additionally parses 8/12/20-bit codes.
+# codec encodes. The 8/12/20-bit entries exist only so a frame whose
+# code disagrees with STREAMINFO raises the mismatch error with the
+# real bit width named — decode_flac rejects any STREAMINFO bps
+# outside {16, 24} up front, so those widths are never decoded
+# (ADVICE r12).
 _SS_CODE = {16: 0b100, 24: 0b110}
 _SS_BITS = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24}
 

@@ -61,9 +61,23 @@ def build_reference(round_name: str, artifacts: list[dict]) -> dict:
         ),
         "queries": queries,
     }
+    # Explicit presence check, not truthiness: a measured floor of 0.0
+    # is a legitimate value and must count toward the median (ADVICE
+    # r12 — truthiness silently dropped it).
     floors = [
-        a["setup_floor_sec"] for a in artifacts if a.get("setup_floor_sec")
+        a["setup_floor_sec"] for a in artifacts if "setup_floor_sec" in a
     ]
+    if floors and len(floors) < len(artifacts):
+        # Mixing pre-floor-era artifacts with floor-carrying ones would
+        # silently median over a subset (possibly ONE run) — the exact
+        # single-draw fragility this tool was rewritten to fix (ADVICE
+        # r12). Warn like the <3-runs case.
+        print(
+            f"WARNING: only {len(floors)} of {len(artifacts)} artifacts "
+            "carry setup_floor_sec; the floor median covers a subset of "
+            "the runs",
+            file=sys.stderr,
+        )
     if floors:
         ref["setup_floor_sec"] = round(statistics.median(floors), 3)
     return ref

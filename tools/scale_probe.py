@@ -315,6 +315,11 @@ GROW_PROBED = [
     # trade-off the stateful.py docstring promises vs the stateless
     # modes (route_events_exact's plan) as events grow N×.
     "stream_route_tws",
+    # round 13 (VERDICT r12 item 1): the parallel lifetime router —
+    # counter-block reservation + distributed zip-with-index must
+    # track route_events_exact's 4-5x band at 100x where the
+    # ValueState router measured 68x (one task per bucket).
+    "stream_route_lifetime",
 ]
 
 # Bump when the replica construction changes so stale /tmp replicas
