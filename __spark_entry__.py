@@ -50,60 +50,17 @@ _DRIVER_HEAD = [
     "starved_discard_audit",
     "assignment_golden",
     "bucket_allocation_vs_load",
-    # --- round-12 rotation (VERDICT r11 item 5: front the overflow
-    # cohort). Stalest-first by (last drawn round, total draws),
-    # recomputed from CORRECTNESS_r01..r11.json: the two r06/draws=2
-    # stragglers, the twenty-seven r07/draws=1 names, the ten
-    # r07/draws=2 names, then the r08/draws=1 cohort (alphabetical)
-    # up to the window budget; every entry is hash-oracled (the
-    # all-oracled-window rule from r10 holds, pinned by
+    # --- round-13 rotation (VERDICT r12 item 5: front the now-stalest
+    # cohort). Stalest-first by (last drawn round, total draws, name),
+    # recomputed from CORRECTNESS_r01..r12.json: the two never-drawn
+    # names (the r12 24-bit FLAC stretch and this round's parallel
+    # lifetime router), the thirty-six r08/draws=1 names, then the
+    # r09/draws=1 cohort (alphabetical) up to the window budget; every
+    # entry is hash-oracled (the all-oracled-window rule from r10
+    # holds, pinned by
     # tests/test_round10_fixes.py::test_driver_head_is_all_oracled).
-    "tfidf_top_terms",
-    "vocab_coverage",
-    "bucket_cusum_alarm",
-    "bucket_key_concentration",
-    "corpus_merkle_buckets",
-    "data_quality_audit",
-    "dedup_keep_canonical",
-    "dedup_multiset_jaccard",
-    "dedup_prefix_filter",
-    "dedup_triangle_count",
-    "drain_tick_percentiles",
-    "event_transition_matrix",
-    "label_propagation",
-    "leakage_safe_split",
-    "lineitem_numeric_corr",
-    "nb_calibration",
-    "nb_lang_classifier",
-    "neardup_common_neighbors",
-    "priority_drain_schedule",
-    "priority_mix_shift",
-    "priority_open_orders_peak",
-    "purchase_attribution",
-    "rolling_value_median",
-    "stream_locf_fill",
-    "stream_transition_counts",
-    "top_session_paths",
-    "ts_gap_fill",
-    "user_time_weighted_value",
-    "user_value_trend",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "embedding_neardup",
-    "embedding_topk",
-    "events_tier_at_time",
-    "lang_id_eval",
-    "q12_priority_by_lateness",
-    "bucket_percentile_exact",
-    "bucket_value_mad",
-    "conversion_wilson_ci",
-    "corpus_pack_stats",
-    # --- window boundary (~50) ---
-    # (overflow) next-stalest oracled cohort — the r08/draws=1
-    # remainder — fronted next round per the rotation policy.
+    "multimodal_flac24_roundtrip",
+    "stream_route_lifetime",
     "customer_rfm",
     "documents_weighted_sample",
     "effective_corpus_size",
@@ -111,6 +68,51 @@ _DRIVER_HEAD = [
     "embedding_quantile_norm",
     "erasure_cascade",
     "events_ab_test",
+    "events_decile_drift",
+    "events_dow_hour_matrix",
+    "events_hourly_acf",
+    "events_k_anonymity",
+    "events_m4_downsample",
+    "events_peak_census",
+    "events_seasonal_backtest",
+    "join_skew_diagnosis",
+    "lang_charclass_profile",
+    "layout_autobroadcast_canary",
+    "layout_rebalance_impact",
+    "lineitem_benford",
+    "multimodal_audio_decode",
+    "multimodal_video_decode",
+    "nation_trade_matrix",
+    "neardup_bfs_hops",
+    "neardup_kcore",
+    "order_status_reconciliation",
+    "orders_dup_screen",
+    "orders_winsorized",
+    "rolling_active_users",
+    "source_lang_fd",
+    "source_overlap",
+    "source_vocab_drift",
+    "supplier_ship_sla",
+    "user_churn_census",
+    "user_decayed_value",
+    "cohort_ltv_curve",
+    "customer_active_islands",
+    "customer_lorenz_deciles",
+    "heavy_hitters_cms",
+    "lineitem_bloom_prefilter",
+    "orders_pit_fx_enrich",
+    "part_supplier_degree",
+    # --- window boundary (~50) ---
+    # (overflow) next-stalest oracled cohort — the r09/draws=1
+    # remainder then the r09/draws=2 head — fronted next round per
+    # the rotation policy.
+    "stream_abc_incremental",
+    "stream_rfm_incremental",
+    "user_value_pareto",
+    "vocab_rank_census",
+    "bucket_metric_unpivot",
+    "copurchase_lift",
+    "customer_revenue_gini",
 ]
 
 

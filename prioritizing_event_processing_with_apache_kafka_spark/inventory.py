@@ -1396,16 +1396,22 @@ def q_stream_route_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = (lo_hi["lo"] + lo_hi["hi"]) // 2
     root = tempfile.mkdtemp(prefix="peps-lifetime-route-")
     try:
+        # Parallel staging (files_per_batch > 1): the router sorts by
+        # event_id inside each batch, so intra-batch arrival order is
+        # irrelevant and the serial coalesce(1) write — 8.7 s of the
+        # 100x grow probe's wall — can fan out across the cluster.
+        k_files = 8
         src_dir, schema = stage_two_batch_stream(
             root,
             [
                 events.filter(F.col("event_id") <= mid),
                 events.filter(F.col("event_id") > mid),
             ],
+            files_per_batch=k_files,
         )
         stream = (
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
+            .option("maxFilesPerTrigger", k_files)
             .parquet(src_dir)
         )
         out_dir = os.path.join(root, "out")
@@ -1413,7 +1419,11 @@ def q_stream_route_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         chk = os.path.join(root, "chk")
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            batch_df.write.mode("append").parquet(out_dir)
+            # Only the oracle columns: writing the routed key back out
+            # would double the sink bytes for a column the readout drops.
+            batch_df.select("event_id", "bucket", "partition").write.mode(
+                "append"
+            ).parquet(out_dir)
 
         q = (
             stream.writeStream.foreachBatch(
@@ -1434,9 +1444,7 @@ def q_stream_route_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-        result = spark.read.parquet(out_dir).select(
-            "event_id", "bucket", "partition"
-        )
+        result = spark.read.parquet(out_dir)
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -308,6 +308,10 @@ GROW_PROBED = [
     # customers. Wall includes the staged writes + both micro-batches.
     "stream_heavy_hitters",
     "stream_lorenz_incremental",
+    # round 13 (VERDICT r12 item 2): the rebalance migration-cost
+    # rollup joins the grow set for its third-decade point — events
+    # grow N× through the exact router + two broadcast layout joins.
+    "layout_rebalance_impact",
     # round 12 (VERDICT r11 item 2): the transformWithState router —
     # one ValueState counter per bucket serializes each bucket into a
     # single task per batch BY DESIGN (the reference's shared
@@ -318,8 +322,11 @@ GROW_PROBED = [
     # round 13 (VERDICT r12 item 1): the parallel lifetime router —
     # counter-block reservation + distributed zip-with-index must
     # track route_events_exact's 4-5x band at 100x where the
-    # ValueState router measured 68x (one task per bucket).
+    # ValueState router measured 68x (one task per bucket). The
+    # __core entry isolates the per-batch plan from the staged-replay
+    # harness (staging writes + checkpoint + sink readback).
     "stream_route_lifetime",
+    "stream_route_lifetime__core",
 ]
 
 # Bump when the replica construction changes so stale /tmp replicas
@@ -567,8 +574,16 @@ def main() -> int:
         print(f"built {copies}x replica at {big_dir} in {time.time()-t0:.1f}s")
 
     import __spark_entry__ as entrymod
+    from prioritizing_event_processing_with_apache_kafka_spark.plans.fingerprint import (
+        streaming_core_queries,
+    )
 
-    queries = entrymod.queries()
+    # The streaming __core builders (the pure per-batch plan each
+    # foreachBatch twin executes) are probe-able under their pinned
+    # names: a twin's end-to-end replay wall mixes the staging/
+    # checkpoint harness with the per-batch plan, and the core probe
+    # isolates the plan's own growth (r13: the lifetime router).
+    queries = {**entrymod.queries(), **streaming_core_queries()}
 
     def materialize(df) -> None:
         df.write.format("noop").mode("overwrite").save()
