@@ -900,15 +900,68 @@ WHERE g.i * 64 < strlen(text)
 def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baseline JPEG encode→decode round trip per document
     (``operators/jpeg.py`` via ``multimodal.py:jpeg_roundtrip_metrics``)
-    — closes the round-7 codec seam. JPEG is lossy BY DESIGN, so no
-    exact-sum oracle is possible; instead every row self-audits:
-    dimensions exact, re-decode bit-identical, and the error envelope
-    bounded (max_abs_err <= 64, fixture-calibrated: the synth ramp's
-    255→0 wrap edge measures 48 worst-case at quality 90, median 2).
-    Enforced by tools/check_oracle.py SELF_AUDITS; rows-only for the
-    driver."""
+    — closes the round-7 codec seam. JPEG is lossy BY DESIGN, so the
+    raw pixels admit no exact-sum oracle; the round trip's INVARIANTS
+    do (r13, VERDICT r12 item 6 — promoted from the self-audit set):
+    the fixture dims are closed-form in doc_id, the decode dims must
+    match, the deterministic codec must re-decode bit-identically, and
+    the error envelope must hold (max_abs_err <= 64, fixture-
+    calibrated: the synth ramp's 255→0 wrap edge measures 48
+    worst-case at quality 90, median 2 — numerics pinned in
+    tests/test_round9_batch1.py). Any codec slip flips a flag to 0
+    and breaks the value hash, so this is now HASH-ORACLED; the raw
+    error magnitudes remain visible via the metrics function."""
     docs = load_table(spark, sf_dir, "documents")
-    return M.jpeg_roundtrip_metrics(docs, quality=90)
+    m = M.jpeg_roundtrip_metrics(docs, quality=90)
+    return m.select(
+        "doc_id",
+        "width",
+        "height",
+        "dims_match",
+        "redecode_match",
+        (F.col("max_abs_err") <= 64).cast("int").alias("envelope_ok"),
+    )
+
+
+SQL_MULTIMODAL_JPEG_ROUNDTRIP = """
+SELECT doc_id,
+       CAST(4 + doc_id % 5 AS INTEGER) AS width,
+       CAST(3 + doc_id % 4 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS dims_match,
+       CAST(1 AS INTEGER) AS redecode_match,
+       CAST(1 AS INTEGER) AS envelope_ok
+FROM documents
+"""
+
+
+def q_multimodal_jpeg_rst_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restart-interval JPEG round trip (r13, VERDICT r12 item 4):
+    DRI + RST0..7 markers — the most common real-camera-file feature
+    behind the former decode seam — exercised end to end with one
+    restart per MCU row (``multimodal.py:jpeg_rst_roundtrip_metrics``).
+    The marker COUNT is counted from the actual payload bytes and must
+    equal the closed-form ceil(height/8) - 1; the restart decode must
+    be bit-identical to the no-restart file's decode (restart
+    transmission losslessly re-frames the same quantized
+    coefficients). HASH-ORACLED."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.jpeg_rst_roundtrip_metrics(docs, quality=90)
+
+
+SQL_MULTIMODAL_JPEG_RST_ROUNDTRIP = """
+SELECT doc_id,
+       CAST(16 + doc_id % 17 AS INTEGER) AS width,
+       CAST(12 + doc_id % 13 AS INTEGER) AS height,
+       CAST(((16 + doc_id % 17 + 7) // 8) * ((12 + doc_id % 13 + 7) // 8)
+            AS INTEGER) AS n_mcus,
+       CAST((16 + doc_id % 17 + 7) // 8 AS INTEGER) AS rst_interval,
+       CAST((12 + doc_id % 13 + 7) // 8 - 1 AS INTEGER) AS n_rst_markers,
+       CAST(1 AS INTEGER) AS dims_match,
+       CAST(1 AS INTEGER) AS matches_plain,
+       CAST(1 AS INTEGER) AS redecode_match,
+       CAST(1 AS INTEGER) AS envelope_ok
+FROM documents
+"""
 
 
 def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -923,10 +976,30 @@ def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame
     to the baseline round trip per document — any slip in the EOB-run,
     ZRL, or correction-bit logic breaks it. Dims exact and the
     ``max_abs_err <= 64`` envelope (same calibration as
-    ``multimodal_jpeg_roundtrip``) ride along. Enforced by
-    tools/check_oracle.py SELF_AUDITS; rows-only for the driver."""
+    ``multimodal_jpeg_roundtrip``) ride along. All three are exact
+    invariants, so the query is HASH-ORACLED as of r13 (VERDICT r12
+    item 6): any slip flips a flag and breaks the value hash."""
     docs = load_table(spark, sf_dir, "documents")
-    return M.jpeg_progressive_metrics(docs, quality=90)
+    m = M.jpeg_progressive_metrics(docs, quality=90)
+    return m.select(
+        "doc_id",
+        "width",
+        "height",
+        "dims_match",
+        "baseline_match",
+        (F.col("max_abs_err") <= 64).cast("int").alias("envelope_ok"),
+    )
+
+
+SQL_MULTIMODAL_JPEG_PROGRESSIVE = """
+SELECT doc_id,
+       CAST(4 + doc_id % 5 AS INTEGER) AS width,
+       CAST(3 + doc_id % 4 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS dims_match,
+       CAST(1 AS INTEGER) AS baseline_match,
+       CAST(1 AS INTEGER) AS envelope_ok
+FROM documents
+"""
 
 
 def q_multimodal_jpeg420_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -940,11 +1013,39 @@ def q_multimodal_jpeg420_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     subsampling is lossy exactly at chroma EDGES, so the fixture bounds
     slopes at 2/px; a wrap-edge sawtooth would measure the fixture, not
     the codec), ``max_luma_err_centi <= 800`` (luma is NOT subsampled —
-    its error stays pure quantization), and the 4:2:0 payload total
-    strictly below the 4:4:4 total (~0.87x measured). Enforced by
-    tools/check_oracle.py SELF_AUDITS; rows-only for the driver."""
+    its error stays pure quantization), and the 4:2:0 payload strictly
+    below the 4:4:4 payload — PER ROW, a strictly stronger form of the
+    old total-sum audit (measured: 0 of 2,000 fixture docs invert,
+    worst row ratio 0.972, total ~0.87x). All exact invariants ⇒
+    HASH-ORACLED as of r13 (VERDICT r12 item 6); the raw error
+    magnitudes stay visible via the metrics function and its tests."""
     docs = load_table(spark, sf_dir, "documents")
-    return M.jpeg420_roundtrip_metrics(docs, quality=90)
+    m = M.jpeg420_roundtrip_metrics(docs, quality=90)
+    return m.select(
+        "doc_id",
+        "width",
+        "height",
+        "dims_match",
+        "redecode_match",
+        (F.col("max_abs_err") <= 64).cast("int").alias("envelope_ok"),
+        (F.col("max_luma_err_centi") <= 800).cast("int").alias("luma_ok"),
+        (F.col("payload_bytes") < F.col("payload_bytes_444"))
+        .cast("int")
+        .alias("payload_shrunk"),
+    )
+
+
+SQL_MULTIMODAL_JPEG420_ROUNDTRIP = """
+SELECT doc_id,
+       CAST(16 + doc_id % 17 AS INTEGER) AS width,
+       CAST(12 + doc_id % 13 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS dims_match,
+       CAST(1 AS INTEGER) AS redecode_match,
+       CAST(1 AS INTEGER) AS envelope_ok,
+       CAST(1 AS INTEGER) AS luma_ok,
+       CAST(1 AS INTEGER) AS payload_shrunk
+FROM documents
+"""
 
 
 def q_multimodal_mjpg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7538,6 +7639,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_jpeg_roundtrip": q_multimodal_jpeg_roundtrip,
+    "multimodal_jpeg_rst_roundtrip": q_multimodal_jpeg_rst_roundtrip,
     "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
     "multimodal_jpeg420_roundtrip": q_multimodal_jpeg420_roundtrip,
     "multimodal_mjpg_roundtrip": q_multimodal_mjpg_roundtrip,
@@ -7685,6 +7787,10 @@ PIPELINE_ORACLES: dict[str, str] = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
+    "multimodal_jpeg_roundtrip": SQL_MULTIMODAL_JPEG_ROUNDTRIP,
+    "multimodal_jpeg_rst_roundtrip": SQL_MULTIMODAL_JPEG_RST_ROUNDTRIP,
+    "multimodal_jpeg_progressive": SQL_MULTIMODAL_JPEG_PROGRESSIVE,
+    "multimodal_jpeg420_roundtrip": SQL_MULTIMODAL_JPEG420_ROUNDTRIP,
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "neardup_bfs_hops": SQL_NEARDUP_BFS_HOPS,
     "corpus_pack_stats": SQL_CORPUS_PACK_STATS,

@@ -32,10 +32,14 @@ specification (ITU-T T.81):
   8-bit quantization tables, plus multi-scan progressive (SOF2) files
   in the 1×1 sampling envelope — spectral-selection and
   successive-approximation DC/AC scans including EOB runs and
-  refinement correction bits (T.81 G.1.2); other sampling layouts
-  (e.g. 4:2:2), progressive+subsampled, arithmetic-coded, hierarchical
-  and restart-interval files raise through the explicit
-  ``NotImplementedError`` seam rather than decoding wrong.
+  refinement correction bits (T.81 G.1.2) — and restart intervals in
+  sequential scans (DRI + RST0..7: byte-align, marker-sequence check,
+  DC predictor reset — T.81 B.2.4.4/E.2.4, r13; the encoder emits them
+  via ``encode_jpeg(..., restart_interval=R)``); other sampling
+  layouts (e.g. 4:2:2), progressive+subsampled,
+  progressive+restart-interval, arithmetic-coded and hierarchical
+  files raise through the explicit ``NotImplementedError`` seam rather
+  than decoding wrong.
 
 Determinism: every step is integer or IEEE-double arithmetic with a
 fixed operation order (einsum against a precomputed DCT matrix,
@@ -259,6 +263,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)
         return bytes(self.out)
 
+    def restart_marker(self, n: int) -> None:
+        """Byte-align (1-bit padding, T.81 F.1.2.3) and append RSTn —
+        raw marker bytes, exempt from stuffing (B.1.1.3)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """(category, appended-bits) encoding of a coefficient value."""
@@ -308,8 +320,20 @@ def _quantized_zz(
     return comp_coefs, qluma, qchroma, h, w
 
 
-def encode_jpeg(arr: np.ndarray, *, quality: int = 90) -> bytes:
-    """Encode an (H, W, 3) uint8 RGB array as baseline JFIF 4:4:4."""
+def encode_jpeg(
+    arr: np.ndarray, *, quality: int = 90, restart_interval: int = 0
+) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as baseline JFIF 4:4:4.
+
+    ``restart_interval=R`` (T.81 B.2.4.4 / E.2.4, r13 — the most
+    common real-camera-file feature behind the former decode seam):
+    a DRI segment declares R MCUs per restart interval and the scan is
+    split by RST0..RST7 markers cycling mod 8 — at each marker the
+    bitstream byte-aligns (1-bit padding) and every component's DC
+    predictor resets to 0, which is what lets real decoders resume
+    after corruption and parallel decoders split a scan."""
+    if restart_interval < 0 or restart_interval > 0xFFFF:
+        raise ValueError("restart_interval must be in [0, 65535]")
     comp_coefs, qluma, qchroma, h, w = _quantized_zz(arr, quality)
 
     # symbol statistics (DC/AC × luma/chroma)
@@ -321,6 +345,8 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 90) -> bytes:
         tbl = 0 if ci == 0 else 1
         prev_dc = 0
         for bi in range(n_blocks):
+            if restart_interval and bi and bi % restart_interval == 0:
+                prev_dc = 0  # DC predictor resets at each RSTn
             zz = comp_coefs[ci][bi]
             t, bits_v = _magnitude(int(zz[0]) - prev_dc)
             prev_dc = int(zz[0])
@@ -354,8 +380,11 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 90) -> bytes:
     ac_codes = [_canonical_codes(*t) for t in ac_tables]
 
     # entropy-coded data: interleaved MCU = one block each of Y, Cb, Cr
+    # (4:4:4 ⇒ MCU index == block index)
     bw = _BitWriter()
     for bi in range(n_blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            bw.restart_marker(bi // restart_interval - 1)
         for ci in range(3):
             tbl = 0 if ci == 0 else 1
             for sym in comp_syms[ci][bi]:
@@ -397,6 +426,8 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 90) -> bytes:
                 0xFFC4,
                 bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals),
             )
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(
         0xFFDA,
         bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]),
@@ -850,6 +881,36 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self, expected: int) -> None:
+        """Byte-align and consume the next RSTn marker (T.81 E.2.4).
+
+        The padding bits always live in the byte the last MCU partially
+        consumed (or there are none, when the MCU ended on a byte
+        boundary), and ``_fill`` has already skipped any stuffed 0x00 —
+        so after discarding the partial-byte remainder, ``pos`` sits
+        exactly on the marker. A stray stuffed-pad pair is skipped
+        defensively for foreign encoders."""
+        self.acc = 0
+        self.nbits = 0
+        while (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0x00
+        ):
+            self.pos += 2
+        want = 0xD0 + (expected & 7)
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != want
+        ):
+            got = self.data[self.pos : self.pos + 2].hex() or "EOF"
+            raise ValueError(
+                f"expected restart marker ff{want:02x} at byte "
+                f"{self.pos}, found {got}"
+            )
+        self.pos += 2
+
 
 def _decode_symbol(br: _BitReader, lut: dict[tuple[int, int], int]) -> int:
     code = 0
@@ -868,7 +929,8 @@ def _extend(v: int, t: int) -> int:
 def _entropy_end(payload: bytes, start: int) -> int:
     """Index of the first marker (0xFF followed by a non-stuffing,
     non-fill byte) after ``start`` — the end of a scan's entropy-coded
-    segment. Restart markers cannot appear (DRI is unsupported)."""
+    segment. Only used on progressive scans, where restart markers
+    cannot appear (progressive + DRI raises before any scan decodes)."""
     i = start
     n = len(payload)
     while i + 1 < n:
@@ -1021,6 +1083,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     prog_coefs: dict[int, np.ndarray] | None = None
     scan_comps = None
     data_start = None
+    restart_interval = 0
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
@@ -1110,7 +1173,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 f"non-baseline JPEG frame {marker:#x} unsupported"
             )
         elif marker == 0xFFDD:
-            raise NotImplementedError("restart intervals unsupported")
+            # DRI (T.81 B.2.4.4): restart interval in MCUs; 0 disables.
+            # Last DRI before the scan wins.
+            restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xFFDA:
             ns = body[0]
             scan_comps = []
@@ -1121,6 +1186,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if progressive:
                 if frame is None or prog_coefs is None:
                     raise ValueError("progressive SOS before SOF2")
+                if restart_interval:
+                    raise NotImplementedError(
+                        "restart intervals in progressive scans unsupported"
+                    )
                 ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
                 ahal = body[3 + 2 * ns]
                 end = _entropy_end(payload, data_start)
@@ -1209,8 +1278,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             zz[k] = _extend(br.bits(t), t)
             k += 1
 
+    mcu_index = 0
     for my in range(mch):
         for mx in range(mcw):
+            if (
+                restart_interval
+                and mcu_index
+                and mcu_index % restart_interval == 0
+            ):
+                # T.81 E.2.4: byte-align, consume RSTn (cycling mod 8),
+                # reset every component's DC predictor.
+                br.restart(mcu_index // restart_interval - 1)
+                for cid in prev_dc:
+                    prev_dc[cid] = 0
             for cid, dc_t, ac_t in scan_comps:
                 hi, vi = samp[cid]
                 _bh, bw_i = grid[cid]
@@ -1218,6 +1298,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     for bx in range(hi):
                         bi = (my * vi + by) * bw_i + (mx * hi + bx)
                         decode_block(coefs[cid][bi], cid, dc_t, ac_t)
+            mcu_index += 1
     planes = {}
     for cid, *_ in comps:
         bh, bw_i = grid[cid]

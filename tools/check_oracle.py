@@ -371,45 +371,15 @@ SELF_AUDITS = {
         + _audit_abs_max("max_offdiag_corr", 0.02)(pdf)
         + _audit_min("evr_margin", -1e-6)(pdf)
     ),
-    # Baseline JPEG round trip: lossy by the format's design, so the
-    # contract is dims exact + deterministic re-decode + a bounded
-    # error envelope (synth worst case measured 48 at q90; bound 64).
-    "multimodal_jpeg_roundtrip": lambda pdf: (
-        _audit_min("dims_match", 1)(pdf)
-        + _audit_min("redecode_match", 1)(pdf)
-        + _audit_abs_max("max_abs_err", 64)(pdf)
-    ),
-    # Progressive JPEG round trip: the strong form — progressive
-    # transmission is a lossless reordering of the same quantized
-    # coefficients, so the decode must be BIT-IDENTICAL to the
-    # baseline round trip per document, on top of the shared envelope.
-    "multimodal_jpeg_progressive": lambda pdf: (
-        _audit_min("dims_match", 1)(pdf)
-        + _audit_min("baseline_match", 1)(pdf)
-        + _audit_abs_max("max_abs_err", 64)(pdf)
-    ),
-    # 4:2:0 JPEG round trip (r11): the shared lossy envelope on the
-    # smooth-chroma fixture (calibrated worst case 50 over 2,000 docs),
-    # PLUS a tight luma bound (luma is not subsampled — its error stays
-    # pure quantization; measured max 3.3, bound 8.0 in centi-units)
-    # and the format's raison d'etre: the 4:2:0 payload total must be
-    # strictly below the 4:4:4 total for the same images (~0.87x).
-    "multimodal_jpeg420_roundtrip": lambda pdf: (
-        _audit_min("dims_match", 1)(pdf)
-        + _audit_min("redecode_match", 1)(pdf)
-        + _audit_abs_max("max_abs_err", 64)(pdf)
-        + _audit_abs_max("max_luma_err_centi", 800)(pdf)
-        + (
-            []
-            if "payload_bytes" in pdf.columns
-            and "payload_bytes_444" in pdf.columns
-            and pdf["payload_bytes"].sum() < pdf["payload_bytes_444"].sum()
-            else [
-                "self-audit: 4:2:0 payload total not below the 4:4:4 "
-                "total — subsampling bought nothing"
-            ]
-        )
-    ),
+    # The baseline/progressive/4:2:0 JPEG round trips moved OUT of
+    # this audit set in r13 (VERDICT r12 item 6): their contracts —
+    # closed-form dims, bit-identical re-decode/baseline-match, the
+    # calibrated error envelope, the per-row 4:2:0 payload shrink —
+    # are exact invariants, so the declared queries now project them
+    # as flags and are HASH-ORACLED against DuckDB directly (a codec
+    # slip flips a flag and breaks the value hash). Raw magnitudes
+    # stay testable via the metrics functions in
+    # operators/multimodal.py.
     # MJPG-in-AVI round trip: same lossy contract as the still-image
     # one (synth worst case measured 48 over 2,000 docs; bound 64).
     "multimodal_mjpg_roundtrip": lambda pdf: (
