@@ -486,6 +486,115 @@ def _component_symbols(
     return out
 
 
+def encode_jpeg_422(arr: np.ndarray, *, quality: int = 90) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as baseline JFIF **4:2:2**
+    (r13 — the remaining common camera/video sampling after 4:2:0):
+    full-resolution luma, chroma 2×1 horizontally box-downsampled,
+    MCU-interleaved scan (two Y blocks + one Cb + one Cr per 16×8 MCU,
+    T.81 A.2.3) with sampling factors Y=2×1, Cb=Cr=1×1 in SOF0. Same
+    optimized two-phase Huffman machinery as :func:`encode_jpeg`."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg_422 expects an (H, W, 3) uint8 array")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError(f"unencodable dimensions {h}x{w}")
+    ycc = _rgb_to_ycbcr(arr)
+    qluma = _scaled_quant(_QUANT_LUMA, quality)
+    qchroma = _scaled_quant(_QUANT_CHROMA, quality)
+    # Pad to whole 16x8 MCUs by edge replication, THEN box-average
+    # chroma horizontally: the subsampled planes land on exact 8-block
+    # grids aligned with the luma pairs.
+    mch, mcw = -(-h // 8), -(-w // 16)
+    pads = [
+        np.pad(
+            ycc[..., ci],
+            ((0, mch * 8 - h), (0, mcw * 16 - w)),
+            mode="edge",
+        )
+        for ci in range(3)
+    ]
+    ypad = pads[0]
+    sub = [
+        c.reshape(mch * 8, mcw * 8, 2).mean(axis=2) for c in pads[1:]
+    ]
+    yzz, yh8, yw8 = _plane_zz(ypad, qluma)
+    cbzz, _, _ = _plane_zz(sub[0], qchroma)
+    crzz, _, _ = _plane_zz(sub[1], qchroma)
+    # Luma blocks reordered to MCU sequence: left, right per 16x8 MCU.
+    order_y = []
+    for my in range(mch):
+        for mx in range(mcw):
+            base = my * yw8 + 2 * mx
+            order_y += [base, base + 1]
+    yzz = yzz[order_y]
+
+    dc_freq = [np.zeros(256, dtype=np.int64) for _ in range(2)]
+    ac_freq = [np.zeros(256, dtype=np.int64) for _ in range(2)]
+    y_syms = _component_symbols(yzz, dc_freq[0], ac_freq[0])
+    cb_syms = _component_symbols(cbzz, dc_freq[1], ac_freq[1])
+    cr_syms = _component_symbols(crzz, dc_freq[1], ac_freq[1])
+
+    dc_tables = [_build_huffman(f) for f in dc_freq]
+    ac_tables = [_build_huffman(f) for f in ac_freq]
+    dc_codes = [_canonical_codes(*t) for t in dc_tables]
+    ac_codes = [_canonical_codes(*t) for t in ac_tables]
+
+    bw = _BitWriter()
+
+    def emit(syms: list, tbl: int) -> None:
+        for sym in syms:
+            if sym[0] == "dc":
+                _, t, bits_v = sym
+                code, length = dc_codes[tbl][t]
+                bw.write(code, length)
+                if t:
+                    bw.write(bits_v, t)
+            else:
+                _, s, t, bits_v = sym
+                code, length = ac_codes[tbl][s]
+                bw.write(code, length)
+                if t:
+                    bw.write(bits_v, t)
+
+    for mi in range(mch * mcw):
+        emit(y_syms[mi * 2], 0)
+        emit(y_syms[mi * 2 + 1], 0)
+        emit(cb_syms[mi], 1)
+        emit(cr_syms[mi], 1)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(
+        0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )  # APP0
+    for tid, q in ((0, qluma), (1, qchroma)):
+        out += seg(
+            0xFFDB,
+            bytes([tid]) + bytes(int(x) for x in q.reshape(-1)[_ZZ]),
+        )
+    out += seg(
+        0xFFC0,  # SOF0 baseline, 4:2:2 sampling
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    for cls, tables in ((0, dc_tables), (1, ac_tables)):
+        for tid, (bits, vals) in enumerate(tables):
+            out += seg(
+                0xFFC4,
+                bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals),
+            )
+    out += seg(
+        0xFFDA,
+        bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]),
+    )
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def encode_jpeg_420(arr: np.ndarray, *, quality: int = 90) -> bytes:
     """Encode an (H, W, 3) uint8 RGB array as baseline JFIF **4:2:0**:
     full-resolution luma, chroma 2×2 box-downsampled, MCU-interleaved
@@ -1150,10 +1259,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if not (
                 all(s == (1, 1) for s in samps)
                 or (nc == 3 and samps == [(2, 2), (1, 1), (1, 1)])
+                or (nc == 3 and samps == [(2, 1), (1, 1), (1, 1)])
             ):
                 raise NotImplementedError(
                     f"sampling factors {samps} unsupported "
-                    "(4:4:4/grayscale/4:2:0 only)"
+                    "(4:4:4/grayscale/4:2:0/4:2:2 only)"
                 )
             frame = (fh, fw, comps)
             if marker == 0xFFC2:

@@ -749,6 +749,83 @@ def jpeg420_roundtrip_metrics(
     )
 
 
+JPEG422_ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload_bytes", T.IntegerType(), False),
+        T.StructField("payload_bytes_444", T.IntegerType(), False),
+        T.StructField("dims_match", T.IntegerType(), False),
+        T.StructField("redecode_match", T.IntegerType(), False),
+        T.StructField("max_abs_err", T.IntegerType(), False),
+        T.StructField("max_luma_err_centi", T.IntegerType(), False),
+    ]
+)
+
+
+def jpeg422_roundtrip_metrics(
+    documents: DataFrame, *, quality: int = 90
+) -> DataFrame:
+    """4:2:2 JPEG round trip (r13 — the remaining common camera/video
+    sampling after 4:2:0 shipped in r11): each document's smooth-chroma
+    synth image encoded with ``jpeg.py:encode_jpeg_422`` (chroma 2×1
+    horizontally box-downsampled, 2Y+Cb+Cr per 16×8 MCU) and decoded
+    back through the sampling-generic MCU walker. Fixture calibration
+    over 2,000 docs at q90: max_abs_err 19 (envelope 64), max luma err
+    3.21 (luma is not subsampled — quantization-only, bound 8.0), total
+    payload 0.915× the 4:4:4 encode (horizontal-only subsampling saves
+    less than 4:2:0's 0.867×; 4 of 2,000 tiny rows invert, so the
+    payload economics are pinned by tests on totals, NOT oracled
+    per-row). Arrow-batched ``mapInPandas``."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_422,
+    )
+
+    def luma(a: np.ndarray) -> np.ndarray:
+        return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                img = _synth_pixels_smooth(int(doc_id))
+                payload = encode_jpeg_422(img, quality=quality)
+                out = decode_jpeg(payload)
+                again = decode_jpeg(payload)
+                err = np.abs(out.astype(np.int64) - img.astype(np.int64))
+                lerr = np.abs(
+                    luma(out.astype(np.float64)) - luma(img.astype(np.float64))
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        img.shape[1],
+                        img.shape[0],
+                        len(payload),
+                        len(encode_jpeg(img, quality=quality)),
+                        int(out.shape == img.shape),
+                        int(np.array_equal(out, again)),
+                        int(err.max()),
+                        int(round(float(lerr.max()) * 100)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "payload_bytes",
+                    "payload_bytes_444", "dims_match", "redecode_match",
+                    "max_abs_err", "max_luma_err_centi",
+                ],
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        batches, JPEG422_ROUNDTRIP_SCHEMA
+    )
+
+
 JPEG_RST_ROUNDTRIP_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),

@@ -161,12 +161,13 @@ class TestContainerAndSeams:
             decode_jpeg(bytes(payload))
 
     def test_unsupported_sampling_raises_not_implemented(self):
-        # 4:2:0 decodes since r11; 4:2:2 (2x1) is the remaining seam
+        # 4:2:0 decodes since r11 and 4:2:2 since r13; 4:4:0 (1x2)
+        # is the remaining sampling seam
         payload = bytearray(encode_jpeg(_smooth(8, 8)))
         idx = bytes(payload).find(b"\xff\xc0")
         # SOF0 body: len(2) prec(1) h(2) w(2) nc(1) then comp triples;
         # first component's sampling byte is at idx+2+2+1+2+2+1+1
-        payload[idx + 11] = 0x21  # claim 2x1 sampling for Y
+        payload[idx + 11] = 0x12  # claim 1x2 sampling for Y
         with pytest.raises(NotImplementedError, match="sampling"):
             decode_jpeg(bytes(payload))
 
@@ -597,3 +598,98 @@ class TestRestartIntervals:
             encode_jpeg(_smooth(8, 8), restart_interval=-1)
         with pytest.raises(ValueError, match="restart_interval"):
             encode_jpeg(_smooth(8, 8), restart_interval=70000)
+
+
+class Test422RoundTrip:
+    """4:2:2 codec (r13): chroma halved horizontally, 2Y+Cb+Cr MCUs."""
+
+    def _synth_smooth(self, doc_id: int):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.multimodal import (
+            _synth_pixels_smooth,
+        )
+
+        return _synth_pixels_smooth(doc_id)
+
+    def test_smooth_images_bounded_error(self):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.jpeg import (
+            encode_jpeg_422,
+        )
+
+        for h, w in [(16, 16), (17, 23), (8, 8), (33, 48), (12, 100), (8, 16)]:
+            img = _smooth(h, w)
+            out = decode_jpeg(encode_jpeg_422(img))
+            assert out.shape == img.shape
+            err = np.abs(out.astype(np.int64) - img.astype(np.int64))
+            assert err.max() <= 64, (h, w, int(err.max()))
+
+    def test_luma_stays_quantization_tight(self):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.jpeg import (
+            encode_jpeg_422,
+        )
+
+        def luma(a):
+            return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+        for doc_id in (0, 7, 123, 999):
+            img = self._synth_smooth(doc_id)
+            out = decode_jpeg(encode_jpeg_422(img))
+            lerr = np.abs(
+                luma(out.astype(np.float64)) - luma(img.astype(np.float64))
+            )
+            assert lerr.max() <= 8.0, (doc_id, float(lerr.max()))
+
+    def test_chroma_loss_sits_between_444_and_420(self):
+        # 4:2:2 halves chroma in ONE axis: on a chroma-sloped image its
+        # total payload must sit between the 4:4:4 and 4:2:0 encodes.
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.jpeg import (
+            encode_jpeg_420,
+            encode_jpeg_422,
+        )
+
+        tot444 = tot422 = tot420 = 0
+        for doc_id in range(40):
+            img = self._synth_smooth(doc_id)
+            tot444 += len(encode_jpeg(img))
+            tot422 += len(encode_jpeg_422(img))
+            tot420 += len(encode_jpeg_420(img))
+        assert tot420 < tot422 < tot444
+
+    def test_deterministic_and_redecodable(self):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.jpeg import (
+            encode_jpeg_422,
+        )
+
+        img = self._synth_smooth(42)
+        p1, p2 = encode_jpeg_422(img), encode_jpeg_422(img)
+        assert p1 == p2
+        assert np.array_equal(decode_jpeg(p1), decode_jpeg(p1))
+
+    def test_sof_carries_422_sampling_factors(self):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.jpeg import (
+            encode_jpeg_422,
+        )
+
+        payload = encode_jpeg_422(self._synth_smooth(3))
+        idx = payload.find(b"\xff\xc0")
+        assert payload[idx + 11] == 0x21  # Y 2x1
+        assert payload[idx + 14] == 0x11  # Cb 1x1
+        assert payload[idx + 17] == 0x11  # Cr 1x1
+
+    def test_solid_color_nearly_exact(self):
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.jpeg import (
+            encode_jpeg_422,
+        )
+
+        img = np.full((20, 28, 3), (90, 160, 40), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg_422(img))
+        err = np.abs(out.astype(np.int64) - img.astype(np.int64))
+        assert err.max() <= 2
+
+    def test_mislabeled_422_sampling_refuses(self):
+        # claiming 2x1 sampling over a 4:4:4-coded scan desyncs the
+        # MCU walk — raise, never return wrong pixels
+        payload = bytearray(encode_jpeg(_smooth(24, 24)))
+        idx = bytes(payload).find(b"\xff\xc0")
+        payload[idx + 11] = 0x21
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(bytes(payload))
