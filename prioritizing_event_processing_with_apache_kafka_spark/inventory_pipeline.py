@@ -1092,12 +1092,34 @@ def q_multimodal_mjpg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/jpeg.py``, reduced to per-doc round-trip metrics
     (``multimodal.py:mjpg_roundtrip_metrics``). Lossy by the codec's
     design, so the contract mirrors ``multimodal_jpeg_roundtrip``:
-    container dims + frame count exact, re-decode bit-identical,
-    error envelope bounded (fixture-calibrated worst case 48 over
-    2,000 docs, mean 1.1; bound 64). Enforced by tools/check_oracle.py
-    SELF_AUDITS; rows-only for the driver."""
+    container dims + frame count exact (closed-form in doc_id),
+    re-decode bit-identical, error envelope bounded
+    (fixture-calibrated worst case 48 over 2,000 docs, mean 1.1;
+    bound 64). All exact invariants ⇒ HASH-ORACLED as of r13 (the same
+    graduation as the still-image round trips, VERDICT r12 item 6)."""
     docs = load_table(spark, sf_dir, "documents")
-    return M.mjpg_roundtrip_metrics(docs)
+    m = M.mjpg_roundtrip_metrics(docs)
+    return m.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_frames",
+        "dims_match",
+        "redecode_match",
+        (F.col("max_abs_err") <= 64).cast("int").alias("envelope_ok"),
+    )
+
+
+SQL_MULTIMODAL_MJPG_ROUNDTRIP = """
+SELECT doc_id,
+       CAST(4 + doc_id % 5 AS INTEGER) AS width,
+       CAST(3 + doc_id % 4 AS INTEGER) AS height,
+       CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
+       CAST(1 AS INTEGER) AS dims_match,
+       CAST(1 AS INTEGER) AS redecode_match,
+       CAST(1 AS INTEGER) AS envelope_ok
+FROM documents
+"""
 
 
 def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7830,6 +7852,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "multimodal_jpeg_progressive": SQL_MULTIMODAL_JPEG_PROGRESSIVE,
     "multimodal_jpeg420_roundtrip": SQL_MULTIMODAL_JPEG420_ROUNDTRIP,
     "multimodal_jpeg422_roundtrip": SQL_MULTIMODAL_JPEG422_ROUNDTRIP,
+    "multimodal_mjpg_roundtrip": SQL_MULTIMODAL_MJPG_ROUNDTRIP,
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "neardup_bfs_hops": SQL_NEARDUP_BFS_HOPS,
     "corpus_pack_stats": SQL_CORPUS_PACK_STATS,

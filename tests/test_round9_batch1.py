@@ -128,12 +128,15 @@ class TestOrdersPitFxEnrich:
 
 
 class TestMjpgRoundtrip:
-    def test_self_audit_passes_and_frames_match(self, spark):
-        from tools.check_oracle import SELF_AUDITS
-
+    def test_invariant_flags_and_frames_match(self, spark):
+        # r13: the query graduated from SELF_AUDITS to a hash oracle —
+        # it now projects invariant flags. The flags must all be 1 and
+        # the dims/frame-count must match the synth fixture.
         df = q_multimodal_mjpg_roundtrip(spark, SF).limit(200)
         pdf = df.toPandas()
-        assert SELF_AUDITS["multimodal_mjpg_roundtrip"](pdf) == []
+        assert (pdf["dims_match"] == 1).all()
+        assert (pdf["redecode_match"] == 1).all()
+        assert (pdf["envelope_ok"] == 1).all()
         from prioritizing_event_processing_with_apache_kafka_spark.operators.multimodal import (
             _synth_frames,
         )
@@ -142,18 +145,21 @@ class TestMjpgRoundtrip:
             frames = _synth_frames(int(row["doc_id"]))
             assert row["n_frames"] == len(frames)
             assert (row["height"], row["width"]) == frames[0].shape[:2]
-            assert row["max_abs_err"] <= 64
-            assert row["mean_abs_err_ppm"] >= 0
 
-    def test_audit_rejects_out_of_envelope(self):
-        import pandas as pd
-
-        from tools.check_oracle import SELF_AUDITS
-
-        bad = pd.DataFrame(
-            {"dims_match": [1], "redecode_match": [1], "max_abs_err": [65]}
+    def test_raw_error_magnitudes_stay_visible(self, spark):
+        # the metrics function keeps the numeric envelope testable even
+        # though the declared query projects it to a flag
+        from prioritizing_event_processing_with_apache_kafka_spark.operators.multimodal import (
+            mjpg_roundtrip_metrics,
         )
-        assert SELF_AUDITS["multimodal_mjpg_roundtrip"](bad) != []
+        from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import (
+            load_table,
+        )
+
+        docs = load_table(spark, SF, "documents").limit(50)
+        pdf = mjpg_roundtrip_metrics(docs).toPandas()
+        assert (pdf["max_abs_err"] <= 64).all()
+        assert (pdf["mean_abs_err_ppm"] >= 0).all()
 
 
 class TestStreamingTwins:

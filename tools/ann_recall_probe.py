@@ -102,6 +102,9 @@ def main() -> int:
         i = argv.index("--copies")
         copies = int(argv[i + 1])
         del argv[i : i + 2]
+    retune_flag = "--retune" in argv
+    if retune_flag:
+        argv.remove("--retune")
     sf_dir = argv[0] if argv else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
@@ -146,16 +149,74 @@ def main() -> int:
         wall = time.time() - t0
         return float(pdf["recall_vs_exact"].mean()), wall
 
-    for name in names:
-        r1, w1 = mean_recall(name, sf_dir)
-        rn, wn = mean_recall(name, big_dir)
-        results[name] = {
-            "recall_1x": round(r1, 4),
-            f"recall_{copies}x": round(rn, 4),
-            "sec_1x": round(w1, 3),
-            f"sec_{copies}x": round(wn, 3),
-        }
-        print(name, results[name])
+    if retune_flag:
+        # Re-tuned knob sets for the configs the fixture-tuned queries
+        # degrade under growth (measured r13: LSH 0.88→0.76, PQ
+        # 1.0→0.60 at 100×). The scaling RULES under test:
+        # - LSH: hold per-neighbor recall by growing the table count
+        #   (union over T independent tables: 1-(1-p^4)^T);
+        # - PQ: grow the exact-re-rank shortlist with the corpus (the
+        #   ADC shortlist quality per candidate falls as the code
+        #   space crowds; rerank is the production knob — FAISS-style
+        #   guidance is shortlist ∝ corpus^(1/2..1) for fixed m/ksub).
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from prioritizing_event_processing_with_apache_kafka_spark.inventory_pipeline import (
+            _with_recall_vs_exact,
+        )
+        from prioritizing_event_processing_with_apache_kafka_spark.operators import (
+            similarity as S,
+        )
+        from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import (
+            load_table,
+        )
+
+        def tuned(d: str, method: str, **kw):
+            emb = load_table(spark, d, "embeddings")
+            queries_df = emb.filter(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            if method == "lsh":
+                ann = S.lsh_ann_topk(emb, queries_df, k=5, **kw)
+            elif method == "ivf":
+                ann = S.ivf_ann_topk(emb, queries_df, k=5, **kw)
+            else:
+                ann = S.pq_ann_topk(emb, queries_df, k=5, **kw)
+            out = _with_recall_vs_exact(
+                ann, S.cosine_topk(emb, queries_df, k=5), k=5
+            )
+            t0 = time.time()
+            pdf = (
+                out.select("query_id", "recall_vs_exact")
+                .distinct()
+                .toPandas()
+            )
+            return float(pdf["recall_vs_exact"].mean()), time.time() - t0
+
+        for method, kw in (
+            ("lsh", {"num_planes": 4, "num_tables": 16}),
+            ("lsh", {"num_planes": 4, "num_tables": 32}),
+            ("pq", {"m": 16, "ksub": 32, "n_iter": 3, "rerank": 128}),
+            ("pq", {"m": 16, "ksub": 32, "n_iter": 3, "rerank": 512}),
+        ):
+            r, w = tuned(big_dir, method, **kw)
+            key = f"{method}:{','.join(f'{k}={v}' for k, v in kw.items())}"
+            results[key] = {
+                f"recall_{copies}x": round(r, 4),
+                f"sec_{copies}x": round(w, 3),
+            }
+            print(key, results[key])
+    else:
+        for name in names:
+            r1, w1 = mean_recall(name, sf_dir)
+            rn, wn = mean_recall(name, big_dir)
+            results[name] = {
+                "recall_1x": round(r1, 4),
+                f"recall_{copies}x": round(rn, 4),
+                "sec_1x": round(w1, 3),
+                f"sec_{copies}x": round(wn, 3),
+            }
+            print(name, results[name])
 
     out = {
         "copies": copies,
