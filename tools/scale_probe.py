@@ -152,6 +152,12 @@ PROBED = [
     # expected ~linear in docs with no shuffle at all.
     "multimodal_audio_decode",
     "multimodal_video_decode",
+    # round 13 codecs: restart-interval + 4:2:2 JPEG and IMA-ADPCM
+    # round trips — pure map-side Arrow stages like the other codec
+    # pipelines, expected ~linear in docs with no shuffle.
+    "multimodal_jpeg_rst_roundtrip",
+    "multimodal_jpeg422_roundtrip",
+    "multimodal_adpcm_roundtrip",
     # round 8 eighth batch: RFM (post-agg state customer-sized, fences
     # distinct-value-sized), corpus sizing (tracks the CC closure),
     # SLA watch (supplier-sized after the lag join).
