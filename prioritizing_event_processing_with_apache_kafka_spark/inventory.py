@@ -1318,6 +1318,19 @@ def q_stream_route_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="peps-tws-route-")
     prov_key = "spark.sql.streaming.stateStore.providerClass"
     prev_prov = spark.conf.get(prov_key, None)
+    # State partitions sized to KEY CARDINALITY, not ambient shuffle
+    # parallelism (r13, guide §2/§5): the stateful operator has exactly
+    # #buckets + 1 (NULL) distinct keys at ANY data scale, but every
+    # shuffle partition of a transformWithState stream costs a RocksDB
+    # instance + snapshot upload + state-server handshake PER
+    # MICRO-BATCH even when it holds zero keys — measured 6.0 s for a
+    # 1-row two-batch drain at 32 partitions vs 3.2 s at 2 (the
+    # per-partition machinery, not data, dominates; the same per-
+    # partition cost recurs every batch on a cluster). Scoped to this
+    # stream and restored after the drain, like the provider conf.
+    part_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(part_key)
+    n_state_parts = len(EVENTS_CONFIG.buckets) + 1
     try:
         src_dir, schema = stage_two_batch_stream(
             root,
@@ -1343,6 +1356,7 @@ def q_stream_route_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
+        spark.conf.set(part_key, str(n_state_parts))
         sink = _drain_to_memory_sink(
             spark,
             routed.select("event_id", "bucket", "partition"),
@@ -1355,6 +1369,7 @@ def q_stream_route_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(prov_key)
         else:
             spark.conf.set(prov_key, prev_prov)
+        spark.conf.set(part_key, prev_parts)
         shutil.rmtree(root, ignore_errors=True)
 
 

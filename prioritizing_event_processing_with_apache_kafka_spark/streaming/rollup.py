@@ -78,6 +78,57 @@ def _merge(kind: str, out: str):
     raise ValueError(f"unknown rollup kind {kind!r}")
 
 
+def _integral_exprs(batch: DataFrame, specs: list[tuple[str, str, str]]) -> bool:
+    """True when every spec expression resolves to an integral type on
+    ``batch`` (schema-only analysis, no job). Integral inputs make the
+    per-row union merge below bit-identical to the historical
+    aggregate-then-join merge; fractional/decimal inputs could round
+    differently (cast-after-sum vs per-row cast), so they keep the
+    join path."""
+    from pyspark.sql import types as T
+
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    try:
+        dtypes = batch.select(
+            *[F.expr(expr) for _o, _k, expr in specs]
+        ).schema.fields
+    except Exception:  # unresolvable here -> let the join path report it
+        return False
+    return all(isinstance(f.dataType, integral) for f in dtypes)
+
+
+def _row_contrib(kind: str, expr: str, out: str):
+    """Per-row partial for the union merge — chosen so that one
+    ``groupBy(key)`` over (batch rows ∪ state rows) reproduces the
+    aggregate-then-merge result EXACTLY for integral inputs:
+    ``count``/``sum`` merge with NULL→0 coalescing (as ``_merge``
+    does), ``max``/``min`` via NULL-skipping max/least semantics."""
+    col = F.expr(expr)
+    zero = F.lit(0).cast("bigint")
+    if kind == "count":
+        return (
+            F.when(col.isNotNull(), F.lit(1).cast("bigint"))
+            .otherwise(zero)
+            .alias(out)
+        )
+    if kind == "sum":
+        return F.coalesce(col.cast("bigint"), zero).alias(out)
+    if kind in ("max", "min"):
+        return col.cast("bigint").alias(out)
+    raise ValueError(f"unknown rollup kind {kind!r} (expected {_KINDS})")
+
+
+def _merge_agg(kind: str, out: str):
+    col = F.col(out)
+    if kind in ("count", "sum"):
+        return F.sum(col).cast("bigint").alias(out)
+    if kind == "max":
+        return F.max(col).cast("bigint").alias(out)
+    if kind == "min":
+        return F.min(col).cast("bigint").alias(out)
+    raise ValueError(f"unknown rollup kind {kind!r}")
+
+
 def rollup_apply_batch(
     batch: DataFrame,
     *,
@@ -89,22 +140,68 @@ def rollup_apply_batch(
     """Merge one micro-batch into the per-key rollup store; returns the
     version written (``batch_id + 1``). Replaying the same ``batch_id``
     re-reads the same parent state and overwrites the same state
-    partition — idempotent under ``foreachBatch`` replay."""
+    partition — idempotent under ``foreachBatch`` replay.
+
+    Plan shape (r13, guide §2.4): for integral spec expressions the
+    merge is ONE union + ONE map-combined ``groupBy(key)`` — batch rows
+    become per-row partials, state rows ride along as already-merged
+    partials — one Exchange per micro-batch instead of the historical
+    three (batch pre-aggregate + both SortMergeJoin FullOuter sides).
+    Map-side combine still collapses each task to key cardinality
+    before the exchange, so the shuffled bytes are unchanged at scale;
+    only the extra shuffle rounds go. A NULL-key group merges
+    correctly because groupBy has exactly one NULL group (the property
+    the old path needed ``eqNullSafe`` for). Non-integral expressions
+    keep the aggregate-then-join path: per-row bigint casts could
+    round differently than cast-after-sum."""
     spark = batch.sparkSession
     target = int(batch_id) + 1
     out_cols = [out for out, _k, _e in specs]
-    batch_state = batch.groupBy(key_col).agg(
-        *[_batch_agg(kind, expr, f"__new_{out}") for out, kind, expr in specs]
-    )
     try:
         parent = _latest_version_below(spark, state_path, target)
-        state = (
-            spark.read.parquet(state_path)
-            .filter(F.col(_VERSION_COL) == parent)
-            .select(
-                F.col(key_col).alias("__old_key"),
-                *[F.col(c).alias(f"__old_{c}") for c in out_cols],
-            )
+    except FileNotFoundError:
+        # No committed state version: correct for batch 0 (and the
+        # lost-checkpoint degradation every streaming state backend
+        # shares — absent durable state means "no history").
+        merged = batch.groupBy(key_col).agg(
+            *[_batch_agg(kind, expr, out) for out, kind, expr in specs]
+        )
+        _write_version(merged, state_path, target)
+        return target
+    state = spark.read.parquet(state_path).filter(
+        F.col(_VERSION_COL) == parent
+    )
+    if _integral_exprs(batch, specs):
+        # State rows join the union with count/sum values coalesced to
+        # 0 (a stored NULL means "nothing accumulated", exactly what
+        # _merge's coalesce did); max/min keep NULL so the NULL-skip
+        # semantics match greatest/least.
+        zero = F.lit(0).cast("bigint")
+        state_part = state.select(
+            F.col(key_col),
+            *[
+                (
+                    F.coalesce(F.col(out), zero).alias(out)
+                    if kind in ("count", "sum")
+                    else F.col(out).cast("bigint").alias(out)
+                )
+                for out, kind, _e in specs
+            ],
+        )
+        batch_part = batch.select(
+            F.col(key_col),
+            *[_row_contrib(kind, expr, out) for out, kind, expr in specs],
+        )
+        merged = batch_part.unionByName(state_part).groupBy(key_col).agg(
+            *[_merge_agg(kind, out) for out, kind, _e in specs]
+        )
+    else:
+        batch_state = batch.groupBy(key_col).agg(
+            *[_batch_agg(kind, expr, f"__new_{out}") for out, kind, expr in specs]
+        )
+        old = state.select(
+            F.col(key_col).alias("__old_key"),
+            *[F.col(c).alias(f"__old_{c}") for c in out_cols],
         )
         # NULL-SAFE key equality: a plain equi-join never matches
         # NULL == NULL, so a null-key group would duplicate instead of
@@ -112,7 +209,7 @@ def rollup_apply_batch(
         # break the bit-identical-to-batch contract — the batch
         # groupBy has ONE null group.
         merged = batch_state.join(
-            state,
+            old,
             batch_state[key_col].eqNullSafe(F.col("__old_key")),
             "full_outer",
         ).select(
@@ -120,17 +217,6 @@ def rollup_apply_batch(
                 key_col
             ),
             *[_merge(kind, out) for out, kind, _e in specs],
-        )
-    except FileNotFoundError:
-        # No committed state version: correct for batch 0 (and the
-        # lost-checkpoint degradation every streaming state backend
-        # shares — absent durable state means "no history").
-        merged = batch_state.select(
-            key_col,
-            *[
-                F.col(f"__new_{out}").cast("bigint").alias(out)
-                for out, _k, _e in specs
-            ],
         )
     _write_version(merged, state_path, target)
     return target
