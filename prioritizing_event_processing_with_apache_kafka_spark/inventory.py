@@ -663,7 +663,20 @@ def q_route_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
         rendezvous_route,
     )
 
-    events = with_routing_key(load_table(spark, sf_dir, "events"))
+    from prioritizing_event_processing_with_apache_kafka_spark.sources.tables import (
+        spread,
+    )
+
+    # Project to the key, then fan the scan out (r13, guide §2.5/§4):
+    # the 12-digest argmax is a per-row-expensive projection, and a
+    # small/coarse-row-group parquet input scans as a single task —
+    # serializing every md5 onto one core. spread() is a no-op once the
+    # scan is wider than the cluster parallelism (real-scale inputs);
+    # the key-only projection keeps the injected round-robin exchange
+    # to a few bytes per row.
+    events = spread(
+        with_routing_key(load_table(spark, sf_dir, "events")).select("key")
+    )
     routed = rendezvous_route(
         events, key_col="key", num_partitions=EVENTS_NUM_PARTITIONS
     )
@@ -1332,6 +1345,12 @@ def q_stream_route_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get(part_key)
     n_state_parts = len(EVENTS_CONFIG.buckets) + 1
     try:
+        # files_per_batch stays 1 here: an r13 experiment with k=8
+        # parallel staging (valid — the processor concat-sorts each
+        # group) measured a consistent 4.6 s -> 7.2 s REGRESSION: more
+        # input splits per trigger mean more Arrow chunks and state-
+        # server round trips per bucket group, which dominates the
+        # ~0.3 s the parallel stage write saves at fixture scale.
         src_dir, schema = stage_two_batch_stream(
             root,
             [

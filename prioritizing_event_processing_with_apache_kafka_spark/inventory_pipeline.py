@@ -5267,27 +5267,44 @@ def _rfm_census(per_cust: DataFrame) -> DataFrame:
         exact_group_percentiles,
     )
 
-    # One customer-sized frame feeds the score branch AND three fence
+    # One customer-sized frame feeds the score branch AND the fence
     # histograms — persist it so the orders aggregate runs once, not 4x
     # (the repo's reused-input-frame rule).
     scored = scoped_persist(rfm.withColumn("__one", F.lit(1)))
-    fences = {}
-    for metric in ("recency_days", "frequency", "monetary_cents"):
-        f = exact_group_percentiles(
-            scored,
-            group_col="__one",
-            value_col=metric,
-            percentiles=(20, 40, 60, 80),
-        ).select(
-            F.lit(1).alias("__one"),
-            F.array(
-                *[F.col(f"disc_p{p}") for p in (20, 40, 60, 80)]
-            ).alias(f"__f_{metric}"),
+    # ONE fence pass for all three metrics (r13, guide §2.4): unpivot
+    # (metric, value) and let exact_group_percentiles group by metric —
+    # one histogram aggregate + one cumulative window instead of three
+    # independent chains (3 hist Exchanges + 3 single-partition windows
+    # → 1 + 1; the window now has 3 partitions instead of 3× one). The
+    # per-metric histogram rows and cumulative math are identical, so
+    # every disc_pXX fence is bit-identical; all three metrics are
+    # already bigint, so the shared __v column loses nothing.
+    metrics = ("recency_days", "frequency", "monetary_cents")
+    unpiv = scored.select(
+        F.expr(
+            "stack(3, "
+            + ", ".join(f"'{m}', {m}" for m in metrics)
+            + ") AS (__metric, __v)"
         )
-        fences[metric] = f
-    j = scored
-    for metric, f in fences.items():
-        j = j.join(F.broadcast(f), "__one")
+    )
+    fences3 = exact_group_percentiles(
+        unpiv,
+        group_col="__metric",
+        value_col="__v",
+        percentiles=(20, 40, 60, 80),
+    )
+    wide = fences3.agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("__metric") == m,
+                    F.array(*[F.col(f"disc_p{p}") for p in (20, 40, 60, 80)]),
+                )
+            ).alias(f"__f_{m}")
+            for m in metrics
+        ]
+    )
+    j = scored.join(F.broadcast(wide))
     rank = lambda m: F.aggregate(  # noqa: E731
         f"__f_{m}",
         F.lit(1),

@@ -58,10 +58,10 @@ from pyspark.sql import functions as F
 
 from prioritizing_event_processing_with_apache_kafka_spark.functions.keys import extract_bucket
 from prioritizing_event_processing_with_apache_kafka_spark.operators.caching import scoped_persist
-from prioritizing_event_processing_with_apache_kafka_spark.operators.routing import layout_table
 from prioritizing_event_processing_with_apache_kafka_spark.plans.config import (
     BucketPriorityConfig,
 )
+from prioritizing_event_processing_with_apache_kafka_spark.plans.layout import compute_layout
 from prioritizing_event_processing_with_apache_kafka_spark.streaming.stateful import (
     stateful_output_schema,
 )
@@ -73,6 +73,29 @@ __all__ = [
 ]
 
 _MID_LOCAL_MASK = (1 << 33) - 1
+
+
+def _range_partitions(batch_df: DataFrame, *, target_mb: int = 32) -> int:
+    """Range-shuffle partition count for one micro-batch, sized from
+    the batch's ESTIMATED bytes (optimizer stats — file sizes for a
+    file-source micro-batch; no job runs), ~``target_mb`` of
+    decompressed data per sort partition assuming ~3x parquet
+    expansion, clamped to [1, 4096].
+
+    Sized from DATA, not core count (r13, guide §2.2/§2.5): the rank
+    shuffle's cost is per-partition scheduling + sampling overhead at
+    fixture scale and sort-buffer pressure at 100 TB — a fixed
+    core-count constant is wrong at both ends. The rank arithmetic is
+    partition-count-invariant (global order across (pid, local id) is
+    what defines the sequence), so this only moves overhead, never
+    results."""
+    try:
+        nbytes = int(
+            batch_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return batch_df.sparkSession.sparkContext.defaultParallelism
+    return max(1, min(4096, -(-nbytes * 3 // (target_mb << 20))))
 
 
 def route_batch_lifetime(
@@ -106,7 +129,9 @@ def route_batch_lifetime(
     # local sort, a bucket's rows are globally ordered across task
     # ids, so (per-task offsets + local index) is the batch rank.
     srt = (
-        tagged.repartitionByRange(F.col("bucket"), F.col(order_col))
+        tagged.repartitionByRange(
+            _range_partitions(batch_df), F.col("bucket"), F.col(order_col)
+        )
         .sortWithinPartitions(F.col("bucket"), F.col(order_col))
         .withColumn("__peps_mid", F.monotonically_increasing_id())
     )
@@ -143,8 +168,36 @@ def route_batch_lifetime(
         empty._peps_exact_cache = srt  # type: ignore[attr-defined]
         return empty, new_counters
 
+    # The layout is a pure driver-side function of (config,
+    # num_partitions) — fold (partition_lo, size) onto each offsets row
+    # HERE instead of a second broadcast join on the data path (r13,
+    # guide §2.4: the per-bucket layout attributes ride the offsets
+    # broadcast the rows must join anyway; one broadcast join per batch
+    # instead of two). ``__peps_known`` distinguishes "bucket not in
+    # layout" (partition NULL — includes the NULL bucket, exactly what
+    # the old left join on ``bucket == l_bucket`` produced) from a
+    # known starved bucket (size 0 → partition -1).
+    layout = {
+        r.bucket: (r.partition_lo, r.size)
+        for r in compute_layout(
+            num_partitions, config.buckets_with_allocation(), topic=config.topic
+        )
+    }
     offsets = spark.createDataFrame(
-        offset_rows, "__peps_pid long, bucket string, __peps_base long, __peps_lo long"
+        [
+            (
+                pid_v,
+                b,
+                base,
+                lo,
+                b in layout,
+                layout.get(b, (None, None))[0],
+                layout.get(b, (None, None))[1],
+            )
+            for pid_v, b, base, lo in offset_rows
+        ],
+        "__peps_pid long, bucket string, __peps_base long, __peps_lo long, "
+        "__peps_known boolean, __peps_l_lo int, __peps_l_size int",
     )
     # eqNullSafe: the NULL-bucket group must match its offsets row too.
     srtp = srt.withColumn("__peps_pid", pid)
@@ -160,19 +213,10 @@ def route_batch_lifetime(
     )
     seq = (F.col("__peps_base") + local.cast("long") - F.col("__peps_lo")).cast("long")
 
-    layout = layout_table(spark, config, num_partitions).select(
-        F.col("bucket").alias("__peps_l_bucket"),
-        F.col("partition_lo").alias("__peps_l_lo"),
-        F.col("bucket_size").alias("__peps_l_size"),
-    )
-    routed = joined.withColumn("seq", seq).join(
-        F.broadcast(layout),
-        F.col("bucket") == F.col("__peps_l_bucket"),
-        "left",
-    )
+    routed = joined.withColumn("seq", seq)
     size = F.col("__peps_l_size")
     partition = (
-        F.when(F.col("__peps_l_bucket").isNull(), F.lit(None).cast("int"))
+        F.when(~F.col("__peps_known"), F.lit(None).cast("int"))
         .when(size == 0, F.lit(-1))
         # seq >= 0 always (counters start at 0 and only grow), so %
         # equals pmod — same arithmetic as Bucket.nextPartition.

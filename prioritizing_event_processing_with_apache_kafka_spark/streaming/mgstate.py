@@ -86,65 +86,47 @@ def mg_apply_batch(
     key_type = batch.schema[key_col].dataType
 
     parts = misra_gries_partial(batch, key_col, capacity)
-    batch_w = (
-        parts.filter(F.col(key_col).isNotNull())
-        .groupBy(key_col)
-        .agg(F.sum("mg_weight").cast("bigint").alias("__bw"))
-    )
-    batch_meta = (
-        parts.select("mg_pid", "mg_offset", "mg_rows")
-        .distinct()
-        .agg(
-            F.coalesce(F.sum("mg_offset"), F.lit(0))
-            .cast("bigint")
-            .alias("__boff"),
-            F.coalesce(F.sum("mg_rows"), F.lit(0))
-            .cast("bigint")
-            .alias("__brows"),
-        )
-    )
     try:
         parent = _latest_version_below(spark, state_path, target)
-        state = spark.read.parquet(state_path).filter(
-            F.col(_VERSION_COL) == parent
-        )
-        old_w = state.filter(F.col(key_col).isNotNull()).select(
-            F.col(key_col).alias("__old_key"),
-            F.col("mg_weight").alias("__ow"),
-        )
-        old_meta = state.filter(F.col(key_col).isNull()).agg(
-            F.coalesce(F.sum("mg_offset"), F.lit(0))
-            .cast("bigint")
-            .alias("__ooff"),
-            F.coalesce(F.sum("mg_rows"), F.lit(0))
-            .cast("bigint")
-            .alias("__orows"),
-        )
-        merged = batch_w.join(
-            old_w, batch_w[key_col] == F.col("__old_key"), "full_outer"
-        ).select(
-            F.coalesce(batch_w[key_col], F.col("__old_key")).alias(key_col),
-            (
-                F.coalesce(F.col("__bw"), F.lit(0))
-                + F.coalesce(F.col("__ow"), F.lit(0))
-            )
-            .cast("bigint")
-            .alias("__w"),
-        )
-        meta = batch_meta.crossJoin(old_meta).select(
-            (F.col("__boff") + F.col("__ooff")).alias("__off"),
-            (F.col("__brows") + F.col("__orows")).alias("__rows"),
-        )
     except FileNotFoundError:
         # No committed state version: correct for batch 0 (and the
         # lost-checkpoint degradation — absent durable state means
         # "no history", the bound simply restarts).
-        merged = batch_w.select(
-            key_col, F.col("__bw").cast("bigint").alias("__w")
+        state = None
+    else:
+        state = spark.read.parquet(state_path).filter(
+            F.col(_VERSION_COL) == parent
         )
-        meta = batch_meta.select(
-            F.col("__boff").alias("__off"), F.col("__brows").alias("__rows")
+    # One union + one groupBy merges batch partials with state rows
+    # (r13, guide §2.4 — same rewrite as streaming/rollup.py: weight
+    # merging is pure bigint addition, so summing per-key over
+    # (batch partial rows ∪ state rows) equals the historical
+    # aggregate-then-FullOuter-join, one Exchange instead of three).
+    # Kept keys sum their weights; the NULL-key group sums the marker
+    # accounting columns — batch partials contribute (mg_offset,
+    # mg_rows) on their per-partition marker rows, the state marker
+    # carries the accumulated totals, and NULL weights fall out of
+    # SUM's null-skipping exactly as the old coalesce(.., 0) did
+    # (each side guaranteed ≥1 non-null contribution overall by the
+    # marker convention; a keyed group always has ≥1 non-null weight).
+    merge_src = parts.select(key_col, "mg_weight", "mg_offset", "mg_rows")
+    if state is not None:
+        merge_src = merge_src.unionByName(
+            state.select(key_col, "mg_weight", "mg_offset", "mg_rows")
         )
+    combined = merge_src.groupBy(key_col).agg(
+        F.coalesce(F.sum("mg_weight"), F.lit(0)).cast("bigint").alias("__w"),
+        F.coalesce(F.sum("mg_offset"), F.lit(0)).cast("bigint").alias("__off"),
+        F.coalesce(F.sum("mg_rows"), F.lit(0)).cast("bigint").alias("__rows"),
+    )
+    # merged/meta/thr/kept all reference the same aggregate subtree;
+    # its single Exchange is deduplicated by ReusedExchange, so the
+    # Arrow MG pass and the shuffle run once per batch.
+    merged = combined.filter(F.col(key_col).isNotNull()).select(key_col, "__w")
+    meta = combined.filter(F.col(key_col).isNull()).agg(
+        F.coalesce(F.sum("__off"), F.lit(0)).cast("bigint").alias("__off"),
+        F.coalesce(F.sum("__rows"), F.lit(0)).cast("bigint").alias("__rows"),
+    )
 
     # Mergeable-summaries truncation, entirely in-plan: the threshold
     # is the (capacity+1)-th largest merged weight when the summary
