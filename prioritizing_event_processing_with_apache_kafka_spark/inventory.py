@@ -451,23 +451,42 @@ def q_layout_rebalance_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="exact",
         seq_col="__seq",
     )
-    new_layout = layout_table(
-        spark, REBALANCED_CONFIG, EVENTS_NUM_PARTITIONS
-    ).select(
-        "bucket",
-        F.col("partition_lo").alias("__lo2"),
-        F.col("bucket_size").alias("__size2"),
+    # Both layouts are pure driver-side functions of (config, N) —
+    # pre-join them into ONE #buckets-row broadcast instead of two
+    # broadcast joins on the routed pass (r13, guide §2.4).
+    from prioritizing_event_processing_with_apache_kafka_spark.plans.layout import (
+        compute_layout,
     )
-    old_sizes = layout_table(
-        spark, EVENTS_CONFIG, EVENTS_NUM_PARTITIONS
-    ).select("bucket", F.col("bucket_size").alias("__size1"))
-    moved = (
-        routed.join(F.broadcast(new_layout), "bucket")
-        .join(F.broadcast(old_sizes), "bucket")
-        .withColumn(
-            "__p_new",
-            (F.col("__lo2") + F.expr("__seq % __size2")).cast("int"),
+
+    new_rows = {
+        r.bucket: (r.partition_lo, r.size)
+        for r in compute_layout(
+            EVENTS_NUM_PARTITIONS,
+            REBALANCED_CONFIG.buckets_with_allocation(),
+            topic=REBALANCED_CONFIG.topic,
         )
+    }
+    old_rows = {
+        r.bucket: r.size
+        for r in compute_layout(
+            EVENTS_NUM_PARTITIONS,
+            EVENTS_CONFIG.buckets_with_allocation(),
+            topic=EVENTS_CONFIG.topic,
+        )
+    }
+    # Inner-join semantics of the old two joins: keep buckets present
+    # in BOTH layouts (configs share the bucket list, so this is all).
+    both = spark.createDataFrame(
+        [
+            (b, new_rows[b][0], new_rows[b][1], old_rows[b])
+            for b in new_rows
+            if b in old_rows
+        ],
+        "bucket string, __lo2 int, __size2 int, __size1 int",
+    )
+    moved = routed.join(F.broadcast(both), "bucket").withColumn(
+        "__p_new",
+        (F.col("__lo2") + F.expr("__seq % __size2")).cast("int"),
     )
     return moved.groupBy("bucket").agg(
         F.max("__size1").cast("int").alias("partitions_before"),

@@ -295,6 +295,10 @@ def _sql_cosine(a: str, b: str) -> str:
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deliberately NOT spread() (r13 experiment): at fixture scale the
+    # corpus × 5-query fold count is tiny (~10k dot products) and the
+    # injected round-robin exchange measured strictly slower
+    # (1.21 s -> 1.52 s A/B); at real scale the scan is already wide.
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
