@@ -79,12 +79,27 @@ def _write_version(df: DataFrame, path: str, version: int) -> None:
     are no worse than dynamic overwrite's: a crash before the rename
     leaves only an invisible staging dir (re-staged deterministically
     on replay); a crash between delete and rename leaves the version
-    absent, exactly the state replay recovers from. The historical
-    contract that an EMPTY frame commits no version (partitionBy wrote
-    no partition dirs; the rollup floor twin and empty-batch replay
-    rely on it) is preserved by checking the staged output for data
-    files before publishing. The read side is unchanged: the directory
-    name supplies the partition value with the same inferred type."""
+    absent, exactly the state replay recovers from.
+
+    r14: the stage itself is a ``partitionBy(__version)`` write. The
+    historical contract that an EMPTY frame commits no version (the
+    rollup floor twin and empty-batch replay rely on it) holds because
+    a partitioned write of an empty frame emits NO partition dirs — a
+    plain write emits a schema-only ``part-`` file, which made the
+    r13 any-part-file check always pass and published empty versions
+    (ADVICE r13, high). Publishing renames the staged partition dir
+    itself, so the read side is unchanged: the directory name supplies
+    the partition value with the same inferred type.
+
+    Portability caveat: the publish relies on atomic, O(1) directory
+    rename — true on local filesystems and HDFS (the only supported
+    state stores here). On object stores (S3A and friends) "rename" is
+    a non-atomic O(data) copy, which reopens the crash window this
+    docstring argues away AND makes delete(target)+rename a visible
+    gap for concurrent readers; put the state path on a real
+    filesystem, or revert to dynamic partition overwrite there.
+    Single-writer discipline is assumed throughout (Structured
+    Streaming replays one batch at a time)."""
     jvm = df.sparkSession._jvm
     hconf = df.sparkSession._jsc.hadoopConfiguration()
     target = jvm.org.apache.hadoop.fs.Path(f"{path}/{_VERSION_COL}={int(version)}")
@@ -93,19 +108,24 @@ def _write_version(df: DataFrame, path: str, version: int) -> None:
     tmp = jvm.org.apache.hadoop.fs.Path(
         f"{path}/.{_VERSION_COL}={int(version)}.inprogress"
     )
-    fs = target.getFileSystem(hconf)
-    df.write.mode("overwrite").parquet(str(tmp))
-    has_data = any(
-        s.getPath().getName().startswith("part-")
-        for s in fs.listStatus(tmp)
+    staged = jvm.org.apache.hadoop.fs.Path(
+        f"{tmp}/{_VERSION_COL}={int(version)}"
     )
-    if not has_data:
+    fs = target.getFileSystem(hconf)
+    (
+        df.withColumn(_VERSION_COL, F.lit(int(version)))
+        .write.mode("overwrite")
+        .partitionBy(_VERSION_COL)
+        .parquet(str(tmp))
+    )
+    if not fs.exists(staged):  # empty frame: no partition dir staged
         fs.delete(tmp, True)
         return
     if fs.exists(target):
         fs.delete(target, True)
-    if not fs.rename(tmp, target):
-        raise OSError(f"failed to publish state version: {tmp} -> {target}")
+    if not fs.rename(staged, target):
+        raise OSError(f"failed to publish state version: {staged} -> {target}")
+    fs.delete(tmp, True)  # drop the now-empty staging shell (_SUCCESS)
 
 
 def scd2_init_history(

@@ -95,6 +95,13 @@ def _range_partitions(batch_df: DataFrame, *, target_mb: int = 32) -> int:
         )
     except Exception:
         return batch_df.sparkSession.sparkContext.defaultParallelism
+    if nbytes >= 1 << 60:
+        # Stats unavailable: Spark reports the spark.sql.defaultSizeInBytes
+        # sentinel (Long.MaxValue) for plans without size estimates (e.g.
+        # non-file micro-batch sources). Trusting it would clamp to 4096
+        # range partitions per micro-batch (ADVICE r13, medium); fall back
+        # to the scheduler default like the except branch.
+        return batch_df.sparkSession.sparkContext.defaultParallelism
     return max(1, min(4096, -(-nbytes * 3 // (target_mb << 20))))
 
 

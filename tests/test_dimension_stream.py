@@ -232,3 +232,28 @@ def test_multi_key_collision_batch(spark, tmp_path):
         (3, "seg-c"): ("2024-01-01", None, True),
         (9, "seg-new"): ("2024-03-01", None, True),
     }
+
+
+def test_empty_frame_commits_no_version(spark, tmp_path):
+    """The versioned-state publish contract: an EMPTY frame commits NO
+    version (empty-batch replay and the rollup floor twin rely on the
+    absence). r13's any-part-file staging check let a schema-only
+    part file through (a plain parquet write of an empty frame still
+    emits one — ADVICE r13, high); the partitioned stage writes no
+    partition dir for an empty frame, restoring the contract."""
+    from prioritizing_event_processing_with_apache_kafka_spark.streaming.dimension import (
+        _versions,
+        _write_version,
+    )
+
+    path = str(tmp_path / "dim")
+    _seed(spark, path)  # version 0
+    empty = spark.createDataFrame(
+        [], "k long, seg string, valid_from string, valid_to string, is_current boolean"
+    )
+    _write_version(empty, path, 1)
+    assert _versions(spark, path) == [0]  # no version 1, no staging leftovers
+    # A non-empty frame still publishes, readable with the same layout.
+    _apply(spark, path, [(1, "seg-a2", "2024-02-01")], 1)  # version 2
+    assert _versions(spark, path) == [0, 2]
+    assert (1, "seg-a2") in _snapshot(spark, path)
