@@ -135,13 +135,22 @@ def route_batch_lifetime(
     # technique, NULL-group-inclusive): after the range shuffle +
     # local sort, a bucket's rows are globally ordered across task
     # ids, so (per-task offsets + local index) is the batch rank.
-    srt = (
-        tagged.repartitionByRange(
-            _range_partitions(batch_df), F.col("bucket"), F.col(order_col)
+    # r14: a batch that fits ONE range partition skips the range
+    # machinery entirely — repartitionByRange(1) still runs a sampling
+    # job and an exchange per micro-batch, while coalesce(1) + the same
+    # local sort yields the identical single sorted partition (the rank
+    # arithmetic is partition-count-invariant) with no extra job.
+    nparts = _range_partitions(batch_df)
+    gathered = (
+        tagged.coalesce(1)
+        if nparts == 1
+        else tagged.repartitionByRange(
+            nparts, F.col("bucket"), F.col(order_col)
         )
-        .sortWithinPartitions(F.col("bucket"), F.col(order_col))
-        .withColumn("__peps_mid", F.monotonically_increasing_id())
     )
+    srt = gathered.sortWithinPartitions(
+        F.col("bucket"), F.col(order_col)
+    ).withColumn("__peps_mid", F.monotonically_increasing_id())
     srt = scoped_persist(srt)
     pid = F.shiftrightunsigned(F.col("__peps_mid"), 33)
     local = F.col("__peps_mid").bitwiseAND(F.lit(_MID_LOCAL_MASK))
@@ -149,14 +158,30 @@ def route_batch_lifetime(
     # because the SAME aggregate both (a) seeds the broadcast offsets
     # join and (b) advances the persisted counters — one pass, and the
     # driver must see (b) anyway to write the state file.
-    stats = (
-        srt.groupBy(pid.alias("__peps_pid"), "bucket")
-        .agg(
-            F.count(F.lit(1)).alias("__peps_cnt"),
-            F.min(local).alias("__peps_lo"),
+    # r14 (guide §2.2/§5): the reduce side of this aggregate holds at
+    # most nparts × (#buckets + 1) partial rows (a few KB at ANY data
+    # scale — the map side already combined per task), but inside a
+    # foreachBatch micro-batch AQE does not coalesce, so the exchange
+    # inherited the ambient shuffle-partition count: one near-empty
+    # reducer task per configured partition, PER MICRO-BATCH (32 extra
+    # tasks/batch in the 32-core bench; more on a cluster). One reducer
+    # is enough for KBs of partials; scoped set/restore like the tws
+    # router's provider conf (single-writer micro-batch discipline —
+    # the scope is this one collect).
+    part_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(part_key)
+    spark.conf.set(part_key, "1")
+    try:
+        stats = (
+            srt.groupBy(pid.alias("__peps_pid"), "bucket")
+            .agg(
+                F.count(F.lit(1)).alias("__peps_cnt"),
+                F.min(local).alias("__peps_lo"),
+            )
+            .collect()
         )
-        .collect()
-    )
+    finally:
+        spark.conf.set(part_key, prev_parts)
     new_counters = dict(base_counters)
     offset_rows = []
     for row in sorted(
@@ -190,19 +215,27 @@ def route_batch_lifetime(
             num_partitions, config.buckets_with_allocation(), topic=config.topic
         )
     }
+    # One parallelize slice: the frame is nparts × (#buckets + 1) tiny
+    # rows consumed ONLY as a broadcast build — the default slicing
+    # (defaultParallelism) spins one near-empty Python-deserializer
+    # task per core, per micro-batch (r14, guide §4: fewer boundary
+    # crossings for the same bytes).
     offsets = spark.createDataFrame(
-        [
-            (
-                pid_v,
-                b,
-                base,
-                lo,
-                b in layout,
-                layout.get(b, (None, None))[0],
-                layout.get(b, (None, None))[1],
-            )
-            for pid_v, b, base, lo in offset_rows
-        ],
+        spark.sparkContext.parallelize(
+            [
+                (
+                    pid_v,
+                    b,
+                    base,
+                    lo,
+                    b in layout,
+                    layout.get(b, (None, None))[0],
+                    layout.get(b, (None, None))[1],
+                )
+                for pid_v, b, base, lo in offset_rows
+            ],
+            1,
+        ),
         "__peps_pid long, bucket string, __peps_base long, __peps_lo long, "
         "__peps_known boolean, __peps_l_lo int, __peps_l_size int",
     )
