@@ -40,13 +40,33 @@ def stage_two_batch_stream(
     ``order_col``; the rollup merges are commutative)."""
     src_dir = os.path.join(root, "src")
     os.makedirs(src_dir)
-    schema = None
-    for i, b in enumerate(batches):
+
+    def _write_one(i: int, b: DataFrame) -> str:
         stage = os.path.join(root, f"stage{i}")
         if files_per_batch == 1:
             b.coalesce(1).write.parquet(stage)
         else:
             b.repartition(files_per_batch).write.parquet(stage)
+        return stage
+
+    # The per-batch staging writes are independent jobs on disjoint
+    # output dirs — submit them concurrently (guide §2.6: actions are
+    # only sequential because driver code calls them sequentially), so
+    # batch 2's scan back-fills the cores batch 1's single write task
+    # leaves idle. Every batch's FILE CONTENT is byte-identical to the
+    # serial write (same per-batch plan, same coalesce/repartition);
+    # only wall-clock overlaps. The mtime stamping below stays serial
+    # driver-side work.
+    if len(batches) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(batches)) as pool:
+            stages = list(pool.map(lambda ib: _write_one(*ib), enumerate(batches)))
+    else:
+        stages = [_write_one(i, b) for i, b in enumerate(batches)]
+
+    schema = None
+    for i, (stage, b) in enumerate(zip(stages, batches)):
         parts = sorted(p for p in os.listdir(stage) if p.endswith(".parquet"))
         for j, part in enumerate(parts):
             dst = os.path.join(src_dir, f"batch-{i}-{j:04d}.parquet")
