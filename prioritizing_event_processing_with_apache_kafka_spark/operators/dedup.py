@@ -350,6 +350,18 @@ def edit_distance_pairs(
     )
     exploded = scoped_persist(ph.distinct())
     cands = _candidate_pairs(exploded, id_col, ["__sig"], max_signature_freq)
+    # AQE sizes reducers by BYTES, but a candidate row is ~16 bytes
+    # while each one costs an O(len·threshold) DP after the text joins
+    # land in the same stage — so AQE's coalescing collapses the whole
+    # scoring pass onto one core (measured: a 1.3 s single-task final
+    # stage at sf0.1). Spread the candidates round-robin at scheduler
+    # width before the joins: REPARTITION_BY_NUM is exempt from AQE
+    # coalescing (a hash(x, y) repartition would be elided outright as
+    # redundant with the distinct's partitioning), and round-robin also
+    # levels hot-document skew in the pair list. At scale the candidate
+    # volume occupies that many reducers anyway, so this only forbids
+    # the pathological collapse.
+    cands = cands.repartition(df.sparkSession.sparkContext.defaultParallelism)
     tx = df.select(F.col(id_col).alias("x"), F.col(text_col).alias("__tx"))
     ty = df.select(F.col(id_col).alias("y"), F.col(text_col).alias("__ty"))
     dist = F.levenshtein(F.col("__tx"), F.col("__ty"), threshold=max_distance)
