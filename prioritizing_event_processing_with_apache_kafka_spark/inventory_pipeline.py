@@ -2442,7 +2442,11 @@ def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         nbayes as NB,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    # Persisted: the corpus frame feeds FOUR subtrees of one plan (the
+    # vocab aggregate, the count build, the scoring token stream, and
+    # the actual-label join) — without the cache each re-scans and
+    # re-spreads the source.
+    docs = scoped_persist(spread(load_table(spark, sf_dir, "documents")))
     priors, grid = NB.nb_train(docs, label_col="lang", vocab_size=1000)
     pred = NB.nb_classify(docs, priors, grid, label_col="lang")
     return pred.join(docs.select("doc_id", "lang"), "doc_id").select(

@@ -117,9 +117,8 @@ def nb_train(
     label_tot = counts.groupBy(label_col).agg(
         F.sum("__cnt").alias("__tot")
     )
-    v_realized = counts.select("__t").distinct().agg(
-        F.count(F.lit(1)).alias("__v")
-    )
+    vocab_realized = counts.select("__t").distinct()
+    v_realized = vocab_realized.agg(F.count(F.lit(1)).alias("__v"))
     label_docs = df.groupBy(label_col).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
@@ -142,19 +141,23 @@ def nb_train(
     # drop it from the model — scoring would then give it implicit
     # likelihood 1 per token (prior-only) instead of the smoothed
     # 1/(0+V) the multinomial model prescribes (hypothesis-found edge).
+    # ``__v`` rides on the label_support broadcast (an L-row × 1-row
+    # cross of two counts-derived aggregates) instead of a broadcast of
+    # its own: every broadcast subtree is a sequential build round for
+    # the driver, and this model needs the deepest chain in the repo
+    # (grid ← support ← counts ← vocab) — one fewer round per train.
     label_support = (
         label_docs.select(label_col)
         .join(label_tot, label_col, "left")
         .select(
             label_col, F.coalesce(F.col("__tot"), F.lit(0)).alias("__tot")
         )
+        .crossJoin(v_realized)
     )
     grid = (
-        counts.select("__t")
-        .distinct()
+        vocab_realized
         .crossJoin(F.broadcast(label_support))
         .join(counts, ["__t", label_col], "left")
-        .join(F.broadcast(v_realized))
         .select(
             F.col("__t").alias("token"),
             F.col(label_col),

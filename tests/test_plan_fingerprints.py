@@ -41,6 +41,14 @@ def queries():
 @pytest.mark.parametrize("name", sorted(FINGERPRINTS))
 def test_no_new_exchanges(name, spark, sf_dir, queries):
     expected = FINGERPRINTS[name]
+    # Isolate the build: queries persist shared subtrees as a side
+    # effect of being CONSTRUCTED, and the CacheManager substitutes a
+    # live cache into every later plan that embeds the same subtree —
+    # so without this, each fingerprint depends on which queries were
+    # built before it (test order, -k selections, the gen tool's list
+    # order...). Cleared, every count is the query's own plan in
+    # isolation — the same regime bench.py measures in.
+    spark.catalog.clearCache()
     actual = plan_exchange_counts(queries[name](spark, sf_dir))
     assert actual["shuffle_exchanges"] <= expected["shuffle_exchanges"], (
         f"{name}: shuffle exchanges grew "

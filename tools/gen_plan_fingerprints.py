@@ -354,6 +354,11 @@ def main() -> int:
     queries.update(streaming_core_queries())
     fingerprints: dict[str, dict[str, int]] = {}
     for name in GUARDED + sorted(streaming_core_queries()):
+        # Same isolation as the test: building a query persists its
+        # shared subtrees, and a live cache substitutes into every
+        # later plan embedding the same subtree — without the clear,
+        # each count depends on list position.
+        spark.catalog.clearCache()
         fingerprints[name] = plan_exchange_counts(queries[name](spark, SF_DIR))
         print(f"{name:28s} {fingerprints[name]}")
     with open(OUT, "w") as fh:
