@@ -86,7 +86,14 @@ def connected_components(
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def _truncate(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+        # LAZY truncation: each round's convergence aggregate is the
+        # first action on the checkpointed frame, so it materializes
+        # the checkpoint blocks AND returns the label sum in ONE job —
+        # an eager checkpoint here costs a second full pass per round
+        # just to re-read what the materialization job already held.
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
 
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -470,7 +477,11 @@ def bfs_hops(
             )
             if nxt.rdd.isEmpty():
                 break
-            visited = visited.unionByName(nxt).localCheckpoint()
+            # Lazy: the next round's frontier-join checkpoint (whose
+            # left_anti side reads this frame) materializes it in the
+            # same job; `nxt` itself stays EAGER because isEmpty() is a
+            # partial scan and must not be the materializing action.
+            visited = visited.unionByName(nxt).localCheckpoint(eager=False)
             frontier = nxt
     finally:
         sym.unpersist()
@@ -532,7 +543,14 @@ def kcore(
     deg = sym.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )
-    alive = deg.filter(F.col("core_degree") >= k).localCheckpoint()
+    # Lazy truncation + a carried count: each round's single count()
+    # action materializes BOTH the round's checkpoints (the semi-joined
+    # edge set and the surviving node set — the lazy blocks sit in the
+    # count's own lineage), and the previous round's size is a Python
+    # scalar, not a re-count job. One job per round where the eager
+    # formulation ran four (2 checkpoint materializations + 2 counts).
+    alive = deg.filter(F.col("core_degree") >= k).localCheckpoint(eager=False)
+    alive_count = alive.count()
     live_edges = sym
     for _ in range(max_rounds):
         live_edges = (
@@ -540,14 +558,15 @@ def kcore(
                 alive.select(F.col("node").alias("a")), "a", "left_semi"
             )
             .join(alive.select(F.col("node").alias("b")), "b", "left_semi")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         deg = live_edges.groupBy(F.col("a").alias("node")).agg(
             F.count(F.lit(1)).cast("bigint").alias("core_degree")
         )
-        nxt = deg.filter(F.col("core_degree") >= k).localCheckpoint()
-        dropped = alive.count() - nxt.count()
-        alive = nxt
+        nxt = deg.filter(F.col("core_degree") >= k).localCheckpoint(eager=False)
+        nxt_count = nxt.count()
+        dropped = alive_count - nxt_count
+        alive, alive_count = nxt, nxt_count
         if dropped == 0:
             return alive
     raise ConvergenceError(
