@@ -338,6 +338,62 @@ def streaming_core_queries():
             "token", *[_merge(k, out) for out, k, _e in specs]
         )
 
+    def _transitions_batch_and_state(spark, sf_dir):
+        # Mirror q_stream_transition_counts' steady state: the second
+        # micro-batch (post-cutoff events) against the state the first
+        # batch would have committed (per-key last event_type).
+        from prioritizing_event_processing_with_apache_kafka_spark.streaming.transitions import (
+            transitions_next_state,
+        )
+
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts"
+        )
+        cutoff = F.lit("2024-01-16").cast("timestamp")
+        batch = events.filter(F.col("ts") >= cutoff)
+        prior = events.filter(F.col("ts") < cutoff)
+        state = transitions_next_state(
+            prior,
+            None,
+            key_col="user_id",
+            state_col="event_type",
+            order_cols=("ts", "event_id"),
+        )
+        return batch, state
+
+    def transitions_counts_core(spark, sf_dir):
+        # The seed rides the lag window as a synthetic first-of-key row
+        # (r14): the contract is ONE key exchange for the window and
+        # NO broadcast/seed join; a join sneaking back in fails the pin.
+        from prioritizing_event_processing_with_apache_kafka_spark.streaming.transitions import (
+            transitions_count_plan,
+        )
+
+        batch, state = _transitions_batch_and_state(spark, sf_dir)
+        return transitions_count_plan(
+            batch,
+            state,
+            key_col="user_id",
+            state_col="event_type",
+            order_cols=("ts", "event_id"),
+        )
+
+    def transitions_state_core(spark, sf_dir):
+        # Carry-over as priority-tagged union into ONE map-combined
+        # groupBy (r14) — an anti-join reappearing fails the pin.
+        from prioritizing_event_processing_with_apache_kafka_spark.streaming.transitions import (
+            transitions_next_state,
+        )
+
+        batch, state = _transitions_batch_and_state(spark, sf_dir)
+        return transitions_next_state(
+            batch,
+            state,
+            key_col="user_id",
+            state_col="event_type",
+            order_cols=("ts", "event_id"),
+        )
+
     def lifetime_route_core(spark, sf_dir):
         # Mirror q_stream_route_lifetime's steady state: batch 2 (the
         # post-midpoint events) routed from a non-zero counter base.
@@ -373,6 +429,8 @@ def streaming_core_queries():
     return {
         "stream_locf_fill__enrich": locf_enrich_core,
         "stream_locf_fill__state": locf_state_core,
+        "stream_transition_counts__counts": transitions_counts_core,
+        "stream_transition_counts__state": transitions_state_core,
         "scd2_stream_history__merge": scd2_merge_core,
         "stream_sessionized_users__core": sessions_core,
         "stream_rfm_incremental__core": rfm_rollup_core,

@@ -22,8 +22,10 @@ Protocol (same versioned-parquet exactly-once discipline as
   replaces ITS OWN rows and re-reads its parent state — exactly-once
   end to end without a table format;
 - within a batch, the fill is one ignore-nulls window over
-  ``(key, order_cols)`` seeded by a broadcast-size join against the
-  per-key state (state is #keys rows — tiny by construction).
+  ``(key, order_cols)`` seeded by unioning the per-key state rows in
+  as synthetic first-of-key rows (state is #keys rows — tiny by
+  construction, and it rides the window's one key exchange instead of
+  a broadcast round).
 
 Determinism contract: if micro-batch boundaries respect the order
 columns (a time-split file stream, a Kafka topic keyed by time), the
@@ -70,37 +72,54 @@ def locf_enrich(
     flag_col: str = "was_filled",
 ) -> DataFrame:
     """The pure enrichment plan of one micro-batch: ignore-nulls window
-    over ``(key, order_cols)`` seeded by a broadcast join against the
-    per-key ``state`` frame (``(key_col, __locf_seed)``; ``None`` means
-    "no observations yet"). Extracted from :func:`locf_apply_batch` so
-    the per-batch plan shape can be fingerprinted (one key exchange +
-    one broadcast — tests/plan_fingerprints.json) without driving the
-    effectful protocol."""
-    # NULL seed of the OBSERVATION's type, resolved against this batch:
-    # a hardcoded double would fork the output schema between batch 0
-    # (no state) and later batches for non-double observations.
+    over ``(key, order_cols)`` seeded by the per-key ``state`` frame
+    (``(key_col, __locf_seed)``; ``None`` means "no observations yet").
+
+    r14: the seed rides the window itself — each state row enters the
+    union as a synthetic row ordered BEFORE every batch row of its key
+    (a leading ``__locf_synth`` sort key), so ``last(ignorenulls)`` over
+    the union IS ``coalesce(last batch obs, seed)``; the former
+    broadcast join (a driver-blocking collect per micro-batch) is gone
+    and the state rows ride the one key exchange the window already
+    pays. Synthetic rows are dropped after the window, so the output is
+    row-for-row the old plan's. Extracted from :func:`locf_apply_batch`
+    so the per-batch plan shape can be fingerprinted
+    (tests/plan_fingerprints.json) without driving the effectful
+    protocol."""
+    # Observation typed against THIS batch: a hardcoded double would
+    # fork the output schema between batch 0 (no state) and later
+    # batches for non-double observations.
     obs_type = batch.select(obs_col.alias("__t")).schema[0].dataType
 
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy(*[F.asc(c) for c in order_cols])
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    enriched = batch.withColumn(
-        "__locf_prev", F.last(obs_col, ignorenulls=True).over(w)
+    tagged = batch.select(
+        *batch.columns,
+        obs_col.cast(obs_type).alias("__locf_obs_in"),
+        F.lit(1).alias("__locf_synth"),
     )
     if state is not None:
-        enriched = enriched.join(F.broadcast(state), key_col, "left")
-    else:
-        enriched = enriched.withColumn(
-            "__locf_seed", F.lit(None).cast(obs_type)
+        synth = state.select(
+            F.col(key_col),
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in batch.schema.fields
+                if f.name != key_col
+            ],
+            F.col("__locf_seed").cast(obs_type).alias("__locf_obs_in"),
+            F.lit(0).alias("__locf_synth"),
         )
-    return enriched.select(
+        tagged = tagged.unionByName(synth)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.asc("__locf_synth"), *[F.asc(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    enriched = tagged.withColumn(
+        "__locf_prev", F.last("__locf_obs_in", ignorenulls=True).over(w)
+    )
+    return enriched.filter(F.col("__locf_synth") == 1).select(
         *batch.columns,
-        F.coalesce(F.col("__locf_prev"), F.col("__locf_seed")).alias(
-            filled_col
-        ),
-        obs_col.isNull().alias(flag_col),
+        F.col("__locf_prev").alias(filled_col),
+        F.col("__locf_obs_in").isNull().alias(flag_col),
     )
 
 
@@ -115,24 +134,46 @@ def locf_next_state(
     """The pure state-advance plan: per key, the observation with the
     greatest order — a lexicographic ``max(struct(order..., obs))`` is
     deterministic when ``(key, order_cols)`` is unique, and map-side
-    combinable. Old state loses to any newer batch observation for the
-    key (anti-join carry-over)."""
+    combinable.
+
+    r14: old state rides the same aggregate as a synthetic entry with a
+    leading priority field 0 (batch entries carry 1), so it loses the
+    ``max`` to any batch observation for the key and survives when the
+    key is silent this batch — the same carry-over the former
+    groupBy + anti-join + union computed, now one map-combinable
+    groupBy with no join."""
+    obs_type = batch.select(obs_col.alias("__t")).schema[0].dataType
+    order_types = {
+        f.name: f.dataType
+        for f in batch.schema.fields
+        if f.name in order_cols
+    }
     ordered_obs = F.struct(
+        F.lit(1).alias("__p"),
         *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
-        obs_col.alias("__v"),
+        obs_col.cast(obs_type).alias("__v"),
     )
-    batch_state = (
-        batch.filter(obs_col.isNotNull())
-        .groupBy(key_col)
-        .agg(F.max(ordered_obs).alias("__s"))
-        .select(key_col, F.col("__s.__v").alias("__locf_obs"))
+    cand = batch.filter(obs_col.isNotNull()).select(
+        F.col(key_col), ordered_obs.alias("__s")
     )
     if state is not None:
-        carried = state.select(
-            key_col, F.col("__locf_seed").alias("__locf_obs")
-        ).join(batch_state.select(key_col), key_col, "left_anti")
-        batch_state = batch_state.unionByName(carried)
-    return batch_state
+        synth = state.select(
+            F.col(key_col),
+            F.struct(
+                F.lit(0).alias("__p"),
+                *[
+                    F.lit(None).cast(order_types[c]).alias(f"__o{i}")
+                    for i, c in enumerate(order_cols)
+                ],
+                F.col("__locf_seed").cast(obs_type).alias("__v"),
+            ).alias("__s"),
+        )
+        cand = cand.unionByName(synth)
+    return (
+        cand.groupBy(key_col)
+        .agg(F.max("__s").alias("__s"))
+        .select(key_col, F.col("__s.__v").alias("__locf_obs"))
+    )
 
 
 def locf_apply_batch(

@@ -28,14 +28,15 @@ Protocol (the versioned-parquet exactly-once discipline of
 Determinism contract: if micro-batch boundaries respect the order
 columns (a time-split file stream), every (prev, next) adjacency of
 the full stream is seen exactly once — within a batch by the lag
-window, across the boundary by the seed join — so the streamed counts
+window, across the boundary by the synthetic seed row — so the
+streamed counts
 are bit-identical to the batch ``transition_matrix``, which is how
 the declared query shares its hash oracle.
 
 Scale: state is one row per key; each batch pays one key-window
-shuffle plus a broadcast seed join (state is #keys rows); the output
-write is |states|² rows per batch. Nothing accumulates beyond key
-cardinality.
+shuffle (the #keys state rows ride it as synthetic first-of-key seed
+rows — no broadcast round); the output write is |states|² rows per
+batch. Nothing accumulates beyond key cardinality.
 """
 
 from __future__ import annotations
@@ -54,9 +55,127 @@ from prioritizing_event_processing_with_apache_kafka_spark.streaming.dimension i
 
 __all__ = [
     "transitions_apply_batch",
+    "transitions_count_plan",
     "transitions_foreach_batch",
+    "transitions_next_state",
     "transition_counts_result",
 ]
+
+
+def transitions_count_plan(
+    batch: DataFrame,
+    state: DataFrame | None,
+    *,
+    key_col: str,
+    state_col: str,
+    order_cols: tuple[str, ...],
+) -> DataFrame:
+    """The pure transition-count plan of one micro-batch: a per-key lag
+    window seeded by the ``(key_col, __last_state)`` state frame
+    (``None`` means "no history").
+
+    r14: the seed rides the lag window itself — each state row enters
+    the union as a synthetic row ordered BEFORE every batch row of its
+    key (leading ``__synth`` sort key), so the first batch row's lag IS
+    the carried state and the former broadcast seed join (a
+    driver-blocking collect per micro-batch) is gone. Synthetic rows
+    never count as a transition target: their own lag is NULL (they
+    sort first in their key) and the filter drops them. Projecting to
+    (key, order, state) first keeps payload columns out of the
+    exchange. Extracted from :func:`transitions_apply_batch` so the
+    per-batch plan shape can be fingerprinted without driving the
+    effectful protocol."""
+    state_type = batch.select(F.col(state_col)).schema[0].dataType
+    order_types = {
+        f.name: f.dataType
+        for f in batch.schema.fields
+        if f.name in order_cols
+    }
+    tagged = batch.select(
+        F.col(key_col),
+        *[F.col(c) for c in order_cols],
+        F.col(state_col),
+        F.lit(1).alias("__synth"),
+    )
+    if state is not None:
+        tagged = tagged.unionByName(
+            state.select(
+                F.col(key_col),
+                *[
+                    F.lit(None).cast(order_types[c]).alias(c)
+                    for c in order_cols
+                ],
+                F.col("__last_state").cast(state_type).alias(state_col),
+                F.lit(0).alias("__synth"),
+            )
+        )
+    w = Window.partitionBy(key_col).orderBy(
+        F.asc("__synth"), *[F.asc(c) for c in order_cols]
+    )
+    lagged = tagged.withColumn("__prev", F.lag(F.col(state_col)).over(w))
+    # Within-batch rows lag normally; each key's FIRST batch row lags
+    # into the seed row (no seed on a never-seen key = NULL = no edge).
+    return (
+        lagged.filter(
+            (F.col("__synth") == 1) & F.col("__prev").isNotNull()
+        )
+        .select(
+            F.col("__prev").alias("prev_state"),
+            F.col(state_col).alias("next_state"),
+        )
+        .groupBy("prev_state", "next_state")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def transitions_next_state(
+    batch: DataFrame,
+    state: DataFrame | None,
+    *,
+    key_col: str,
+    state_col: str,
+    order_cols: tuple[str, ...],
+) -> DataFrame:
+    """The pure state-advance plan: per key, the state value at the
+    greatest order — deterministic when ``(key, order_cols)`` is
+    unique, map-side combinable.
+
+    r14: old state rides the same aggregate as a synthetic entry with
+    leading priority 0 (batch entries carry 1): it loses the ``max`` to
+    any batch row for the key and survives when the key is silent this
+    batch — the carry-over the former groupBy + anti-join + union
+    computed, now one groupBy with no join."""
+    state_type = batch.select(F.col(state_col)).schema[0].dataType
+    order_types = {
+        f.name: f.dataType
+        for f in batch.schema.fields
+        if f.name in order_cols
+    }
+    ordered = F.struct(
+        F.lit(1).alias("__p"),
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+        F.col(state_col).alias("__v"),
+    )
+    cand = batch.select(F.col(key_col), ordered.alias("__s"))
+    if state is not None:
+        cand = cand.unionByName(
+            state.select(
+                F.col(key_col),
+                F.struct(
+                    F.lit(0).alias("__p"),
+                    *[
+                        F.lit(None).cast(order_types[c]).alias(f"__o{i}")
+                        for i, c in enumerate(order_cols)
+                    ],
+                    F.col("__last_state").cast(state_type).alias("__v"),
+                ).alias("__s"),
+            )
+        )
+    return (
+        cand.groupBy(key_col)
+        .agg(F.max("__s").alias("__s"))
+        .select(key_col, F.col("__s.__v").alias("__last_state"))
+    )
 
 
 def transitions_apply_batch(
@@ -90,43 +209,22 @@ def transitions_apply_batch(
         # than failing — the same contract as a lost checkpoint.
         state = None
 
-    w = Window.partitionBy(key_col).orderBy(*[F.asc(c) for c in order_cols])
-    lagged = batch.withColumn("__prev_in_batch", F.lag(F.col(state_col)).over(w))
-    if state is not None:
-        lagged = lagged.join(F.broadcast(state), key_col, "left")
-    else:
-        state_type = batch.select(F.col(state_col)).schema[0].dataType
-        lagged = lagged.withColumn("__last_state", F.lit(None).cast(state_type))
-    # Within-batch rows lag normally; each key's FIRST batch row seeds
-    # from the store (NULL there too on a never-seen key = no edge).
-    counts = (
-        lagged.select(
-            F.coalesce(F.col("__prev_in_batch"), F.col("__last_state")).alias(
-                "prev_state"
-            ),
-            F.col(state_col).alias("next_state"),
-        )
-        .filter(F.col("prev_state").isNotNull())
-        .groupBy("prev_state", "next_state")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    counts = transitions_count_plan(
+        batch,
+        state,
+        key_col=key_col,
+        state_col=state_col,
+        order_cols=order_cols,
     )
     _write_version(counts, out_path, target)
 
-    # Advance state: per key, the state value at the greatest order —
-    # deterministic when (key, order_cols) is unique, map-side
-    # combinable; keys silent this batch carry their old row forward.
-    ordered = F.struct(
-        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
-        F.col(state_col).alias("__v"),
+    batch_state = transitions_next_state(
+        batch,
+        state,
+        key_col=key_col,
+        state_col=state_col,
+        order_cols=order_cols,
     )
-    batch_state = (
-        batch.groupBy(key_col)
-        .agg(F.max(ordered).alias("__s"))
-        .select(key_col, F.col("__s.__v").alias("__last_state"))
-    )
-    if state is not None:
-        carried = state.join(batch_state.select(key_col), key_col, "left_anti")
-        batch_state = batch_state.unionByName(carried)
     _write_version(batch_state, state_path, target)
     return target
 
