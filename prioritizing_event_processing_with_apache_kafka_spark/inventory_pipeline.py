@@ -1429,20 +1429,21 @@ WHERE levenshtein(dx.text, dy.text) <= 50
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion dedup: every 10th document plays the
-    incoming batch, the rest the already-indexed history. The history
-    side is touched only through its (persisted-shape) MinHash
-    signatures; candidate texts are fetched back by semi-join for
-    exact verification. Oracle = exact cross-set Jaccard ≥ 0.5 (the
-    banded search recalls the full truth set on these fixtures, as
-    with the batch MinHash operators)."""
+    incoming batch, the rest the already-indexed history. This twin
+    deliberately replays the store BUILD every run (its worst case);
+    one shingle-hash pass over the history feeds both the signature
+    store and the exact verification (candidate-filtered by
+    semi-join). Oracle = exact cross-set Jaccard ≥ 0.5 (the banded
+    search recalls the full truth set on these fixtures, as with the
+    batch MinHash operators)."""
     docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     new_batch = docs.filter(F.col("doc_id") % 10 == 0)
     history = docs.filter(F.col("doc_id") % 10 != 0)
-    store = D.with_minhash_signature(history, k=4, num_hashes=32).select(
-        "doc_id", "minhash"
-    )
-    return D.incremental_minhash_pairs(
-        new_batch, store, history, k=4, num_hashes=32, bands=8, threshold=0.5
+    # r14: store build + probe share one shingle-hash pass over the
+    # history (the rebuild worst case this twin deliberately replays);
+    # the steady twin keeps the persisted-store production shape.
+    return D.incremental_minhash_with_store(
+        new_batch, history, k=4, num_hashes=32, bands=8, threshold=0.5
     )
 
 

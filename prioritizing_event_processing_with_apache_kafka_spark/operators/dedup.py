@@ -58,6 +58,7 @@ __all__ = [
     "token_multiset_jaccard",
     "with_minhash_signature",
     "incremental_minhash_pairs",
+    "incremental_minhash_with_store",
     "minhash_lsh_pairs",
     "oph_minhash_pairs",
     "with_simhash",
@@ -990,6 +991,8 @@ def incremental_minhash_pairs(
     seed: int = 42,
     max_signature_freq: int | None = None,
     new_signatures: DataFrame | None = None,
+    corpus_hashes: DataFrame | None = None,
+    new_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dups of an incoming batch against an already-indexed corpus
     — the incremental-ingestion pattern: dedupe each new crawl against
@@ -1020,6 +1023,18 @@ def incremental_minhash_pairs(
     ingest loop that also appends the survivors' signatures to the
     store. Verify hashes are derived from ``new_docs``'s text either
     way.
+
+    ``corpus_hashes`` — occurrence-level ``(id_col, __h)`` rows (the
+    component-wise shingle-hash stream, same ``k``) over the corpus,
+    e.g. the shared pass of a caller that is also BUILDING the store
+    this run (:func:`incremental_minhash_with_store`). When given, the
+    verify step derives the historical hash sets from these rows
+    (candidate-filtered) instead of re-scanning and re-hashing
+    ``corpus``'s text.
+
+    ``new_hashes`` — same sharing hook for the BATCH side: when given,
+    the verify step candidate-filters these occurrence rows instead of
+    re-hashing ``new_docs``'s text.
     """
     _check_banding(num_hashes, bands)
     rows = num_hashes // bands
@@ -1074,19 +1089,43 @@ def incremental_minhash_pairs(
         )
     cands = nb.join(ob, ["__band", "__bh"]).select("new_id", "old_id").distinct()
     # Verify over shingle-hash sets, built only for the docs that
-    # actually collided (semi-joins on both sides).
-    new_hit = new_docs.join(
-        cands.select(F.col("new_id").alias(id_col)).distinct(), id_col, "left_semi"
+    # actually collided (semi-joins on both sides). A corpus whose hash
+    # rows are already in hand (a caller that is BUILDING the store
+    # this run — incremental_minhash_with_store's shared pass)
+    # candidate-filters those rows instead of re-scanning and
+    # re-hashing the text.
+    if new_hashes is not None:
+        new_occ = new_hashes.join(
+            cands.select(F.col("new_id").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+    else:
+        new_hit = new_docs.join(
+            cands.select(F.col("new_id").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+        new_occ = _shingle_hash_rows(new_hit, id_col, text_col, k)
+    if corpus_hashes is not None:
+        old_occ = corpus_hashes.join(
+            cands.select(F.col("old_id").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+    else:
+        old_hit = corpus.join(
+            cands.select(F.col("old_id").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+        old_occ = _shingle_hash_rows(old_hit, id_col, text_col, k)
+    sx = _hash_sets(new_occ, id_col, "__sx").select(
+        F.col(id_col).alias("new_id"), "__sx"
     )
-    old_hit = corpus.join(
-        cands.select(F.col("old_id").alias(id_col)).distinct(), id_col, "left_semi"
+    sy = _hash_sets(old_occ, id_col, "__sy").select(
+        F.col(id_col).alias("old_id"), "__sy"
     )
-    sx = _hash_sets(
-        _shingle_hash_rows(new_hit, id_col, text_col, k), id_col, "__sx"
-    ).select(F.col(id_col).alias("new_id"), "__sx")
-    sy = _hash_sets(
-        _shingle_hash_rows(old_hit, id_col, text_col, k), id_col, "__sy"
-    ).select(F.col(id_col).alias("old_id"), "__sy")
     inter = F.size(F.array_intersect(F.col("__sx"), F.col("__sy")))
     union = F.size("__sx") + F.size("__sy") - inter
     return (
@@ -1095,6 +1134,66 @@ def incremental_minhash_pairs(
         .withColumn("jaccard", inter.cast("double") / union.cast("double"))
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "old_id", "jaccard")
+    )
+
+
+def incremental_minhash_with_store(
+    new_docs: DataFrame,
+    history: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_signature_freq: int | None = None,
+) -> DataFrame:
+    """Store build + incremental probe in one run, sharing ONE
+    shingle-hash pass over the history — the store-REBUILD worst case
+    that ``dedup_incremental`` deliberately replays (production keeps
+    the store persisted and pays only :func:`incremental_minhash_pairs`
+    per batch — the ``dedup_incremental_steady`` shape).
+
+    Each side's occurrence-level hash rows are persisted once and feed
+    BOTH its signature aggregate and its exact-verify hash sets, so
+    every document's text is scanned, split and hashed once per run
+    instead of twice. The cached rows are the same ``(id, int64)``
+    stream the signing aggregate already consumes — token-bounded,
+    MEMORY_AND_DISK — and exist only for the query's lifetime
+    (``scoped_persist``)."""
+
+    def _hashes_and_sig(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        hashes = scoped_persist(_shingle_hash_rows(df, id_col, text_col, k))
+        sig = _minhash_signature_from_hashes(
+            hashes.select(
+                id_col, F.expr(f"pmod(__h, {MINHASH_PRIME})").alias("__h")
+            ),
+            id_col,
+            num_hashes,
+            seed,
+            "minhash",
+        )
+        return hashes, sig
+
+    hist_hashes, store = _hashes_and_sig(history)
+    new_hashes, new_sig = _hashes_and_sig(new_docs)
+    return incremental_minhash_pairs(
+        new_docs,
+        store,
+        history,
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        seed=seed,
+        max_signature_freq=max_signature_freq,
+        new_signatures=new_sig,
+        corpus_hashes=hist_hashes,
+        new_hashes=new_hashes,
     )
 
 
