@@ -128,6 +128,32 @@ def _write_version(df: DataFrame, path: str, version: int) -> None:
     fs.delete(tmp, True)  # drop the now-empty staging shell (_SUCCESS)
 
 
+def _write_versions_overlapped(
+    writes: list[tuple[DataFrame, str, int]],
+) -> None:
+    """Run several :func:`_write_version` publishes concurrently.
+
+    The per-batch OUTPUT and STATE publishes of the two-store operators
+    (LOCF, transitions) are independent jobs on disjoint directories —
+    they were serial only because the driver called them sequentially
+    (guide §2.6), so a 2-thread pool overlaps the second job with the
+    first's write/commit tail. Each publish's bytes and rename are
+    exactly :func:`_write_version`'s; only wall-clock overlaps. Crash
+    semantics are unchanged: the serial order already admitted a crash
+    between the two commits, and replay regenerates BOTH stores
+    deterministically from the parent state, so commit order between
+    the pair was never load-bearing. Exceptions from either publish
+    propagate (the micro-batch fails and is replayed)."""
+    if len(writes) == 1:
+        _write_version(*writes[0])
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+        for f in [pool.submit(_write_version, *w) for w in writes]:
+            f.result()
+
+
 def scd2_init_history(
     dimension: DataFrame,
     history_path: str,

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 
 from prioritizing_event_processing_with_apache_kafka_spark.streaming.dimension import (
     _latest_version_below,
-    _write_version,
+    _write_versions_overlapped,
     _VERSION_COL,
 )
 
@@ -224,11 +224,14 @@ def locf_apply_batch(
         filled_col=filled_col,
         flag_col=flag_col,
     )
-    _write_version(out, out_path, target)
     batch_state = locf_next_state(
         batch, state, key_col=key_col, order_cols=order_cols, obs_col=obs_col
     )
-    _write_version(batch_state, state_path, target)
+    # Output and state are independent publishes on disjoint dirs —
+    # overlapped (guide §2.6), identical bytes and crash semantics.
+    _write_versions_overlapped(
+        [(out, out_path, target), (batch_state, state_path, target)]
+    )
     return target
 
 

@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 from prioritizing_event_processing_with_apache_kafka_spark.streaming.dimension import (
     _latest_version_below,
     _versions,
-    _write_version,
+    _write_versions_overlapped,
     _VERSION_COL,
 )
 
@@ -216,8 +216,6 @@ def transitions_apply_batch(
         state_col=state_col,
         order_cols=order_cols,
     )
-    _write_version(counts, out_path, target)
-
     batch_state = transitions_next_state(
         batch,
         state,
@@ -225,7 +223,11 @@ def transitions_apply_batch(
         state_col=state_col,
         order_cols=order_cols,
     )
-    _write_version(batch_state, state_path, target)
+    # Output and state are independent publishes on disjoint dirs —
+    # overlapped (guide §2.6), identical bytes and crash semantics.
+    _write_versions_overlapped(
+        [(counts, out_path, target), (batch_state, state_path, target)]
+    )
     return target
 
 
