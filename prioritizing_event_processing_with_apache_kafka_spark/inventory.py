@@ -1360,6 +1360,13 @@ def q_stream_route_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-partition machinery, not data, dominates; the same per-
     # partition cost recurs every batch on a cluster). Scoped to this
     # stream and restored after the drain, like the provider conf.
+    # NOTE (ADVICE r13): Spark fixes a stream's state-partition count
+    # from the SESSION conf at query start — there is no per-query knob
+    # — so any query planned on this session during the drain window
+    # would also see the reduced value. Safe here because the bench and
+    # oracle runners execute one query at a time on the session; a
+    # concurrent-query host should wrap this query in its own
+    # SparkSession.newSession() instead.
     part_key = "spark.sql.shuffle.partitions"
     prev_parts = spark.conf.get(part_key)
     n_state_parts = len(EVENTS_CONFIG.buckets) + 1
